@@ -1,0 +1,170 @@
+"""Catalog bootstrap: declared schemas + table registration.
+
+The reference never infers schemas — every table is pre-declared in a
+JSON schema file and the frame is built against it
+(etl_tools.py:37-61, SURVEY.md §1.1). We keep that contract: each
+testdata table has an explicit StructType, the reader validates the
+parquet footer against it, and `register_views` exposes all tables as
+temp views for the SQL surface.
+
+At 100 TB the declared schema also guarantees column pruning is
+possible at plan time (no sampling scan) and keeps the scan's
+ReadSchema minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import TABLES
+
+_F = T.StructField
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [_F("r_regionkey", T.IntegerType()), _F("r_name", T.StringType())]
+    ),
+    "nation": T.StructType(
+        [
+            _F("n_nationkey", T.IntegerType()),
+            _F("n_name", T.StringType()),
+            _F("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            _F("c_custkey", T.LongType()),
+            _F("c_name", T.StringType()),
+            _F("c_nationkey", T.IntegerType()),
+            _F("c_acctbal", T.DoubleType()),
+            _F("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            _F("s_suppkey", T.LongType()),
+            _F("s_name", T.StringType()),
+            _F("s_nationkey", T.IntegerType()),
+            _F("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            _F("p_partkey", T.LongType()),
+            _F("p_name", T.StringType()),
+            _F("p_brand", T.StringType()),
+            _F("p_type", T.StringType()),
+            _F("p_size", T.IntegerType()),
+            _F("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            _F("o_orderkey", T.LongType()),
+            _F("o_custkey", T.LongType()),
+            _F("o_orderstatus", T.StringType()),
+            _F("o_totalprice", T.DoubleType()),
+            _F("o_orderdate", T.TimestampNTZType()),
+            _F("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            _F("l_orderkey", T.LongType()),
+            _F("l_partkey", T.LongType()),
+            _F("l_suppkey", T.LongType()),
+            _F("l_linenumber", T.IntegerType()),
+            _F("l_quantity", T.DoubleType()),
+            _F("l_extendedprice", T.DoubleType()),
+            _F("l_discount", T.DoubleType()),
+            _F("l_tax", T.DoubleType()),
+            _F("l_returnflag", T.StringType()),
+            _F("l_linestatus", T.StringType()),
+            _F("l_shipdate", T.TimestampNTZType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            _F("event_id", T.LongType()),
+            _F("ts", T.TimestampNTZType()),
+            _F("user_id", T.LongType()),
+            _F("event_type", T.StringType()),
+            _F("value", T.DoubleType()),
+            _F("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            _F("doc_id", T.LongType()),
+            _F("text", T.StringType()),
+            _F("lang", T.StringType()),
+            _F("source", T.StringType()),
+            _F("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            _F("vec_id", T.LongType()),
+            _F("embedding", T.ArrayType(T.FloatType())),
+            _F("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# events.ts is physically TIMESTAMP(NANOS) in the testdata parquet, which
+# Spark's reader rejects (nanos exceed TimestampNTZ's micro precision). We
+# read it as raw INT64 nanos (spark.sql.legacy.parquet.nanosAsLong) and
+# truncate to micros in the plan — the same ns→µs truncation DuckDB applies,
+# so oracle comparison is exact.
+_RAW_SCHEMAS: dict[str, T.StructType] = {
+    "events": T.StructType(
+        [
+            _F("event_id", T.LongType()),
+            _F("ts", T.LongType()),
+            _F("user_id", T.LongType()),
+            _F("event_type", T.StringType()),
+            _F("value", T.DoubleType()),
+            _F("props", T.StringType()),
+        ]
+    ),
+}
+
+# Small dimension tables: always broadcast-join these (SURVEY.md §2.3 J2).
+# region/nation are O(10..100) rows at every sf; supplier/part grow with sf
+# but stay dimension-sized relative to the facts.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table with its declared schema (never inferred)."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; declared: {sorted(SCHEMAS)}")
+    if name == "events":
+        raw = spark.read.schema(_RAW_SCHEMAS[name]).parquet(
+            table_path(sf_dir, name)
+        )
+        ts = (
+            F.timestamp_micros(F.expr("ts div 1000"))
+            .cast(T.TimestampNTZType())
+            .alias("ts")
+        )
+        return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,99 @@
+"""Text-analysis primitives for the training-data pipeline (SURVEY.md
+§2.10 L4): tokenization, token statistics, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+Everything is built from JVM-side expressions (regexp, higher-order
+functions, xxhash64) — no Python in the hot path, so a 100 TB
+documents scan stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-zA-Z]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Real pipelines use fastText/CLD3; the heuristic is the
+# in-engine fallback and is deterministic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es": ("el", "la", "que", "de", "los", "una", "es", "por", "con", "para"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased alphabetic tokens (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.size(toks)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, "[a-zA-Z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(c)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane mean token length. Mirrors the length/punct/stopword family of
+    Gopher/C4-style quality rules."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    atl = avg_token_len(c)
+    tok_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + tok_ok) / 3.0
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-overlap language guess over STOPWORDS (deterministic:
+    ties broken by language code order)."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive rolling document fingerprint: a left fold of
+    xxhash64 over the token stream (hash chaining). Near-zero cost,
+    order-sensitive (unlike a token-set hash), collision-resistant
+    enough for shard-level dedup bookkeeping."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )

@@ -1,0 +1,187 @@
+"""Aggregation queries A1-A6 (SURVEY.md §2.4).
+
+The reference's core computed artifact is the per-sequence engagement
+counter block (openCount/clickCount/.../numContactedProspects,
+schemas/sequences.json:6-71) — materialized conditional aggregates over
+the mailings fact. `agg_engagement_counters` reproduces that exact
+shape over the events fact. All double sums go through exact decimal
+(functions/scalars.py) so the oracle hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import exact_sum, sum_sql
+from . import QuerySpec
+
+
+# A1 — global count (the reference's meta.count pagination driver,
+# outreach_etl.py:120,130).
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count("*").alias("n_rows"))
+
+
+AGG_COUNT_SQL = "SELECT COUNT(*) AS n_rows FROM lineitem"
+
+
+# A2/A3 — grouped agg + count-distinct (numContactedProspects shape,
+# schemas/sequences.json:57-59: distinct prospects per sequence).
+def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum("value").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+AGG_GROUPED_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       {sum_sql('value')} AS total_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+# A4 — approximate count-distinct (HLL++). No exact SQL oracle by nature →
+# rows-only check; tests assert relative error vs exact count.
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# A5 — rollup: per (region, nation) + per-region subtotal + grand total.
+# Spark emits NULL for rolled-up grouping columns; so does DuckDB.
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        exact_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       {sum_sql('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# A5b — cube over two independent dimensions.
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("revenue"),
+    )
+
+
+AGG_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {sum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# A6 — the engagement-counter block: conditional aggregates pivoting event
+# types into counter columns, reproducing the sequences table's
+# openCount/clickCount/replyCount/numContactedProspects semantics
+# (schemas/sequences.json:6-71) with events playing the mailings role and
+# user buckets playing sequences.
+def agg_engagement_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, True))
+
+    return (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .agg(
+            cnt("view").alias("view_count"),
+            cnt("click").alias("click_count"),
+            cnt("purchase").alias("purchase_count"),
+            cnt("signup").alias("signup_count"),
+            cnt("error").alias("error_count"),
+            F.countDistinct("user_id").alias("num_users"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("num_purchasing_users"),
+        )
+    )
+
+
+AGG_ENGAGEMENT_COUNTERS_SQL = """
+SELECT user_id % 10 AS cohort,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view_count,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click_count,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_count,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_count,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error_count,
+       COUNT(DISTINCT user_id) AS num_users,
+       COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase') AS num_purchasing_users
+FROM events
+GROUP BY 1
+"""
+
+
+# A6b — pivot operator form of the same conditional aggregation (explicit
+# value list so the plan needs no discovery pass over the data).
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "agg_count": QuerySpec(agg_count, AGG_COUNT_SQL, tags=("A1",)),
+    "agg_grouped": QuerySpec(agg_grouped, AGG_GROUPED_SQL, tags=("A2", "A3")),
+    "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, tags=("A4",)),
+    "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, tags=("A5",)),
+    "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, tags=("A5",)),
+    "agg_engagement_counters": QuerySpec(
+        agg_engagement_counters,
+        AGG_ENGAGEMENT_COUNTERS_SQL,
+        tags=("A6", "A2", "A3"),
+        bench=True,
+    ),
+    "agg_pivot": QuerySpec(agg_pivot, AGG_PIVOT_SQL, tags=("A6",)),
+}

@@ -1,0 +1,149 @@
+"""Event-time queries T1-T3/T6 in batch form (SURVEY.md §2.9).
+
+The reference's sync is a watermark-driven daily micro-batch over
+updatedAt (outreach_etl.py:115-117,223-229); these queries are the
+event-time operator family that model generalizes to. Each has a
+batch-SQL oracle; the true Structured Streaming forms (withWatermark,
+session_window, dropDuplicatesWithinWatermark, foreachBatch upsert)
+live in streaming/ and are covered by rows-only tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import exact_sum, sum_sql
+from ..operators.sessionize import sessionize
+from . import QuerySpec
+
+
+# T1 — tumbling window aggregation via the window() operator; the oracle
+# uses date_trunc (tumbling windows of 1h are epoch-aligned in both).
+def evt_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), exact_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+EVT_TUMBLING_SQL = f"""
+SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
+       COUNT(*) AS n, {sum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# T2 — sliding window (1h window, 15m slide): each event lands in 4
+# windows. The oracle expands the window membership explicitly: window
+# starts are the 15-minute buckets k=0..3 steps back from the event's
+# bucket (identical alignment: Spark slides are epoch-aligned).
+def evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+
+
+EVT_SLIDING_SQL = """
+SELECT MAKE_TIMESTAMP(
+         (CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) * 900 - k * 900) * 1000000
+       ) AS win_start,
+       COUNT(*) AS n
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+"""
+
+
+# T3 — gap-based sessionization in batch (operators/sessionize.py), then
+# per-session rollup. The oracle replicates the lag+cumsum trick with
+# ANSI window functions; tiebreak on event_id pins equal-ts ordering.
+_GAP_S = 1800  # 30 minutes
+
+
+def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=_GAP_S, order_tiebreak="event_id"
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        exact_sum("value").alias("session_value"),
+    )
+
+
+EVT_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {_GAP_S} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {sum_sql('value')} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# T6 — incremental upsert compaction in batch: replay a day of "updates"
+# (events as CDC rows keyed by user) and keep the latest state per key —
+# the reference's re-pull-replaces-by-id semantics (outreach_etl.py:227-229)
+# without its duplicate bugs (SURVEY.md §2.12).
+def evt_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+EVT_UPSERT_COMPACT_SQL = """
+SELECT user_id, ts AS latest_ts, event_type AS latest_type, value AS latest_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "evt_tumbling": QuerySpec(evt_tumbling, EVT_TUMBLING_SQL, tags=("T1",), bench=True),
+    "evt_sliding": QuerySpec(evt_sliding, EVT_SLIDING_SQL, tags=("T2",)),
+    "evt_sessions": QuerySpec(evt_sessions, EVT_SESSIONS_SQL, tags=("T3",), bench=True),
+    "evt_upsert_compact": QuerySpec(
+        evt_upsert_compact, EVT_UPSERT_COMPACT_SQL, tags=("T6", "W1")
+    ),
+}

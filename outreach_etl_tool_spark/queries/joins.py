@@ -1,0 +1,263 @@
+"""Join queries J1-J9 (SURVEY.md §2.3).
+
+The reference's data model is relational (FK columns,
+schemas/prospects.json:488-619, SURVEY.md §1.3) but every join ran
+downstream in BigQuery; here they are first-class. Physical strategy
+notes per query: dims are broadcast explicitly, fact⋈fact goes through
+sort-merge (AQE may switch at runtime), and the as-of join uses the
+single-shuffle union-window algorithm (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import exact_sum, sum_sql
+from ..operators.asof import asof_join
+from . import QuerySpec
+
+
+# J1 — inner equi join (prospect⋈account shape). Row-level output so the
+# oracle checks join semantics, not just aggregates.
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey, "inner"
+    ).select("c_custkey", "c_name", "n_name")
+
+
+JOIN_INNER_SQL = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# J2 — explicit broadcast of the small dims (region: 5 rows, nation: 25 at
+# every sf — broadcasting removes both shuffles of the customer fact).
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+JOIN_BROADCAST_DIMS_SQL = f"""
+SELECT r_name, COUNT(*) AS n_customers, {sum_sql('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# J3 — fact⋈fact sort-merge join (orders⋈lineitem). The merge hint pins
+# SMJ so the query demonstrates the shuffle-join path even when AQE would
+# broadcast at small sf; on 100 TB this IS the plan (both sides huge),
+# shuffled on the join key once and reused by nothing downstream.
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.hint("merge")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            exact_sum(revenue, scale=6).alias("revenue"),
+        )
+    )
+
+
+JOIN_FACT_FACT_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# J4 — left outer join: every customer, order count (0 for orderless —
+# COUNT(col) skips the null-extended rows in both engines).
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            exact_sum("o_totalprice").alias("lifetime_value"),
+        )
+    )
+
+
+JOIN_LEFT_OUTER_SQL = f"""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       {sum_sql('o_totalprice')} AS lifetime_value
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# J5 — left semi join ("prospects with ≥1 mailing" shape): customers that
+# have at least one urgent order. Semi join shuffles only distinct keys of
+# the right side — never materializes the match multiplicity.
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# J6 — left anti join ("never-contacted" shape): customers with no orders.
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# J7 — theta/range join against a small band table. The band side is a
+# literal dim → broadcast nested-loop join, which is exactly right: the
+# fact side streams through executors once, no shuffle.
+_BANDS = [
+    (0.0, 50.0, "micro"),
+    (50.0, 100.0, "small"),
+    (100.0, 150.0, "mid"),
+    (150.0, 1e18, "large"),
+]
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), exact_sum("value").alias("total_value"))
+    )
+
+
+JOIN_RANGE_BANDS_SQL = f"""
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 50.0, 'micro'), (50.0, 100.0, 'small'),
+         (100.0, 150.0, 'mid'), (150.0, 1e18, 'large')
+)
+SELECT band, COUNT(*) AS n, {sum_sql('value')} AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+# J8 — as-of join (latest click at-or-before each purchase, per user).
+# Implemented with the union-window algorithm (operators/asof.py): one
+# shuffle of |purchases|+|clicks| rows, no pairwise explosion. The oracle
+# is the O(n²)-shaped correlated-subquery form — semantically identical.
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+        how="left",
+    ).select("event_id", "user_id", "ts", F.col("click_ts").alias("last_click_ts"))
+
+
+JOIN_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts) AS last_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+# J9 — interval self-join on time: pairs of events by the same user within
+# a 10-minute window. Equi-join on user bounds the blow-up; the range
+# predicate is applied post-join (Catalyst folds it into the join cond).
+def join_self_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b")
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs_10m"))
+
+
+JOIN_SELF_INTERVAL_SQL = """
+SELECT a.user_id, COUNT(*) AS n_pairs_10m
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL, tags=("J1",)),
+    "join_broadcast_dims": QuerySpec(
+        join_broadcast_dims, JOIN_BROADCAST_DIMS_SQL, tags=("J2",)
+    ),
+    "join_fact_fact": QuerySpec(
+        join_fact_fact, JOIN_FACT_FACT_SQL, tags=("J3",), bench=True
+    ),
+    "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_OUTER_SQL, tags=("J4",)),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL, tags=("J5",)),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, tags=("J6",)),
+    "join_range_bands": QuerySpec(
+        join_range_bands, JOIN_RANGE_BANDS_SQL, tags=("J7",)
+    ),
+    "join_asof": QuerySpec(join_asof, JOIN_ASOF_SQL, tags=("J8",), bench=True),
+    "join_self_interval": QuerySpec(
+        join_self_interval, JOIN_SELF_INTERVAL_SQL, tags=("J9",)
+    ),
+}

@@ -1,0 +1,242 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2.10 L1-L5): dedup
+family, similarity search, text analysis, multimodal metadata.
+
+Oracle-able queries carry exact DuckDB SQL; the probabilistic
+operators (MinHash/SimHash/LSH) are rows-only here and get recall
+tests against exact baselines in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dedup import embedding as emb_dedup
+from ..dedup import exact as exact_dedup
+from ..dedup import minhash, ngram, simhash
+from ..functions import text as TXT
+from ..functions.vectors import cosine, dot
+from ..similarity import ann
+from . import QuerySpec
+
+
+# L1 — exact text dedup: group by content hash (32-byte shuffle keys, not
+# documents — dedup/exact.py). Oracle groups by the text itself; identical
+# output barring a SHA-256 collision.
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup.dedup_groups(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+# L4 — text statistics: token count, punctuation ratio, quality flags.
+# Same regexp dialect (RE2-compatible classes) in both engines.
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.punct_ratio("text").alias("punct_ratio"),
+        (F.length("text") >= 100).alias("len_ok"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
+       CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS INTEGER) AS n_tokens,
+       CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         / LENGTH(text) AS punct_ratio,
+       LENGTH(text) >= 100 AS len_ok
+FROM documents
+"""
+
+
+# L4b — language filter + per-source rollup (the lang column is ground
+# truth; the heuristic lang_id is benchmarked against it separately).
+def lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+LANG_FILTER_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+"""
+
+
+# L4c — language-ID heuristic distribution (rows-only: the stopword-vote
+# CASE chain has no clean SQL mirror; accuracy is unit-tested instead).
+def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.lang_id("text").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# L4d — rolling-hash document fingerprint (xxhash64 chain; rows-only —
+# xxhash64 is Spark-specific).
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.fingerprint("text").alias("fp"), TXT.quality_score("text").alias("quality")
+    )
+
+
+# L2 — MinHash-LSH near-dedup (rows-only; recall tested vs exact Jaccard).
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash.candidate_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, jaccard_threshold=0.4
+    )
+
+
+# L2b — SimHash near-dedup (rows-only).
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash.candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# L2c — exact n-gram Jaccard within source partitions (rows-only: the
+# shingle self-join oracle is impractical in one SQL statement).
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram.jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, partition_col="source"
+    )
+
+
+# L2d — embedding-cosine near-dup via hyperplane LSH (rows-only).
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return emb_dedup.near_dup_pairs(
+        embs, "vec_id", "embedding", dim=64, n_planes=16, bands=4,
+        cosine_threshold=0.95,
+    )
+
+
+# L3 — brute-force cosine top-k against a query vector (the baseline ANN
+# tier). The query vector is a plan-time literal (vec_id 0's embedding);
+# oracle mirrors the exact arithmetic: double-cast elements, left-fold
+# dot product, same cosine expression shape.
+_TOPK = 25
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    qrow = embs.filter(F.col("vec_id") == 0).select("embedding").head()
+    query = [float(v) for v in qrow[0]]
+    return ann.topk_bruteforce(embs, query, k=_TOPK, id_col="vec_id", vec_col="embedding")
+
+
+SIM_TOPK_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(qv, qv))) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+# L3b — IVF-style ANN: probe the nearest cells only (rows-only; recall vs
+# brute force is unit-tested).
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    centroids = ann.sample_centroids(embs, n_cells=8)
+    qrow = embs.filter(F.col("vec_id") == 1).select("embedding").head()
+    query = [float(v) for v in qrow[0]]
+    cells = ann.assign_cells(embs, centroids)
+    return ann.topk_ivf(cells, centroids, query, k=_TOPK, nprobe=3)
+
+
+# L5/F6 — per-label embedding centroids via posexplode (the columnar way
+# to aggregate vectors: one shuffle of (label, pos) cells, exact decimal
+# sums for oracle equality).
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    cells = embs.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    # scale 6: high enough for a centroid, low enough that DuckDB's
+    # double→decimal cast (a double multiply by 10^s) never lands on a
+    # rounding boundary for float-valued inputs.
+    dec = F.col("val").cast("double").cast("decimal(23,6)")
+    return cells.groupBy("label", "pos").agg(
+        (F.sum(dec).cast("double") / F.count("val")).alias("mean_val"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+EMB_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(23,6))) AS DOUBLE)
+         / COUNT(embedding[i]) AS mean_val,
+       COUNT(*) AS n_vecs
+FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+GROUP BY label, i
+"""
+
+
+# L5 — multimodal metadata plumbing: opaque binary payload + typed
+# metadata. Text stands in for the decoded-bytes column (the container
+# has no image/audio libs — multimodal/ holds the stubbed decoders); the
+# Spark-side schema/ops (binary length, content digest) are real.
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.length(payload).alias("n_bytes"),
+        F.sha2("text", 256).alias("digest"),  # hashes the utf-8 bytes
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id, source,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+       SHA256(text) AS digest
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, tags=("L1",), bench=True),
+    "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
+    "lang_filter": QuerySpec(lang_filter, LANG_FILTER_SQL, tags=("L4",)),
+    "lang_id_guess": QuerySpec(lang_id_guess, None, tags=("L4",)),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, None, tags=("L4",)),
+    "dedup_minhash": QuerySpec(dedup_minhash, None, tags=("L2",), bench=True),
+    "dedup_simhash": QuerySpec(dedup_simhash, None, tags=("L2",)),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, None, tags=("L2",)),
+    "emb_near_dup": QuerySpec(emb_near_dup, None, tags=("L2", "L3")),
+    "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
+    "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
+    "emb_centroids": QuerySpec(emb_centroids, EMB_CENTROIDS_SQL, tags=("L5", "F6")),
+    "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL, tags=("L5",)),
+}

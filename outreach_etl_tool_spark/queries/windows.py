@@ -1,0 +1,164 @@
+"""Window-function queries W1-W4 (SURVEY.md §2.5).
+
+W1 is the reference's upsert semantics made explicit: incremental
+replication re-pulls updated rows (outreach_etl.py:227-229) and the
+latest updatedAt must win — keep-latest-per-key via row_number. Every
+window has a deterministic total order (tiebreak on the key) so the
+oracle hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import QuerySpec
+
+
+# W1 — keep-latest-per-key (upsert/T6 batch semantics): latest order per
+# customer. One shuffle on the partition key; at scale this is the
+# standard CDC-compaction plan.
+def win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+WIN_LATEST_PER_KEY_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# W1b — ranking trio on one window.
+def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).filter(F.col("rn") <= 50)
+
+
+WIN_RANK_ORDERS_SQL = """
+SELECT o_orderkey, o_orderstatus, rn, rnk, drnk FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+         CAST(RANK() OVER w AS INTEGER) AS rnk,
+         CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rn <= 50
+"""
+
+
+# W2 — lag/lead: days between consecutive orders per customer ("time
+# between touches").
+def win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.to_date("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), prev).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+WIN_LAG_GAP_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(DATE_DIFF('day',
+            LAG(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+       LEAD(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# W3 — aggregate-over-frame: running revenue + 3-row moving average per
+# customer. Frame sums run left-to-right over a deterministic order in
+# both engines; inputs go through exact decimal so increments are exact.
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(30,2)")
+    running = (
+        F.sum(dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    moving_sum = (
+        F.sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double")
+    )
+    moving_n = F.count("o_totalprice").over(w.rowsBetween(-2, Window.currentRow))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        running.alias("running_revenue"),
+        (moving_sum / moving_n).alias("moving_avg_3"),
+    )
+
+
+WIN_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# W4 — ntile / percent_rank (score-quartile shape: engagedScore,
+# schemas/prospects.json:308-310).
+def win_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+    )
+
+
+WIN_QUARTILES_SQL = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS INTEGER) AS balance_quartile,
+       PERCENT_RANK() OVER w AS balance_pct_rank
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "win_latest_per_key": QuerySpec(
+        win_latest_per_key, WIN_LATEST_PER_KEY_SQL, tags=("W1", "T6", "U3"), bench=True
+    ),
+    "win_rank_orders": QuerySpec(win_rank_orders, WIN_RANK_ORDERS_SQL, tags=("W1",)),
+    "win_lag_gap": QuerySpec(win_lag_gap, WIN_LAG_GAP_SQL, tags=("W2",)),
+    "win_running": QuerySpec(win_running, WIN_RUNNING_SQL, tags=("W3",)),
+    "win_quartiles": QuerySpec(win_quartiles, WIN_QUARTILES_SQL, tags=("W4",)),
+}
