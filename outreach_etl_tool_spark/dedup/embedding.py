@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..operators.util import ensure_parallelism
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -56,6 +57,7 @@ def near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold, found via LSH buckets."""
+    df = ensure_parallelism(df)
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     width = n_planes // bands

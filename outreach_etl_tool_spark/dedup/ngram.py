@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.util import ensure_parallelism
 from .minhash import shingles
 
 
@@ -26,6 +27,7 @@ def jaccard_pairs(
     partition_col: str | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with k-shingle Jaccard ≥ threshold."""
+    df = ensure_parallelism(df)
     part = F.col(partition_col) if partition_col else F.lit(0)
     base = df.select(
         F.col(id_col).alias("id"),

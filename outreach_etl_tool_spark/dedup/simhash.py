@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..functions.text import tokens
+from ..operators.util import ensure_parallelism
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -60,6 +61,7 @@ def simhash64(token_arrays: pd.Series) -> pd.Series:
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    df = ensure_parallelism(df)
     return df.withColumn("simhash", simhash64(tokens(text_col)))
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.scalars import avg_sql, exact_avg, exact_sum, sum_sql
+from ..operators.util import ensure_parallelism
 from . import QuerySpec
 
 
@@ -60,7 +61,7 @@ ORDER BY revenue DESC, n_name, o_orderstatus
 # engines); sums go through exact decimal (functions/scalars.py).
 # ---------------------------------------------------------------------------
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

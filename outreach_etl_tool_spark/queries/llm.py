@@ -17,6 +17,7 @@ from ..dedup import exact as exact_dedup
 from ..dedup import minhash, ngram, simhash
 from ..functions import text as TXT
 from ..functions.vectors import cosine, dot
+from ..operators.util import ensure_parallelism
 from ..similarity import ann
 from . import QuerySpec
 
@@ -25,7 +26,7 @@ from . import QuerySpec
 # documents — dedup/exact.py). Oracle groups by the text itself; identical
 # output barring a SHA-256 collision.
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return exact_dedup.dedup_groups(docs, "text", "doc_id")
 
 
@@ -39,7 +40,7 @@ GROUP BY text
 # L4 — text statistics: token count, punctuation ratio, quality flags.
 # Same regexp dialect (RE2-compatible classes) in both engines.
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -88,7 +89,7 @@ GROUP BY source
 # L4c — language-ID heuristic distribution (rows-only: the stopword-vote
 # CASE chain has no clean SQL mirror; accuracy is unit-tested instead).
 def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", TXT.lang_id("text").alias("guessed"))
         .groupBy("lang", "guessed")
@@ -99,7 +100,7 @@ def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L4d — rolling-hash document fingerprint (xxhash64 chain; rows-only —
 # xxhash64 is Spark-specific).
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", TXT.fingerprint("text").alias("fp"), TXT.quality_score("text").alias("quality")
     )
@@ -178,7 +179,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to aggregate vectors: one shuffle of (label, pos) cells, exact decimal
 # sums for oracle equality).
 def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    embs = load_table(spark, sf_dir, "embeddings")
+    embs = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     cells = embs.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     )
@@ -207,7 +208,7 @@ GROUP BY label, i
 # has no image/audio libs — multimodal/ holds the stubbed decoders); the
 # Spark-side schema/ops (binary length, content digest) are real.
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     payload = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",

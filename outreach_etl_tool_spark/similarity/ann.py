@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..operators.util import ensure_parallelism
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -32,7 +33,7 @@ def topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine similarity (deterministic tiebreak on id)."""
-    scored = df.select(
+    scored = ensure_parallelism(df).select(
         F.col(id_col),
         cosine(F.col(vec_col), _lit_vec(query)).alias("cos_sim"),
     )
