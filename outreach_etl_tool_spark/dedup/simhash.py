@@ -26,37 +26,63 @@ from ..operators.util import ensure_parallelism
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _xxhash_like(arr: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit token hash (FNV-1a over utf-8 bytes),
-    vectorized per batch. Stable across Python versions (unlike hash())."""
-    out = np.empty(len(arr), dtype=np.uint64)
-    fnv_offset = np.uint64(0xCBF29CE484222325)
-    fnv_prime = np.uint64(0x100000001B3)
-    for i, tok in enumerate(arr):
-        h = fnv_offset
-        for byte in tok.encode("utf-8"):
-            h = ((h ^ np.uint64(byte)) * fnv_prime) & _MASK64
-        out[i] = h
-    return out
+def _fnv1a_vec(unique_tokens: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit token hash (FNV-1a over utf-8 bytes).
+    Stable across Python versions (unlike hash()).
+
+    Vectorized across tokens: the sequential dependency of FNV is only
+    along a token's *bytes*, so we pad tokens into a byte matrix and
+    run max_len vectorized rounds — tokens are short (~5-10 bytes), so
+    this is a handful of C passes instead of a Python loop per byte.
+    """
+    enc = [t.encode("utf-8") for t in unique_tokens]
+    n = len(enc)
+    maxlen = max((len(e) for e in enc), default=0)
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    alive = np.zeros((n, maxlen), dtype=bool)
+    for i, e in enumerate(enc):
+        b = np.frombuffer(e, dtype=np.uint8)
+        mat[i, : len(b)] = b
+        alive[i, : len(b)] = True
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        sel = alive[:, j]
+        h[sel] = (h[sel] ^ mat[sel, j]) * prime  # uint64 array mul wraps mod 2^64
+    return h
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_POW = np.uint64(1) << _BIT_IDX
 
 
 @F.pandas_udf(LongType())
 def simhash64(token_arrays: pd.Series) -> pd.Series:
-    bit_idx = np.arange(64, dtype=np.uint64)
-    results = np.empty(len(token_arrays), dtype=np.int64)
-    for i, toks in enumerate(token_arrays):
-        if toks is None or len(toks) == 0:
-            results[i] = 0
-            continue
-        hashes = _xxhash_like(np.asarray(toks, dtype=object))
-        bits = (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)
-        votes = bits.astype(np.int64) * 2 - 1  # bit→+1, no-bit→-1
-        agg = votes.sum(axis=0)
-        fp = np.uint64(0)
-        for j in range(64):
-            if agg[j] > 0:
-                fp |= np.uint64(1) << np.uint64(j)
-        results[i] = np.int64(fp.astype(np.int64))
+    """Whole-batch simhash: flatten every doc's tokens, hash only the
+    *unique* tokens (corpora repeat heavily), broadcast back, and do
+    the 64-lane bit-vote with one reduceat over the flat token axis."""
+    lengths = token_arrays.str.len().fillna(0).astype(np.int64).to_numpy()
+    results = np.zeros(len(token_arrays), dtype=np.int64)
+    keep = lengths > 0
+    if keep.any():
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in token_arrays[keep]]
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hashes = _fnv1a_vec(uniq)[inv]
+        votes = (
+            ((hashes[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int8)
+            * 2
+            - 1
+        ).astype(np.int64)
+        lens = lengths[keep]
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        agg = np.add.reduceat(votes, starts, axis=0)  # (n_docs, 64)
+        fps = ((agg > 0).astype(np.uint64) * _BIT_POW[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        results[keep] = fps.astype(np.int64)
     return pd.Series(results)
 
 

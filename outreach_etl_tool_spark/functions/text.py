@@ -41,21 +41,21 @@ def avg_token_len(text: Column | str) -> Column:
     total = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
     )
-    return total / F.size(toks)
+    return F.try_divide(total, F.size(toks))
 
 
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.col(text) if isinstance(text, str) else text
     stripped = F.regexp_replace(c, "[a-zA-Z0-9 ]", "")
-    return F.length(stripped).cast("double") / F.length(c)
+    return F.try_divide(F.length(stripped).cast("double"), F.length(c))
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_sw.cast("double") / F.size(toks)
+    return F.try_divide(n_sw.cast("double"), F.size(toks))
 
 
 def quality_score(text: Column | str) -> Column:

@@ -34,5 +34,6 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity → double (null-safe only for non-empty arrays)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity → double. Zero-norm inputs yield null (ANSI
+    mode would otherwise fail the whole job on one degenerate vector)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -1,0 +1,140 @@
+"""Unit tests: dedup family — exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding LSH (SURVEY.md §2.10 L1/L2)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outreach_etl_tool_spark.dedup import embedding as emb_dedup
+from outreach_etl_tool_spark.dedup import exact, minhash, ngram, simhash
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the distant purple mountains and the river flows"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit: high Jaccard
+FAR = (
+    "completely unrelated text about quantum chromodynamics lattice "
+    "simulations running on exascale supercomputers with tensor cores"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], "doc_id long, text string"
+    )
+
+
+def pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+# ----------------------------------------------------------------- L1
+def test_exact_dedup_groups(spark, docs):
+    out = exact.dedup_groups(docs, "text", "doc_id").orderBy("keep_id").collect()
+    got = {(r["keep_id"], r["n_copies"]) for r in out}
+    assert got == {(1, 2), (2, 1), (3, 1)}
+
+
+def test_exact_deduplicate_keeps_min_id(spark, docs):
+    out = exact.deduplicate(docs, "text", "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = exact.deduplicate(docs, "text", "doc_id")
+    twice = exact.deduplicate(once, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    )
+
+
+# ------------------------------------------------------------ MinHash
+def test_minhash_finds_near_and_exact_dups(spark, docs):
+    got = pairs(minhash.candidate_pairs(docs, "doc_id", "text",
+                                        jaccard_threshold=0.5))
+    assert (1, 4) in got          # identical text
+    assert (1, 2) in got          # one-token edit
+    assert all(3 not in p for p in got)  # unrelated never pairs
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = docs.select(
+        minhash.minhash_signature(minhash.shingles("text"), num_hashes=16).alias("s")
+    ).collect()
+    assert all(len(r["s"]) == 16 for r in sig)
+
+
+def test_minhash_identical_signatures_for_identical_text(spark, docs):
+    sig = docs.filter(F.col("doc_id").isin(1, 4)).select(
+        minhash.minhash_signature(minhash.shingles("text")).alias("s")
+    ).collect()
+    assert sig[0]["s"] == sig[1]["s"]
+
+
+# ------------------------------------------------------------ SimHash
+def test_simhash_near_dups(spark):
+    # Longer docs so a one-token edit flips ≤3 bits — the 4×16-bit
+    # banding's recall guarantee (pigeonhole) only covers Hamming ≤ 3.
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the distant purple mountains and the river flows "
+        "through the green valley past the old stone bridge where children "
+        "play in the warm afternoon light near the quiet village square"
+    )
+    near = base.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, FAR), (4, base)], "doc_id long, text string"
+    )
+    got = pairs(simhash.candidate_pairs(docs, "doc_id", "text", max_hamming=3))
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_identical_text_zero_hamming(spark, docs):
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash.with_simhash(docs).select("doc_id", "simhash").collect()
+    }
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[3]
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def test_ngram_jaccard_pairs(spark, docs):
+    out = ngram.jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 4)] == pytest.approx(1.0)
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+# ------------------------------------------------- embedding LSH dedup
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.05   # cosine ~0.999
+    far = rng.standard_normal(64)                  # cosine ~0
+    rows = [(1, [float(x) for x in base]), (2, [float(x) for x in near]),
+            (3, [float(x) for x in far])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = emb_dedup.near_dup_pairs(df, cosine_threshold=0.95)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert all(3 not in p for p in got)
+    # verification is exact: reported cosine matches numpy
+    expected = float(
+        np.dot(base, near) / (np.linalg.norm(base) * np.linalg.norm(near))
+    )
+    a32 = np.asarray(base, dtype=np.float32).astype(float)
+    b32 = np.asarray(near, dtype=np.float32).astype(float)
+    expected32 = float(np.dot(a32, b32) / (np.linalg.norm(a32) * np.linalg.norm(b32)))
+    assert got[(1, 2)] == pytest.approx(expected32, abs=1e-6) or got[
+        (1, 2)
+    ] == pytest.approx(expected, abs=1e-3)

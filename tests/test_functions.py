@@ -1,0 +1,106 @@
+"""Unit tests: text / vector / scalar function primitives (SURVEY.md
+§2.8, §2.10 L4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from outreach_etl_tool_spark.functions import text as TXT
+from outreach_etl_tool_spark.functions.scalars import exact_avg, exact_sum
+from outreach_etl_tool_spark.functions.vectors import cosine, dot, norm
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# ---------------------------------------------------------------- text
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([("Hello, World! 42 foo_bar",)], "t string")
+    r = one(df.select(TXT.tokens("t").alias("toks"),
+                      TXT.token_count("t").alias("n")))
+    assert r["toks"] == ["hello", "world", "foo", "bar"]
+    assert r["n"] == 4
+
+
+def test_punct_ratio(spark):
+    df = spark.createDataFrame([("ab!?",)], "t string")
+    assert one(df.select(TXT.punct_ratio("t").alias("p")))["p"] == pytest.approx(0.5)
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat and the hat",)], "t string")
+    # the, and, the = 3 stopwords of 5 tokens
+    r = one(df.select(TXT.stopword_ratio("t").alias("r")))
+    assert r["r"] == pytest.approx(3 / 5)
+
+
+def test_lang_id_on_clear_samples(spark):
+    samples = [
+        ("the quick fox and the dog ran to it", "en"),
+        ("der Hund und die Katze ist nicht ein Tier", "de"),
+        ("le chat et la maison dans les jardins", "fr"),
+        ("el perro que corre por la casa con los gatos", "es"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in samples], "t string")
+    got = [r["g"] for r in df.select(TXT.lang_id("t").alias("g")).collect()]
+    assert got == [lang for _, lang in samples]
+
+
+def test_lang_id_unknown(spark):
+    df = spark.createDataFrame([("zzz qqq xxx",)], "t string")
+    assert one(df.select(TXT.lang_id("t").alias("g")))["g"] == "und"
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame([("alpha beta",), ("beta alpha",)], "t string")
+    fps = [r["fp"] for r in df.select(TXT.fingerprint("t").alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("alpha beta",), ("alpha beta",)], "t string")
+    fps = [r["fp"] for r in df.select(TXT.fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("a good plain sentence of reasonable length here",),
+         ("!!!???;;;",), ("x",)], "t string"
+    )
+    scores = [r["q"] for r in df.select(TXT.quality_score("t").alias("q")).collect()]
+    assert scores[0] == 1.0
+    assert all(s is None or 0.0 <= s <= 1.0 for s in scores)
+
+
+# ------------------------------------------------------------- vectors
+def test_dot_norm_cosine(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    r = one(df.select(dot("a", "b").alias("d"), norm("a").alias("n"),
+                      cosine("a", "b").alias("c")))
+    assert r["d"] == pytest.approx(4 - 10 + 18)
+    assert r["n"] == pytest.approx(math.sqrt(14))
+    expected_cos = 12 / (math.sqrt(14) * math.sqrt(77))
+    assert r["c"] == pytest.approx(expected_cos)
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([0.5, 0.25, -1.5],)], "a array<float>")
+    assert one(df.select(cosine("a", "a").alias("c")))["c"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------- scalars
+def test_exact_sum_matches_decimal(spark):
+    # values chosen so naive double summation order matters
+    vals = [(1e15,), (1.11,), (-1e15,), (2.22,)]
+    df = spark.createDataFrame(vals, "x double")
+    r = one(df.agg(exact_sum("x").alias("s"), exact_avg("x").alias("a")))
+    assert r["s"] == pytest.approx(3.33, abs=1e-9)
+    assert r["a"] == pytest.approx(3.33 / 4, abs=1e-9)

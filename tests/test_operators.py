@@ -1,0 +1,79 @@
+"""Unit tests: as-of join and sessionize (SURVEY.md §2.3 J8, §2.9 T3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from outreach_etl_tool_spark.operators.asof import asof_join
+from outreach_etl_tool_spark.operators.sessionize import sessionize
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "m1"), (1, ts("2024-01-01T12:00"), "m2"),
+         (2, ts("2024-01-01T09:00"), "m3")],
+        "key int, lts timestamp_ntz, mid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:30"), "s1"), (1, ts("2024-01-01T11:00"), "s2"),
+         (2, ts("2024-01-01T09:30"), "s3")],
+        "key int, rts timestamp_ntz, state string",
+    )
+    out = asof_join(left, right, on="key", left_ts="lts", right_ts="rts",
+                    payload=["state"])
+    got = {r["mid"]: r["state"] for r in out.collect()}
+    # m1 at 10:00 sees s1 (09:30); m2 at 12:00 sees s2 (11:00);
+    # m3 at 09:00 precedes every right row -> null
+    assert got == {"m1": "s1", "m2": "s2", "m3": None}
+
+
+def test_asof_tie_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "m1")], "key int, lts timestamp_ntz, mid string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "same-instant")],
+        "key int, rts timestamp_ntz, state string",
+    )
+    out = asof_join(left, right, on="key", left_ts="lts", right_ts="rts",
+                    payload=["state"])
+    assert out.collect()[0]["state"] == "same-instant"
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T08:00"), "early"), (1, ts("2024-01-01T12:00"), "late")],
+        "key int, lts timestamp_ntz, mid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "s")], "key int, rts timestamp_ntz, state string"
+    )
+    out = asof_join(left, right, on="key", left_ts="lts", right_ts="rts",
+                    payload=["state"], how="inner")
+    assert [r["mid"] for r in out.collect()] == ["late"]
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap = 60 s: exactly 60 s stays in-session, 61 s starts a new one
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), 1),
+        (1, ts("2024-01-01T00:01:00"), 2),   # +60 s  -> same session
+        (1, ts("2024-01-01T00:02:01"), 3),   # +61 s  -> new session
+        (2, ts("2024-01-01T00:00:00"), 4),   # other key -> own session 1
+    ]
+    df = spark.createDataFrame(rows, "user int, ts timestamp_ntz, eid int")
+    out = sessionize(df, key="user", ts="ts", gap_seconds=60,
+                     order_tiebreak="eid")
+    got = {r["eid"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_deterministic_on_ts_ties(spark):
+    rows = [(1, ts("2024-01-01T00:00:00"), i) for i in range(5)]
+    df = spark.createDataFrame(rows, "user int, ts timestamp_ntz, eid int")
+    out = sessionize(df, key="user", ts="ts", gap_seconds=60, order_tiebreak="eid")
+    assert {r["session_id"] for r in out.collect()} == {1}

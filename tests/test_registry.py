@@ -1,0 +1,68 @@
+"""Registry integrity + full smoke run at sf0.001.
+
+The driver contract (__spark_entry__) hash-compares every oracle-paired
+query against DuckDB at sf0.01; tools/selfcheck.py replicates that.
+Here we assert the cheaper invariants on every test run: the registry
+is well-formed, every query executes at sf0.001, schemas are stable,
+and oracle column sets line up with the Spark output (the #1 way to
+fail the driver's hash compare).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from outreach_etl_tool_spark import TABLES
+from outreach_etl_tool_spark.queries import REGISTRY
+
+
+def test_registry_shape():
+    assert len(REGISTRY) >= 56
+    for name, spec in REGISTRY.items():
+        assert callable(spec.fn), name
+        assert spec.oracle is None or "SELECT" in spec.oracle.upper(), name
+
+
+def test_entry_contract(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert len(df.columns) > 0
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_all_queries_run_and_columns_match_oracle(spark, sf_dir, duck):
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            n = sdf.count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: spark error {e}")
+            continue
+        assert n >= 0
+        if spec.oracle is None:
+            continue
+        try:
+            cols = [d[0] for d in duck.execute(spec.oracle).description]
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: duckdb error {e}")
+            continue
+        if sorted(cols) != sorted(sdf.columns):
+            failures.append(
+                f"{name}: column mismatch spark={sorted(sdf.columns)} "
+                f"oracle={sorted(cols)}"
+            )
+    assert not failures, "\n".join(failures)
