@@ -1,0 +1,251 @@
+"""Ingest layer tests: flatten golden parity with the reference
+schemas, schema loading, and the §2.12 replication-bug fixes."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from outreach_etl_tool_spark.ingest import (
+    coerce_types,
+    empty_frame,
+    flatten_df,
+    flatten_record,
+    flatten_schema_names,
+    load_ref_schema,
+    ref_schema_to_struct,
+)
+from outreach_etl_tool_spark.ingest import rest
+
+REF_SCHEMAS = "/root/reference/schemas"
+
+
+# ------------------------------------------------- flatten: golden parity
+def test_flatten_record_nested_dict_and_lists():
+    rec = {
+        "attributes": {
+            "emails": ["a@x.com", "b@x.com"],
+            "contactHistogram": [[0, 1], [2, 3]],
+            "firstName": "Ada",
+        },
+        "relationships": {"account": {"data": {"id": 7}}},
+        "id": 1,
+    }
+    flat = flatten_record(rec)
+    assert flat == {
+        "attributes_emails_0": "a@x.com",
+        "attributes_emails_1": "b@x.com",
+        "attributes_contactHistogram_0_0": 0,
+        "attributes_contactHistogram_0_1": 1,
+        "attributes_contactHistogram_1_0": 2,
+        "attributes_contactHistogram_1_1": 3,
+        "attributes_firstName": "Ada",
+        "relationships_account_data_id": 7,
+        "id": 1,
+    }
+
+
+def test_flatten_names_are_reference_schema_columns():
+    """Every name our flattener derives for the prospects fixture exists
+    verbatim in the reference's declared schema — the golden contract."""
+    schema_cols = set(json.load(open(f"{REF_SCHEMAS}/prospects.json")))
+    rec = {
+        "attributes": {
+            "addedAt": "2024-01-01T00:00:00Z",
+            "emails": ["a@x.com", "b@x.com"],
+            "tags": ["t1", "t2"],
+            "contactHistogram": [[i, i + 1] for i in range(12)],
+            "engagedScore": 0.5,
+        },
+        "relationships": {
+            "account": {"data": {"type": "account", "id": 7}},
+            "owner": {"data": {"type": "user", "id": 3}},
+        },
+        "id": 1,
+        "type": "prospect",
+    }
+    flat = flatten_record(rec)
+    missing = {k for k in flat if k not in schema_cols}
+    assert not missing, f"columns not in reference schema: {sorted(missing)}"
+    # the 12×2 histogram flattens to all 24 declared matrix columns
+    assert {f"attributes_contactHistogram_{i}_{j}" for i in range(12)
+            for j in range(2)} <= set(flat)
+
+
+def test_flatten_df_matches_flatten_record(spark):
+    """The Spark operator and the per-record flattener produce the same
+    layout for the same nested value."""
+    df = spark.createDataFrame(
+        [((["a@x.com", "b@x.com"], "Ada"), 1)],
+        "attributes struct<emails: array<string>, firstName: string>, id long",
+    )
+    out = flatten_df(df, array_limits={"attributes_emails": 2})
+    assert out.columns == ["attributes_emails_0", "attributes_emails_1",
+                           "attributes_firstName", "id"]
+    row = out.collect()[0]
+    assert row["attributes_emails_0"] == "a@x.com"
+    assert row["attributes_firstName"] == "Ada"
+
+
+def test_flatten_df_out_of_range_index_is_null(spark):
+    df = spark.createDataFrame([(["only-one"],)], "emails array<string>")
+    row = flatten_df(df, default_items=3).collect()[0]
+    assert row["emails_0"] == "only-one"
+    assert row["emails_1"] is None and row["emails_2"] is None
+
+
+def test_flatten_schema_names_nested_matrix(spark):
+    df = spark.createDataFrame([([[1, 2]],)], "m array<array<int>>")
+    names = flatten_schema_names(df.schema, array_limits={"m": 2, "m_0": 2, "m_1": 2})
+    assert names == ["m_0_0", "m_0_1", "m_1_0", "m_1_1"]
+
+
+# -------------------------------------------------- schema loader parity
+def test_load_ref_schema_all_three_endpoints(spark):
+    for endpoint, ncols in (("prospects", 207), ("sequences", 90),
+                            ("mailings", 68)):
+        schema = load_ref_schema(f"{REF_SCHEMAS}/{endpoint}.json")
+        assert len(schema) == ncols
+        struct = ref_schema_to_struct(schema)
+        assert len(struct.fields) == ncols
+        assert all(f.nullable for f in struct.fields)
+    df = empty_frame(spark, schema)
+    assert df.count() == 0 and len(df.columns) == 68
+
+
+def test_coerce_types(spark):
+    schema = {"n": "integer", "x": "float", "ok": "boolean",
+              "at": "datetime", "s": "string"}
+    df = spark.createDataFrame(
+        [("42", "1.5", "True", "2024-03-01T12:00:00", "keep"),
+         ("bad", "bad", "bad", "bad", None)],
+        "n string, x string, ok string, at string, s string",
+    )
+    out = coerce_types(df, schema)
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds == {"n": "bigint", "x": "double", "ok": "boolean",
+                     "at": "timestamp", "s": "string"}
+    good, bad = out.orderBy(F.desc("s")).collect()
+    assert (good["n"], good["x"], good["ok"]) == (42, 1.5, True)
+    assert good["at"] == dt.datetime(2024, 3, 1, 12, 0)
+    # unparseable inputs became null, not a failed batch
+    assert (bad["n"], bad["x"], bad["ok"], bad["at"]) == (None,) * 4
+
+
+# ------------------------------------------------ replication semantics
+SCHEMA = {"id": "integer", "attributes_updatedAt": "datetime",
+          "attributes_v": "integer"}
+
+
+def make_fake_api(rows: list[dict], page_size_cap: int = 2,
+                  fail_first: int = 0):
+    """In-memory JSON-API: date-filtered, sorted, paginated via an
+    opaque offset token; optionally fails the first N calls."""
+    state = {"calls": 0, "fetched_pages": 0}
+
+    def fetcher(endpoint: str, params: dict) -> rest.Page:
+        state["calls"] += 1
+        if state["calls"] <= fail_first:
+            raise ConnectionError("transient")
+        lo, hi = params["filter[updatedAt]"].split("..")
+        sel = [r for r in rows if lo <= r["attributes"]["updatedAt"][:10] < hi]
+        sel.sort(key=lambda r: r["attributes"]["updatedAt"], reverse=True)
+        off = int(params.get("page[next]", 0))
+        limit = min(params["page[limit]"], page_size_cap)
+        chunk = sel[off: off + limit]
+        nxt = off + limit if off + limit < len(sel) else None
+        state["fetched_pages"] += 1
+        return rest.Page(data=chunk, next_token=None if nxt is None else str(nxt),
+                         total=len(sel))
+
+    fetcher.state = state
+    return fetcher
+
+
+def api_rows(n: int, day: str = "2024-03-01") -> list[dict]:
+    return [
+        {"id": i, "attributes": {"updatedAt": f"{day}T00:00:{i % 60:02d}", "v": i}}
+        for i in range(n)
+    ]
+
+
+def test_sync_includes_page_one(spark):
+    """Reference bug #1: the ≤threshold branch lost page 1; we must not."""
+    fetcher = make_fake_api(api_rows(5))
+    df = rest.sync_endpoint(
+        spark, fetcher, "prospects", SCHEMA,
+        dt.date(2024, 3, 1), dt.date(2024, 3, 2),
+    )
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_sync_retries_without_duplicates(spark):
+    """Reference bug #3: retry appended the previous page again."""
+    fetcher = make_fake_api(api_rows(5), fail_first=2)
+    df = rest.sync_endpoint(
+        spark, fetcher, "prospects", SCHEMA,
+        dt.date(2024, 3, 1), dt.date(2024, 3, 2), max_retries=5,
+    )
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_sync_persistent_failure_raises(spark):
+    fetcher = make_fake_api(api_rows(3), fail_first=10**6)
+    with pytest.raises(rest.FetchError):
+        rest.sync_endpoint(
+            spark, fetcher, "prospects", SCHEMA,
+            dt.date(2024, 3, 1), dt.date(2024, 3, 2), max_retries=3,
+        )
+
+
+def test_day_windows_half_open_no_overlap():
+    """Reference bug #4: inclusive date..date windows double-fetched
+    boundary rows; half-open windows tile exactly."""
+    ws = rest.day_windows(dt.date(2024, 3, 1), dt.date(2024, 3, 4))
+    assert ws == [
+        (dt.date(2024, 3, 1), dt.date(2024, 3, 2)),
+        (dt.date(2024, 3, 2), dt.date(2024, 3, 3)),
+        (dt.date(2024, 3, 3), dt.date(2024, 3, 4)),
+    ]
+
+
+def test_sync_large_goes_distributed_and_upserts(spark):
+    """>threshold → per-day mapInPandas fan-out; re-pulled rows collapse
+    to the latest updatedAt version (T6 upsert)."""
+    rows = api_rows(6, "2024-03-01") + api_rows(6, "2024-03-02")
+    # same ids on both days → day 2 versions must win
+    df = rest.sync_endpoint(
+        spark, make_fake_api(rows, page_size_cap=4), "prospects", SCHEMA,
+        dt.date(2024, 3, 1), dt.date(2024, 3, 3), large_threshold=3,
+    )
+    out = df.collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4, 5]
+    assert all(r["attributes_updatedAt"].day == 2 for r in out)
+
+
+def test_replication_window_modes():
+    today = dt.date(2024, 3, 10)
+    assert rest.replication_window("full", dt.date(2024, 1, 1), today) == (
+        dt.date(2024, 1, 1), today)
+    assert rest.replication_window("previous_day", dt.date(2024, 1, 1), today) == (
+        dt.date(2024, 3, 9), today)
+    with pytest.raises(ValueError):
+        rest.replication_window("nope", today, today)
+
+
+def test_upsert_latest_keeps_latest(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "old"), (1, dt.datetime(2024, 1, 2), "new"),
+         (2, dt.datetime(2024, 1, 1), "only")],
+        "id long, updatedAt timestamp, v string",
+    )
+    out = {r["id"]: r["v"] for r in rest.upsert_latest(df).collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_strip_prefix(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, attributes_name string")
+    assert rest.strip_prefix(df).columns == ["id", "name"]
