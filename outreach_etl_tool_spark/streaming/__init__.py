@@ -1,0 +1,28 @@
+"""Structured Streaming forms of the event-time operators (SURVEY.md
+§2.9 T1-T6).
+
+The reference's replication is a watermark-driven daily micro-batch
+(outreach_etl.py:115-117,223-229) — exactly Structured Streaming's
+incremental model. The batch-SQL equivalents (oracle-checked) live in
+queries/events.py; this package holds the true streaming forms:
+windowed aggregation with watermarks, session windows, stateful
+dedup, and the foreachBatch keep-latest upsert sink.
+"""
+
+from .streams import (
+    read_events_stream,
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+    upsert_sink,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "stream_dedup",
+    "upsert_sink",
+]

@@ -1,0 +1,188 @@
+"""Structured Streaming smoke tests (SURVEY.md §2.9 T1-T6, §7 step 7).
+
+Deterministic harness: events as JSON files, one file per micro-batch
+(maxFilesPerTrigger=1), availableNow trigger, memory sink. This
+exercises real watermark advancement across micro-batches — including
+actual late-data drops — without wall-clock dependence.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from outreach_etl_tool_spark import streaming as ST
+
+
+_MTIME = [1_000_000_000]
+
+
+def write_batch(dirpath, name: str, rows: list[dict]) -> None:
+    """Write one micro-batch file with a strictly increasing mtime so
+    the file source (which orders by modification time) replays batches
+    in authoring order."""
+    import os
+
+    p = dirpath / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    _MTIME[0] += 60
+    os.utime(p, (_MTIME[0], _MTIME[0]))
+
+
+def ev(eid: int, ts: str, user: int = 1, etype: str = "view",
+       value: float = 1.0) -> dict:
+    return {"event_id": eid, "ts": ts, "user_id": user,
+            "event_type": etype, "value": value, "props": "{}"}
+
+
+def run_to_memory(stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if stream_df.isStreaming else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def collect_memory(spark, name: str):
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_tumbling_with_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # b1 advances the watermark to 10:20; b2 to 10:30; the 08:00 row in
+    # b3 is then hours behind the operative watermark and is dropped.
+    # (Lateness filtering keys off the watermark committed in the
+    # offset log — one batch behind the freshest data — so the late row
+    # must arrive ≥2 batches after the on-time data that outran it.)
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z"), ev(2, "2024-03-01T10:30:00Z"),
+    ])
+    write_batch(src, "b2.json", [ev(3, "2024-03-01T10:40:00Z")])
+    write_batch(src, "b3.json", [
+        ev(4, "2024-03-01T08:00:00Z"), ev(5, "2024-03-01T10:50:00Z"),
+    ])
+    # far-future event closes every 03-01 window so append mode emits them
+    write_batch(src, "b4.json", [ev(99, "2024-03-02T12:00:00Z")])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    agg = ST.tumbling_counts(events, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("tumbling")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
+    rows = {
+        (r["bucket_start"].isoformat(), r["event_type"]): r["n"]
+        for r in collect_memory(spark, "tumbling")
+    }
+    # the late 08:00 row never created its (already-closed) window
+    assert ("2024-03-01T08:00:00", "view") not in rows
+    # the 10:00 window holds the four on-time events (ids 1,2,3,5)
+    assert rows[("2024-03-01T10:00:00", "view")] == 4
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=1),
+        ev(2, "2024-03-01T10:10:00Z", user=1),   # same 30-min-gap session
+        ev(3, "2024-03-01T12:00:00Z", user=1),   # new session
+        ev(4, "2024-03-01T10:00:00Z", user=2),
+    ])
+    # a far-future event pushes the watermark so all sessions close
+    write_batch(src, "b2.json", [ev(99, "2024-03-02T00:00:00Z", user=9)])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        ST.session_counts(events, gap="30 minutes", watermark="1 minute")
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in collect_memory(spark, "sessions")
+    }
+    assert got[(1, "2024-03-01T10:00:00")] == 2
+    assert got[(1, "2024-03-01T12:00:00")] == 1
+    assert got[(2, "2024-03-01T10:00:00")] == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z"), ev(1, "2024-03-01T10:00:00Z"),
+        ev(2, "2024-03-01T10:01:00Z"),
+    ])
+    write_batch(src, "b2.json", [
+        ev(1, "2024-03-01T10:02:00Z"),   # dup of id 1 within horizon
+        ev(3, "2024-03-01T10:03:00Z"),
+    ])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        ST.stream_dedup(events, keys=["event_id"], watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in collect_memory(spark, "dedup"))
+    assert ids == [1, 2, 3]
+
+
+def test_sliding_counts_runs(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [ev(1, "2024-03-01T10:07:00Z")])
+    write_batch(src, "b2.json", [ev(2, "2024-03-02T00:00:00Z")])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        ST.sliding_counts(events, window="1 hour", slide="15 minutes",
+                          watermark="1 minute")
+        .writeStream.format("memory").queryName("sliding")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = collect_memory(spark, "sliding")
+    # the 10:07 event belongs to 4 sliding windows (09:15..10:00 starts)
+    starts = sorted(r["win_start"].isoformat() for r in rows
+                    if r["win_start"].day == 1)
+    assert starts == [
+        "2024-03-01T09:15:00", "2024-03-01T09:30:00",
+        "2024-03-01T09:45:00", "2024-03-01T10:00:00",
+    ]
+
+
+def test_upsert_sink_keeps_latest(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", value=1.0),
+        ev(2, "2024-03-01T10:00:00Z", value=1.0),
+    ])
+    write_batch(src, "b2.json", [
+        ev(1, "2024-03-01T11:00:00Z", value=99.0),   # re-pull: newer version
+    ])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    target = str(tmp_path / "target")
+    q = (
+        ST.upsert_sink(events, target, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["event_id"]: (r["value"], r["ts"].hour)
+           for r in spark.read.parquet(target).collect()}
+    assert out[1] == (99.0, 11)
+    assert out[2] == (1.0, 10)
