@@ -1,0 +1,162 @@
+"""Binary media columns: metadata, type sniffing, feature extraction,
+frame sampling.
+
+Scale design: payloads never leave the executor. Metadata (length,
+digest, magic-byte type) is pure JVM expression work inside codegen;
+feature extraction moves bytes once through Arrow into a vectorized
+numpy kernel (mapInPandas); frame sampling emits multiple rows per
+asset from the same batch iterator — Spark's UDTF analog — so a video
+table fans out to a frames table without a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# magic-byte prefixes → media type, sniffed JVM-side (startswith on
+# binary); extend as formats are onboarded
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),        # RIFF container (WAV/AVI — refined below)
+    (b"ID3", "audio/mp3"),
+    (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with a size byte run
+]
+
+
+def sniff_media_type(payload: Column | str) -> Column:
+    """Magic-byte media-type sniff (JVM-side, no UDF)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    expr = F.lit("application/octet-stream")
+    for magic, mtype in reversed(_MAGIC):
+        hexpat = magic.hex()
+        prefix = F.hex(F.substring(c, 1, len(magic)))
+        expr = F.when(prefix == F.lit(hexpat.upper()), F.lit(mtype)).otherwise(expr)
+    return expr
+
+
+def with_media_meta(df: DataFrame, payload: str = "payload") -> DataFrame:
+    """Attach typed metadata: byte length, SHA-256 digest, sniffed type.
+    All JVM expressions — a 100 TB asset scan stays in codegen and only
+    reads the column's first bytes plus a streaming digest."""
+    return df.withColumns(
+        {
+            "media_len": F.length(payload),
+            "media_sha256": F.sha2(payload, 256),
+            "media_type": sniff_media_type(payload),
+        }
+    )
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _byte_histogram(buf: bytes, bins: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a real decode: the normalized
+    byte-value histogram. A real pipeline replaces this with pixel /
+    sample statistics after codec decode."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(bins)
+    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+    return hist / arr.size
+
+
+def decode_features(
+    df: DataFrame, id_col: str = "asset_id", payload: str = "payload",
+    bins: int = 16,
+) -> DataFrame:
+    """Feature-extract every asset via Arrow-batched mapInPandas.
+
+    STUB: the codec step is a deterministic byte histogram. To use a
+    real decoder, replace ``_byte_histogram`` with e.g.::
+
+        try:
+            from PIL import Image          # not shipped here
+        except ImportError:
+            raise NotImplementedError("image codecs unavailable")
+
+    The batch plumbing (schema, Arrow transfer, per-partition
+    iteration) is exactly what a real decoder needs.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": [
+                        _sniff_py(b) for b in payloads
+                    ],
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "feature": [
+                        _byte_histogram(b, bins).tolist() for b in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload).mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+def _sniff_py(buf: bytes) -> str:
+    for magic, mtype in _MAGIC:
+        if buf.startswith(magic):
+            return mtype
+    return "application/octet-stream"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload: str = "payload",
+    frame_bytes: int = 256,
+    every_nth: int = 2,
+) -> DataFrame:
+    """Sample fixed-size frames from each asset — one output row per
+    kept frame (UDTF-shaped fan-out, no shuffle).
+
+    STUB: frames are fixed-byte windows; a real video pipeline replaces
+    the windowing with container demux + keyframe extraction, keeping
+    this exact row-explosion shape.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for aid, buf in zip(pdf[id_col], pdf[payload]):
+                n_frames = max(1, (len(buf) + frame_bytes - 1) // frame_bytes)
+                for k in range(0, n_frames, every_nth):
+                    ids.append(int(aid))
+                    idxs.append(k)
+                    frames.append(bytes(buf[k * frame_bytes:(k + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {"asset_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "frame": frames}
+            )
+
+    return df.select(id_col, payload).mapInPandas(sample, schema)

@@ -1,0 +1,134 @@
+"""UDF/UDAF/UDTF surface demonstrations (SURVEY.md §2.11) + multimodal
+decode queries (§2.10 L5).
+
+The reference's "UDFs" are driver-side Python (flatten_json,
+etl_tools.py:177-193; the dtype coercer, :45-61). The engine's
+sanctioned slow path is Arrow-vectorized: scalar ``pandas_udf``
+(UDF), ``applyInPandas`` grouped-map (UDAF analog), ``mapInPandas``
+(UDTF analog). Rows-only in the driver gate per SURVEY.md §2.11 —
+the point is the execution shape, which unit tests pin down.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..multimodal import decode_features, frame_sample, with_media_meta
+from ..operators.util import ensure_parallelism
+from . import QuerySpec
+
+
+# UDF (scalar pandas_udf): per-batch z-score of order totals. Arrow moves
+# one double column each way; numpy does the arithmetic in C.
+@F.pandas_udf(T.DoubleType())
+def _zscore(v: pd.Series) -> pd.Series:
+    return (v - v.mean()) / (v.std(ddof=0) or 1.0)
+
+
+def udf_scalar_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", _zscore("o_totalprice").alias("price_z")
+    )
+
+
+# UDAF analog (applyInPandas grouped-map): per-nation min-max
+# normalization of customer balances — the whole group is one pandas
+# frame, the canonical "aggregate then transform within group" shape.
+_NORM_SCHEMA = "c_custkey long, c_nationkey int, bal_norm double"
+
+
+def _norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+    span = (hi - lo) or 1.0
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "bal_norm": (pdf["c_acctbal"] - lo) / span,
+        }
+    )
+
+
+def udf_grouped_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").applyInPandas(_norm_group, _NORM_SCHEMA)
+
+
+# UDTF analog (mapInPandas): batch iterator in, differently-shaped batch
+# iterator out — here a token-explode returning multiple rows per doc.
+_TOKENS_SCHEMA = "doc_id long, token string"
+
+
+def _explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, toks = [], []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for tok in str(text).split()[:20]:
+                ids.append(did)
+                toks.append(tok)
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "token": toks})
+
+
+def udf_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(
+        _explode_tokens, _TOKENS_SCHEMA
+    )
+
+
+# L5 — multimodal decode over a synthesized binary payload (documents
+# text re-encoded; the testdata ships no real media). Plumbing is real:
+# Arrow batches, histogram kernel, typed feature arrays.
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return decode_features(assets)
+
+
+# L5 — frame sampling: UDTF-shaped fan-out of fixed-size frames.
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        frame_sample(assets, frame_bytes=64, every_nth=2)
+        .groupBy("asset_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "udf_scalar_zscore": QuerySpec(
+        udf_scalar_zscore, None, tags=("UDF",),
+        doc="scalar pandas_udf demo (Arrow z-score)",
+    ),
+    "udf_grouped_norm": QuerySpec(
+        udf_grouped_norm, None, tags=("UDAF",),
+        doc="applyInPandas grouped-map demo (per-nation min-max)",
+    ),
+    "udf_map_tokens": QuerySpec(
+        udf_map_tokens, None, tags=("UDTF",),
+        doc="mapInPandas fan-out demo (token explode)",
+    ),
+    "multimodal_decode": QuerySpec(
+        multimodal_decode, None, tags=("L5",),
+        doc="binary feature extraction via mapInPandas (stub codec)",
+    ),
+    "multimodal_frames": QuerySpec(
+        multimodal_frames, None, tags=("L5",),
+        doc="frame sampling fan-out + per-asset frame counts",
+    ),
+}

@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests (SURVEY.md §2.10 L5): metadata stays
+JVM-side, the stub codec's Arrow batch shape is real, frame fan-out
+explodes rows correctly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from outreach_etl_tool_spark.multimodal import (
+    decode_features,
+    frame_sample,
+    with_media_meta,
+)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"fakepixels" * 10
+JPG = b"\xff\xd8\xff\xe0" + b"jfif" * 25
+WAV = b"RIFF" + b"\x00" * 96
+RAW = b"justbytes" * 11
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [(1, PNG), (2, JPG), (3, WAV), (4, RAW)]
+    return spark.createDataFrame(rows, "asset_id long, payload binary")
+
+
+def test_media_meta_jvm_side(spark, assets):
+    out = with_media_meta(assets)
+    got = {r["asset_id"]: r for r in out.collect()}
+    assert got[1]["media_type"] == "image/png"
+    assert got[2]["media_type"] == "image/jpeg"
+    assert got[3]["media_type"] == "audio/wav"
+    assert got[4]["media_type"] == "application/octet-stream"
+    assert got[1]["media_len"] == len(PNG)
+    assert got[2]["media_sha256"] == hashlib.sha256(JPG).hexdigest()
+    # no Python execution: the plan must be free of UDF/Arrow stages
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decode_features_shape(spark, assets):
+    out = decode_features(assets, bins=16)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+    assert rows[1]["media_type"] == "image/png"
+    assert rows[1]["n_bytes"] == len(PNG)
+
+
+def test_decode_features_deterministic(spark, assets):
+    a = decode_features(assets).orderBy("asset_id").collect()
+    b = decode_features(assets).orderBy("asset_id").collect()
+    assert a == b
+
+
+def test_frame_sample_fanout(spark, assets):
+    out = frame_sample(assets, frame_bytes=32, every_nth=2)
+    got = out.groupBy("asset_id").agg(
+        F.count("*").alias("n"), F.max("frame_idx").alias("max_idx")
+    ).collect()
+    by_id = {r["asset_id"]: r for r in got}
+    # PNG is 108 bytes → 4 frames of 32 → indices 0,2 kept
+    n_png = (len(PNG) + 31) // 32
+    assert by_id[1]["n"] == (n_png + 1) // 2
+    assert by_id[1]["max_idx"] == 2
+    # frame payloads are the right windows
+    f0 = out.filter((F.col("asset_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
+    assert bytes(f0["frame"]) == PNG[:32]
