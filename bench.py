@@ -36,8 +36,12 @@ def main() -> None:
 
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
 
-    # JVM/codegen warm-up on the smallest table (not timed)
+    # JVM/codegen warm-up (not timed), plus Python-worker pool spawn so
+    # the first pandas-UDF query isn't charged ~4 s of fork+import cost
     REGISTRY["funnel"].fn(spark, SF_DIR).count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():

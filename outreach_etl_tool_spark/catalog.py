@@ -137,12 +137,46 @@ _RAW_SCHEMAS: dict[str, T.StructType] = {
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile.
+
+    The driver contract hands us an externally-created SparkSession
+    whose Python workers know nothing about this repo's sys.path; any
+    pandas-UDF stage would then fail with ModuleNotFoundError on
+    executors (or on local python workers started from another cwd).
+    Zipping the package once per session makes every query
+    self-contained — the same mechanism used for real cluster deploys.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / (
+        f"outreach_etl_tool_spark_{os.getpid()}.zip"
+    )
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"outreach_etl_tool_spark/{p.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED.add(key)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema (never inferred)."""
+    ensure_shipped(spark)
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; declared: {sorted(SCHEMAS)}")
     if name == "events":

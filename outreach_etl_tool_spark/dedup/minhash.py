@@ -27,19 +27,20 @@ from ..operators.util import ensure_parallelism
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-token shingles (array<string>), space-joined."""
+    """Distinct k-token shingles (array<string>), space-joined.
+
+    Docs with fewer than k tokens yield one whole-doc shingle; docs
+    with no tokens yield an empty array. (Note: sequence(1, hi) with
+    hi < 1 would DESCEND through 0 and make slice() throw — the floor
+    at 1 plus the n>0 guard covers both short and empty docs.)
+    """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(n > 0, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
     )
-
-
-def base_hashes(shingle_col: Column) -> Column:
-    """One xxhash64 per shingle (array<long>) — the single string-hash
-    pass; the minhash family is derived arithmetically from these."""
-    return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
 
 def _hash_family(num_hashes: int, seed: int = 7):
@@ -50,46 +51,83 @@ def _hash_family(num_hashes: int, seed: int = 7):
     return a, b
 
 
-def make_minhash_udf(num_hashes: int = 32):
-    """Arrow-vectorized minhash: given each doc's base-hash array,
-    return the num_hashes minimum values of (a_i*h + b_i) mod 2^64.
+def _fnv1a_vec(strings: list[str]) -> np.ndarray:
+    """FNV-1a over utf-8 bytes for every string, vectorized across
+    strings via a padded byte matrix (the sequential dependency is only
+    along each string's bytes — shingles are ~20 bytes, so this is ~20
+    C passes instead of a Python loop per byte)."""
+    enc = [s.encode("utf-8") for s in strings]
+    n = len(enc)
+    maxlen = max((len(e) for e in enc), default=0)
+    mat = np.zeros((n, maxlen), dtype=np.uint64)
+    alive = np.zeros((n, maxlen), dtype=bool)
+    for i, e in enumerate(enc):
+        b = np.frombuffer(e, dtype=np.uint8)
+        mat[i, : len(b)] = b
+        alive[i, : len(b)] = True
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        sel = alive[:, j]
+        h[sel] = (h[sel] ^ mat[sel, j]) * prime  # uint64 mul wraps mod 2^64
+    return h
 
-    Why a pandas UDF here: the equivalent higher-order-function
-    expression is num_hashes interpreted lambda passes per document
-    (~10^7 boxed evals per 5k docs); numpy does the same work as a
-    handful of C loops over one flattened array. The string hashing
-    stays JVM-side (base_hashes), so Arrow only moves longs.
+
+def make_signature_udf(num_hashes: int = 32, k: int = 3):
+    """Arrow-vectorized minhash signature from a token-array column.
+
+    Division of labor: tokenization stays JVM-side (regexp_extract_all
+    is codegen'd); shingling + hashing + the minhash reduction happen
+    here in numpy. The pure-expression alternative chains four
+    *interpreted* higher-order functions per row (transform/slice/
+    concat_ws/array_distinct are not codegen'd) and measures several
+    times slower than one Arrow round-trip of token arrays.
+
+    Duplicate shingles need no dedup for signatures — duplicates never
+    change a minimum. (Exact-Jaccard verification dedups separately.)
     """
     a_vec, b_vec = _hash_family(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def minhash_udf(hash_arrays: pd.Series) -> pd.Series:
-        lengths = hash_arrays.str.len().fillna(0).astype(np.int64).to_numpy()
-        out = [None] * len(hash_arrays)
-        keep = lengths > 0
-        if keep.any():
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hash_arrays[keep]]
-            ).astype(np.uint64)
-            lens = lengths[keep]
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            sigs = np.empty((num_hashes, len(starts)), dtype=np.uint64)
-            for i in range(num_hashes):
-                vals = a_vec[i] * flat + b_vec[i]  # wraps mod 2^64
-                sigs[i] = np.minimum.reduceat(vals, starts)
-            sigs_signed = sigs.astype(np.int64)
-            kidx = np.flatnonzero(keep)
-            for j, row in enumerate(kidx):
-                out[row] = sigs_signed[:, j].tolist()
+    def sig_udf(token_arrays: pd.Series) -> pd.Series:
+        out = [None] * len(token_arrays)
+        doc_rows: list[int] = []
+        doc_lens: list[int] = []
+        flat_shingles: list[str] = []
+        for i, toks in enumerate(token_arrays):
+            if toks is None or len(toks) == 0:
+                continue
+            t = [str(x) for x in toks]
+            if len(t) <= k:
+                sh = [" ".join(t)]
+            else:
+                sh = [" ".join(t[j : j + k]) for j in range(len(t) - k + 1)]
+            doc_rows.append(i)
+            doc_lens.append(len(sh))
+            flat_shingles.extend(sh)
+        if not doc_rows:
+            return pd.Series(out)
+        hashes = _fnv1a_vec(flat_shingles)
+        starts = np.zeros(len(doc_lens), dtype=np.int64)
+        np.cumsum(np.asarray(doc_lens[:-1], dtype=np.int64), out=starts[1:])
+        sigs = np.empty((num_hashes, len(starts)), dtype=np.uint64)
+        for i in range(num_hashes):
+            vals = a_vec[i] * hashes + b_vec[i]  # wraps mod 2^64
+            sigs[i] = np.minimum.reduceat(vals, starts)
+        sigs_signed = sigs.astype(np.int64)
+        for j, row in enumerate(doc_rows):
+            out[row] = sigs_signed[:, j].tolist()
         return pd.Series(out)
 
-    return minhash_udf
+    return sig_udf
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """Array of ``num_hashes`` minhash values (long)."""
-    return make_minhash_udf(num_hashes)(base_hashes(shingle_col))
+def minhash_signature(
+    text: Column | str, num_hashes: int = 32, k: int = 3
+) -> Column:
+    """Array of ``num_hashes`` minhash values (long); null for docs
+    with no tokens."""
+    return make_signature_udf(num_hashes, k)(tokens(text))
 
 
 def candidate_pairs(
@@ -112,19 +150,17 @@ def candidate_pairs(
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
 
+    # Empty-shingle docs are filtered on the UDF's *output* (null sig),
+    # not on size(sh): a pre-UDF filter would re-evaluate the whole
+    # shingle expression a second time as a predicate (CollapseProject
+    # inlines it into both the Filter and the UDF argument).
     sig = df.select(
         F.col(id_col).alias("id"),
-        shingles(text_col, k).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sig = sig.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    # The signature/shingle table feeds three consumers (banding + two
-    # verification joins); persist so shingling+hashing runs once, not 3×.
-    # MEMORY_AND_DISK: signatures are ~100× smaller than the corpus.
-    sig = sig.persist()
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
 
-    # Band keys only — the (small) shingle-set payload is re-attached
-    # AFTER candidate dedup so it never rides through the ×B explode or
-    # the bucket self-join.
+    # Band keys only — the shingle-set payload never rides through the
+    # ×B explode or the bucket self-join.
     banded = sig.select(
         "id",
         F.explode(
@@ -139,6 +175,12 @@ def candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bkey")
+    # Three scalar columns × (B × n_docs) rows: cheap to cache, and it
+    # stops the self-join from running the scan→shingle→minhash pipeline
+    # once per side. (Caching the shingle *arrays* is the opposite trade
+    # — the columnar cache build on array<string> costs more than the
+    # recompute — so only the scalar band table is persisted.)
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -152,8 +194,27 @@ def candidate_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # cand feeds two consumers (the id semi-join and the verify join);
+    # persist it so the banding pipeline runs once. Unlike the shingle
+    # arrays, this is two long columns × |candidates| rows — the cache
+    # build is trivial at any scale.
+    cand = cand.persist()
 
-    sh_only = sig.select("id", "sh")
+    # Exact-Jaccard verification re-computes shingles for candidate docs
+    # only: semi-join the corpus down to ids that appear in any pair
+    # (AQE broadcasts the tiny id set), THEN shingle. Shingling runs on
+    # ~|candidates| docs instead of the whole corpus — the recompute-
+    # don't-materialize tradeoff that holds at any scale.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_only = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingles(F.col("__t"), k).alias("sh"))
+    )
     verified = (
         cand.join(sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

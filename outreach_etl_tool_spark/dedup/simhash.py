@@ -116,6 +116,9 @@ def candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.chunk")
+    # Scalar-only table: cheap cache that keeps the self-join from
+    # running the tokenize+simhash UDF pipeline once per side.
+    banded = banded.persist()
 
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

