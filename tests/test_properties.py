@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY.md §5.5): flatten invariants, dedup
+idempotence, union-by-name alignment. flatten_record properties run
+driver-side (no Spark) so hypothesis can explore freely."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from outreach_etl_tool_spark.dedup import exact
+from outreach_etl_tool_spark.ingest import flatten_record
+
+# nested JSON: scalars at leaves, dicts/lists as branches; keys avoid
+# the separator so paths are unambiguous and invertible
+_KEYS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+    min_size=1, max_size=6,
+)
+_SCALARS = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**9, 10**9),
+    st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=12),
+)
+_JSON = st.recursive(
+    _SCALARS,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(_KEYS, inner, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+def leaves(node, path=""):
+    if isinstance(node, dict):
+        for k, v in node.items():
+            yield from leaves(v, f"{path}{k}_")
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            yield from leaves(v, f"{path}{i}_")
+    else:
+        yield path[:-1], node
+
+
+@given(st.dictionaries(_KEYS, _JSON, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_flatten_emits_every_leaf_exactly_once(rec):
+    flat = flatten_record(rec)
+    # every leaf path appears with its exact value, nothing else (empty
+    # containers vanish — the reference drops them too: only leaves
+    # assign; lowercase-only keys make paths collision-free)
+    assert flat == dict(leaves(rec))
+
+
+@given(st.dictionaries(_KEYS, _SCALARS, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_flatten_flat_input_is_identity(rec):
+    assert flatten_record(rec) == rec
+
+
+def test_dedup_idempotent_and_order_free(spark):
+    rows = [(i, f"text-{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = exact.deduplicate(df, "text", "id")
+    twice = exact.deduplicate(once, "text", "id")
+    got_once = sorted(r["id"] for r in once.collect())
+    got_twice = sorted(r["id"] for r in twice.collect())
+    assert got_once == got_twice == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_union_by_name_alignment(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, b double")
+    u = a.unionByName(b, allowMissingColumns=True)
+    rows = {r["id"]: (r["a"], r["b"]) for r in u.collect()}
+    assert rows[1] == ("x", None)
+    assert rows[2] == (None, 3.5)
