@@ -171,8 +171,37 @@ GROUP BY 1
 """
 
 
+# Percentiles (exact, linear interpolation — identical in Spark's
+# percentile() and DuckDB's quantile_cont on the same doubles).
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.5).alias("q50"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       QUANTILE_CONT(l_quantity, 0.25) AS q25,
+       QUANTILE_CONT(l_quantity, 0.50) AS q50,
+       QUANTILE_CONT(l_quantity, 0.75) AS q75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_count": QuerySpec(agg_count, AGG_COUNT_SQL, tags=("A1",)),
+    "agg_percentiles": QuerySpec(
+        agg_percentiles, AGG_PERCENTILES_SQL, tags=("A2",)
+    ),
     "agg_grouped": QuerySpec(agg_grouped, AGG_GROUPED_SQL, tags=("A2", "A3")),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, tags=("A4",)),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, tags=("A5",)),

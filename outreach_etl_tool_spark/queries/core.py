@@ -493,7 +493,34 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL surface: the same engine through spark.sql over the registered
+# catalog views (SURVEY.md §3.4 — engine.sql(str) entry path). One SQL
+# text serves both engines, proving the surface is ANSI-portable.
+# ---------------------------------------------------------------------------
+SQL_SURFACE_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sum_sql('o_totalprice')} AS revenue
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SURFACE_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_surface": QuerySpec(
+        sql_surface, SQL_SURFACE_SQL, tags=("S6", "A2"),
+        doc="identical SQL text through spark.sql and the oracle",
+    ),
     "funnel": QuerySpec(
         funnel, FUNNEL_SQL, tags=("S6", "J1", "J2", "A2", "A3", "O1", "O2"), bench=True
     ),
