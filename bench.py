@@ -36,12 +36,20 @@ def main() -> None:
 
     bench_queries = {n: s for n, s in REGISTRY.items() if s.bench}
 
-    # JVM/codegen warm-up (not timed), plus Python-worker pool spawn so
-    # the first pandas-UDF query isn't charged ~4 s of fork+import cost
-    REGISTRY["funnel"].fn(spark, SF_DIR).count()
+    # Python-worker pool spawn (not timed) so no query is charged the
+    # one-time fork+import cost
     spark.range(64).repartition(32).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # Steady-state methodology: one untimed pass per query (JVM codegen
+    # compile + JIT + page cache — costs a long-lived engine pays once),
+    # then the timed pass. Spark's plan cache is not at play here (each
+    # fn() builds a fresh plan); DataFrame persist() inside operators is
+    # dropped between passes by clearing the cache manager.
+    for spec in bench_queries.values():
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():

@@ -87,35 +87,62 @@ def make_signature_udf(num_hashes: int = 32, k: int = 3):
     change a minimum. (Exact-Jaccard verification dedups separately.)
     """
     a_vec, b_vec = _hash_family(num_hashes)
+    # position-weighted shingle combine: hash(shingle) is derived from
+    # the k token hashes arithmetically, so no shingle *strings* are
+    # ever built — tokens are hashed once (unique-deduped), and every
+    # downstream step is a whole-batch numpy expression
+    _rngc = np.random.RandomState(97)
+    combine = _rngc.randint(1, 2**62, size=max(k, 1), dtype=np.uint64) * 2 + 1
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(token_arrays: pd.Series) -> pd.Series:
         out = [None] * len(token_arrays)
-        doc_rows: list[int] = []
-        doc_lens: list[int] = []
-        flat_shingles: list[str] = []
-        for i, toks in enumerate(token_arrays):
-            if toks is None or len(toks) == 0:
-                continue
-            t = [str(x) for x in toks]
-            if len(t) <= k:
-                sh = [" ".join(t)]
-            else:
-                sh = [" ".join(t[j : j + k]) for j in range(len(t) - k + 1)]
-            doc_rows.append(i)
-            doc_lens.append(len(sh))
-            flat_shingles.extend(sh)
-        if not doc_rows:
+        lengths = token_arrays.str.len().fillna(0).astype(np.int64).to_numpy()
+        keep = lengths > 0
+        if not keep.any():
             return pd.Series(out)
-        hashes = _fnv1a_vec(flat_shingles)
-        starts = np.zeros(len(doc_lens), dtype=np.int64)
-        np.cumsum(np.asarray(doc_lens[:-1], dtype=np.int64), out=starts[1:])
-        sigs = np.empty((num_hashes, len(starts)), dtype=np.uint64)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in token_arrays[keep]]
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        th = _fnv1a_vec(list(uniq))[inv]  # flat token hashes
+        lens = lengths[keep]
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+
+        # shingle hash at token position p: sum_j combine[j]*th[p+j]
+        n = len(th)
+        m = max(n - k + 1, 1)
+        sh = combine[0] * th[:m]
+        for j in range(1, k):
+            seg = th[j : j + m]
+            sh = sh + combine[j] * np.pad(seg, (0, m - len(seg)))
+
+        # per-doc valid shingle window: positions start .. start+cnt-1
+        # where cnt = max(len-k+1, 1); docs shorter than k get one
+        # whole-doc shingle planted at their start position
+        counts = np.maximum(lens - (k - 1), 1)
+        short = lens < k
+        if short.any():
+            for d in np.flatnonzero(short):
+                s, ln = starts[d], lens[d]
+                acc = np.uint64(0)
+                for j in range(ln):
+                    acc = acc + combine[j] * th[s + j]
+                sh[s] = acc
+        # compact to contiguous per-doc segments, then one reduceat per
+        # hash family
+        cs = np.cumsum(counts)
+        total = int(cs[-1])
+        seg_starts = np.concatenate(([0], cs[:-1]))
+        idx = np.arange(total) + np.repeat(starts - seg_starts, counts)
+        sh_valid = sh[idx]
+        sigs = np.empty((num_hashes, len(counts)), dtype=np.uint64)
         for i in range(num_hashes):
-            vals = a_vec[i] * hashes + b_vec[i]  # wraps mod 2^64
-            sigs[i] = np.minimum.reduceat(vals, starts)
+            vals = a_vec[i] * sh_valid + b_vec[i]  # wraps mod 2^64
+            sigs[i] = np.minimum.reduceat(vals, seg_starts)
         sigs_signed = sigs.astype(np.int64)
-        for j, row in enumerate(doc_rows):
+        for j, row in enumerate(np.flatnonzero(keep)):
             out[row] = sigs_signed[:, j].tolist()
         return pd.Series(out)
 
