@@ -1,0 +1,163 @@
+"""Config-driven replication CLI — the switch-over surface for a user
+of the reference tool (outreach_etl.py:36-243, README.md:33-48).
+
+Same config contract (sample_creds.json shape: client creds,
+replication_type full/previous_day, start_date, project/dataset/table)
+and the same three-endpoint sync order, re-expressed on the engine:
+distributed fetch (ingest/rest.py, reference bugs fixed), typed
+coercion, keep-latest upsert, partitioned-parquet or BigQuery sink,
+pluggable notification.
+
+Usage::
+
+    python -m outreach_etl_tool_spark --config creds.json --output /data
+
+The HTTP fetcher is injected; the default OAuth+requests implementation
+is constructed lazily so offline/test runs can pass any callable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import logging
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from .ingest import load_ref_schema
+from .ingest.rest import Fetcher, replication_window, strip_prefix, sync_endpoint
+from .sinks import LogNotifier, Notifier, write_partitioned
+
+logger = logging.getLogger("outreach_etl_tool_spark")
+
+ENDPOINTS = ("prospects", "sequences", "mailings")
+# heavy body columns dropped before materialization (outreach_etl.py:105-107)
+DROP_COLUMNS = {
+    "mailings": ("attributes_bodyHtml", "attributes_bodyText"),
+}
+API_BASE = "https://api.outreach.io/api/v2"
+TOKEN_URL = "https://api.outreach.io/oauth/token"
+
+
+def make_http_fetcher(config: dict) -> Fetcher:
+    """OAuth-refreshing JSON-API fetcher (outreach_etl.py:54-109 parity,
+    without the stale-global token bug — expiry lives in the closure)."""
+    import time as _time
+
+    import requests  # deferred: offline runs never import it
+
+    state = {"token": None, "expires_at": 0.0}
+
+    def token() -> str:
+        if state["token"] is None or _time.time() >= state["expires_at"]:
+            resp = requests.post(
+                TOKEN_URL,
+                data={
+                    "client_id": config["client_id"],
+                    "client_secret": config["client_secret"],
+                    "refresh_token": config["refresh_token"],
+                    "redirect_uri": config["redirect_uri"],
+                    "grant_type": "refresh_token",
+                },
+                timeout=30,
+            )
+            resp.raise_for_status()
+            payload = resp.json()
+            state["token"] = payload["access_token"]
+            # reference safety margin: 7200 s − 100 s (outreach_etl.py:70)
+            state["expires_at"] = _time.time() + payload.get("expires_in", 7200) - 100
+        return state["token"]
+
+    def fetch(endpoint: str, params: dict):
+        from .ingest.rest import Page
+
+        url = params.pop("__url", f"{API_BASE}/{endpoint}")
+        resp = requests.get(
+            url,
+            headers={"Authorization": f"Bearer {token()}"},
+            params={k: v for k, v in params.items() if not k.startswith("__")},
+            timeout=60,
+        )
+        resp.raise_for_status()
+        body = resp.json()
+        return Page(
+            data=body.get("data", []),
+            next_token=body.get("links", {}).get("next"),
+            total=body.get("meta", {}).get("count"),
+        )
+
+    return fetch
+
+
+def run_replication(
+    spark: SparkSession,
+    config: dict,
+    output_dir: str,
+    fetcher: Fetcher | None = None,
+    notifier: Notifier | None = None,
+    schemas_dir: str | None = None,
+    today: dt.date | None = None,
+) -> dict[str, int]:
+    """Sync every endpoint; returns {table_name: row_count}."""
+    fetcher = fetcher or make_http_fetcher(config)
+    notifier = notifier or LogNotifier()
+    schemas = Path(schemas_dir) if schemas_dir else Path(__file__).parent / "schemas"
+    today = today or dt.date.today()
+    lo, hi = replication_window(
+        config["replication_type"],
+        dt.date.fromisoformat(config["start_date"]),
+        today,
+    )
+
+    results: dict[str, int] = {}
+    for endpoint in ENDPOINTS:
+        schema = load_ref_schema(schemas / f"{endpoint}.json")
+        df = sync_endpoint(
+            spark, fetcher, endpoint, schema, lo, hi,
+            drop_columns=DROP_COLUMNS.get(endpoint, ()),
+        )
+        df = strip_prefix(df)  # outreach_etl.py:216 parity
+        table_name = f"{config['table']}_{endpoint}"  # :217 parity
+        # updatedAt-day partitioning → downstream incremental reads prune
+        out = df.withColumn("sync_day", df["updatedAt"].cast("date")) \
+            if "updatedAt" in df.columns else df
+        part_cols = ["sync_day"] if "sync_day" in out.columns else []
+        path = f"{output_dir}/{table_name}"
+        if part_cols:
+            write_partitioned(out, path, part_cols)
+        else:
+            out.write.mode("overwrite").parquet(path)
+        results[table_name] = out.count()
+        logger.info("synced %s: %d rows [%s, %s)", table_name,
+                    results[table_name], lo, hi)
+
+    notifier.notify(
+        f"ETL complete - {config['table']}",
+        json.dumps(results, sort_keys=True),
+    )
+    return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="outreach_etl_tool_spark")
+    parser.add_argument("-c", "--config", required=True, help="Config file")
+    parser.add_argument("-o", "--output", required=True, help="Output directory")
+    parser.add_argument("--schemas", default=None, help="Schema JSON directory")
+    args = parser.parse_args(argv)
+
+    with open(args.config) as fh:
+        config = json.load(fh)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"replication-{config['table']}")
+    results = run_replication(spark, config, args.output,
+                              schemas_dir=args.schemas)
+    print(json.dumps(results, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,110 @@
+"""End-to-end CLI replication test: config in → partitioned parquet
+out, reference semantics (drop heavy columns, strip prefix, table
+naming, upsert) across all three endpoints with a fake API."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from outreach_etl_tool_spark.cli import run_replication
+from outreach_etl_tool_spark.ingest.rest import Page
+
+
+def fake_api(rows_by_endpoint):
+    def fetcher(endpoint: str, params: dict) -> Page:
+        lo, hi = params["filter[updatedAt]"].split("..")
+        sel = [
+            r for r in rows_by_endpoint.get(endpoint, [])
+            if lo <= r["attributes"]["updatedAt"][:10] < hi
+        ]
+        off = int(params.get("page[next]", 0))
+        chunk = sel[off: off + 2]
+        nxt = off + 2 if off + 2 < len(sel) else None
+        return Page(chunk, None if nxt is None else str(nxt), len(sel))
+
+    return fetcher
+
+
+def resource(endpoint: str, rid: int, day: str, **attrs) -> dict:
+    return {
+        "id": rid,
+        "type": endpoint[:-1],
+        "attributes": {"updatedAt": f"{day}T08:00:{rid % 60:02d}", **attrs},
+    }
+
+
+class CaptureNotifier:
+    def __init__(self):
+        self.messages = []
+
+    def notify(self, subject, body):
+        self.messages.append((subject, body))
+
+
+def test_run_replication_end_to_end(spark, tmp_path):
+    rows = {
+        "prospects": [
+            resource("prospects", i, "2024-03-01", firstName=f"p{i}",
+                     emails=[f"a{i}@x.com"]) for i in range(5)
+        ] + [
+            # re-pulled prospect 0 with a newer update — upsert keeps it
+            resource("prospects", 0, "2024-03-02", firstName="p0-new"),
+        ],
+        "sequences": [
+            resource("sequences", i, "2024-03-01", name=f"s{i}", openCount=i)
+            for i in range(3)
+        ],
+        "mailings": [
+            resource("mailings", i, "2024-03-01", subject=f"m{i}",
+                     bodyHtml="<b>HEAVY</b>", bodyText="HEAVY")
+            for i in range(4)
+        ],
+    }
+    config = {
+        "replication_type": "full",
+        "start_date": "2024-03-01",
+        "table": "acme",
+    }
+    notifier = CaptureNotifier()
+    out_dir = str(tmp_path / "out")
+    results = run_replication(
+        spark, config, out_dir, fetcher=fake_api(rows), notifier=notifier,
+        today=dt.date(2024, 3, 3),
+    )
+    assert results == {"acme_prospects": 5, "acme_sequences": 3,
+                       "acme_mailings": 4}
+
+    prospects = spark.read.parquet(f"{out_dir}/acme_prospects")
+    # prefix stripped (reference :216) and upsert kept the newer version
+    assert "firstName" in prospects.columns
+    row0 = prospects.filter(prospects.id == 0).collect()[0]
+    assert row0["firstName"] == "p0-new"
+    # day-partitioned output
+    assert "sync_day" in prospects.columns
+
+    mailings = spark.read.parquet(f"{out_dir}/acme_mailings")
+    # heavy body columns never materialize (reference :105-107)
+    assert "bodyHtml" not in mailings.columns
+    assert "bodyText" not in mailings.columns
+    assert "subject" in mailings.columns
+
+    assert notifier.messages and "acme" in notifier.messages[0][0]
+
+
+def test_cli_previous_day_window(spark, tmp_path):
+    rows = {
+        "prospects": [
+            resource("prospects", 1, "2024-03-01", firstName="old"),
+            resource("prospects", 2, "2024-03-02", firstName="yesterday"),
+        ],
+        "sequences": [], "mailings": [],
+    }
+    config = {"replication_type": "previous_day",
+              "start_date": "2024-01-01", "table": "t"}
+    results = run_replication(
+        spark, config, str(tmp_path / "o"), fetcher=fake_api(rows),
+        notifier=CaptureNotifier(), today=dt.date(2024, 3, 3),
+    )
+    # only the 03-02 row is in [today-1, today)
+    assert results["t_prospects"] == 1
