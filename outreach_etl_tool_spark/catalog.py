@@ -192,6 +192,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
+def load_events_between(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """Events with an INCLUSIVE [lo, hi] ts filter that actually pushes
+    down to the parquet scan.
+
+    The generic reader converts the raw nanos column to TimestampNTZ in
+    a projection, so any predicate a caller applies afterwards wraps
+    that expression and never reaches the scan (no row-group pruning —
+    at 100 TB that is a full-table read). The ns→µs conversion is
+    monotone, so bounds translate exactly to raw-nanos bounds applied
+    BEFORE the conversion: ts_µs >= L  ⇔  ts_ns >= L·1000, and
+    ts_µs <= H  ⇔  ts_ns <= H·1000+999. Bounds are UTC-naive strings
+    ('YYYY-MM-DD HH:MM:SS[.ffffff]').
+    """
+    import datetime as _dt
+
+    raw = spark.read.schema(_RAW_SCHEMAS["events"]).parquet(
+        table_path(sf_dir, "events")
+    )
+
+    def _us(bound: str) -> int:
+        d = _dt.datetime.fromisoformat(bound).replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000)
+
+    if lo is not None:
+        raw = raw.filter(F.col("ts") >= _us(lo) * 1000)
+    if hi is not None:
+        raw = raw.filter(F.col("ts") <= _us(hi) * 1000 + 999)
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        .cast(T.TimestampNTZType())
+        .alias("ts")
+    )
+    return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -125,10 +125,14 @@ WHERE l_quantity > 40
 # outreach_etl.py:115-117; Catalyst pushes BETWEEN to row-group min/max).
 # ---------------------------------------------------------------------------
 def filter_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", "ts", "user_id", "event_type").filter(
-        F.col("ts").between("2024-01-02 00:00:00", "2024-01-04 23:59:59")
+    from ..catalog import load_events_between
+
+    # bound-translated so the range reaches the parquet scan as a
+    # raw-nanos filter (row-group pruning); see load_events_between
+    ev = load_events_between(
+        spark, sf_dir, "2024-01-02 00:00:00", "2024-01-04 23:59:59"
     )
+    return ev.select("event_id", "ts", "user_id", "event_type")
 
 
 FILTER_TS_RANGE_SQL = """
@@ -143,11 +147,14 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-04 23:59
 # outreach_etl.py:164-166).
 # ---------------------------------------------------------------------------
 def filter_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.to_date("ts") == F.lit("2024-01-03").cast("date"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"), exact_sum("value").alias("total_value"))
+    from ..catalog import load_events_between
+
+    # a day filter IS a ts range — translated to pushable raw bounds
+    ev = load_events_between(
+        spark, sf_dir, "2024-01-03 00:00:00", "2024-01-03 23:59:59.999999"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), exact_sum("value").alias("total_value")
     )
 
 
