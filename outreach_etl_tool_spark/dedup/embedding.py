@@ -107,21 +107,9 @@ def near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.chunk")
-    # Scalar band table: cheap cache that keeps the self-join from
-    # evaluating the P interpreted hyperplane dot-products twice.
-    banded = banded.persist()
+    from .minhash import bucket_pairs
 
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = bucket_pairs(banded, ["band", "chunk"]).persist()
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     verified = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a")

@@ -7,11 +7,15 @@ consecutive values with probability j^R (j = true Jaccard), so
 banding B=H/R bands turns "Jaccard ≥ τ" into an equi-join on band
 keys — a plain shuffle, linear in corpus size.
 
-Everything is JVM expressions (shingling via slice/transform, hashing
-via xxhash64, banding via slice+hash) — whole-stage codegen end to
-end, no Python. Candidate pairs are then verified with exact Jaccard
-on distinct shingles, so the operator's output has no LSH false
-positives (only the recall is probabilistic).
+Division of labor (measured, not assumed): tokenization and banding
+stay JVM-side (codegen); the signature itself is one Arrow round-trip
+into a numpy kernel — the interpreted higher-order-function chain it
+replaces was several times slower. Candidate generation groups band
+keys into buckets and expands pairs in-bucket (one shuffle, nothing
+corpus-sized cached); candidates are then verified with exact Jaccard
+on distinct shingles recomputed for the candidate subset only, so the
+operator's output has no LSH false positives (only the recall is
+probabilistic).
 """
 
 from __future__ import annotations
@@ -157,6 +161,52 @@ def minhash_signature(
     return make_signature_udf(num_hashes, k)(tokens(text))
 
 
+def bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "id",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) of ids sharing a bucket.
+
+    One shuffle: groupBy bucket key → per-bucket id list → in-bucket
+    pair expansion. This replaces a banded self-join, which evaluates
+    the upstream pipeline once PER SIDE unless the ×B corpus-sized band
+    table is cached — not an option at 10^11 docs. Pair expansion is
+    quadratic in bucket size by definition (those pairs ARE the
+    output); ``max_bucket`` caps degenerate buckets (hash collisions /
+    boilerplate floods) — buckets past the cap are truncated after an
+    ascending sort so the kept subset is deterministic.
+    """
+    from collections.abc import Iterator
+
+    ids_sorted = F.array_sort(F.collect_list(id_col))
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.slice("ids", 1, max_bucket).alias("ids"))
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for ids in pdf["ids"]:
+                arr = np.asarray(ids, dtype=np.int64)
+                iu, ju = np.triu_indices(len(arr), k=1)
+                out_a.append(arr[iu])
+                out_b.append(arr[ju])
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+                )
+
+    return buckets.mapInPandas(expand, "id_a long, id_b long").dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -187,7 +237,7 @@ def candidate_pairs(
     ).filter(F.col("sig").isNotNull())
 
     # Band keys only — the shingle-set payload never rides through the
-    # ×B explode or the bucket self-join.
+    # ×B explode or the bucket shuffle.
     banded = sig.select(
         "id",
         F.explode(
@@ -202,29 +252,11 @@ def candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bkey")
-    # Three scalar columns × (B × n_docs) rows: cheap to cache, and it
-    # stops the self-join from running the scan→shingle→minhash pipeline
-    # once per side. (Caching the shingle *arrays* is the opposite trade
-    # — the columnar cache build on array<string> costs more than the
-    # recompute — so only the scalar band table is persisted.)
-    banded = banded.persist()
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = bucket_pairs(banded, ["band", "bkey"])
     # cand feeds two consumers (the id semi-join and the verify join);
-    # persist it so the banding pipeline runs once. Unlike the shingle
-    # arrays, this is two long columns × |candidates| rows — the cache
-    # build is trivial at any scale.
+    # persist it so the bucket pipeline runs once. Candidates are a tiny
+    # fraction of the corpus (two long columns), cacheable at any scale
+    # — unlike the band table itself (×B corpus-sized; see bucket_pairs).
     cand = cand.persist()
 
     # Exact-Jaccard verification re-computes shingles for candidate docs
@@ -241,7 +273,7 @@ def candidate_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(cand_ids, "id", "left_semi")
         .select("id", shingles(F.col("__t"), k).alias("sh"))
-    )
+    ).persist()  # candidate subset only; joined twice below
     verified = (
         cand.join(sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -3,8 +3,9 @@
 Each document maps to a 64-bit fingerprint whose bits are the signs of
 token-hash bit-votes; near-duplicates differ in few bits. Candidate
 generation splits the fingerprint into 4 16-bit bands (pigeonhole: any
-pair within Hamming distance 3 agrees on ≥1 band) and equi-joins on
-(band, chunk) — linear shuffle, no pairwise scan.
+pair within Hamming distance 3 agrees on ≥1 band) and buckets on
+(band, chunk) — one linear shuffle, in-bucket pair expansion, no
+pairwise scan and nothing corpus-sized cached.
 
 The bit-vote accumulation is data-parallel per document and genuinely
 awkward as a SQL expression (64 independent popcount accumulators), so
@@ -115,30 +116,34 @@ def candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", "bk.band", "bk.chunk")
-    # Scalar-only table: cheap cache that keeps the self-join from
-    # running the tokenize+simhash UDF pipeline once per side.
-    banded = banded.persist()
+    ).select("id", "bk.band", "bk.chunk")
+    from .minhash import bucket_pairs
 
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.id") < F.col("r.id")),
+    cand = bucket_pairs(banded, ["band", "chunk"]).persist()
+    # verification re-attaches fingerprints to the (tiny) candidate set
+    # — recompute-don't-materialize, same as minhash.candidate_pairs
+    fp_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    fp_small = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .join(fp_ids, "id", "left_semi")
+        .select("id", simhash64(tokens(F.col("__t"))).alias("simhash"))
+    ).persist()  # tiny (candidate ids only); joined twice below
+    verified = (
+        cand.join(
+            fp_small.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a")),
+            "id_a",
+        ).join(
+            fp_small.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b")),
+            "id_b",
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("h_a"),
-            F.col("r.simhash").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        verified.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
