@@ -197,11 +197,43 @@ ORDER BY l_returnflag
 """
 
 
+# A4-family at real scale: mergeable Datasketches HLL. Per-day sketches
+# roll up to an exact-shape global estimate WITHOUT re-scanning — the
+# pattern that makes distinct-count dashboards possible at 100 TB
+# (sketch once, merge per query). Rows-only: sketch estimates are
+# approximate and DuckDB's HLL is a different implementation.
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    ).orderBy("day")
+
+
+# the merge step: union per-day sketches into one corpus-wide estimate
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total_users"),
+        F.count("*").alias("n_days"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_count": QuerySpec(agg_count, AGG_COUNT_SQL, tags=("A1",)),
     "agg_percentiles": QuerySpec(
         agg_percentiles, AGG_PERCENTILES_SQL, tags=("A2",)
     ),
+    "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, tags=("A4",)),
+    "agg_hll_merge": QuerySpec(agg_hll_merge, None, tags=("A4",)),
     "agg_grouped": QuerySpec(agg_grouped, AGG_GROUPED_SQL, tags=("A2", "A3")),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, tags=("A4",)),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, tags=("A5",)),

@@ -16,6 +16,7 @@ from ..dedup import embedding as emb_dedup
 from ..dedup import exact as exact_dedup
 from ..dedup import minhash, ngram, simhash
 from ..functions import text as TXT
+from ..functions.scalars import avg_sql, exact_avg
 from ..functions.vectors import cosine, dot
 from ..operators.util import ensure_parallelism
 from ..similarity import ann
@@ -226,7 +227,66 @@ FROM documents
 """
 
 
+# Composite corpus-cleaning pipeline — the realistic end-to-end shape a
+# training-data run takes: language whitelist → quality gates (length
+# band, punctuation ratio, token floor) → exact dedup keep-min-id →
+# per-source yield stats. Every stage is a narrow filter or one hash
+# shuffle; the full pipeline is oracle-checked.
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gated = docs.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.length("text").between(20, 10000)
+        & (TXT.punct_ratio("text") <= 0.2)
+        & (TXT.token_count("text") >= 10)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TXT.token_count("text")).alias("total_tokens"),
+            exact_avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_CLEAN_CORPUS_SQL = f"""
+WITH gated AS (
+    SELECT * FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+      AND LENGTH(text) BETWEEN 20 AND 10000
+      AND LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+          / LENGTH(text) <= 0.2
+      AND LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-zA-Z]+')) >= 10
+), kept AS (
+    SELECT * FROM gated
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-zA-Z]+'))) AS total_tokens,
+       {avg_sql('n_chars')} AS avg_chars
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_clean_corpus": QuerySpec(
+        pipeline_clean_corpus, PIPELINE_CLEAN_CORPUS_SQL,
+        tags=("L1", "L4", "P5", "A2"), bench=True,
+        doc="end-to-end corpus cleaning: gates → dedup → yield stats",
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, tags=("L1",), bench=True),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
     "lang_filter": QuerySpec(lang_filter, LANG_FILTER_SQL, tags=("L4",)),
