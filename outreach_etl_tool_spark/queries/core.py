@@ -61,7 +61,10 @@ ORDER BY revenue DESC, n_name, o_orderstatus
 # engines); sums go through exact decimal (functions/scalars.py).
 # ---------------------------------------------------------------------------
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    # No ensure_parallelism here: for a pure-JVM partial agg the
+    # repartition shuffle costs more than single-split decode saves
+    # (measured); the repartition only pays off before Python/UDF work.
+    li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
