@@ -36,6 +36,26 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace. RE2-compatible
+# (no lookahead), so Spark's Java regex and DuckDB's RE2 agree — the
+# cheap "how many BPE tokens will this roughly be" estimator a data
+# pipeline uses for budget accounting before real tokenization.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate BPE token count (pre-tokenizer piece count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace-delimited token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+
+
 def avg_token_len(text: Column | str) -> Column:
     toks = tokens(text)
     total = F.aggregate(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.scalars import exact_sum, sum_sql
+from ..functions.scalars import avg_sql, exact_sum, sum_sql
 from ..operators.asof import asof_join
 from . import QuerySpec
 
@@ -242,8 +242,66 @@ GROUP BY a.user_id
 """
 
 
+# J3b — explicit shuffle-hash join: for fact⋈fact where one side is
+# much smaller than the other but too big to broadcast, hashing the
+# smaller side per-partition skips BOTH sort phases of SMJ. The hint is
+# the engine's strategy-control surface; AQE may still override it at
+# runtime with better stats.
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_SHUFFLE_HASH_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_items,
+       {sum_sql('l_extendedprice')} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# Correlated subquery — Catalyst decorrelates it into a join+agg plan
+# (SURVEY.md §4 "subquery decorrelation: nothing to build"); identical
+# ANSI text runs on both engines.
+# exact scaled-integer AVG (functions/scalars.py mirror) so the
+# boundary comparison cannot flip on summation-order ulps
+SQL_CORRELATED = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+    SELECT {avg_sql('i.o_totalprice')}
+    FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+"""
+
+
+def sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_CORRELATED)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL, tags=("J1",)),
+    "join_shuffle_hash": QuerySpec(
+        join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, tags=("J3",)
+    ),
+    "sql_correlated": QuerySpec(
+        sql_correlated, SQL_CORRELATED, tags=("J1", "A2"),
+        doc="correlated subquery; Catalyst decorrelation",
+    ),
     "join_broadcast_dims": QuerySpec(
         join_broadcast_dims, JOIN_BROADCAST_DIMS_SQL, tags=("J2",)
     ),

@@ -62,6 +62,29 @@ FROM documents
 """
 
 
+# L4e — token-count estimators: whitespace split and the BPE-ish
+# pre-tokenizer regex (budget accounting before real tokenization).
+# One RE2-compatible pattern, verified to count identically in both
+# engines.
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        TXT.ws_token_count("text").alias("n_ws_tokens"),
+        TXT.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_BPE_SQL_LIT = TXT.BPE_RE.replace("'", "''")
+TEXT_TOKENS_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL_LIT}')) AS INTEGER)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 # L4b — language filter + per-source rollup (the lang column is ground
 # truth; the heuristic lang_id is benchmarked against it separately).
 def lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +312,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, tags=("L1",), bench=True),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
+    "text_tokens_bpe": QuerySpec(
+        text_tokens_bpe, TEXT_TOKENS_BPE_SQL, tags=("L4", "F1")
+    ),
     "lang_filter": QuerySpec(lang_filter, LANG_FILTER_SQL, tags=("L4",)),
     "lang_id_guess": QuerySpec(lang_id_guess, None, tags=("L4",)),
     "doc_fingerprint": QuerySpec(doc_fingerprint, None, tags=("L4",)),
