@@ -1,0 +1,166 @@
+"""Python Data Source for paginated JSON-API replication.
+
+Usage::
+
+    from outreach_etl_tool_spark.sources import register
+    register(spark)
+    df = (spark.read.format("restapi")
+          .option("endpoint", "prospects")
+          .option("schema_file", "/path/schemas/prospects.json")
+          .option("start", "2024-03-01").option("end", "2024-03-08")
+          .option("base_url", "https://api.example.com/api/v2")  # or dir_url
+          .option("page_size", "100")
+          .load())
+
+Design (SURVEY.md §2.1 S1):
+
+- **partitions()** returns one `DayWindow` per half-open [day, day+1)
+  — Spark schedules them across executors; a year's backfill is 365
+  parallel tasks instead of the reference's sequential loop.
+- **read(partition)** pages through its window with bounded retries
+  and no duplicate appends (the §2.12 bug fixes), flattens each
+  record to the declared column layout, and yields tuples.
+- **Filter pushdown** is positional by construction: the date window
+  IS the querystring filter, evaluated server-side, mirroring
+  `filter[updatedAt]` (outreach_etl.py:115-117).
+- Transport: `base_url` (HTTP GET via urllib, Bearer token from the
+  `token` option) or `dir_url` (a directory of
+  `{endpoint}/{day}/page{N}.json` files — the deterministic test/replay
+  transport; also what a capture-then-replay backfill uses).
+
+The returned frame is all-string (JSON scalars stringified); callers
+finish with `ingest.schema_loader.coerce_types` + `upsert_latest`,
+exactly like the driver CLI path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from collections.abc import Iterator
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+@dataclass
+class DayWindow(InputPartition):
+    lo: str  # ISO date, inclusive
+    hi: str  # ISO date, exclusive
+
+
+def _load_names(schema_file: str) -> list[str]:
+    with open(schema_file) as fh:
+        return list(json.load(fh))
+
+
+def _flatten(record: dict, sep: str = "_") -> dict:
+    out: dict = {}
+
+    def walk(node, path: str) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}{k}{sep}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}{i}{sep}")
+        else:
+            out[path[: -len(sep)]] = node
+
+    walk(record, "")
+    return out
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.names = [f.name for f in schema.fields]
+        self.options = options
+
+    def partitions(self) -> list[DayWindow]:
+        lo = dt.date.fromisoformat(self.options["start"])
+        hi = dt.date.fromisoformat(self.options["end"])
+        days = []
+        d = lo
+        while d < hi:
+            days.append(DayWindow(d.isoformat(), (d + dt.timedelta(days=1)).isoformat()))
+            d += dt.timedelta(days=1)
+        return days
+
+    # -- transports ---------------------------------------------------
+    def _pages_http(self, window: DayWindow) -> Iterator[list[dict]]:
+        import urllib.parse
+        import urllib.request
+
+        base = self.options["base_url"].rstrip("/")
+        endpoint = self.options["endpoint"]
+        page_size = int(self.options.get("page_size", "100"))
+        token = self.options.get("token", "")
+        params = {
+            "sort": "-updatedAt",
+            "page[limit]": str(page_size),
+            "filter[updatedAt]": f"{window.lo}..{window.hi}",
+        }
+        url: str | None = f"{base}/{endpoint}?{urllib.parse.urlencode(params)}"
+        while url is not None:
+            body = self._http_get(url, token)
+            yield body.get("data", [])
+            url = (body.get("links") or {}).get("next")
+
+    @staticmethod
+    def _http_get(url: str, token: str, max_retries: int = 3) -> dict:
+        import urllib.request
+
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                req = urllib.request.Request(
+                    url, headers={"Authorization": f"Bearer {token}"} if token else {}
+                )
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return json.loads(resp.read())
+            except Exception as exc:  # noqa: BLE001
+                last = exc
+        raise RuntimeError(f"GET {url}: retries exhausted") from last
+
+    def _pages_dir(self, window: DayWindow) -> Iterator[list[dict]]:
+        root = Path(self.options["dir_url"]) / self.options["endpoint"] / window.lo
+        if not root.is_dir():
+            return
+        for page in sorted(root.glob("page*.json")):
+            yield json.loads(page.read_text()).get("data", [])
+
+    # -- read ---------------------------------------------------------
+    def read(self, partition: DayWindow) -> Iterator[tuple]:
+        pages = (
+            self._pages_dir(partition)
+            if "dir_url" in self.options
+            else self._pages_http(partition)
+        )
+        for page in pages:
+            for record in page:
+                flat = _flatten(record)
+                yield tuple(
+                    None if flat.get(n) is None else str(flat.get(n))
+                    for n in self.names
+                )
+
+
+class RestApiDataSource(DataSource):
+    """``spark.read.format("restapi")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "restapi"
+
+    def schema(self) -> StructType:
+        names = _load_names(self.options["schema_file"])
+        return StructType([StructField(n, StringType(), True) for n in names])
+
+    def reader(self, schema: StructType) -> _Reader:
+        return _Reader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RestApiDataSource)

@@ -1,0 +1,100 @@
+"""RestApiDataSource tests: partition-per-day reads via the directory
+transport, flatten parity, schema contract, typed finish."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from outreach_etl_tool_spark.ingest.schema_loader import coerce_types
+from outreach_etl_tool_spark.sources import register
+
+SCHEMA = {
+    "id": {"type": ["null", "integer"]},
+    "attributes_updatedAt": {"type": ["null", "datetime"]},
+    "attributes_name": {"type": ["null", "string"]},
+    "attributes_emails_0": {"type": ["null", "string"]},
+}
+
+
+def write_fixture(tmp_path):
+    (tmp_path / "schemas").mkdir()
+    schema_file = tmp_path / "schemas" / "prospects.json"
+    schema_file.write_text(json.dumps(SCHEMA))
+    api = tmp_path / "api"
+    for day, pages in {
+        "2024-03-01": [
+            [{"id": 1, "attributes": {"updatedAt": "2024-03-01T01:00:00",
+                                      "name": "a", "emails": ["a@x"]}},
+             {"id": 2, "attributes": {"updatedAt": "2024-03-01T02:00:00",
+                                      "name": "b"}}],
+            [{"id": 3, "attributes": {"updatedAt": "2024-03-01T03:00:00",
+                                      "name": "c"}}],
+        ],
+        "2024-03-02": [
+            [{"id": 4, "attributes": {"updatedAt": "2024-03-02T09:00:00",
+                                      "name": "d"}}],
+        ],
+    }.items():
+        d = api / "prospects" / day
+        d.mkdir(parents=True)
+        for i, page in enumerate(pages):
+            (d / f"page{i}.json").write_text(json.dumps({"data": page}))
+    return str(schema_file), str(api)
+
+
+def test_restapi_source_reads_all_partitions(spark, tmp_path):
+    schema_file, api_dir = write_fixture(tmp_path)
+    register(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("endpoint", "prospects")
+        .option("schema_file", schema_file)
+        .option("start", "2024-03-01")
+        .option("end", "2024-03-03")
+        .option("dir_url", api_dir)
+        .load()
+    )
+    assert df.columns == ["id", "attributes_updatedAt", "attributes_name",
+                          "attributes_emails_0"]
+    # one spark partition per day window
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"1", "2", "3", "4"}
+    assert rows["1"]["attributes_emails_0"] == "a@x"
+    assert rows["2"]["attributes_emails_0"] is None
+
+    typed = coerce_types(df, {k: v["type"][1] for k, v in SCHEMA.items()})
+    got = {r["id"]: r for r in typed.collect()}
+    assert got[3]["attributes_updatedAt"].hour == 3
+
+
+def test_restapi_source_empty_window(spark, tmp_path):
+    schema_file, api_dir = write_fixture(tmp_path)
+    register(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("endpoint", "prospects")
+        .option("schema_file", schema_file)
+        .option("start", "2024-06-01")
+        .option("end", "2024-06-04")
+        .option("dir_url", api_dir)
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_restapi_source_filters_by_window(spark, tmp_path):
+    schema_file, api_dir = write_fixture(tmp_path)
+    register(spark)
+    df = (
+        spark.read.format("restapi")
+        .option("endpoint", "prospects")
+        .option("schema_file", schema_file)
+        .option("start", "2024-03-02")
+        .option("end", "2024-03-03")
+        .option("dir_url", api_dir)
+        .load()
+    )
+    assert [r["id"] for r in df.collect()] == ["4"]
