@@ -8,12 +8,14 @@ shuffle-free joins downstream), a BigQuery writer that delegates to
 the spark-bigquery connector when present, and a pluggable notifier.
 """
 
+from .layout import write_clustered
 from .writers import BigQuerySink, write_bucketed, write_partitioned
 from .notify import EmailNotifier, LogNotifier, Notifier
 
 __all__ = [
     "write_partitioned",
     "write_bucketed",
+    "write_clustered",
     "BigQuerySink",
     "Notifier",
     "LogNotifier",

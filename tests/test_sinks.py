@@ -67,3 +67,39 @@ def test_log_notifier(caplog):
     with caplog.at_level(logging.INFO, logger="outreach_etl_tool_spark"):
         LogNotifier().notify("sync done", "3 tables")
     assert any("sync done" in r.message for r in caplog.records)
+
+
+def test_write_clustered_enables_minmax_pruning(spark, tmp_path):
+    from outreach_etl_tool_spark.sinks import write_clustered
+    import pyarrow.parquet as pq
+    import glob
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ["k"], n_files=8)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == 8
+    # file-level k ranges are pairwise disjoint -> min/max stats prune
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # and the reader keeps the range predicate at the scan
+    back = spark.read.parquet(path).filter(F.col("k").between(10, 20))
+    assert back.count() == 11
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10)" in plan
