@@ -1,44 +1,47 @@
 """Physical-plan regression tests: the scale properties we rely on —
-broadcast vs sort-merge choice, filter pushdown, column pruning — must
-survive refactors, not just row-count checks."""
+broadcast vs sort-merge choice, filter pushdown, column pruning,
+shuffle budgets, JVM-side execution — must survive refactors, not just
+row-count checks. Helpers live in outreach_etl_tool_spark.plans."""
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
+from outreach_etl_tool_spark.plans import (
+    audit,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+)
 from outreach_etl_tool_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+def df_of(spark, name: str):
+    return REGISTRY[name].fn(spark, SF)
 
 
 def test_funnel_broadcasts_dims(spark):
-    plan = plan_of(spark, "funnel")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact
+    a = audit("funnel", df_of(spark, "funnel"))
+    assert a.broadcast_joins >= 2  # nation and customer stay broadcast
+    assert a.sortmerge_joins == 0  # dims must not shuffle the fact
 
 
 def test_fact_fact_uses_sort_merge(spark):
-    plan = plan_of(spark, "join_fact_fact")
-    assert "SortMergeJoin" in plan
+    a = audit("join_fact_fact", df_of(spark, "join_fact_fact"))
+    assert a.sortmerge_joins >= 1
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = plan_of(spark, "filter_ts_range")
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    assert any("GreaterThan" in p or "LessThan" in p or "o_orderdate" in p
-               for p in pushed), plan
+    pushed = pushed_filters(df_of(spark, "filter_ts_range"))
+    assert any(
+        "GreaterThan" in p or "LessThan" in p or "o_orderdate" in p for p in pushed
+    ), pushed
 
 
 def test_column_pruning_funnel(spark):
-    plan = plan_of(spark, "funnel")
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    schemas = read_schemas(df_of(spark, "funnel"))
     # the orders scan must not read the full table width
     orders_scan = next(s for s in schemas if "o_custkey" in s)
     assert "o_orderdate" not in orders_scan
@@ -46,24 +49,62 @@ def test_column_pruning_funnel(spark):
 
 
 def test_top_k_is_take_ordered(spark):
-    plan = plan_of(spark, "top_k_orders")
-    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+    a = audit("top_k_orders", df_of(spark, "top_k_orders"))
+    assert a.top_k  # top-k never global-sorts
 
 
 def test_text_stats_stays_jvm_side(spark):
-    plan = plan_of(spark, "text_stats")
-    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
-    assert "ArrowEvalPython" not in plan  # pure expression pipeline
+    a = audit("text_stats", df_of(spark, "text_stats"))
+    assert a.jvm_only, a.python_nodes  # pure expression pipeline
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """BatchEvalPython (per-row pickling) is banned across the whole
+    registry — Python escapes must be Arrow-vectorized."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        a = audit(name, spec.fn(spark, SF))
+        if a.row_at_a_time_python:
+            offenders.append(name)
+    assert not offenders, offenders
 
 
 def test_semi_anti_join_shapes(spark):
     for name, kind in (("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")):
-        plan = plan_of(spark, name)
+        plan = physical_plan(df_of(spark, name))
         assert kind in plan, f"{name}: {plan[:500]}"
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "agg_engagement_counters"])
 def test_aggs_have_partial_phase(spark, name):
     # map-side partial aggregation must precede the exchange
-    plan = plan_of(spark, name)
+    plan = physical_plan(df_of(spark, name))
     assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower(), plan[:800]
+
+
+SHUFFLE_BUDGETS = {
+    # query -> max blocking exchanges tolerated at any scale. These are
+    # design budgets: funnel = 3 (count-distinct's two-phase expand:
+    # exchange on group+custkey then on group, + final sort over the
+    # ~75 aggregated rows — joins stay broadcast); pricing_summary = 2
+    # (scan→partial→exchange→final, + sort of the 4 result rows);
+    # single-pass aggs/windows = 1 or 2.
+    # A regression that adds an exchange fails here before it costs
+    # hours on a cluster.
+    "funnel": 3,
+    "pricing_summary": 2,
+    "agg_engagement_counters": 2,
+    "evt_tumbling": 1,
+    "win_latest_per_key": 1,
+    "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
+    "text_stats": 1,
+    "dedup_exact": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, name):
+    a = audit(name, df_of(spark, name))
+    assert a.shuffles <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {a.shuffles} exchanges > budget {SHUFFLE_BUDGETS[name]}"
+    )
