@@ -5,4 +5,5 @@
 - minhash:   MinHash + LSH banding near-dedup (L2, the 100 TB path)
 - simhash:   64-bit SimHash + banded Hamming candidate search
 - embedding: random-hyperplane LSH near-dup over embedding vectors
+- cluster:   connected components over dup pairs → canonical doc per cluster
 """

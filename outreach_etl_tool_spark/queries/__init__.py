@@ -33,10 +33,10 @@ class QuerySpec:
 
 
 def _build_registry() -> dict[str, QuerySpec]:
-    from . import aggregates, core, events, joins, llm, udfs, windows
+    from . import aggregates, core, events, joins, llm, pipeline, udfs, windows
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (core, joins, aggregates, windows, events, llm, udfs):
+    for mod in (core, joins, aggregates, windows, events, llm, pipeline, udfs):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name {name!r}")

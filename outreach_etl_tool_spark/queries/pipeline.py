@@ -1,0 +1,303 @@
+"""Training-data pipeline operators beyond detection: deterministic
+dataset splitting, Gopher-style repetition/quality signals, eval-set
+decontamination, and duplicate-cluster resolution (SURVEY.md §2.10,
+BASELINE.json "LLM-data-pipeline operators" north star).
+
+All four are oracle-checked — including the iterative connected-
+components operator, whose DuckDB mirror is a recursive CTE computing
+the same fixed point.
+
+Portability constraints that shape the code:
+
+- Hash-based splitting uses ``md5`` (identical bytes-in/hex-out in
+  Spark and DuckDB) with *lexicographic* bucket boundaries on the hex
+  prefix — fixed-width lowercase hex orders identically to its numeric
+  value, so no hex→int conversion (which the two engines express
+  differently) is ever needed.
+- n-grams are built positionally (``sequence`` + ``element_at`` /
+  ``generate_series`` + ``list_slice``) with the same "docs shorter
+  than k yield no grams" convention on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dedup import cluster, ngram
+from ..functions import text as TXT
+from ..operators.util import ensure_parallelism
+from . import QuerySpec
+
+
+def _grams(text: Column | str, k: int) -> Column:
+    """Non-distinct k-token grams, space-joined; empty for docs with
+    fewer than k tokens (unlike dedup.minhash.shingles, which floors
+    short docs to one whole-doc shingle — the simple convention here
+    mirrors 1:1 into SQL)."""
+    toks = TXT.tokens(text)
+    n = F.size(toks)
+    # sequence(1, hi) DESCENDS when hi < 1 — floor at 1, gate with when()
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.when(n >= k, g).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# SPLIT — deterministic hash split into train/val/holdout
+# ---------------------------------------------------------------------------
+# The standard way a 100 TB corpus is split: a content-stable hash of a
+# key, not rand() — reproducible across runs, engines, and partitioning,
+# and any doc's split is computable without scanning the corpus. Narrow
+# (no shuffle, no UDF): md5 + substring + CASE inside codegen.
+# Boundaries: first hex byte < 0xe6 → train (230/256 ≈ 89.8%),
+# < 0xf3 → val (13/256 ≈ 5.1%), else holdout.
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "e6", "train")
+        .when(bucket < "f3", "val")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+
+
+SPLIT_TRAIN_HOLDOUT_SQL = """
+SELECT doc_id,
+       SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'holdout' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# QUALITY SIGNALS — Gopher-style repetition statistics per document
+# ---------------------------------------------------------------------------
+# The repetition family of quality rules (Rae et al., Gopher, §A1.1):
+# fraction of duplicated tokens, most-frequent-token dominance, and
+# duplicate-2-gram fraction. Computed the distributed way — explode to
+# (doc, token) cells and aggregate — rather than per-row higher-order
+# functions: HOFs are interpreted (measured ~10× slower than codegen
+# aggregation at corpus scale), while explode/groupBy is two shuffles
+# of narrow rows with map-side combine.
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    tok_counts = (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt")
+        ).alias("dup_token_frac"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_frac"),
+    )
+
+    gram_counts = (
+        docs.select("doc_id", F.explode(_grams("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        (
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt")
+        ).alias("dup_2gram_frac"),
+    )
+
+    # left join: docs with <2 tokens have no grams → null dup_2gram_frac
+    return tok_stats.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "dup_token_frac",
+        "top_token_frac",
+        "dup_2gram_frac",
+    )
+
+
+QUALITY_SIGNALS_SQL = """
+WITH tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS tok
+    FROM documents
+), tc AS (
+    SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+), ts AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS dup_token_frac,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS top_token_frac
+    FROM tc GROUP BY doc_id
+), grams AS (
+    SELECT doc_id,
+           arr[i] || ' ' || arr[i + 1] AS g
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents),
+         UNNEST(generate_series(1, LEN(arr) - 1)) AS t(i)
+), gc AS (
+    SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+), gs AS (
+    SELECT doc_id,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS dup_2gram_frac
+    FROM gc GROUP BY doc_id
+)
+SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, ts.dup_token_frac,
+       ts.top_token_frac, gs.dup_2gram_frac
+FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DECONTAMINATE — n-gram overlap against a benchmark/eval set
+# ---------------------------------------------------------------------------
+# Before training, every corpus is checked for eval-set leakage: any
+# training doc sharing a k-gram with an eval doc is flagged (the
+# GPT-3/PaLM-style n-gram decontamination rule). Here the "eval set" is
+# the doc_id % 97 == 0 slice of the corpus standing in for a benchmark
+# suite. Shape at scale: eval sets are tiny (thousands of prompts), so
+# the distinct eval grams are BROADCAST — the 100 TB corpus scan never
+# shuffles; each task probes a local hash set. (Even bigger eval sets
+# would swap the broadcast for a bloom filter, same plan shape.)
+# k=4 on this small-vocabulary synthetic corpus plays the role 8-13
+# grams do on real text: rare enough that overlap means leakage, common
+# enough that the check exercises real hits (8 docs at sf0.01).
+_DECON_K = 4
+_EVAL_MOD = 97
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams("text", _DECON_K))).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    train_grams = grams.filter(~is_eval)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(arr, i, i + {_DECON_K - 1}), ' ') AS gram
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents),
+         UNNEST(generate_series(1, LEN(arr) - {_DECON_K - 1})) AS t(i)
+), ev AS (
+    SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+), tr AS (
+    SELECT doc_id, gram FROM grams WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.gram) AS n_shared_grams,
+       COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.gram = ev.gram
+GROUP BY tr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DEDUP CLUSTER — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+# Pair detection (minhash/ngram/...) emits edges; actual deduplication
+# needs transitive closure: A~B, B~C → one cluster {A,B,C}, keep the
+# canonical (minimum-id) member. Spark side: iterative min-label
+# propagation (dedup/cluster.py — one shuffle per round, rounds =
+# cluster diameter). Oracle: a recursive CTE reaching the same fixed
+# point. Pairs here are exact 3-gram Jaccard ≥ 0.4 within the same
+# source (the sharded exact tier — dedup/ngram.py), so both engines
+# derive the identical edge set independently.
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram.jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, partition_col="source"
+    )
+    comps = cluster.connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    )
+    return comps.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keep"),
+    )
+
+
+# shingle CASE mirrors dedup.minhash.shingles: <3 tokens → one whole-doc
+# shingle (never fires on this corpus — min 10 tokens — but keeps the
+# oracle faithful to the operator, not to the dataset).
+DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE sh AS (
+    SELECT doc_id, source,
+           CASE WHEN LEN(arr) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN LEN(arr) < 3 THEN [array_to_string(arr, ' ')]
+                ELSE list_distinct(list_transform(
+                       generate_series(1, LEN(arr) - 2),
+                       i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+           END AS sh
+    FROM (SELECT doc_id, source,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents)
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+      AND CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= 0.4
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id, a = MIN(b) AS is_keep
+FROM reach GROUP BY a
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "split_train_holdout": QuerySpec(
+        split_train_holdout, SPLIT_TRAIN_HOLDOUT_SQL, tags=("L4", "P6", "F1"),
+        doc="deterministic md5-bucket train/val/holdout split",
+    ),
+    "quality_signals": QuerySpec(
+        quality_signals, QUALITY_SIGNALS_SQL, tags=("L4", "A2"), bench=True,
+        doc="Gopher-style repetition signals via explode/groupBy",
+    ),
+    "decontaminate": QuerySpec(
+        decontaminate, DECONTAMINATE_SQL, tags=("L2", "L4", "J2"),
+        doc="eval-set n-gram decontamination, broadcast eval grams",
+    ),
+    "dedup_cluster": QuerySpec(
+        dedup_cluster, DEDUP_CLUSTER_SQL, tags=("L1", "L2"),
+        doc="connected components over dup pairs vs recursive-CTE oracle",
+    ),
+}

@@ -1,0 +1,136 @@
+"""Unit tests: training-pipeline operators beyond detection —
+connected-components clustering, deterministic splitting, repetition
+signals, decontamination (queries/pipeline.py, dedup/cluster.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from outreach_etl_tool_spark.dedup import cluster
+from outreach_etl_tool_spark.queries.pipeline import _grams
+
+
+def assignments(df):
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+# ----------------------------------------------------- connected components
+def test_cc_transitive_chain(spark):
+    """A-B and B-C must land in one cluster without an A-C edge."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    got = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_cc_long_chain_converges(spark):
+    """A path graph (worst diameter case) still reaches the fixed point."""
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_two_components_and_direction_blind(spark):
+    edges = spark.createDataFrame(
+        [(5, 1), (2, 5), (8, 9)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 5, 8, 9)], "doc_id long"
+    )
+    got = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    assert got == {1: 1, 2: 1, 5: 1, 8: 8, 9: 8}
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    assert got == {1: 1, 2: 2}
+
+
+# ----------------------------------------------------------------- _grams
+@pytest.mark.parametrize(
+    "text,k,expected",
+    [
+        ("a b c d", 2, ["a b", "b c", "c d"]),
+        ("a b c d", 4, ["a b c d"]),
+        ("a b", 3, []),  # shorter than k → no grams (unlike shingles())
+        ("", 2, []),
+        ("a a a", 2, ["a a", "a a"]),  # NON-distinct: repetition preserved
+    ],
+)
+def test_grams(spark, text, k, expected):
+    row = spark.createDataFrame([(text,)], "text string").select(
+        _grams("text", k).alias("g")
+    ).head()
+    assert row["g"] == expected
+
+
+# ------------------------------------------------------------ split/signals
+def test_split_deterministic_and_exhaustive(spark, sf_dir):
+    from outreach_etl_tool_spark.queries.pipeline import split_train_holdout
+
+    out = split_train_holdout(spark, sf_dir)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert a == b  # content-hash split: stable across runs
+    assert set(a.values()) <= {"train", "val", "holdout"}
+    # boundaries carve the full hex range: every doc gets a split
+    assert all(v is not None for v in a.values())
+    # ~90/5/5 by construction; allow generous tolerance at small n
+    frac_train = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_quality_signals_literal(spark, monkeypatch, tmp_path):
+    """Hand-checked repetition stats on a literal doc."""
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(
+        P, "load_table", lambda spark_, sf_dir_, name_: docs
+    )
+    got = {r["doc_id"]: r.asDict() for r in P.quality_signals(spark, "unused").collect()}
+    d1 = got[1]
+    assert d1["n_tokens"] == 3 and d1["n_distinct"] == 2
+    assert d1["dup_token_frac"] == pytest.approx(1 / 3)
+    assert d1["top_token_frac"] == pytest.approx(2 / 3)
+    # 2-grams of "a a b": ["a a", "a b"] — both unique → 0.0
+    assert d1["dup_2gram_frac"] == pytest.approx(0.0)
+    d2 = got[2]
+    assert d2["dup_token_frac"] == pytest.approx(0.0)
+
+
+def test_decontaminate_flags_overlap(spark, monkeypatch):
+    """Doc sharing a 4-gram with the eval doc (id 0 ≡ 0 mod 97) is
+    flagged; the disjoint doc is not."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),  # eval (0 % 97 == 0)
+            (1, "xx alpha beta gamma delta yy"),    # shares 'alpha beta gamma delta'
+            (2, "one two three four five six"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    got = {r["doc_id"]: r for r in P.decontaminate(spark, "unused").collect()}
+    assert set(got) == {1}
+    assert got[1]["n_shared_grams"] == 1
+    assert got[1]["n_eval_docs"] == 1
