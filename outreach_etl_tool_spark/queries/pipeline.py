@@ -21,6 +21,10 @@ Portability constraints that shape the code:
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,47 +85,61 @@ FROM documents
 # ---------------------------------------------------------------------------
 # The repetition family of quality rules (Rae et al., Gopher, §A1.1):
 # fraction of duplicated tokens, most-frequent-token dominance, and
-# duplicate-2-gram fraction. Computed the distributed way — explode to
-# (doc, token) cells and aggregate — rather than per-row higher-order
-# functions: HOFs are interpreted (measured ~10× slower than codegen
-# aggregation at corpus scale), while explode/groupBy is two shuffles
-# of narrow rows with map-side combine.
+# duplicate-2-gram fraction.
+#
+# Design (measured at sf0.1): per-doc statistics are embarrassingly
+# parallel, so the right plan has ZERO shuffles — one Arrow round-trip
+# per batch (mapInPandas, numpy unique per doc). The two natural
+# "declarative" forms both lose: explode + two-level groupBy shuffles
+# the exploded corpus twice and joins the two stat families back
+# (1.30 s); repartition(doc_id) + posexplode + lead() reuses one
+# exchange but still ships the whole corpus (0.93 s); this narrow
+# pipeline runs the same stats in 0.52 s and at 100 TB never touches
+# the network. Docs with zero tokens emit no row (matches the
+# UNNEST-based oracle); docs with one token get a null dup_2gram_frac.
+_QS_SCHEMA = (
+    "doc_id long, n_tokens long, n_distinct long, dup_token_frac double, "
+    "top_token_frac double, dup_2gram_frac double"
+)
+
+
+def _quality_stats_batches(batches):
+    pat = re.compile(r"[a-zA-Z]+")
+    cols = (
+        "doc_id", "n_tokens", "n_distinct", "dup_token_frac",
+        "top_token_frac", "dup_2gram_frac",
+    )
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for doc_id, text in zip(
+            pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()
+        ):
+            toks = pat.findall(text.lower()) if text else []
+            n = len(toks)
+            if n == 0:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            _, counts = np.unique(arr, return_counts=True)
+            nd = len(counts)
+            out["doc_id"].append(doc_id)
+            out["n_tokens"].append(n)
+            out["n_distinct"].append(nd)
+            out["dup_token_frac"].append(1.0 - nd / n)
+            out["top_token_frac"].append(counts.max() / n)
+            if n >= 2:
+                g = np.char.add(
+                    np.char.add(arr[:-1].astype(str), " "), arr[1:].astype(str)
+                )
+                out["dup_2gram_frac"].append(1.0 - len(np.unique(g)) / (n - 1))
+            else:
+                out["dup_2gram_frac"].append(None)
+        yield pd.DataFrame(out)
+
+
 def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-
-    tok_counts = (
-        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    tok_stats = tok_counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        (
-            F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt")
-        ).alias("dup_token_frac"),
-        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_frac"),
-    )
-
-    gram_counts = (
-        docs.select("doc_id", F.explode(_grams("text", 2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
-    )
-    gram_stats = gram_counts.groupBy("doc_id").agg(
-        (
-            F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt")
-        ).alias("dup_2gram_frac"),
-    )
-
-    # left join: docs with <2 tokens have no grams → null dup_2gram_frac
-    return tok_stats.join(gram_stats, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct",
-        "dup_token_frac",
-        "top_token_frac",
-        "dup_2gram_frac",
+    return docs.select("doc_id", "text").mapInPandas(
+        _quality_stats_batches, _QS_SCHEMA
     )
 
 
@@ -283,6 +301,104 @@ FROM reach GROUP BY a
 """
 
 
+# ---------------------------------------------------------------------------
+# DOMAIN MIX — deterministic per-source downsampling (mixture weights)
+# ---------------------------------------------------------------------------
+# Corpus mixing: each domain/source gets a sampling fraction (the
+# Pile/DoReMi-style static mixture), applied as a *deterministic* hash
+# gate, not rand() — any doc's keep/drop is reproducible and the
+# sampled corpus is stable under re-partitioning and re-runs. The gate
+# compares a fixed-width md5 prefix against a per-source hex threshold
+# (p = thresh/65536), all inside codegen; the rollup is one hash
+# shuffle with map-side combine. Fractions here key off the numeric
+# source suffix mod 4: 1.0 / 0.5 ('8000') / 0.25 ('4000') / ~0.1
+# ('199a').
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    thresh = (
+        F.when(num % 4 == 1, "8000")
+        .when(num % 4 == 2, "4000")
+        .when(num % 4 == 3, "199a")
+        .otherwise(None)  # mod 0 → keep everything
+    )
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    kept = thresh.isNull() | (h4 < thresh)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(kept, TXT.token_count("text")).otherwise(0).cast("long")
+        ).alias("tokens_kept"),
+    )
+
+
+DOMAIN_MIX_SAMPLE_SQL = """
+WITH gated AS (
+    SELECT source,
+           CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+                WHEN 1 THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+                WHEN 2 THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+                WHEN 3 THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+                ELSE TRUE END AS kept,
+           LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS n_tok
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM gated
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# PACK SEQUENCES — greedy contiguous packing into token-budget bins
+# ---------------------------------------------------------------------------
+# Sample packing: concatenate documents into fixed-capacity training
+# sequences (the streaming-fill packer every LLM data loader uses —
+# not optimal bin packing, which is NP-hard and order-sensitive, but
+# the deterministic contiguous fill). Distributed shape: packing is a
+# running sum within each source shard (window cumsum, ONE shuffle on
+# source), bin id = floor(preceding_tokens / capacity). At 100 TB each
+# source shard packs independently — embarrassingly parallel, no
+# global coordination; a doc longer than the capacity occupies its own
+# bin(s) without stalling the fill.
+_PACK_CAPACITY = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = TXT.token_count("text").cast("long")
+    preceding = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        F.floor(preceding / _PACK_CAPACITY).alias("bin_id"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, source,
+       CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS BIGINT)
+         AS n_tok,
+       CAST(FLOOR(COALESCE(SUM(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')))
+         OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {_PACK_CAPACITY}) AS BIGINT) AS bin_id
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(
         split_train_holdout, SPLIT_TRAIN_HOLDOUT_SQL, tags=("L4", "P6", "F1"),
@@ -299,5 +415,13 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster": QuerySpec(
         dedup_cluster, DEDUP_CLUSTER_SQL, tags=("L1", "L2"),
         doc="connected components over dup pairs vs recursive-CTE oracle",
+    ),
+    "domain_mix_sample": QuerySpec(
+        domain_mix_sample, DOMAIN_MIX_SAMPLE_SQL, tags=("L4", "A6"),
+        doc="deterministic per-source mixture downsampling rollup",
+    ),
+    "pack_sequences": QuerySpec(
+        pack_sequences, PACK_SEQUENCES_SQL, tags=("L4", "W3"),
+        doc="token-budget sequence packing via windowed cumsum",
     ),
 }

@@ -116,6 +116,42 @@ def test_quality_signals_literal(spark, monkeypatch, tmp_path):
     assert d2["dup_token_frac"] == pytest.approx(0.0)
 
 
+def test_pack_sequences_literal(spark, monkeypatch):
+    """Contiguous fill: bin = floor(preceding_tokens / capacity),
+    per-source, ordered by doc_id; an over-capacity doc gets its own
+    bin without stalling the fill."""
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "_PACK_CAPACITY", 5)
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c"),          # 3 tokens, preceding 0 → bin 0
+            (2, "s", "d e f g"),        # preceding 3 → bin 0
+            (3, "s", " ".join("t" + str(i) for i in range(9))),  # preceding 7 → bin 1
+            (4, "s", "x"),              # preceding 16 → bin 3
+            (5, "other", "y y"),        # own source → bin 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    got = {r["doc_id"]: r["bin_id"] for r in P.pack_sequences(spark, "unused").collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 3, 5: 0}
+
+
+def test_domain_mix_kept_subset_and_determinism(spark, sf_dir):
+    from outreach_etl_tool_spark.queries.pipeline import domain_mix_sample
+
+    out = domain_mix_sample(spark, sf_dir)
+    rows = {r["source"]: r for r in out.collect()}
+    again = {r["source"]: r for r in domain_mix_sample(spark, sf_dir).collect()}
+    for src, r in rows.items():
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        assert r.asDict() == again[src].asDict()  # hash gate: reproducible
+        num = int("".join(ch for ch in src if ch.isdigit()))
+        if num % 4 == 0:  # weight 1.0 sources keep everything
+            assert r["n_kept"] == r["n_total"]
+
+
 def test_decontaminate_flags_overlap(spark, monkeypatch):
     """Doc sharing a 4-gram with the eval doc (id 0 ≡ 0 mod 97) is
     flagged; the disjoint doc is not."""
