@@ -188,6 +188,42 @@ LIMIT {_TOPK}
 """
 
 
+# L3c — all-pairs kNN join: every vector's top-k neighbors (broadcast
+# index matrix, Arrow-batched fold-ordered matmul — similarity/ann.py).
+# Oracle: O(n²) self-join + QUALIFY row_number, same tie-break.
+_KNN_K = 5
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return ann.knn_join_bruteforce(embs, k=_KNN_K)
+
+
+SIM_KNN_JOIN_SQL = f"""
+SELECT vec_id, neighbor_id, cos_sim FROM (
+    SELECT a.vec_id,
+           b.vec_id AS neighbor_id,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+             / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))))
+             AS cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                        / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(a.embedding AS DOUBLE[])))
+                           * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[]))))
+                        DESC, b.vec_id ASC) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rn <= {_KNN_K}
+"""
+
+
 # L3b — IVF-style ANN: probe the nearest cells only (rows-only; recall vs
 # brute force is unit-tested).
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,6 +359,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, None, tags=("L2",)),
     "emb_near_dup": QuerySpec(emb_near_dup, None, tags=("L2", "L3")),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
+    "sim_knn_join": QuerySpec(
+        sim_knn_join, SIM_KNN_JOIN_SQL, tags=("L3", "J2"),
+        doc="all-pairs top-k cosine neighbors, broadcast-index kNN join",
+    ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
     "emb_centroids": QuerySpec(emb_centroids, EMB_CENTROIDS_SQL, tags=("L5", "F6")),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL, tags=("L5",)),

@@ -11,6 +11,7 @@ dedup, and the foreachBatch keep-latest upsert sink.
 
 from .streams import (
     read_events_stream,
+    running_user_totals,
     session_counts,
     sliding_counts,
     stream_dedup,
@@ -24,5 +25,6 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stream_dedup",
+    "running_user_totals",
     "upsert_sink",
 ]

@@ -12,6 +12,7 @@ two in sync semantically (same window/gap/watermark constants).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -102,6 +103,60 @@ def stream_dedup(
     unlike a global dropDuplicates)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count / value total / running maximum, carried across
+    micro-batches in explicit group state.
+
+    This is the escape hatch for stateful logic no built-in aggregation
+    expresses (multi-field state machines, custom eviction, per-key
+    model state). State lives in the state store partitioned by
+    user_id — each micro-batch shuffles only that batch's rows to their
+    key's partition, touches only keys present in the batch, and emits
+    one updated row per touched key (outputMode=update). Nothing is
+    driver-side; state survives restarts via the checkpoint.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, float(total), float(mx)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [None if mx == float("-inf") else mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 

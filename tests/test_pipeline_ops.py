@@ -152,6 +152,32 @@ def test_domain_mix_kept_subset_and_determinism(spark, sf_dir):
             assert r["n_kept"] == r["n_total"]
 
 
+# ------------------------------------------------------------- kNN join
+def test_knn_join_literal(spark):
+    """Orthogonal + parallel vectors: neighbors ranked by cosine,
+    self excluded, ties broken by ascending id."""
+    from outreach_etl_tool_spark.similarity import ann
+
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),     # parallel to 1 → cos 1.0
+        (3, [0.0, 1.0]),     # orthogonal to 1/2
+        (4, [1.0, 1.0]),     # 45° to everything
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = ann.knn_join_bruteforce(df, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["vec_id"], []).append((r["neighbor_id"], r["cos_sim"]))
+    assert set(got) == {1, 2, 3, 4}
+    assert all(len(v) == 2 for v in got.values())
+    # 1's best neighbor is 2 (cos 1.0), then 4 (cos ~0.707); never itself
+    assert [n for n, _ in got[1]] == [2, 4]
+    assert got[1][0][1] == pytest.approx(1.0)
+    # 3's best is 4; 1 and 2 tie at cos 0 → lower id wins
+    assert [n for n, _ in got[3]] == [4, 1]
+
+
 def test_decontaminate_flags_overlap(spark, monkeypatch):
     """Doc sharing a 4-gram with the eval doc (id 0 ≡ 0 mod 97) is
     flagged; the disjoint doc is not."""

@@ -99,6 +99,12 @@ SHUFFLE_BUDGETS = {
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
     "text_stats": 1,
     "dedup_exact": 2,
+    # per-doc stats are narrow by design: one MapInPandas, no exchange
+    # (the explode/groupBy formulation costs 4 — see queries/pipeline.py)
+    "quality_signals": 0,
+    "split_train_holdout": 0,  # md5 gate is pure projection
+    "pack_sequences": 1,  # window partitioned by source: one exchange
+    "domain_mix_sample": 2,
 }
 
 

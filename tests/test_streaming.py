@@ -186,3 +186,37 @@ def test_upsert_sink_keeps_latest(spark, tmp_path):
            for r in spark.read.parquet(target).collect()}
     assert out[1] == (99.0, 11)
     assert out[2] == (1.0, 10)
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
+    """applyInPandasWithState: per-user state persists across
+    micro-batches — batch 2 updates build on batch 1 totals, and the
+    memory sink (update mode) holds one row per (batch, touched key)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=7, value=2.0),
+        ev(2, "2024-03-01T10:01:00Z", user=7, value=3.0),
+        ev(3, "2024-03-01T10:02:00Z", user=8, value=10.0),
+    ])
+    write_batch(src, "b2.json", [
+        ev(4, "2024-03-01T11:00:00Z", user=7, value=5.0),
+    ])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        ST.running_user_totals(events)
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = collect_memory(spark, "running_totals")
+    per_user = {}
+    for r in rows:  # last emitted row per user = final running state
+        per_user.setdefault(r["user_id"], []).append(r)
+    u7 = sorted(per_user[7], key=lambda r: r["n_events"])
+    assert [(r["n_events"], r["total_value"], r["max_value"]) for r in u7] == [
+        (2, 5.0, 3.0),   # after batch 1
+        (3, 10.0, 5.0),  # after batch 2: state carried over
+    ]
+    (u8,) = per_user[8]
+    assert (u8["n_events"], u8["total_value"], u8["max_value"]) == (1, 10.0, 10.0)
