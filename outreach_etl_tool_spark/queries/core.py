@@ -526,10 +526,75 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_SQL)
 
 
+# TPC-H Q3 shape (shipping priority), dates shifted into the testdata's
+# 1995-2001 range: 3-table join, filtered fact scan, grouped exact-
+# decimal revenue, deterministic top-10. Catalyst picks broadcast for
+# customer and SMJ/shuffle-hash for orders⋈lineitem; both date filters
+# push to the parquet scans.
+SQL_Q3_SHIPPING_SQL = f"""
+SELECT l_orderkey,
+       {sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def sql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q3_SHIPPING_SQL)
+
+
+# TPC-H Q10 shape (returned-item losses by customer), same single-text
+# treatment: 4-table join with a broadcast dim chain, quarter-bounded
+# fact scan, exact-decimal revenue, top-20.
+SQL_Q10_RETURNS_SQL = f"""
+SELECT c_custkey, c_name,
+       {sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q10_RETURNS_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sql_surface": QuerySpec(
         sql_surface, SQL_SURFACE_SQL, tags=("S6", "A2"),
         doc="identical SQL text through spark.sql and the oracle",
+    ),
+    "sql_q3_shipping": QuerySpec(
+        sql_q3_shipping, SQL_Q3_SHIPPING_SQL,
+        tags=("S6", "J1", "J3", "A2", "O3"), bench=True,
+        doc="TPC-H Q3 shape via spark.sql, single ANSI text both engines",
+    ),
+    "sql_q10_returns": QuerySpec(
+        sql_q10_returns, SQL_Q10_RETURNS_SQL,
+        tags=("S6", "J1", "J2", "A2", "O3"),
+        doc="TPC-H Q10 shape via spark.sql, single ANSI text both engines",
     ),
     "funnel": QuerySpec(
         funnel, FUNNEL_SQL, tags=("S6", "J1", "J2", "A2", "A3", "O1", "O2"), bench=True

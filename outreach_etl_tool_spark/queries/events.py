@@ -139,8 +139,111 @@ FROM (
 """
 
 
+# Ordered funnel: per user, first 'view', first 'click' AFTER that
+# view, first 'purchase' AFTER that click. Each step conditions on the
+# previous step's timestamp, so it's a chain of per-user min-aggregates
+# joined back — all tiny per-user tables after the first aggregation;
+# AQE broadcasts every subsequent join. The product-analytics staple
+# (conversion funnels) and the per-entity ordered-sequence shape that a
+# plain groupBy cannot express.
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_after"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click_after"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_after"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "first_view", "first_click_after", "first_purchase_after"
+        )
+    )
+
+
+EVT_FUNNEL_STEPS_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS first_click_after
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.first_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase_after
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.first_click_after
+    GROUP BY e.user_id
+)
+SELECT u.user_id, v.first_view, c.first_click_after, p.first_purchase_after
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+# Cohort retention: users grouped by first-activity day, counted on
+# each later active day by offset. Two aggregations over the events
+# scan (first-day per user; distinct user-days) joined on user — the
+# first-day table is per-user-small, AQE broadcast-joins it into the
+# distinct-day stream. The standard growth-analytics rollup.
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("d", F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+EVT_RETENTION_SQL = """
+WITH first AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT first.cohort_day,
+       CAST(activity.d - first.cohort_day AS INTEGER) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity JOIN first ON activity.user_id = first.user_id
+GROUP BY first.cohort_day, day_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "evt_tumbling": QuerySpec(evt_tumbling, EVT_TUMBLING_SQL, tags=("T1",), bench=True),
+    "evt_retention": QuerySpec(
+        evt_retention, EVT_RETENTION_SQL, tags=("A2", "A3", "F2", "J2"),
+        doc="cohort retention: first-day cohorts × active-day offsets",
+    ),
+    "evt_funnel_steps": QuerySpec(
+        evt_funnel_steps, EVT_FUNNEL_STEPS_SQL, tags=("A2", "J4", "P4"),
+        doc="ordered conversion funnel: step minima conditioned on prior step",
+    ),
     "evt_sliding": QuerySpec(evt_sliding, EVT_SLIDING_SQL, tags=("T2",)),
     "evt_sessions": QuerySpec(evt_sessions, EVT_SESSIONS_SQL, tags=("T3",), bench=True),
     "evt_upsert_compact": QuerySpec(

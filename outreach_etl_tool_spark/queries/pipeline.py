@@ -399,6 +399,81 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# VOCAB TOP-K — corpus-wide token frequencies (vocabulary building)
+# ---------------------------------------------------------------------------
+# The word-count shape at 100 TB: explode to tokens, hash-aggregate.
+# Zipf skew ("the" appears everywhere) is exactly what map-side partial
+# aggregation absorbs — each task pre-sums its own counts, so the
+# shuffle carries one row per (task, distinct-token), not one per
+# occurrence. Doc frequency (for IDF) rides the same aggregation as a
+# count-distinct. Final top-k is TakeOrdered over the aggregated
+# vocabulary, with a deterministic tie-break so the LIMIT boundary is
+# engine-stable.
+_VOCAB_K = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(_VOCAB_K)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS tok
+    FROM documents
+)
+SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT {_VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# STRATIFIED SAMPLE — exact-count per-stratum deterministic sample
+# ---------------------------------------------------------------------------
+# Exactly n docs per source (df.sampleBy gives only *expected*
+# fractions and is seed/partitioning-dependent): rank docs within each
+# source by a content hash and keep the first n. The md5 sort key makes
+# the pick pseudo-random but reproducible anywhere; one shuffle on
+# source (the window), then a narrow filter.
+_STRAT_N = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_N)
+        .select("doc_id", "source", "rn")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+FROM documents
+QUALIFY rn <= {_STRAT_N}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(
         split_train_holdout, SPLIT_TRAIN_HOLDOUT_SQL, tags=("L4", "P6", "F1"),
@@ -423,5 +498,13 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(
         pack_sequences, PACK_SEQUENCES_SQL, tags=("L4", "W3"),
         doc="token-budget sequence packing via windowed cumsum",
+    ),
+    "vocab_topk": QuerySpec(
+        vocab_topk, VOCAB_TOPK_SQL, tags=("L4", "A2", "A3", "O3"), bench=True,
+        doc="corpus vocabulary: token/doc frequencies, deterministic top-k",
+    ),
+    "stratified_sample": QuerySpec(
+        stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
+        doc="exact-n-per-source deterministic hash-ranked sample",
     ),
 }

@@ -74,3 +74,48 @@ def test_union_by_name_alignment(spark):
     rows = {r["id"]: (r["a"], r["b"]) for r in u.collect()}
     assert rows[1] == ("x", None)
     assert rows[2] == (None, 3.5)
+
+
+# --------------------------------------------------------- dup clustering
+def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference implementation: min-id-per-component via union-find."""
+    parent = {v: v for v in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in n_nodes}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0, max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    from outreach_etl_tool_spark.dedup import cluster
+
+    nodes = list(range(25))
+    edges = [(a, b) for a, b in edge_list if a != b]
+    expected = _union_find(nodes, edges)
+
+    edges_df = spark.createDataFrame(
+        edges or [], "id_a long, id_b long"
+    )
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster.connected_components(
+            edges_df, nodes_df, id_col="doc_id"
+        ).collect()
+    }
+    assert got == expected
