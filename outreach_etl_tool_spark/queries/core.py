@@ -581,6 +581,46 @@ def sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_Q10_RETURNS_SQL)
 
 
+# GROUPING SETS through one ANSI text (A5's third form beyond
+# rollup/cube): three explicit grouping levels in a single pass —
+# Spark plans one Expand + one hash agg, not three scans.
+SQL_GROUPING_SETS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_GROUPING_SETS_SQL)
+
+
+# Correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+# SQL spelling of top-n-per-key. Catalyst decorrelates it into a
+# ranked window join; the identical text runs on DuckDB.
+SQL_LATERAL_TOPN_SQL = """
+SELECT c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) o
+"""
+
+
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_TOPN_SQL)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sql_surface": QuerySpec(
         sql_surface, SQL_SURFACE_SQL, tags=("S6", "A2"),
@@ -595,6 +635,14 @@ QUERIES: dict[str, QuerySpec] = {
         sql_q10_returns, SQL_Q10_RETURNS_SQL,
         tags=("S6", "J1", "J2", "A2", "O3"),
         doc="TPC-H Q10 shape via spark.sql, single ANSI text both engines",
+    ),
+    "sql_grouping_sets": QuerySpec(
+        sql_grouping_sets, SQL_GROUPING_SETS_SQL, tags=("A5", "A2"),
+        doc="GROUPING SETS single-text: one Expand pass, three levels",
+    ),
+    "sql_lateral_topn": QuerySpec(
+        sql_lateral_topn, SQL_LATERAL_TOPN_SQL, tags=("J1", "O3", "W1"),
+        doc="correlated LATERAL top-n-per-key, decorrelated by Catalyst",
     ),
     "funnel": QuerySpec(
         funnel, FUNNEL_SQL, tags=("S6", "J1", "J2", "A2", "A3", "O1", "O2"), bench=True

@@ -103,3 +103,21 @@ def test_write_clustered_enables_minmax_pruning(spark, tmp_path):
     assert back.count() == 11
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10)" in plan
+
+
+def test_jsonl_interchange_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL corpus interchange: write documents as line-delimited JSON,
+    read back with the DECLARED schema (never inference at 100 TB), get
+    identical rows. Nulls survive; column order is schema-driven."""
+    from outreach_etl_tool_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+
+    back = spark.read.schema(docs.schema).json(path)
+    assert back.schema == docs.schema
+    a = {r["doc_id"]: r for r in docs.collect()}
+    b = {r["doc_id"]: r for r in back.collect()}
+    assert len(a) == len(b)
+    assert all(a[k] == b[k] for k in a)
