@@ -72,7 +72,12 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
 
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # decimal(38,0) sum: exact for any id domain (a long sum would
+    # overflow — and under ANSI, fail — at ~10^11 ids × 10^11 values)
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # neighbor labels: peer's current label flows to node
         neighbor = sym.join(
@@ -84,7 +89,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease → fixed point
             break

@@ -118,6 +118,10 @@ def knn_join_bruteforce(
     that reproducibility for ~2× throughput.
     """
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame(
+            [], "vec_id long, neighbor_id long, cos_sim double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
