@@ -66,6 +66,14 @@ def connected_components(
     ).union(
         edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("peer"))
     )
+    # contract: one output row per `nodes` entry — edges mentioning ids
+    # outside `nodes` would otherwise leak extra rows into the label
+    # table via the neighbor union. Enforce once, before the loop.
+    nodeset = nodes.select(F.col(id_col).alias("node"))
+    sym = (
+        sym.join(nodeset, "node", "left_semi")
+        .join(nodeset.withColumnRenamed("node", "peer"), "peer", "left_semi")
+    )
     sym = sym.persist()
 
     labels = nodes.select(
@@ -78,6 +86,7 @@ def connected_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # neighbor labels: peer's current label flows to node
         neighbor = sym.join(
@@ -92,7 +101,17 @@ def connected_components(
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease → fixed point
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # silently returning a non-fixed-point labeling would split true
+        # clusters (nodes > max_iter hops from their component's min id)
+        # and quietly diverge from any transitive-closure oracle
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter or switch the step function to large-star/small-star"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -104,7 +104,7 @@ _QS_SCHEMA = (
 
 
 def _quality_stats_batches(batches):
-    pat = re.compile(r"[a-zA-Z]+")
+    pat = re.compile(TXT.TOKEN_RE)  # single tokenization source of truth
     cols = (
         "doc_id", "n_tokens", "n_distinct", "dup_token_frac",
         "top_token_frac", "dup_2gram_frac",
@@ -315,7 +315,10 @@ FROM reach GROUP BY a
 # ('199a').
 def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # try_cast (TRY_CAST in the oracle): a digit-less source yields ''
+    # from regexp_extract, which a plain ANSI cast would throw on — the
+    # intended semantics are NULL → keep-everything default
+    num = F.regexp_extract("source", r"(\d+)", 1).try_cast("int")
     thresh = (
         F.when(num % 4 == 1, "8000")
         .when(num % 4 == 2, "4000")
@@ -336,7 +339,7 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_MIX_SAMPLE_SQL = """
 WITH gated AS (
     SELECT source,
-           CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+           CASE TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
                 WHEN 1 THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
                 WHEN 2 THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
                 WHEN 3 THEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'

@@ -116,12 +116,16 @@ def knn_join_bruteforce(
     ``list_dot_product``) so the oracle compares bit-for-bit; swapping
     the fold loop for one BLAS gemm is a one-line change that trades
     that reproducibility for ~2× throughput.
+
+    Note the index side materializes EAGERLY, at call time: a PySpark
+    broadcast variable must exist before the probe plan can close over
+    it, so building this DataFrame runs one collect job. Call it when
+    you mean to run it.
     """
+    out_schema = f"{id_col} long, neighbor_id long, cos_sim double"
     rows = df.select(id_col, vec_col).collect()
     if not rows:
-        return df.sparkSession.createDataFrame(
-            [], "vec_id long, neighbor_id long, cos_sim double"
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
@@ -164,14 +168,14 @@ def knn_join_bruteforce(
                 out_c.append(cos[i][top])
             yield pd.DataFrame(
                 {
-                    "vec_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
                     "cos_sim": np.concatenate(out_c),
                 }
             )
 
     return ensure_parallelism(df).select(id_col, vec_col).mapInPandas(
-        probe, "vec_id long, neighbor_id long, cos_sim double"
+        probe, out_schema
     )
 
 

@@ -52,6 +52,28 @@ def test_cc_two_components_and_direction_blind(spark):
     assert got == {1: 1, 2: 1, 5: 1, 8: 8, 9: 8}
 
 
+def test_cc_raises_when_not_converged(spark):
+    """A diameter-4 path with max_iter=2 must fail loudly, not return a
+    split cluster."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster.connected_components(edges, nodes, id_col="doc_id", max_iter=2)
+
+
+def test_cc_ignores_edges_outside_nodes(spark):
+    """Edge endpoints absent from `nodes` neither appear in the output
+    nor affect labels."""
+    edges = spark.createDataFrame([(7, 1), (1, 2)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    assert got == {1: 1, 2: 1}
+
+
 def test_cc_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
