@@ -14,6 +14,7 @@ from .media import (
     MEDIA_FEATURE_SCHEMA,
     decode_features,
     frame_sample,
+    resize_images,
     sniff_media_type,
     with_media_meta,
 )
@@ -24,4 +25,5 @@ __all__ = [
     "sniff_media_type",
     "decode_features",
     "frame_sample",
+    "resize_images",
 ]

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ..multimodal import decode_features, frame_sample, with_media_meta
+from ..multimodal import decode_features, frame_sample, resize_images, with_media_meta
 from ..operators.util import ensure_parallelism
 from . import QuerySpec
 
@@ -96,6 +96,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(assets)
 
 
+# L5 — resize: block-mean downsample behind the stubbed codec; emits
+# (asset_id, width, height, pixels) with degenerate assets nulled.
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return resize_images(assets, out_w=8, out_h=8)
+
+
 # L5 — frame sampling: UDTF-shaped fan-out of fixed-size frames.
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -130,5 +141,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frames": QuerySpec(
         multimodal_frames, None, tags=("L5",),
         doc="frame sampling fan-out + per-asset frame counts",
+    ),
+    "multimodal_resize": QuerySpec(
+        multimodal_resize, None, tags=("L5",),
+        doc="block-mean resize to 8x8 via mapInPandas (stub codec)",
     ),
 }

@@ -71,3 +71,22 @@ def test_frame_sample_fanout(spark, assets):
     # frame payloads are the right windows
     f0 = out.filter((F.col("asset_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
     assert bytes(f0["frame"]) == PNG[:32]
+
+
+def test_resize_block_mean_exact(spark):
+    """A 16x16 gradient downsampled to 8x8: each output pixel is the
+    mean of its 2x2 block; short payloads yield 0x0 + null pixels."""
+    import numpy as np
+    from outreach_etl_tool_spark.multimodal import resize_images
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    rows = [(1, bytes(img.tobytes())), (2, b"tiny")]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in resize_images(df, out_w=8, out_h=8).collect()}
+
+    assert (got[2]["width"], got[2]["height"], got[2]["pixels"]) == (0, 0, None)
+    assert (got[1]["width"], got[1]["height"]) == (8, 8)
+    expected = (
+        img.reshape(8, 2, 8, 2).mean(axis=(1, 3)).astype(np.uint8).tobytes()
+    )
+    assert bytes(got[1]["pixels"]) == expected
