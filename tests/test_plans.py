@@ -105,6 +105,14 @@ SHUFFLE_BUDGETS = {
     "split_train_holdout": 0,  # md5 gate is pure projection
     "pack_sequences": 1,  # window partitioned by source: one exchange
     "domain_mix_sample": 2,
+    "vocab_topk": 2,  # count-distinct expand; final top-k is TakeOrdered
+    "sql_q3_shipping": 1,  # dims broadcast; one agg exchange
+    "sql_q10_returns": 1,
+    "sql_grouping_sets": 1,  # one Expand pass, not one scan per level
+    "sql_lateral_topn": 1,  # decorrelated: WindowGroupLimit + broadcast
+    "stratified_sample": 1,
+    "decontaminate": 2,  # eval grams broadcast; distinct + final agg
+    "sim_knn_join": 0,  # broadcast index, narrow probe
 }
 
 
