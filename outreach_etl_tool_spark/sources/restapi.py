@@ -27,6 +27,10 @@ Design (SURVEY.md §2.1 S1):
   `token` option) or `dir_url` (a directory of
   `{endpoint}/{day}/page{N}.json` files — the deterministic test/replay
   transport; also what a capture-then-replay backfill uses).
+- **Streaming form**: `spark.readStream.format("restapi")` tails the
+  same source one day-window per micro-batch (offset = next unread
+  day, never past yesterday/`end`) — the reference's `previous_day`
+  cron mode as a replayable Structured Streaming source.
 
 The returned frame is all-string (JSON scalars stringified); callers
 finish with `ingest.schema_loader.coerce_types` + `upsert_latest`,
@@ -41,7 +45,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 
@@ -147,8 +156,71 @@ class _Reader(DataSourceReader):
                 )
 
 
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the same source: offset = next unread day, one
+    day-window per micro-batch — the reference's `previous_day` cron
+    mode (outreach_etl.py:227-229) as a Structured Streaming source
+    with exactly-once, replayable offsets.
+
+    The simple stream API reads on the driver (fine for API-paged
+    tails — the reference itself was one sequential process); bulk
+    backfill stays on the partitioned batch reader. `end` (exclusive)
+    bounds the stream so `trigger(availableNow=True)` drains a fixed
+    replay window and stops advancing.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.inner = _Reader(schema, options)
+        self.start = options["start"]
+        self.end = options.get("end")  # exclusive bound; open-ended if absent
+        # catch-up stride: one batch covers up to this many unread days
+        # (steady state is 1 day/batch; first run after downtime drains
+        # the backlog in max_days_per_batch chunks)
+        self.max_days = int(options.get("max_days_per_batch", "30"))
+
+    def initialOffset(self) -> dict:
+        return {"next_day": self.start}
+
+    def _bound(self) -> str:
+        # never read a day that may still be receiving updates
+        today = dt.date.today().isoformat()
+        return min(self.end, today) if self.end else today
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        day = start["next_day"]
+        bound = self._bound()
+        if day >= bound:
+            return iter(()), start  # caught up: offset unchanged
+        d = dt.date.fromisoformat(day)
+        stop = min(
+            dt.date.fromisoformat(bound), d + dt.timedelta(days=self.max_days)
+        )
+        # day-stepped (both transports window per day), materialized as
+        # a list, not a generator: Spark's prefetch cache copy.copy()s
+        # the returned iterator (generators aren't copyable)
+        rows: list[tuple] = []
+        cur = d
+        while cur < stop:
+            nxt = cur + dt.timedelta(days=1)
+            rows.extend(
+                self.inner.read(DayWindow(cur.isoformat(), nxt.isoformat()))
+            )
+            cur = nxt
+        return iter(rows), {"next_day": stop.isoformat()}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay for recovery: re-pages [start, end)
+        d = dt.date.fromisoformat(start["next_day"])
+        stop = dt.date.fromisoformat(end["next_day"])
+        while d < stop:
+            nxt = d + dt.timedelta(days=1)
+            yield from self.inner.read(DayWindow(d.isoformat(), nxt.isoformat()))
+            d = nxt
+
+
 class RestApiDataSource(DataSource):
-    """``spark.read.format("restapi")`` — see module docstring."""
+    """``spark.read.format("restapi")`` / ``spark.readStream.format("restapi")``
+    — see module docstring."""
 
     @classmethod
     def name(cls) -> str:
@@ -160,6 +232,9 @@ class RestApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _Reader:
         return _Reader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> _StreamReader:
+        return _StreamReader(schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -98,3 +98,30 @@ def test_restapi_source_filters_by_window(spark, tmp_path):
         .load()
     )
     assert [r["id"] for r in df.collect()] == ["4"]
+
+
+def test_restapi_stream_tails_day_windows(spark, tmp_path):
+    """Streaming form: availableNow drains one micro-batch per day
+    window up to the exclusive `end` bound, with day offsets in the
+    checkpoint (replayable)."""
+    schema_file, api_dir = write_fixture(tmp_path)
+    register(spark)
+    stream = (
+        spark.readStream.format("restapi")
+        .option("endpoint", "prospects")
+        .option("schema_file", schema_file)
+        .option("start", "2024-03-01")
+        .option("end", "2024-03-03")
+        .option("dir_url", api_dir)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("rest_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM rest_tail").collect()}
+    assert set(rows) == {"1", "2", "3", "4"}
+    assert rows["4"]["attributes_name"] == "d"
