@@ -115,12 +115,18 @@ def make_signature_udf(num_hashes: int = 32, k: int = 3):
         np.cumsum(lens[:-1], out=starts[1:])
 
         # shingle hash at token position p: sum_j combine[j]*th[p+j]
+        # sh spans ALL n token positions (not just the m full-shingle
+        # windows): a short doc's whole-doc shingle is planted at its
+        # start position, which lands past m-1 when the short doc sits
+        # at the batch tail.
         n = len(th)
         m = max(n - k + 1, 1)
-        sh = combine[0] * th[:m]
+        sh = np.zeros(n, dtype=np.uint64)
+        acc0 = combine[0] * th[:m]
         for j in range(1, k):
             seg = th[j : j + m]
-            sh = sh + combine[j] * np.pad(seg, (0, m - len(seg)))
+            acc0 = acc0 + combine[j] * np.pad(seg, (0, m - len(seg)))
+        sh[:m] = acc0
 
         # per-doc valid shingle window: positions start .. start+cnt-1
         # where cnt = max(len-k+1, 1); docs shorter than k get one

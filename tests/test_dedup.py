@@ -89,6 +89,38 @@ def test_shingles_short_and_empty_docs(spark):
     assert got[3] == ["x"]
 
 
+def test_minhash_short_doc_at_batch_tail(spark):
+    """Regression: a <k-token doc FOLLOWING a longer doc in the same
+    Arrow batch used to IndexError — its whole-doc shingle position
+    sits past the m-1 full-window bound of the flat shingle buffer."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "tail pair")],
+        "doc_id long, text string",
+    ).coalesce(1)  # same batch, short doc last
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", minhash.minhash_signature("text", num_hashes=8).alias("s")
+    ).collect()}
+    assert len(got[1]) == 8 and len(got[2]) == 8
+    # short doc alone in its own batch must produce the SAME signature
+    alone = spark.createDataFrame([(2, "tail pair")], "doc_id long, text string")
+    got_alone = alone.select(
+        minhash.minhash_signature("text", num_hashes=8).alias("s")
+    ).collect()[0]["s"]
+    assert got[2] == got_alone
+
+
+def test_minhash_short_docs_pair_detected(spark):
+    """Two identical short docs (< k tokens) sharing a batch with long
+    docs must come out as an exact-Jaccard-1.0 candidate pair."""
+    df = spark.createDataFrame(
+        [(1, BASE), (2, "tiny doc"), (3, FAR), (4, "tiny doc")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    got = pairs(minhash.candidate_pairs(df, "doc_id", "text",
+                                        jaccard_threshold=0.9))
+    assert (2, 4) in got
+
+
 def test_minhash_identical_signatures_for_identical_text(spark, docs):
     sig = docs.filter(F.col("doc_id").isin(1, 4)).select(
         minhash.minhash_signature("text").alias("s")
