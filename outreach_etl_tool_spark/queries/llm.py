@@ -188,15 +188,17 @@ LIMIT {_TOPK}
 """
 
 
-# L3c — all-pairs kNN join: every vector's top-k neighbors (broadcast
-# index matrix, Arrow-batched fold-ordered matmul — similarity/ann.py).
+# L3c — all-pairs kNN join: every vector's top-k neighbors. Distributed
+# block nested-loop (hash-blocked index, replicated probes, cogroup
+# local top-k, window merge — similarity/ann.py knn_join_blocked): EXACT
+# with no driver materialization, unlike the broadcast small-index tier.
 # Oracle: O(n²) self-join + QUALIFY row_number, same tie-break.
 _KNN_K = 5
 
 
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
-    return ann.knn_join_bruteforce(embs, k=_KNN_K)
+    return ann.knn_join_blocked(embs, k=_KNN_K, n_blocks=8)
 
 
 SIM_KNN_JOIN_SQL = f"""

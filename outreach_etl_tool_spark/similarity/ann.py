@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vectors import cosine
 from ..operators.util import ensure_parallelism
@@ -94,28 +94,65 @@ def topk_ivf(
     return topk_bruteforce(pruned, query, k, id_col, vec_col)
 
 
+def _fold_norms(a: np.ndarray) -> np.ndarray:
+    """L2 norms accumulated dimension-by-dimension (left fold), matching
+    `functions.vectors.dot` and DuckDB's ``list_dot_product`` so oracle
+    comparisons are bit-for-bit."""
+    acc = np.zeros(a.shape[0])
+    for d in range(a.shape[1]):
+        acc += a[:, d] * a[:, d]
+    return np.sqrt(acc)
+
+
+def _score_topk(
+    pids: np.ndarray,
+    pmat: np.ndarray,
+    b_ids: np.ndarray,
+    b_mat: np.ndarray,
+    b_norms: np.ndarray,
+    k: int,
+):
+    """Fold-ordered cosine of every (probe, index) pair + per-probe
+    top-k (self excluded via -inf then dropped by the finite filter —
+    an index block with ≤ k vectors must NOT emit the probe as its own
+    neighbor). Returns (probe_ids, neighbor_ids, cos_sims) arrays."""
+    acc = np.zeros((len(pmat), len(b_ids)))
+    for d in range(pmat.shape[1]):
+        acc += np.multiply.outer(pmat[:, d], b_mat[:, d])
+    cos = acc / (_fold_norms(pmat)[:, None] * b_norms[None, :])
+    out_q, out_n, out_c = [], [], []
+    for i in range(len(pids)):
+        row = cos[i].copy()
+        row[b_ids == pids[i]] = -np.inf
+        # primary: cos desc; tie: neighbor id asc
+        top = np.lexsort((b_ids, -row))[:k]
+        top = top[np.isfinite(row[top])]
+        out_q.append(np.full(len(top), pids[i], dtype=np.int64))
+        out_n.append(b_ids[top])
+        out_c.append(cos[i][top])
+    return (
+        np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64),
+        np.concatenate(out_n) if out_n else np.empty(0, dtype=np.int64),
+        np.concatenate(out_c) if out_c else np.empty(0, dtype=np.float64),
+    )
+
+
 def knn_join_bruteforce(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs exact kNN join: for EVERY vector, its top-k cosine
-    neighbors (self excluded; ties broken by ascending neighbor id).
+    """Small-index all-pairs kNN join: for EVERY vector, its top-k
+    cosine neighbors (self excluded; ties broken by ascending id).
 
-    Distributed shape — the canonical brute-force kNN join: the index
-    side is broadcast once as a dense matrix (fits executor memory up
-    to ~1-10 M vectors × dim; beyond that, switch to `topk_ivf`'s
-    cell-pruned search), and the probe side streams through in Arrow
-    batches doing a batched matrix product + per-row top-k. No
-    shuffle: probe partitions never move, each task joins against its
-    local copy of the index.
-
-    The dot products accumulate dimension-by-dimension in index order
-    (a left fold, matching `functions.vectors.dot` and DuckDB's
-    ``list_dot_product``) so the oracle compares bit-for-bit; swapping
-    the fold loop for one BLAS gemm is a one-line change that trades
-    that reproducibility for ~2× throughput.
+    Broadcast-index shape: the index side is collected ONCE to the
+    driver and broadcast as a dense matrix, the probe side streams
+    through in Arrow batches. Zero shuffles — but the index must fit
+    driver + executor memory, so this is the SMALL-INDEX tier only
+    (≲10⁶ vectors). The registry's `sim_knn_join` uses
+    `knn_join_blocked`, the distributed form with no driver
+    materialization; prefer it anywhere the index can grow.
 
     Note the index side materializes EAGERLY, at call time: a PySpark
     broadcast variable must exist before the probe plan can close over
@@ -132,14 +169,6 @@ def knn_join_bruteforce(
     mat = np.array(
         [[float(v) for v in rows[int(i)][1]] for i in order], dtype=np.float64
     )
-    dim = mat.shape[1]
-
-    def _fold_norms(a: np.ndarray) -> np.ndarray:
-        acc = np.zeros(a.shape[0])
-        for d in range(a.shape[1]):
-            acc += a[:, d] * a[:, d]
-        return np.sqrt(acc)
-
     idx_norms = _fold_norms(mat)
     bc = df.sparkSession.sparkContext.broadcast((ids, mat, idx_norms))
 
@@ -152,31 +181,155 @@ def knn_join_bruteforce(
             pmat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            acc = np.zeros((len(pmat), len(b_ids)))
-            for d in range(dim):
-                acc += np.multiply.outer(pmat[:, d], b_mat[:, d])
-            cos = acc / (_fold_norms(pmat)[:, None] * b_norms[None, :])
-            out_q, out_n, out_c = [], [], []
-            for i in range(len(pids)):
-                row = cos[i].copy()
-                self_mask = b_ids == pids[i]
-                row[self_mask] = -np.inf
-                # primary: cos desc; tie: neighbor id asc
-                top = np.lexsort((b_ids, -row))[:k]
-                out_q.append(np.full(len(top), pids[i], dtype=np.int64))
-                out_n.append(b_ids[top])
-                out_c.append(cos[i][top])
-            yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cos_sim": np.concatenate(out_c),
-                }
-            )
+            q, n, c = _score_topk(pids, pmat, b_ids, b_mat, b_norms, k)
+            yield pd.DataFrame({id_col: q, "neighbor_id": n, "cos_sim": c})
 
     return ensure_parallelism(df).select(id_col, vec_col).mapInPandas(
         probe, out_schema
     )
+
+
+def _block_topk_cogroup(id_col: str, vec_col: str, k: int):
+    """Cogroup kernel: left = probes replicated into this block, right =
+    the block's index vectors; emits each probe's LOCAL top-k within the
+    block (k per block, merged globally afterwards)."""
+
+    def fn(probes: pd.DataFrame, index: pd.DataFrame) -> pd.DataFrame:
+        if not len(probes) or not len(index):
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, dtype=np.int64),
+                    "neighbor_id": np.empty(0, dtype=np.int64),
+                    "cos_sim": np.empty(0, dtype=np.float64),
+                }
+            )
+        b_ids = index[id_col].to_numpy(dtype=np.int64)
+        b_mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in index[vec_col]]
+        )
+        b_norms = _fold_norms(b_mat)
+        pids = probes[id_col].to_numpy(dtype=np.int64)
+        pmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in probes[vec_col]]
+        )
+        q, n, c = _score_topk(pids, pmat, b_ids, b_mat, b_norms, k)
+        return pd.DataFrame({id_col: q, "neighbor_id": n, "cos_sim": c})
+
+    return fn
+
+
+def _merge_global_topk(local: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Global top-k per probe over the per-block candidates (≤ B·k rows
+    per probe — tiny). Same ordering contract as the in-block kernel:
+    cos desc, neighbor id asc."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed EXACT all-pairs kNN join — no driver materialization.
+
+    Block nested-loop shape: the index side is hash-partitioned into
+    `n_blocks` disjoint blocks; every probe vector is replicated to
+    every block (an explode, ×B rows); a cogroup task per block scores
+    its probes against its index slice with the fold-ordered numpy
+    kernel and keeps each probe's local top-k; a final window merges
+    the ≤ B·k candidates per probe into the global top-k.
+
+    Scale: the whole plan is three exchanges (index→block, probes→block,
+    window merge) and NOTHING touches the driver. Memory per task is
+    one index block (n/B vectors) + one Arrow batch of probes — choose
+    n_blocks so a block fits executor memory; probe replication cost is
+    B× the probe shuffle, the price of exactness. When approximate
+    recall suffices, `knn_join_ivf` replicates probes to only `nprobe`
+    cells instead.
+
+    Exactness: every (probe, index) pair is scored exactly once (the
+    blocks partition the index), with the same left-fold arithmetic and
+    cos-desc/id-asc tie-break as the oracle's O(n²) self-join, so
+    results hash-match `SIM_KNN_JOIN_SQL` bit-for-bit.
+    """
+    out_schema = f"{id_col} long, neighbor_id long, cos_sim double"
+    base = ensure_parallelism(df).select(id_col, vec_col)
+    index = base.withColumn(
+        "block", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    probes = base.withColumn(
+        "block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+    local = (
+        probes.groupBy("block")
+        .cogroup(index.groupBy("block"))
+        .applyInPandas(_block_topk_cogroup(id_col, vec_col, k), out_schema)
+    )
+    return _merge_global_topk(local, id_col, k)
+
+
+def knn_join_ivf(
+    df_with_cells: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed APPROXIMATE kNN join: probes visit only their
+    `nprobe` nearest IVF cells instead of every block.
+
+    Same cogroup + window-merge skeleton as `knn_join_blocked`, but the
+    probe-side replication factor drops from B to nprobe and each probe
+    only meets index vectors in nearby cells — recall < 1 by design
+    (unit-tested against the exact join). At 100 TB the cell assignment
+    is a persisted/bucketed layout, so the probe shuffle prunes to
+    nprobe/K of the data.
+
+    Expects `df_with_cells` to already carry the `cell` column from
+    `assign_cells` (the index layout is built once, reused per query).
+    """
+    out_schema = f"{id_col} long, neighbor_id long, cos_sim double"
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents_unit = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+    npb = min(nprobe, len(centroids))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells_udf(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+            sims = mat @ cents_unit  # row norms cancel in ranking
+            nearest = np.argsort(-sims, axis=1)[:, :npb].astype(np.int32)
+            for j, row in enumerate(np.flatnonzero(ok)):
+                out[row] = nearest[j].tolist()
+        return pd.Series(out)
+
+    base = df_with_cells.select(id_col, vec_col, "cell")
+    index = base.withColumnRenamed("cell", "block")
+    probes = base.select(
+        id_col,
+        vec_col,
+        F.explode(probe_cells_udf(F.col(vec_col))).alias("block"),
+    )
+    local = (
+        probes.groupBy("block")
+        .cogroup(index.groupBy("block"))
+        .applyInPandas(_block_topk_cogroup(id_col, vec_col, k), out_schema)
+    )
+    return _merge_global_topk(local, id_col, k)
 
 
 def sample_centroids(

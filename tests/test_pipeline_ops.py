@@ -200,6 +200,107 @@ def test_knn_join_literal(spark):
     assert [n for n, _ in got[3]] == [4, 1]
 
 
+def _rand_vecs(spark, n=60, dim=8, seed=11, clusters=None):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    if clusters:
+        centers = rng.randn(clusters, dim) * 5
+        mat = centers[rng.randint(0, clusters, n)] + rng.randn(n, dim) * 0.3
+    else:
+        mat = rng.randn(n, dim)
+    rows = [(i, [float(v) for v in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _knn_tuples(df):
+    return sorted(
+        (r["vec_id"], r["neighbor_id"], round(r["cos_sim"], 12))
+        for r in df.collect()
+    )
+
+
+def test_knn_join_blocked_matches_bruteforce(spark):
+    """The distributed block NL join is EXACT: identical output to the
+    broadcast small-index tier, including tie-breaks, for any blocking
+    factor (blocks partition the index, every pair scored once)."""
+    from outreach_etl_tool_spark.similarity import ann
+
+    df = _rand_vecs(spark)
+    expect = _knn_tuples(ann.knn_join_bruteforce(df, k=4))
+    for n_blocks in (1, 3, 8):
+        got = _knn_tuples(ann.knn_join_blocked(df, k=4, n_blocks=n_blocks))
+        assert got == expect, f"n_blocks={n_blocks}"
+
+
+def test_knn_join_blocked_no_driver_materialization(spark, monkeypatch):
+    """Building the blocked kNN plan must not collect anything to the
+    driver — the round-1 scale-killer this operator replaces."""
+    from pyspark.sql import DataFrame
+
+    from outreach_etl_tool_spark.similarity import ann
+
+    df = _rand_vecs(spark, n=16)
+    for meth in ("collect", "toPandas", "head", "take", "toLocalIterator"):
+        monkeypatch.setattr(
+            DataFrame,
+            meth,
+            lambda self, *a, __m=meth, **kw: (_ for _ in ()).throw(
+                AssertionError(f"driver materialization via {__m}")
+            ),
+        )
+    out = ann.knn_join_blocked(df, k=3, n_blocks=4)  # must stay lazy
+    assert out.columns == ["vec_id", "neighbor_id", "cos_sim"]
+
+
+def test_knn_join_small_index_never_self_neighbor(spark):
+    """Regression: with ≤ k index vectors the unmasked slice used to
+    emit each vector as its own neighbor at cos 1.0."""
+    from outreach_etl_tool_spark.similarity import ann
+
+    df = _rand_vecs(spark, n=3)
+    for out in (
+        ann.knn_join_bruteforce(df, k=5),
+        ann.knn_join_blocked(df, k=5, n_blocks=2),
+    ):
+        rows = out.collect()
+        assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+        per = {}
+        for r in rows:
+            per[r["vec_id"]] = per.get(r["vec_id"], 0) + 1
+        assert per == {0: 2, 1: 2, 2: 2}  # n-1 neighbors each, no self
+
+
+def test_knn_join_ivf_full_probe_is_exact(spark):
+    """nprobe = n_cells ⇒ every probe visits every cell ⇒ the IVF join
+    degrades gracefully to the exact answer (cells partition the index)."""
+    from outreach_etl_tool_spark.similarity import ann
+
+    df = _rand_vecs(spark, n=40, clusters=4)
+    cents = ann.sample_centroids(df, n_cells=4)
+    cells = ann.assign_cells(df, cents)
+    exact = _knn_tuples(ann.knn_join_blocked(df, k=3, n_blocks=4))
+    got = _knn_tuples(ann.knn_join_ivf(cells, cents, k=3, nprobe=4))
+    assert got == exact
+
+
+def test_knn_join_ivf_recall(spark):
+    """Pruned probes (nprobe < n_cells) on clustered data keep most
+    true neighbors — and never invent pairs the exact join lacks."""
+    from outreach_etl_tool_spark.similarity import ann
+
+    df = _rand_vecs(spark, n=120, dim=8, seed=5, clusters=6)
+    cents = ann.sample_centroids(df, n_cells=6)
+    cells = ann.assign_cells(df, cents)
+    exact = {(a, b) for a, b, _ in _knn_tuples(ann.knn_join_blocked(df, k=3, n_blocks=4))}
+    approx = {(a, b) for a, b, _ in _knn_tuples(ann.knn_join_ivf(cells, cents, k=3, nprobe=2))}
+    assert len(approx & exact) / len(exact) >= 0.6
+    # candidates come only from real cells: cos values are true cosines,
+    # so any emitted pair must also be top-k-plausible — sanity: subset
+    # of exact pairs' probe ids
+    assert {a for a, _ in approx} <= {a for a, _ in exact}
+
+
 def test_decontaminate_flags_overlap(spark, monkeypatch):
     """Doc sharing a 4-gram with the eval doc (id 0 ≡ 0 mod 97) is
     flagged; the disjoint doc is not."""

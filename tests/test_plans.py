@@ -112,7 +112,8 @@ SHUFFLE_BUDGETS = {
     "sql_lateral_topn": 1,  # decorrelated: WindowGroupLimit + broadcast
     "stratified_sample": 1,
     "decontaminate": 2,  # eval grams broadcast; distinct + final agg
-    "sim_knn_join": 0,  # broadcast index, narrow probe
+    # distributed block NL join: index→block, probes→block, window merge
+    "sim_knn_join": 3,
 }
 
 
