@@ -24,18 +24,57 @@ from ..operators.util import ensure_parallelism
 from . import QuerySpec
 
 
-# UDF (scalar pandas_udf): per-batch z-score of order totals. Arrow moves
-# one double column each way; numpy does the arithmetic in C.
+# UDF (scalar pandas_udf): GLOBAL z-score of order totals. The moments
+# are a one-row aggregate broadcast to every task, so the output is
+# partition- and batch-size-independent (the per-batch version demoed a
+# semantic trap: it changed under repartitioning).
+#
+# Oracle-exact float discipline: z-scores are scale-invariant, so the
+# moments run over integer CENTS — round(price*100) is an exact
+# integer-valued double (< 2^53), its square too, and the sums ride
+# exact decimals. Spark's double→decimal cast goes through the
+# shortest string representation (BigDecimal.valueOf) while DuckDB
+# rounds the exact binary expansion, so casting NON-integer doubles to
+# decimals diverges at high magnitude; integer-valued doubles convert
+# identically. decimal→double is correctly-rounded in both engines,
+# and everything after is the same IEEE expression on both sides.
 @F.pandas_udf(T.DoubleType())
-def _zscore(v: pd.Series) -> pd.Series:
-    return (v - v.mean()) / (v.std(ddof=0) or 1.0)
+def _zscore(cents: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+    return (cents - mu) / sigma
 
 
 def udf_scalar_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey", _zscore("o_totalprice").alias("price_z")
+    cents = F.round(F.col("o_totalprice") * 100)
+    sums = orders.agg(
+        F.sum(cents.cast("decimal(23,0)")).cast("double").alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.count("*").alias("n"),
     )
+    mu = F.col("s1") / F.col("n")
+    stats = sums.select(
+        mu.alias("mu"),
+        F.sqrt(F.col("s2") / F.col("n") - mu * mu).alias("sigma"),
+    )
+    return orders.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        _zscore(cents, F.col("mu"), F.col("sigma")).alias("price_z"),
+    )
+
+
+UDF_SCALAR_ZSCORE_SQL = """
+WITH s AS (
+    SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(23,0))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) * ROUND(o_totalprice * 100)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+           COUNT(*) AS n
+    FROM orders
+), p AS (
+    SELECT s1 / n AS mu, SQRT(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM s
+)
+SELECT o_orderkey, (ROUND(o_totalprice * 100) - mu) / sigma AS price_z
+FROM orders, p
+"""
 
 
 # UDAF analog (applyInPandas grouped-map): per-nation min-max
@@ -123,8 +162,8 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "udf_scalar_zscore": QuerySpec(
-        udf_scalar_zscore, None, tags=("UDF",),
-        doc="scalar pandas_udf demo (Arrow z-score)",
+        udf_scalar_zscore, UDF_SCALAR_ZSCORE_SQL, tags=("UDF",),
+        doc="scalar pandas_udf demo (global z-score, oracle-paired)",
     ),
     "udf_grouped_norm": QuerySpec(
         udf_grouped_norm, None, tags=("UDAF",),

@@ -301,6 +301,28 @@ def test_knn_join_ivf_recall(spark):
     assert {a for a, _ in approx} <= {a for a, _ in exact}
 
 
+def test_udf_zscore_is_global(spark):
+    """The z-score must use GLOBAL moments (per-batch normalization
+    changed under repartitioning — the round-1 semantic trap)."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["o_orderkey"]: r["price_z"]
+           for r in REGISTRY["udf_scalar_zscore"].fn(spark, sf).collect()}
+    import duckdb
+
+    keys, prices = zip(*duckdb.sql(
+        f"select o_orderkey, o_totalprice from '{sf}/orders.parquet'"
+    ).fetchall())
+    cents = np.round(np.asarray(prices) * 100)
+    z = (cents - cents.mean()) / cents.std(ddof=0)
+    assert len(got) == len(keys)
+    for key, zi in zip(keys, z):
+        assert got[key] == pytest.approx(zi, rel=1e-9), key
+
+
 def test_decontaminate_flags_overlap(spark, monkeypatch):
     """Doc sharing a 4-gram with the eval doc (id 0 ≡ 0 mod 97) is
     flagged; the disjoint doc is not."""
