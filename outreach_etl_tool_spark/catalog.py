@@ -192,6 +192,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
+def bound_to_micros(bound: str) -> int:
+    """UTC-naive 'YYYY-MM-DD HH:MM:SS[.ffffff]' → epoch microseconds,
+    integer math only: the float ``timestamp() * 1e6`` route can shift
+    '23:59:59.999999'-style bounds by 1µs after double rounding, which
+    silently moves an INCLUSIVE pushed-down range boundary."""
+    import calendar
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(bound)
+    return calendar.timegm(d.timetuple()) * 1_000_000 + d.microsecond
+
+
 def load_events_between(
     spark: SparkSession,
     sf_dir: str,
@@ -210,15 +222,10 @@ def load_events_between(
     ts_µs <= H  ⇔  ts_ns <= H·1000+999. Bounds are UTC-naive strings
     ('YYYY-MM-DD HH:MM:SS[.ffffff]').
     """
-    import datetime as _dt
-
     raw = spark.read.schema(_RAW_SCHEMAS["events"]).parquet(
         table_path(sf_dir, "events")
     )
-
-    def _us(bound: str) -> int:
-        d = _dt.datetime.fromisoformat(bound).replace(tzinfo=_dt.timezone.utc)
-        return int(d.timestamp() * 1_000_000)
+    _us = bound_to_micros
 
     if lo is not None:
         raw = raw.filter(F.col("ts") >= _us(lo) * 1000)

@@ -104,3 +104,20 @@ def test_exact_sum_matches_decimal(spark):
     r = one(df.agg(exact_sum("x").alias("s"), exact_avg("x").alias("a")))
     assert r["s"] == pytest.approx(3.33, abs=1e-9)
     assert r["a"] == pytest.approx(3.33 / 4, abs=1e-9)
+
+
+# ------------------------------------------------- timestamp bounds
+def test_bound_to_micros_is_exact():
+    """Integer conversion of inclusive range bounds: the float route
+    (timestamp()*1e6) shifts .999999 bounds by 1µs; ours must not."""
+    from outreach_etl_tool_spark.catalog import bound_to_micros
+
+    assert bound_to_micros("1970-01-01 00:00:00") == 0
+    assert bound_to_micros("1970-01-01 00:00:00.000001") == 1
+    got = bound_to_micros("2024-06-30 23:59:59.999999")
+    assert got % 1_000_000 == 999_999
+    # cross-check whole-second part against datetime arithmetic
+    import datetime as dt
+
+    d = dt.datetime(2024, 6, 30, 23, 59, 59, tzinfo=dt.timezone.utc)
+    assert got == int(d.timestamp()) * 1_000_000 + 999_999
