@@ -67,13 +67,19 @@ def _fetch_retry(
 
 
 def window_params(lo: dt.date, hi: dt.date, page_size: int) -> dict[str, Any]:
-    """Querystring for one half-open [lo, hi) updatedAt window, mirroring
-    the reference's pushdown (outreach_etl.py:115-117): sort + limit +
-    range filter evaluated server-side."""
+    """Querystring for one half-open [lo, hi) updatedAt window.
+
+    The server's range filter is INCLUSIVE on both ends — the reference
+    sends single-day ``date..date`` windows (outreach_etl.py:166) — so
+    the half-open Python bound converts to ``lo..hi-1day`` at the
+    querystring boundary. Sending ``lo..hi`` would re-fetch every
+    window's upper boundary day in the next window too, duplicating
+    boundary days across adjacent partitions and micro-batches."""
+    hi_incl = hi - dt.timedelta(days=1)
     return {
         "sort": "-updatedAt",
         "page[limit]": page_size,
-        "filter[updatedAt]": f"{lo.isoformat()}..{hi.isoformat()}",
+        "filter[updatedAt]": f"{lo.isoformat()}..{hi_incl.isoformat()}",
     }
 
 

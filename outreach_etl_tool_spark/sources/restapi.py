@@ -106,10 +106,16 @@ class _Reader(DataSourceReader):
         endpoint = self.options["endpoint"]
         page_size = int(self.options.get("page_size", "100"))
         token = self.options.get("token", "")
+        # server range semantics are inclusive..inclusive (the reference
+        # sends date..date, outreach_etl.py:166); the half-open window
+        # converts to an inclusive upper bound of hi - 1 day
+        hi_incl = (
+            dt.date.fromisoformat(window.hi) - dt.timedelta(days=1)
+        ).isoformat()
         params = {
             "sort": "-updatedAt",
             "page[limit]": str(page_size),
-            "filter[updatedAt]": f"{window.lo}..{window.hi}",
+            "filter[updatedAt]": f"{window.lo}..{hi_incl}",
         }
         url: str | None = f"{base}/{endpoint}?{urllib.parse.urlencode(params)}"
         while url is not None:

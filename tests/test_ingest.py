@@ -150,8 +150,11 @@ def make_fake_api(rows: list[dict], page_size_cap: int = 2,
         state["calls"] += 1
         if state["calls"] <= fail_first:
             raise ConnectionError("transient")
+        # REAL server semantics: date..date range is INCLUSIVE on both
+        # ends (reference sends single-day date..date windows) — a
+        # half-open client assumption shows up here as boundary dupes
         lo, hi = params["filter[updatedAt]"].split("..")
-        sel = [r for r in rows if lo <= r["attributes"]["updatedAt"][:10] < hi]
+        sel = [r for r in rows if lo <= r["attributes"]["updatedAt"][:10] <= hi]
         sel.sort(key=lambda r: r["attributes"]["updatedAt"], reverse=True)
         off = int(params.get("page[next]", 0))
         limit = min(params["page[limit]"], page_size_cap)
@@ -202,14 +205,41 @@ def test_sync_persistent_failure_raises(spark):
 
 
 def test_day_windows_half_open_no_overlap():
-    """Reference bug #4: inclusive date..date windows double-fetched
-    boundary rows; half-open windows tile exactly."""
+    """Internal windows are half-open and tile exactly."""
     ws = rest.day_windows(dt.date(2024, 3, 1), dt.date(2024, 3, 4))
     assert ws == [
         (dt.date(2024, 3, 1), dt.date(2024, 3, 2)),
         (dt.date(2024, 3, 2), dt.date(2024, 3, 3)),
         (dt.date(2024, 3, 3), dt.date(2024, 3, 4)),
     ]
+
+
+def test_window_params_inclusive_querystring():
+    """The server's range filter is inclusive..inclusive (the reference
+    sends date..date, outreach_etl.py:166): a half-open [lo, lo+1day)
+    window must serialize as lo..lo, never lo..lo+1 — the latter
+    re-fetches every boundary day in the adjacent partition too."""
+    p = rest.window_params(dt.date(2024, 3, 1), dt.date(2024, 3, 2), 100)
+    assert p["filter[updatedAt]"] == "2024-03-01..2024-03-01"
+    p3 = rest.window_params(dt.date(2024, 3, 1), dt.date(2024, 3, 4), 100)
+    assert p3["filter[updatedAt]"] == "2024-03-01..2024-03-03"
+
+
+def test_sync_never_fetches_outside_window(spark):
+    """Against an inclusive-range server, a half-open querystring leaks
+    the day AFTER the replication window into the result; rows from
+    2024-03-03 must not appear when syncing [03-01, 03-03)."""
+    rows = (
+        api_rows(3, "2024-03-01")
+        + [dict(r, id=r["id"] + 10) for r in api_rows(3, "2024-03-02")]
+        + [dict(r, id=r["id"] + 20) for r in api_rows(3, "2024-03-03")]
+    )
+    df = rest.sync_endpoint(
+        spark, make_fake_api(rows), "prospects", SCHEMA,
+        dt.date(2024, 3, 1), dt.date(2024, 3, 3),
+    )
+    got = sorted(r["id"] for r in df.collect())
+    assert got == [0, 1, 2, 10, 11, 12], got
 
 
 def test_sync_large_goes_distributed_and_upserts(spark):
