@@ -16,7 +16,8 @@ def fake_api(rows_by_endpoint):
         lo, hi = params["filter[updatedAt]"].split("..")
         sel = [
             r for r in rows_by_endpoint.get(endpoint, [])
-            if lo <= r["attributes"]["updatedAt"][:10] < hi
+            # real server semantics: date..date is inclusive..inclusive
+            if lo <= r["attributes"]["updatedAt"][:10] <= hi
         ]
         off = int(params.get("page[next]", 0))
         chunk = sel[off: off + 2]

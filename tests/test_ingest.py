@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -104,16 +105,106 @@ def test_flatten_schema_names_nested_matrix(spark):
 
 
 # -------------------------------------------------- schema loader parity
-def test_load_ref_schema_all_three_endpoints(spark):
-    for endpoint, ncols in (("prospects", 207), ("sequences", 90),
-                            ("mailings", 68)):
-        schema = load_ref_schema(f"{REF_SCHEMAS}/{endpoint}.json")
+WIDTHS = (("prospects", 207), ("sequences", 90), ("mailings", 68))
+
+
+@pytest.mark.parametrize("schemas_dir", [REF_SCHEMAS, None],
+                         ids=["reference", "repo"])
+def test_load_ref_schema_all_three_endpoints(spark, schemas_dir):
+    """Both the reference's verbose files and the repo's compact
+    full-width files load to the same 207/90/68 nullable columns."""
+    if schemas_dir is None:
+        import outreach_etl_tool_spark as pkg
+
+        schemas_dir = str(Path(pkg.__file__).parent / "schemas")
+    for endpoint, ncols in WIDTHS:
+        schema = load_ref_schema(f"{schemas_dir}/{endpoint}.json")
         assert len(schema) == ncols
         struct = ref_schema_to_struct(schema)
         assert len(struct.fields) == ncols
         assert all(f.nullable for f in struct.fields)
     df = empty_frame(spark, schema)
     assert df.count() == 0 and len(df.columns) == 68
+
+
+def test_repo_schemas_match_reference_key_for_key():
+    """Full-width parity: every endpoint's repo-local schema declares
+    exactly the reference's columns with the same dtypes."""
+    import outreach_etl_tool_spark as pkg
+
+    repo_dir = Path(pkg.__file__).parent / "schemas"
+    for endpoint, _ in WIDTHS:
+        ref = load_ref_schema(f"{REF_SCHEMAS}/{endpoint}.json")
+        mine = load_ref_schema(repo_dir / f"{endpoint}.json")
+        assert mine == ref, endpoint
+
+
+# ------------------------------------ nested model ⇄ flat layout roundtrip
+_MAP_BLOCKS = {"prospects": {"attributes": ("custom", r"custom\d+")}}
+
+
+def _roundtrip_parts(endpoint: str):
+    import outreach_etl_tool_spark as pkg
+    from outreach_etl_tool_spark.ingest.flatten import (
+        array_sizes_of,
+        unflatten_schema,
+    )
+
+    flat = load_ref_schema(Path(pkg.__file__).parent / "schemas" / f"{endpoint}.json")
+    blocks = _MAP_BLOCKS.get(endpoint)
+    nested, shadows = unflatten_schema(flat, blocks)
+    map_keys = None
+    if blocks:
+        map_keys = {
+            "attributes_custom": [
+                c.removeprefix("attributes_")
+                for c in flat
+                if c.startswith("attributes_custom")
+                and c.removeprefix("attributes_custom").isdigit()
+            ]
+        }
+    return flat, nested, shadows, array_sizes_of(flat), map_keys
+
+
+@pytest.mark.parametrize("endpoint", ["prospects", "sequences", "mailings"])
+def test_full_flat_layout_roundtrip(endpoint):
+    """From repo-local files alone: rebuild the nested model
+    (StructType/ArrayType/MapType per SURVEY §1.1), then flatten —
+    every declared sink column must come back, including the
+    custom1..55 MapType block and the 12×2 contactHistogram matrix."""
+    flat, nested, shadows, limits, map_keys = _roundtrip_parts(endpoint)
+    names = flatten_schema_names(nested, array_limits=limits,
+                                 map_keys=map_keys) + sorted(shadows)
+    assert sorted(names) == sorted(flat)
+
+
+def test_full_flat_layout_executes(spark):
+    """flatten_df actually projects the full prospects layout (207
+    columns, map keys via element_at, null-safe positions) in Spark."""
+    flat, nested, shadows, limits, map_keys = _roundtrip_parts("prospects")
+    df = spark.createDataFrame([], nested)
+    out = flatten_df(df, array_limits=limits, map_keys=map_keys,
+                     shadow_cols=shadows)
+    assert sorted(out.columns) == sorted(flat)
+    assert out.count() == 0
+
+
+def test_flatten_map_block_values(spark):
+    """Declared-key map expansion: present keys surface, absent keys
+    null, and the container name is dropped from the column name."""
+    df = spark.createDataFrame(
+        [(({"custom1": "a", "custom3": "c"},),)],
+        schema="attributes struct<custom: map<string,string>>",
+    )
+    out = flatten_df(
+        df, map_keys={"attributes_custom": ["custom1", "custom2", "custom3"]}
+    )
+    assert out.columns == [
+        "attributes_custom1", "attributes_custom2", "attributes_custom3"
+    ]
+    row = out.collect()[0]
+    assert (row["attributes_custom1"], row["attributes_custom2"],
+            row["attributes_custom3"]) == ("a", None, "c")
 
 
 def test_coerce_types(spark):
