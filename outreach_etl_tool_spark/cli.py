@@ -32,7 +32,10 @@ from .sinks import LogNotifier, Notifier, write_partitioned
 
 logger = logging.getLogger("outreach_etl_tool_spark")
 
-ENDPOINTS = ("prospects", "sequences", "mailings")
+# the reference routes five endpoints (outreach_etl.py:75-84); it ships
+# declared schemas for three — accounts/opportunities use condensed
+# repo-local contracts of the public API surface
+ENDPOINTS = ("prospects", "sequences", "mailings", "accounts", "opportunities")
 # heavy body columns dropped before materialization (outreach_etl.py:105-107)
 DROP_COLUMNS = {
     "mailings": ("attributes_bodyHtml", "attributes_bodyText"),

@@ -61,6 +61,15 @@ def test_run_replication_end_to_end(spark, tmp_path):
                      bodyHtml="<b>HEAVY</b>", bodyText="HEAVY")
             for i in range(4)
         ],
+        "accounts": [
+            resource("accounts", i, "2024-03-01", name=f"co{i}",
+                     domain=f"co{i}.com", numberOfEmployees=i * 10)
+            for i in range(2)
+        ],
+        "opportunities": [
+            resource("opportunities", i, "2024-03-02", name=f"deal{i}",
+                     amount=1000.5 * (i + 1)) for i in range(3)
+        ],
     }
     config = {
         "replication_type": "full",
@@ -74,7 +83,8 @@ def test_run_replication_end_to_end(spark, tmp_path):
         today=dt.date(2024, 3, 3),
     )
     assert results == {"acme_prospects": 5, "acme_sequences": 3,
-                       "acme_mailings": 4}
+                       "acme_mailings": 4, "acme_accounts": 2,
+                       "acme_opportunities": 3}
 
     prospects = spark.read.parquet(f"{out_dir}/acme_prospects")
     # prefix stripped (reference :216) and upsert kept the newer version
@@ -90,6 +100,14 @@ def test_run_replication_end_to_end(spark, tmp_path):
     assert "bodyText" not in mailings.columns
     assert "subject" in mailings.columns
 
+    # the two reference-routed endpoints without reference schema files
+    # sync through the same path on condensed repo-local contracts
+    accounts = spark.read.parquet(f"{out_dir}/acme_accounts")
+    assert {"name", "domain", "numberOfEmployees"} <= set(accounts.columns)
+    opps = spark.read.parquet(f"{out_dir}/acme_opportunities")
+    got_amounts = sorted(r["amount"] for r in opps.collect())
+    assert got_amounts == [1000.5, 2001.0, 3001.5]
+
     assert notifier.messages and "acme" in notifier.messages[0][0]
 
 
@@ -99,7 +117,7 @@ def test_cli_previous_day_window(spark, tmp_path):
             resource("prospects", 1, "2024-03-01", firstName="old"),
             resource("prospects", 2, "2024-03-02", firstName="yesterday"),
         ],
-        "sequences": [], "mailings": [],
+        "sequences": [], "mailings": [], "accounts": [], "opportunities": [],
     }
     config = {"replication_type": "previous_day",
               "start_date": "2024-01-01", "table": "t"}
