@@ -83,6 +83,48 @@ def test_cc_empty_edges(spark):
     assert got == {1: 1, 2: 2}
 
 
+def test_cc_star_path_graph_logarithmic_rounds(spark):
+    """Adversarial diameter: a 500-node path graph. Label propagation
+    needs 499 rounds; the large-star/small-star variant must converge
+    within O(log n) alternations (20 ≫ log2(500) ≈ 9, ≪ 499) and
+    still assign every node the component minimum."""
+    n = 500
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = assignments(
+        cluster.connected_components(
+            edges, nodes, id_col="doc_id", max_iter=20, algorithm="star"
+        )
+    )
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_star_matches_propagation(spark):
+    """Both algorithms implement the same semantics: identical labels
+    on a multi-component graph with chains, cliques and singletons."""
+    edge_list = (
+        [(i, i + 1) for i in range(10, 18)]      # chain
+        + [(a, b) for a in (30, 31, 32) for b in (31, 32, 33) if a < b]
+        + [(50, 51), (51, 50), (52, 52)]          # dup/reversed/self edges
+    )
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(10, 19)) + [30, 31, 32, 33, 50, 51, 52, 99]],
+        "doc_id long",
+    )
+    prop = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    star = assignments(
+        cluster.connected_components(
+            edges, nodes, id_col="doc_id", algorithm="star"
+        )
+    )
+    assert star == prop
+
+
 # ----------------------------------------------------------------- _grams
 @pytest.mark.parametrize(
     "text,k,expected",
