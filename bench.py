@@ -19,6 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from outreach_etl_tool_spark import TABLES
 from outreach_etl_tool_spark.queries import REGISTRY
 from outreach_etl_tool_spark.session import get_spark
 
@@ -62,6 +63,38 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
         spark.catalog.clearCache()
 
+    # Comparator column: DuckDB running each query's own oracle SQL on
+    # the same parquet — the bench carries its baseline instead of an
+    # unfalsifiable contract. Same best-of-2 after one warm pass.
+    # (DuckDB at this scale is a single-node columnar engine with no
+    # stage-scheduling overhead; the ratio contextualizes Spark's fixed
+    # per-stage cost, it is not a 1000-executor prediction.)
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        oracled = {n: s.oracle for n, s in bench_queries.items() if s.oracle}
+        for name, sql in oracled.items():
+            con.execute(sql).fetchall()  # warm (IO cache, catalog)
+        for _ in range(2):
+            for name, sql in oracled.items():
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = round(time.perf_counter() - t0, 3)
+                duck_timings[name] = min(duck_timings.get(name, dt), dt)
+    except Exception as exc:  # noqa: BLE001 — comparator is best-effort
+        print(f"duckdb comparator failed: {exc}", file=sys.stderr)
+
+    ratios = {
+        n: round(timings[n] / duck_timings[n], 2)
+        for n in duck_timings
+        if duck_timings[n] > 0
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck_timings,
+                "spark_vs_duckdb": ratios,
                 "sf": sf_from_dir(SF_DIR),
             }
         )
