@@ -10,6 +10,7 @@ dedup, and the foreachBatch keep-latest upsert sink.
 """
 
 from .streams import (
+    EVENT_SCHEMA,
     read_events_stream,
     running_user_totals,
     session_counts,
@@ -20,6 +21,7 @@ from .streams import (
 )
 
 __all__ = [
+    "EVENT_SCHEMA",
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",

@@ -77,12 +77,18 @@ def sliding_counts(
 
 
 def session_counts(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "1 day"
 ) -> DataFrame:
     """T3: gap-based session windows per user (state closes once the
-    watermark passes session end + gap)."""
+    watermark passes session end + gap).
+
+    ``watermark=None`` inherits the upstream watermark — required when
+    chaining after another stateful operator (e.g. ``stream_dedup``),
+    where redefining the watermark is disallowed."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
-        events.withWatermark("ts", watermark)
+        events
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(

@@ -220,3 +220,92 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
     ]
     (u8,) = per_user[8]
     assert (u8["n_events"], u8["total_value"], u8["max_value"]) == (1, 10.0, 10.0)
+
+
+def test_chaos_late_and_duplicate_events_match_batch_oracle(spark, tmp_path):
+    """Chaos replay: duplicates (same event_id re-delivered across
+    micro-batches), late-but-in-watermark arrivals, and a too-late row
+    that the watermark must DROP — chained through the two stateful
+    operators (stream_dedup → session_counts). The surviving session
+    table must equal the batch oracle computed over the effective event
+    set (unique events minus the watermark casualty), and the progress
+    metrics must show explicit watermark drops and state eviction."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=1),
+        ev(2, "2024-03-01T10:10:00Z", user=1),
+        ev(10, "2024-03-01T10:00:00Z", user=2),
+        ev(11, "2024-03-01T10:05:00Z", user=2),
+    ])
+    write_batch(src, "b2.json", [
+        ev(2, "2024-03-01T10:10:00Z", user=1),    # duplicate re-delivery
+        ev(12, "2024-03-01T12:00:00Z", user=2),   # outruns the late rows
+    ])
+    write_batch(src, "b3.json", [
+        ev(3, "2024-03-01T10:20:00Z", user=1),    # late but in watermark
+        ev(1, "2024-03-01T10:00:00Z", user=1),    # duplicate again
+    ])
+    write_batch(src, "b4.json", [
+        ev(20, "2024-03-01T13:00:00Z", user=3),   # watermark → 11:00+
+    ])
+    write_batch(src, "b5.json", [
+        ev(4, "2024-03-01T09:50:00Z", user=1),    # TOO late: dropped
+        ev(99, "2024-03-02T00:00:00Z", user=9),   # closes all sessions
+    ])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    deduped = ST.stream_dedup(events, keys=["event_id"], watermark="1 hour")
+    sess = ST.session_counts(deduped, gap="30 minutes", watermark=None)
+    q = (
+        sess.writeStream.format("memory").queryName("chaos_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1, "the too-late row must be dropped by watermark"
+    evicted = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert evicted >= 1, "closed session/dedup state must be evicted"
+
+    # batch oracle over the effective events: unique survivors of the
+    # replay, excluding the watermark casualty (id 4) and the far-future
+    # closer (id 99, whose session never closes in append mode)
+    effective = src / ".." / "effective"
+    effective.mkdir()
+    write_batch(effective, "all.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=1),
+        ev(2, "2024-03-01T10:10:00Z", user=1),
+        ev(3, "2024-03-01T10:20:00Z", user=1),
+        ev(10, "2024-03-01T10:00:00Z", user=2),
+        ev(11, "2024-03-01T10:05:00Z", user=2),
+        ev(12, "2024-03-01T12:00:00Z", user=2),
+        ev(20, "2024-03-01T13:00:00Z", user=3),
+    ])
+    import pyspark.sql.functions as F
+
+    batch = spark.read.schema(ST.EVENT_SCHEMA).json(str(effective))
+    oracle = (
+        batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "total_value")
+    )
+    def canon(rows):
+        return sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["total_value"]) for r in rows
+        )
+    assert canon(collect_memory(spark, "chaos_sessions")) == canon(
+        oracle.collect()
+    )
