@@ -79,14 +79,23 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
             )
         oracled = {n: s.oracle for n, s in bench_queries.items() if s.oracle}
+        # adaptive repeats: fast oracles get a warm pass + best-of-2;
+        # expensive ones (the O(n²) kNN self-join, the recursive-CTE
+        # transitive closure — both minutes at sf0.1) are recorded from
+        # a single run so the comparator cannot dominate bench time
         for name, sql in oracled.items():
-            con.execute(sql).fetchall()  # warm (IO cache, catalog)
-        for _ in range(2):
-            for name, sql in oracled.items():
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dt = round(time.perf_counter() - t0, 3)
-                duck_timings[name] = min(duck_timings.get(name, dt), dt)
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = round(time.perf_counter() - t0, 3)
+            duck_timings[name] = dt
+            if dt < 2.0:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    duck_timings[name] = min(
+                        duck_timings[name],
+                        round(time.perf_counter() - t0, 3),
+                    )
     except Exception as exc:  # noqa: BLE001 — comparator is best-effort
         print(f"duckdb comparator failed: {exc}", file=sys.stderr)
 

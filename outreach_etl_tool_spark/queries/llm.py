@@ -362,8 +362,8 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_near_dup": QuerySpec(emb_near_dup, None, tags=("L2", "L3")),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_knn_join": QuerySpec(
-        sim_knn_join, SIM_KNN_JOIN_SQL, tags=("L3", "J2"),
-        doc="all-pairs top-k cosine neighbors, broadcast-index kNN join",
+        sim_knn_join, SIM_KNN_JOIN_SQL, tags=("L3", "J2"), bench=True,
+        doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
     "emb_centroids": QuerySpec(emb_centroids, EMB_CENTROIDS_SQL, tags=("L5", "F6")),

@@ -491,7 +491,7 @@ QUERIES: dict[str, QuerySpec] = {
         doc="eval-set n-gram decontamination, broadcast eval grams",
     ),
     "dedup_cluster": QuerySpec(
-        dedup_cluster, DEDUP_CLUSTER_SQL, tags=("L1", "L2"),
+        dedup_cluster, DEDUP_CLUSTER_SQL, tags=("L1", "L2"), bench=True,
         doc="connected components over dup pairs vs recursive-CTE oracle",
     ),
     "domain_mix_sample": QuerySpec(

@@ -132,12 +132,17 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 # W4 — ntile / percent_rank (score-quartile shape: engagedScore,
-# schemas/prospects.json:308-310).
+# schemas/prospects.json:308-310). Quartiles are PER NATION: an
+# unpartitioned ranking window moves every row to one partition
+# (WindowExec warns exactly this) — a sequential bottleneck at scale.
+# The partitioned form keeps the W4 semantics (rank within a cohort)
+# and shuffles by key like any grouped operator.
 def win_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return customer.select(
         "c_custkey",
+        "c_nationkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("balance_quartile"),
         F.percent_rank().over(w).alias("balance_pct_rank"),
@@ -145,11 +150,11 @@ def win_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WIN_QUARTILES_SQL = """
-SELECT c_custkey, c_acctbal,
+SELECT c_custkey, c_nationkey, c_acctbal,
        CAST(NTILE(4) OVER w AS INTEGER) AS balance_quartile,
        PERCENT_RANK() OVER w AS balance_pct_rank
 FROM customer
-WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
