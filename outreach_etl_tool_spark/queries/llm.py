@@ -227,10 +227,14 @@ SELECT vec_id, neighbor_id, cos_sim FROM (
 
 
 # L3b — IVF-style ANN: probe the nearest cells only (rows-only; recall vs
-# brute force is unit-tested).
+# brute force is unit-tested). The coarse quantizer is Lloyd-refined
+# (similarity/kmeans.py) from the deterministic first-k init — better
+# cell balance, higher recall at the same nprobe.
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity import kmeans
+
     embs = load_table(spark, sf_dir, "embeddings")
-    centroids = ann.sample_centroids(embs, n_cells=8)
+    centroids = kmeans.kmeans_centroids(embs, k=8, iters=3)
     qrow = embs.filter(F.col("vec_id") == 1).select("embedding").head()
     query = [float(v) for v in qrow[0]]
     cells = ann.assign_cells(embs, centroids)

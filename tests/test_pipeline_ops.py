@@ -343,6 +343,52 @@ def test_knn_join_ivf_recall(spark):
     assert {a for a, _ in approx} <= {a for a, _ in exact}
 
 
+# ------------------------------------------------------- k-means IVF build
+def test_kmeans_reduces_cosine_inertia(spark):
+    """Lloyd refinement must not be worse than the first-k init it
+    starts from, and on clustered data it should be clearly better."""
+    from outreach_etl_tool_spark.similarity import ann, kmeans
+
+    df = _rand_vecs(spark, n=160, dim=8, seed=3, clusters=5)
+    init = ann.sample_centroids(df, n_cells=5)
+    refined = kmeans.kmeans_centroids(df, k=5, iters=4)
+    j_init = kmeans.inertia(df, init)
+    j_ref = kmeans.inertia(df, refined)
+    assert j_ref <= j_init + 1e-9
+    assert j_ref < 0.9 * j_init  # clustered data: a real improvement
+
+
+def test_kmeans_deterministic(spark):
+    from outreach_etl_tool_spark.similarity import kmeans
+
+    df = _rand_vecs(spark, n=60, dim=6, seed=9, clusters=3)
+    a = kmeans.kmeans_centroids(df, k=3, iters=3)
+    b = kmeans.kmeans_centroids(df, k=3, iters=3)
+    assert a == b
+
+
+def test_kmeans_improves_ivf_recall(spark):
+    """Refined cells should recover at least as many true neighbors as
+    the arbitrary first-k cells at the same nprobe budget."""
+    from outreach_etl_tool_spark.similarity import ann, kmeans
+
+    df = _rand_vecs(spark, n=120, dim=8, seed=5, clusters=6)
+    exact = {(a, b) for a, b, _ in _knn_tuples(ann.knn_join_blocked(df, k=3, n_blocks=4))}
+
+    def recall(cents):
+        cells = ann.assign_cells(df, cents)
+        approx = {
+            (a, b)
+            for a, b, _ in _knn_tuples(ann.knn_join_ivf(cells, cents, k=3, nprobe=2))
+        }
+        return len(approx & exact) / len(exact)
+
+    r_init = recall(ann.sample_centroids(df, n_cells=6))
+    r_ref = recall(kmeans.kmeans_centroids(df, k=6, iters=4))
+    assert r_ref >= r_init - 0.02  # refinement never meaningfully hurts
+    assert r_ref >= 0.7
+
+
 def test_udf_zscore_is_global(spark):
     """The z-score must use GLOBAL moments (per-batch normalization
     changed under repartitioning — the round-1 semantic trap)."""
