@@ -43,7 +43,8 @@ _PRIORITY: tuple[str, ...] = (
     "evt_retention", "evt_funnel_steps", "evt_sliding", "evt_sessions",
     "evt_upsert_compact",
     # LLM corpus pipeline
-    "pipeline_clean_corpus", "dedup_exact", "text_stats", "text_tokens_bpe",
+    "pipeline_clean_corpus", "dedup_exact", "dedup_incremental",
+    "text_stats", "text_tokens_bpe",
     "lang_filter", "lang_id_guess", "doc_fingerprint", "dedup_minhash",
     "dedup_simhash", "dedup_ngram_jaccard", "emb_near_dup", "sim_topk",
     "sim_knn_join", "sim_ann_ivf", "emb_centroids", "multimodal_meta",

@@ -38,6 +38,36 @@ GROUP BY text
 """
 
 
+# L1b — INCREMENTAL exact dedup: a "new batch" (odd doc_ids) checked
+# against the signature store of the already-retained corpus (even
+# doc_ids) without reprocessing history — dedup/incremental.py. The
+# anti-join shuffles 32-byte hashes only; keep-first resolves
+# batch-internal dups. Oracle: double NOT EXISTS (history + earlier
+# in batch) over sha256.
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import incremental
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = incremental.history_hashes(history)
+    return incremental.incremental_exact(new_batch, store)
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH new_batch AS (
+    SELECT doc_id, sha256(text) AS text_sha FROM documents WHERE doc_id % 2 = 1
+), hist AS (
+    SELECT DISTINCT sha256(text) AS text_sha FROM documents WHERE doc_id % 2 = 0
+)
+SELECT n.doc_id, n.text_sha
+FROM new_batch n
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_sha = n.text_sha)
+  AND NOT EXISTS (SELECT 1 FROM new_batch p
+                  WHERE p.text_sha = n.text_sha AND p.doc_id < n.doc_id)
+"""
+
+
 # L4 — text statistics: token count, punctuation ratio, quality flags.
 # Same regexp dialect (RE2-compatible classes) in both engines.
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,6 +383,10 @@ QUERIES: dict[str, QuerySpec] = {
         doc="end-to-end corpus cleaning: gates → dedup → yield stats",
     ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, tags=("L1",), bench=True),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental, DEDUP_INCREMENTAL_SQL, tags=("L1", "J6", "T6"),
+        doc="new batch vs signature store, no history reprocessing",
+    ),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
     "text_tokens_bpe": QuerySpec(
         text_tokens_bpe, TEXT_TOKENS_BPE_SQL, tags=("L4", "F1")

@@ -128,6 +128,42 @@ def test_minhash_identical_signatures_for_identical_text(spark, docs):
     assert sig[0]["s"] == sig[1]["s"]
 
 
+# -------------------------------------------------------- incremental L1
+def test_incremental_exact_against_history(spark):
+    """New docs duplicating history are dropped; batch-internal dups
+    keep the lowest id; genuinely new content survives."""
+    from outreach_etl_tool_spark.dedup import incremental
+
+    history = spark.createDataFrame(
+        [(0, BASE), (2, FAR)], "doc_id long, text string"
+    )
+    new_batch = spark.createDataFrame(
+        [(11, BASE),          # dup of history → dropped
+         (13, NEAR), (15, NEAR),  # batch-internal dup → keep 13
+         (17, "fresh content never seen before")],
+        "doc_id long, text string",
+    )
+    store = incremental.history_hashes(history)
+    kept = incremental.incremental_exact(new_batch, store)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [13, 17]
+
+
+def test_incremental_exact_store_append_idempotent(spark):
+    """Replaying the same batch against the store grown by its own
+    output yields nothing — the at-most-once ingest contract."""
+    from outreach_etl_tool_spark.dedup import incremental
+
+    history = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, NEAR), (7, FAR)], "doc_id long, text string"
+    )
+    store = incremental.history_hashes(history)
+    first = incremental.incremental_exact(batch, store)
+    grown = store.union(first.select("text_sha")).distinct()
+    replay = incremental.incremental_exact(batch, grown)
+    assert first.count() == 2 and replay.count() == 0
+
+
 # ------------------------------------------------------------ SimHash
 def test_simhash_near_dups(spark):
     # Longer docs so a one-token edit flips ≤3 bits — the 4×16-bit
