@@ -8,6 +8,19 @@ the distributed analog of outreach_etl.py:157-188's sequential per-day
 loop.
 """
 
+from .files import (
+    corrupt_stats,
+    read_documents_csv,
+    read_documents_jsonl,
+    split_corrupt,
+)
 from .restapi import RestApiDataSource, register
 
-__all__ = ["RestApiDataSource", "register"]
+__all__ = [
+    "RestApiDataSource",
+    "register",
+    "read_documents_jsonl",
+    "read_documents_csv",
+    "split_corrupt",
+    "corrupt_stats",
+]

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from outreach_etl_tool_spark.ingest.schema_loader import coerce_types
@@ -125,3 +126,49 @@ def test_restapi_stream_tails_day_windows(spark, tmp_path):
     rows = {r["id"]: r for r in spark.sql("SELECT * FROM rest_tail").collect()}
     assert set(rows) == {"1", "2", "3", "4"}
     assert rows["4"]["attributes_name"] == "d"
+
+
+# ---------------------------------------------- file sources + quarantine
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "source": "web", "lang": "en", "text": "good one"}',
+        '{"doc_id": 2, "source": "web", "lang": "en", "text": "truncat',   # bad
+        'not json at all',                                                  # bad
+        '{"doc_id": 4, "source": "book", "lang": "de", "text": "noch gut"}',
+    ]))
+    from outreach_etl_tool_spark.sources import (
+        corrupt_stats,
+        read_documents_jsonl,
+        split_corrupt,
+    )
+
+    df = read_documents_jsonl(spark, str(p))
+    clean, quarantine = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 4]
+    assert "_corrupt_record" not in clean.columns
+    bad = quarantine.collect()
+    assert len(bad) == 2
+    assert all(r["raw_record"] and r["source_file"].endswith("docs.jsonl")
+               for r in bad)
+    stats = corrupt_stats(df).collect()
+    assert len(stats) == 1
+    assert (stats[0]["n_rows"], stats[0]["n_corrupt"]) == (4, 2)
+    assert stats[0]["corrupt_share"] == pytest.approx(0.5)
+
+
+def test_csv_corrupt_records_quarantined(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text("\n".join([
+        "doc_id,source,lang,text",
+        '1,web,en,"fine row"',
+        'oops,web,en,"doc_id not a number"',       # type-corrupt
+        '3,book,de,"auch gut"',
+    ]))
+    from outreach_etl_tool_spark.sources import read_documents_csv, split_corrupt
+
+    df = read_documents_csv(spark, str(p))
+    clean, quarantine = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    assert quarantine.count() == 1
+    assert "oops" in quarantine.collect()[0]["raw_record"]
