@@ -50,7 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_knn_join", "sim_ann_ivf", "emb_centroids", "multimodal_meta",
     "split_train_holdout", "quality_signals", "decontaminate",
     "dedup_cluster", "domain_mix_sample", "pack_sequences", "vocab_topk",
-    "stratified_sample",
+    "stratified_sample", "tfidf_keywords",
     # UDF shapes + multimodal plumbing
     "udf_scalar_zscore", "udf_grouped_norm", "udf_map_tokens",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",

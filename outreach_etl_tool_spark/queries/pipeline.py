@@ -443,6 +443,68 @@ LIMIT {_VOCAB_K}
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF KEYWORDS — top terms per document (keyword extraction / search
+# feature building)
+# ---------------------------------------------------------------------------
+# Plan shape: one shuffle builds per-(doc, token) term frequencies; the
+# document-frequency table is vocabulary-sized (bounded by the language,
+# not the corpus) so it BROADCASTS back onto tf instead of reshuffling
+# the corpus by token; one window shuffle ranks within each doc. The
+# score is tf·N/df as a single division of exact integers — both
+# engines round that one operation identically, so no log-based idf is
+# needed for the oracle pairing (the ranking is the same either way).
+_TFIDF_K = 5
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_total")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", "tok", "tf", "score")
+    )
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS tok
+    FROM documents
+), tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), dfreq AS (
+    SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (
+    SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT doc_id, tok, tf, score FROM (
+    SELECT t.doc_id, t.tok, t.tf,
+           CAST(t.tf * n.n_total AS DOUBLE) / d.df AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf * n.n_total AS DOUBLE) / d.df DESC,
+                        t.tok ASC
+           ) AS rn
+    FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+) WHERE rn <= {_TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # STRATIFIED SAMPLE — exact-count per-stratum deterministic sample
 # ---------------------------------------------------------------------------
 # Exactly n docs per source (df.sampleBy gives only *expected*
@@ -509,5 +571,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "tfidf_keywords": QuerySpec(
+        tfidf_keywords, TFIDF_KEYWORDS_SQL, tags=("L4", "W1", "J2"),
+        doc="top tf-idf terms per document, broadcast document-frequency",
     ),
 }

@@ -343,6 +343,33 @@ def test_knn_join_ivf_recall(spark):
     assert {a for a, _ in approx} <= {a for a, _ in exact}
 
 
+# ----------------------------------------------------------- tf-idf
+def test_tfidf_ranks_rare_terms_first(spark, monkeypatch):
+    """A term appearing in one doc outranks one appearing everywhere;
+    ties break alphabetically; at most K terms per doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common unique alpha"),
+            (2, "common beta beta"),
+            (3, "common gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    out = P.tfidf_keywords(spark, "unused").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok"], r["score"]))
+    # doc 1: 'common' tf=2 df=3 → 2*3/3=2.0; 'unique'/'alpha' tf=1 df=1 → 3.0
+    assert [t for t, _ in by_doc[1]] == ["alpha", "unique", "common"]
+    assert by_doc[1][0][1] == pytest.approx(3.0)
+    # doc 2: 'beta' tf=2 df=1 → 6.0 beats 'common' 2.0
+    assert [t for t, _ in by_doc[2]][0] == "beta"
+    assert all(len(v) <= 5 for v in by_doc.values())
+
+
 # ------------------------------------------------------- k-means IVF build
 def test_kmeans_reduces_cosine_inertia(spark):
     """Lloyd refinement must not be worse than the first-k init it
