@@ -140,6 +140,40 @@ GROUP BY source
 """
 
 
+# L4e — compression-ratio quality signal (rows-only: zlib has no SQL
+# mirror; the monotonicity contract is unit-tested). The
+# RefinedWeb/Gopher-style boilerplate detector: highly repetitive or
+# templated documents compress far below natural prose. Zero-shuffle
+# mapInPandas; zlib level 6 is deterministic for a given input, so the
+# signal is reproducible across runs and partitionings.
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = "doc_id long, raw_len long, zlib_len long, compression_ratio double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [str(t).encode("utf-8") for t in pdf["text"]]
+            raw_len = [len(b) for b in raw]
+            zl = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": pd.Series(raw_len, dtype="int64"),
+                    "zlib_len": pd.Series(zl, dtype="int64"),
+                    "compression_ratio": [
+                        (z / r) if r else None for z, r in zip(zl, raw_len)
+                    ],
+                }
+            )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
+
+
 # L4c — language-ID heuristic distribution (rows-only: the stopword-vote
 # CASE chain has no clean SQL mirror; accuracy is unit-tested instead).
 def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,6 +420,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(
         dedup_incremental, DEDUP_INCREMENTAL_SQL, tags=("L1", "J6", "T6"),
         doc="new batch vs signature store, no history reprocessing",
+    ),
+    "compression_ratio": QuerySpec(
+        compression_ratio, None, tags=("L4", "UDTF"),
+        doc="zlib compression-ratio quality signal, zero-shuffle",
     ),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
     "text_tokens_bpe": QuerySpec(

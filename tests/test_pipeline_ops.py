@@ -343,6 +343,32 @@ def test_knn_join_ivf_recall(spark):
     assert {a for a, _ in approx} <= {a for a, _ in exact}
 
 
+# ---------------------------------------------- compression-ratio signal
+def test_compression_ratio_detects_repetition(spark, monkeypatch):
+    """Boilerplate compresses far better than varied prose: the
+    repetitive doc's ratio must be well below the varied doc's, and
+    both deterministic."""
+    rep = "buy now click here " * 60
+    varied = (
+        "the sudden storm scattered gulls over the harbor while fishermen "
+        "hauled dripping nets past rusted bollards and children counted "
+        "waves breaking against the weathered granite pier every evening"
+    )
+    docs = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, "")], "doc_id long, text string"
+    )
+    import outreach_etl_tool_spark.queries.llm as L
+
+    monkeypatch.setattr(L, "load_table", lambda *a: docs)
+    got = {r["doc_id"]: r for r in L.compression_ratio(spark, "x").collect()}
+    assert got[1]["compression_ratio"] < 0.5 * got[2]["compression_ratio"]
+    assert got[2]["compression_ratio"] > 0.4
+    assert got[3]["compression_ratio"] is None  # empty doc → null, no /0
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in L.compression_ratio(spark, "x").collect()}
+    assert all(again[k] == got[k]["compression_ratio"] for k in (1, 2))
+
+
 # ----------------------------------------------------------- tf-idf
 def test_tfidf_ranks_rare_terms_first(spark, monkeypatch):
     """A term appearing in one doc outranks one appearing everywhere;
