@@ -59,6 +59,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A3b — SALTED exact count-distinct (operators/skew.py): a hot key's
+# distinct set never convenes on one task — phase 1 counts distincts
+# inside (key, value-hash-bucket) partitions (buckets partition the
+# value space, so bucket counts are disjoint and exact), phase 2 sums
+# them. The oracle is the plain COUNT(DISTINCT): salting must be
+# invisible in the result.
+def agg_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, key="event_type", value="user_id", salt=8)
+
+
+AGG_SKEW_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY event_type
+"""
+
+
 # A5 — rollup: per (region, nation) + per-region subtotal + grand total.
 # Spark emits NULL for rolled-up grouping columns; so does DuckDB.
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +256,10 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_hll_merge": QuerySpec(agg_hll_merge, None, tags=("A4",)),
     "agg_grouped": QuerySpec(agg_grouped, AGG_GROUPED_SQL, tags=("A2", "A3")),
     "agg_approx_distinct": QuerySpec(agg_approx_distinct, None, tags=("A4",)),
+    "agg_skew_distinct": QuerySpec(
+        agg_skew_distinct, AGG_SKEW_DISTINCT_SQL, tags=("A3", "A7"),
+        doc="salted exact count-distinct; oracle is plain COUNT(DISTINCT)",
+    ),
     "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL, tags=("A5",)),
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL, tags=("A5",)),
     "agg_engagement_counters": QuerySpec(

@@ -242,6 +242,35 @@ GROUP BY a.user_id
 """
 
 
+# J1b — SALTED skew join (operators/skew.py): events are Zipf-hot on
+# event_type (a handful of keys, millions of rows each at scale); the
+# salt splits every hot key across `salt` reducers when broadcast is
+# infeasible and AQE's runtime split is not available (e.g. a planned
+# bucketed write). The oracle is the PLAIN join — salting must be
+# invisible in the result.
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_type_events")
+    )
+    return salted_join(ev, dim, on="event_type", salt=8).select(
+        "event_id", "event_type", "value", "n_type_events"
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+WITH dim AS (
+    SELECT event_type, COUNT(*) AS n_type_events FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, d.n_type_events
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
 # J3b — explicit shuffle-hash join: for fact⋈fact where one side is
 # much smaller than the other but too big to broadcast, hashing the
 # smaller side per-partition skips BOTH sort phases of SMJ. The hint is
@@ -317,5 +346,9 @@ QUERIES: dict[str, QuerySpec] = {
     "join_asof": QuerySpec(join_asof, JOIN_ASOF_SQL, tags=("J8",), bench=True),
     "join_self_interval": QuerySpec(
         join_self_interval, JOIN_SELF_INTERVAL_SQL, tags=("J9",)
+    ),
+    "join_skew_salted": QuerySpec(
+        join_skew_salted, JOIN_SKEW_SALTED_SQL, tags=("J1", "J3"),
+        doc="hot-key salted join; oracle is the plain join",
     ),
 }
