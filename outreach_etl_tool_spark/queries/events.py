@@ -234,6 +234,47 @@ GROUP BY first.cohort_day, day_offset
 """
 
 
+# T6b — SCD2 history build (operators/scd2.py): the warehouse-side
+# alternative to the reference's re-pull-and-replace sync. Events act
+# as the observation log: per user, consecutive same-event_type
+# observations compress into one validity interval with
+# valid_from/valid_to/is_current. Oracle: LAG change filter + LEAD
+# intervals, same (ts, event_id) deterministic ordering.
+def evt_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import build_scd2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = build_scd2(
+        ev, key="user_id", ts="ts", tracked=["event_type"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+EVT_SCD2_HISTORY_SQL = """
+WITH chg AS (
+    SELECT user_id, ts, event_id, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER w AS prev_type,
+               LAG(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current
+FROM chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "evt_tumbling": QuerySpec(evt_tumbling, EVT_TUMBLING_SQL, tags=("T1",), bench=True),
     "evt_retention": QuerySpec(
@@ -248,5 +289,9 @@ QUERIES: dict[str, QuerySpec] = {
     "evt_sessions": QuerySpec(evt_sessions, EVT_SESSIONS_SQL, tags=("T3",), bench=True),
     "evt_upsert_compact": QuerySpec(
         evt_upsert_compact, EVT_UPSERT_COMPACT_SQL, tags=("T6", "W1")
+    ),
+    "evt_scd2_history": QuerySpec(
+        evt_scd2_history, EVT_SCD2_HISTORY_SQL, tags=("T6", "W2", "W1"),
+        doc="change-compressed SCD2 validity intervals from an event log",
     ),
 }

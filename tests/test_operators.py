@@ -77,3 +77,59 @@ def test_sessionize_deterministic_on_ts_ties(spark):
     df = spark.createDataFrame(rows, "user int, ts timestamp_ntz, eid int")
     out = sessionize(df, key="user", ts="ts", gap_seconds=60, order_tiebreak="eid")
     assert {r["session_id"] for r in out.collect()} == {1}
+
+
+# ------------------------------------------------------------------ SCD2
+def test_scd2_compress_and_intervals(spark):
+    """Unchanged consecutive observations collapse; validity chains
+    end-to-start; exactly one current row per key."""
+    import datetime as dt
+
+    from outreach_etl_tool_spark.operators.scd2 import build_scd2
+
+    def t(h):
+        return dt.datetime(2024, 3, 1, h)
+
+    rows = [
+        # key 1: A A B A  → versions A(8-10) B(10-11) A(11-)
+        (1, t(8), 100, "A"), (1, t(9), 101, "A"),
+        (1, t(10), 102, "B"), (1, t(11), 103, "A"),
+        # key 2: single observation stays current
+        (2, t(9), 200, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = build_scd2(df, key="user_id", ts="ts", tracked=["event_type"],
+                     tiebreak=["event_id"])
+    got = sorted(
+        ((r["user_id"], r["event_id"], r["event_type"],
+          r["valid_from"].hour,
+          None if r["valid_to"] is None else r["valid_to"].hour,
+          r["is_current"]) for r in out.collect())
+    )
+    assert got == [
+        (1, 100, "A", 8, 10, False),
+        (1, 102, "B", 10, 11, False),
+        (1, 103, "A", 11, None, True),
+        (2, 200, "X", 9, None, True),
+    ]
+
+
+def test_scd2_null_transitions(spark):
+    """null→null is unchanged; null→value and value→null are changes."""
+    import datetime as dt
+
+    from outreach_etl_tool_spark.operators.scd2 import compress_history
+
+    def t(h):
+        return dt.datetime(2024, 3, 1, h)
+
+    df = spark.createDataFrame(
+        [(1, t(8), 1, None), (1, t(9), 2, None),
+         (1, t(10), 3, "v"), (1, t(11), 4, None)],
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+    kept = compress_history(df, key="user_id", ts="ts",
+                            tracked=["event_type"], tiebreak=["event_id"])
+    assert sorted(r["event_id"] for r in kept.collect()) == [1, 3, 4]
