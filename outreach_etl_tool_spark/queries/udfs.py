@@ -146,6 +146,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(assets, out_w=8, out_h=8)
 
 
+# L5×L2 — perceptual-hash image near-dup: decode (stub) → 8×8
+# block-mean → aHash64 → banded Hamming pairs. Identical payloads are
+# guaranteed Hamming-0 pairs, so the exact-dup documents in the corpus
+# surface as image dups of their synthesized assets.
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.phash import phash_near_dup
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return phash_near_dup(assets, max_hamming=3)
+
+
 # L5 — frame sampling: UDTF-shaped fan-out of fixed-size frames.
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -184,5 +199,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(
         multimodal_resize, None, tags=("L5",),
         doc="block-mean resize to 8x8 via mapInPandas (stub codec)",
+    ),
+    "multimodal_phash_dedup": QuerySpec(
+        multimodal_phash_dedup, None, tags=("L5", "L2"),
+        doc="perceptual-hash (aHash) image near-dup via banded Hamming",
     ),
 }

@@ -90,3 +90,70 @@ def test_resize_block_mean_exact(spark):
         img.reshape(8, 2, 8, 2).mean(axis=(1, 3)).astype(np.uint8).tobytes()
     )
     assert bytes(got[1]["pixels"]) == expected
+
+
+# ------------------------------------------------------- perceptual hash
+def _grid_payload(rng_seed: int, side: int = 32, flip: int = 0) -> bytes:
+    """Deterministic fake 'image': side×side uint8 grid; optionally
+    flip a few bytes to simulate a near-duplicate."""
+    import numpy as np
+
+    rng = np.random.RandomState(rng_seed)
+    # seed-dependent block structure: each 8x8-downsample block is
+    # biased dark or bright by the seed's coin flips, so different
+    # seeds produce far-apart hashes (unlike a shared global pattern)
+    dark = rng.rand(8, 8) < 0.5
+    a = rng.randint(0, 256, size=(side, side), dtype=np.uint8)
+    bh = side // 8
+    for i in range(8):
+        for j in range(8):
+            if dark[i, j]:
+                a[i * bh:(i + 1) * bh, j * bh:(j + 1) * bh] //= 4
+    a = a.reshape(-1).copy()
+    if flip:
+        a[:flip] = 255
+    return a.tobytes()
+
+
+def test_ahash_identical_payloads_collide(spark):
+    from outreach_etl_tool_spark.multimodal.phash import ahash_images
+
+    p = _grid_payload(1)
+    df = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(p))],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r["phash"] for r in ahash_images(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_phash_near_dup_pairs(spark):
+    """Identical images pair at Hamming 0; a lightly-perturbed copy
+    pairs within the band guarantee; unrelated images do not pair."""
+    from outreach_etl_tool_spark.multimodal.phash import phash_near_dup
+
+    base = _grid_payload(7)
+    near = _grid_payload(7, flip=8)       # tiny corner perturbation
+    other = _grid_payload(99)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(base)),
+         (3, bytearray(near)), (4, bytearray(other))],
+        "asset_id long, payload binary",
+    )
+    rows = phash_near_dup(df, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs[(1, 2)] == 0
+    assert all(b != 4 and a != 4 for a, b in pairs)
+    # the perturbed copy pairs with at least one of the identical two
+    assert any(3 in p for p in pairs), pairs
+
+
+def test_phash_skips_undecodable_assets(spark):
+    from outreach_etl_tool_spark.multimodal.phash import ahash_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"tiny")), (2, bytearray(_grid_payload(3)))],
+        "asset_id long, payload binary",
+    )
+    got = ahash_images(df).collect()
+    assert [r["asset_id"] for r in got] == [2]
