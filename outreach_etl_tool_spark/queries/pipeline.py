@@ -443,6 +443,42 @@ LIMIT {_VOCAB_K}
 
 
 # ---------------------------------------------------------------------------
+# PERCENTILE TRIM — drop metric outliers relative to the corpus
+# distribution (the "remove the 5% shortest and longest docs" filter
+# every curation pipeline applies before training)
+# ---------------------------------------------------------------------------
+# The bounds are a 2-value aggregate broadcast back onto the scan — the
+# corpus never shuffles. Exact percentile interpolates on the sorted
+# values identically in Spark and DuckDB (verified bit-for-bit), which
+# makes the whole filter oracle-able; at 100 TB swap in
+# approx_percentile for the bounds (the filter semantics tolerate
+# epsilon on a distribution tail) — the plan shape is unchanged.
+def quality_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bounds = docs.agg(
+        F.percentile("n_chars", 0.05).alias("lo"),
+        F.percentile("n_chars", 0.95).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+QUALITY_PERCENTILE_TRIM_SQL = """
+WITH b AS (
+    SELECT quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM documents, b
+WHERE n_chars BETWEEN lo AND hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF KEYWORDS — top terms per document (keyword extraction / search
 # feature building)
 # ---------------------------------------------------------------------------
@@ -575,5 +611,10 @@ QUERIES: dict[str, QuerySpec] = {
     "tfidf_keywords": QuerySpec(
         tfidf_keywords, TFIDF_KEYWORDS_SQL, tags=("L4", "W1", "J2"),
         doc="top tf-idf terms per document, broadcast document-frequency",
+    ),
+    "quality_percentile_trim": QuerySpec(
+        quality_percentile_trim, QUALITY_PERCENTILE_TRIM_SQL,
+        tags=("L4", "A2", "P5"),
+        doc="corpus-relative outlier trim via broadcast percentile bounds",
     ),
 }
