@@ -140,6 +140,22 @@ GROUP BY source
 """
 
 
+# L2e — INCREMENTAL near-dedup (rows-only: signature-agreement Jaccard
+# estimation has no SQL mirror; the estimator is unit-tested). The
+# history leg of production near-dedup: new-batch band keys probe the
+# historical (id, sig) store — historical TEXT is never read.
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import incremental
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = incremental.minhash_store(history)
+    return incremental.incremental_minhash(
+        new_batch, store, jaccard_threshold=0.5
+    )
+
+
 # L4e — compression-ratio quality signal (rows-only: zlib has no SQL
 # mirror; the monotonicity contract is unit-tested). The
 # RefinedWeb/Gopher-style boilerplate detector: highly repetitive or
@@ -424,6 +440,10 @@ QUERIES: dict[str, QuerySpec] = {
     "compression_ratio": QuerySpec(
         compression_ratio, None, tags=("L4", "UDTF"),
         doc="zlib compression-ratio quality signal, zero-shuffle",
+    ),
+    "dedup_incremental_minhash": QuerySpec(
+        dedup_incremental_minhash, None, tags=("L2", "T6"),
+        doc="new-batch near-dup vs historical signature store (no text)",
     ),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
     "text_tokens_bpe": QuerySpec(

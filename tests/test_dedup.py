@@ -164,6 +164,49 @@ def test_incremental_exact_store_append_idempotent(spark):
     assert first.count() == 2 and replay.count() == 0
 
 
+def test_incremental_minhash_flags_history_near_dups(spark):
+    """A new doc that is an exact or near copy of a historical doc is
+    flagged against the store (no historical text read); unrelated new
+    docs are not."""
+    from outreach_etl_tool_spark.dedup import incremental
+
+    history = spark.createDataFrame(
+        [(0, BASE), (2, FAR)], "doc_id long, text string"
+    )
+    new_batch = spark.createDataFrame(
+        [(11, BASE),    # exact copy → est_jaccard 1.0
+         (13, NEAR),    # one-token edit → high estimate
+         (15, "completely different topic entirely new words about gardens "
+              "roses tulips daffodils growing in spring sunshine today")],
+        "doc_id long, text string",
+    )
+    store = incremental.minhash_store(history)
+    got = {r["new_id"]: r for r in incremental.incremental_minhash(
+        new_batch, store, jaccard_threshold=0.5).collect()}
+    assert got[11]["dup_of"] == 0 and got[11]["est_jaccard"] == 1.0
+    assert got[13]["dup_of"] == 0 and got[13]["est_jaccard"] >= 0.5
+    assert 15 not in got
+
+
+def test_incremental_minhash_estimator_tracks_exact_jaccard(spark):
+    """Signature-agreement estimate stays near the true Jaccard for a
+    known-overlap pair (128 hashes → σ ≈ 0.04 at J=0.5)."""
+    from outreach_etl_tool_spark.dedup import incremental, minhash
+
+    history = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    batch = spark.createDataFrame([(1, NEAR)], "doc_id long, text string")
+    # exact Jaccard of the pair, from the batch-mode verified operator
+    both = history.union(batch)
+    exact_j = minhash.candidate_pairs(
+        both, "doc_id", "text", jaccard_threshold=0.0
+    ).collect()[0]["jaccard"]
+    store = incremental.minhash_store(history, num_hashes=128)
+    est = incremental.incremental_minhash(
+        batch, store, num_hashes=128, bands=32, jaccard_threshold=0.0
+    ).collect()[0]["est_jaccard"]
+    assert abs(est - exact_j) < 0.15
+
+
 # ------------------------------------------------------------ SimHash
 def test_simhash_near_dups(spark):
     # Longer docs so a one-token edit flips ≤3 bits — the 4×16-bit
