@@ -9,10 +9,12 @@ the spark-bigquery connector when present, and a pluggable notifier.
 """
 
 from .layout import write_clustered
+from .manifest import ManifestTable
 from .writers import BigQuerySink, write_bucketed, write_partitioned
 from .notify import EmailNotifier, LogNotifier, Notifier
 
 __all__ = [
+    "ManifestTable",
     "write_partitioned",
     "write_bucketed",
     "write_clustered",

@@ -1,0 +1,206 @@
+"""Manifest-committed parquet tables: atomic snapshots + time travel
+(SURVEY.md §2.1 S4/S6 scale path; §2.9 T6).
+
+Plain-parquet sinks have two 100 TB problems the reference inherits:
+a reader that lists the directory mid-write sees a PARTIAL dataset,
+and replace-style upserts (write staging, rewrite target) have a
+window where the target is missing or half-copied. The lakehouse fix
+is indirection through a manifest — the protocol Delta/Iceberg built
+an ecosystem on, reduced here to its kernel:
+
+- data files are IMMUTABLE and uniquely named; writers only ADD files;
+- a version file ``_manifest/v{N}.json`` lists exactly the files of
+  snapshot N (plus row count and parent version);
+- ``_manifest/LATEST`` names the current version and is updated with
+  an atomic ``os.replace`` — a reader sees the old snapshot or the new
+  one, never a mixture;
+- orphan data files (from a writer that died before committing) are
+  unreferenced by any manifest and invisible to readers; ``vacuum``
+  deletes them.
+
+Readers pass the snapshot's explicit file list to
+``spark.read.parquet(*files)``, so no directory listing races exist
+and any historical version stays readable until vacuumed (time
+travel). The driver only ever touches MANIFEST JSON (KBs); data moves
+executor-side through ordinary distributed parquet jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ManifestTable:
+    """A versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str) -> None:
+        self.root = Path(path)
+        self.data_dir = self.root / "data"
+        self.manifest_dir = self.root / "_manifest"
+
+    # ------------------------------------------------------------ state
+    def exists(self) -> bool:
+        return (self.manifest_dir / "LATEST").exists()
+
+    def current_version(self) -> int:
+        latest = self.manifest_dir / "LATEST"
+        if not latest.exists():
+            return -1
+        return int(latest.read_text().strip())
+
+    def _manifest(self, version: int) -> dict:
+        return json.loads(
+            (self.manifest_dir / f"v{version}.json").read_text()
+        )
+
+    def history(self) -> list[dict]:
+        out = []
+        v = 0
+        while (self.manifest_dir / f"v{v}.json").exists():
+            m = self._manifest(v)
+            out.append(
+                {k: m[k] for k in ("version", "parent", "n_files", "n_rows")}
+            )
+            v += 1
+        return out
+
+    def _schema(self, manifest: dict):
+        import pyspark.sql.types as T
+
+        return T.StructType.fromJson(json.loads(manifest["schema_json"]))
+
+    # ------------------------------------------------------------- read
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Empty snapshots
+        stay readable via the stored schema."""
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        m = self._manifest(v)
+        schema = self._schema(m)
+        files = [str(self.data_dir / f) for f in m["files"]]
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    # ------------------------------------------------------------ write
+    def _write_files(self, df: DataFrame) -> tuple[list[str], str]:
+        """One immutable uniquely-named directory of parquet per commit
+        attempt; returns the file names relative to data/ and the
+        schema JSON recorded in the manifest."""
+        batch_id = uuid.uuid4().hex[:12]
+        staging = self.data_dir / f"b{batch_id}"
+        df.write.mode("error").parquet(str(staging))
+        files = [
+            f"b{batch_id}/{p.name}"
+            for p in sorted(staging.glob("*.parquet"))
+        ]
+        return files, df.schema.json()
+
+    def _commit(self, files: list[str], n_rows: int, schema_json: str) -> int:
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        parent = self.current_version()
+        version = parent + 1
+        target = self.manifest_dir / f"v{version}.json"
+        if target.exists():  # lost a concurrent commit race
+            raise RuntimeError(
+                f"concurrent commit detected at version {version}"
+            )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "files": files,
+            "n_files": len(files),
+            "n_rows": n_rows,
+            "schema_json": schema_json,
+        }
+        tmp = self.manifest_dir / f".v{version}.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, target)  # manifest visible atomically
+        tmp_latest = self.manifest_dir / ".LATEST.tmp"
+        tmp_latest.write_text(str(version))
+        os.replace(tmp_latest, self.manifest_dir / "LATEST")  # snapshot flips atomically
+        return version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New snapshot containing exactly ``df``."""
+        files, schema_json = self._write_files(df)
+        n = self._count_files(df.sparkSession, files, schema_json)
+        return self._commit(files, n, schema_json)
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = previous files + the batch's files (previous
+        data is NOT rewritten — an append at 100 TB moves only the
+        batch)."""
+        files, schema_json = self._write_files(df)
+        prev_files: list[str] = []
+        prev_rows = 0
+        v = self.current_version()
+        if v >= 0:
+            m = self._manifest(v)
+            prev_files, prev_rows = m["files"], m["n_rows"]
+        n = self._count_files(df.sparkSession, files, schema_json)
+        return self._commit(prev_files + files, prev_rows + n, schema_json)
+
+    def upsert(self, df: DataFrame, key: str, ts: str) -> int:
+        """Keep-latest merge: union the current snapshot with the
+        batch, keep the newest version per key, commit as a new
+        snapshot. The merge is a distributed window job; the commit is
+        still one atomic pointer flip, so readers never observe the
+        half-merged state the staging-and-rewrite pattern exposes."""
+        spark = df.sparkSession
+        if self.exists():
+            merged = self.read(spark).unionByName(df)
+        else:
+            merged = df
+        w = Window.partitionBy(key).orderBy(F.col(ts).desc_nulls_last())
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self.overwrite(latest)
+
+    def _count_files(
+        self, spark: SparkSession, files: list[str], schema_json: str
+    ) -> int:
+        if not files:
+            return 0
+        import pyspark.sql.types as T
+
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        paths = [str(self.data_dir / f) for f in files]
+        # parquet footer row counts — a metadata-only job, no data scan
+        return spark.read.schema(schema).parquet(*paths).count()
+
+    # ----------------------------------------------------------- vacuum
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the ``keep_versions`` most
+        recent manifests (orphans from dead writers and files only
+        older snapshots used). Returns the deleted relative names.
+        Time travel past the kept horizon stops working — by design."""
+        current = self.current_version()
+        if current < 0:
+            return []
+        keep: set[str] = set()
+        for v in range(max(0, current - keep_versions + 1), current + 1):
+            keep.update(self._manifest(v)["files"])
+        deleted = []
+        for p in sorted(self.data_dir.rglob("*")):
+            if not p.is_file():
+                continue
+            rel = str(p.relative_to(self.data_dir))
+            if rel not in keep:
+                p.unlink()
+                deleted.append(rel)
+        # drop now-empty batch dirs
+        for d in sorted(self.data_dir.glob("b*")):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        return deleted

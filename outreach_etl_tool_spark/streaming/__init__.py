@@ -17,6 +17,7 @@ from .streams import (
     sliding_counts,
     stream_dedup,
     tumbling_counts,
+    manifest_upsert_sink,
     upsert_sink,
 )
 
@@ -29,4 +30,5 @@ __all__ = [
     "stream_dedup",
     "running_user_totals",
     "upsert_sink",
+    "manifest_upsert_sink",
 ]

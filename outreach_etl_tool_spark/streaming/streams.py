@@ -207,3 +207,29 @@ def upsert_sink(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )
+
+
+def manifest_upsert_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key: str = "event_id",
+    ts: str = "ts",
+):
+    """T6 on the manifest table (`sinks/manifest.py`): each micro-batch
+    commits a keep-latest merged SNAPSHOT with one atomic pointer flip
+    — readers see a complete old or new version, never the
+    half-rewritten state `upsert_sink`'s staging swap exposes, and
+    every batch's snapshot stays time-travelable until vacuumed."""
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        table.upsert(batch, key=key, ts=ts)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )

@@ -121,3 +121,80 @@ def test_jsonl_interchange_roundtrip(spark, sf_dir, tmp_path):
     b = {r["doc_id"]: r for r in back.collect()}
     assert len(a) == len(b)
     assert all(a[k] == b[k] for k in a)
+
+
+# ----------------------------------------------------- manifest table
+def _mt(tmp_path):
+    from outreach_etl_tool_spark.sinks.manifest import ManifestTable
+
+    return ManifestTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, ts timestamp_ntz")
+
+
+def _t(spark, h):
+    import datetime as dt
+
+    return dt.datetime(2024, 3, 1, h)
+
+
+def test_manifest_versions_and_time_travel(spark, tmp_path):
+    t = _mt(tmp_path)
+    assert not t.exists()
+    v0 = t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    v1 = t.append(_df(spark, [(2, "b", _t(spark, 9))]))
+    assert (v0, v1) == (0, 1)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+    # old snapshot intact after the append (time travel)
+    assert [r["id"] for r in t.read(spark, version=0).collect()] == [1]
+    hist = t.history()
+    assert [h["n_rows"] for h in hist] == [1, 2]
+    assert [h["parent"] for h in hist] == [-1, 0]
+
+
+def test_manifest_append_does_not_rewrite_history(spark, tmp_path):
+    """The append snapshot must reference version 0's files, not copies
+    — at 100 TB an append moves only the batch."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    files_v0 = set(t._manifest(0)["files"])
+    t.append(_df(spark, [(2, "b", _t(spark, 9))]))
+    files_v1 = set(t._manifest(1)["files"])
+    assert files_v0 < files_v1  # strict superset: old files re-referenced
+
+
+def test_manifest_upsert_keeps_latest(spark, tmp_path):
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "old", _t(spark, 8)), (2, "keep", _t(spark, 8))]))
+    t.upsert(_df(spark, [(1, "new", _t(spark, 10)), (3, "add", _t(spark, 10))]),
+             key="id", ts="ts")
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "new", 2: "keep", 3: "add"}
+
+
+def test_manifest_orphans_invisible_and_vacuumed(spark, tmp_path):
+    """Files written by a writer that died before committing are
+    invisible to readers and removed by vacuum; committed files of the
+    kept snapshot survive."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    # simulate a dead writer: data files exist, no manifest references them
+    orphan_files, _ = t._write_files(_df(spark, [(9, "orphan", _t(spark, 9))]))
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+    deleted = t.vacuum(keep_versions=1)
+    # sidecars (_SUCCESS, .crc) are deletable noise; the real data
+    # files removed must be exactly the orphan batch's
+    deleted_parquet = {d for d in deleted if d.endswith(".parquet")}
+    assert deleted_parquet == set(orphan_files)
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+
+
+def test_manifest_vacuum_trims_time_travel(spark, tmp_path):
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    t.overwrite(_df(spark, [(2, "b", _t(spark, 9))]))  # v1 drops v0's files
+    deleted = t.vacuum(keep_versions=1)
+    assert deleted  # v0's files gone
+    assert [r["id"] for r in t.read(spark).collect()] == [2]

@@ -309,3 +309,37 @@ def test_chaos_late_and_duplicate_events_match_batch_oracle(spark, tmp_path):
     assert canon(collect_memory(spark, "chaos_sessions")) == canon(
         oracle.collect()
     )
+
+
+def test_manifest_upsert_sink_atomic_versions(spark, tmp_path):
+    """The manifest-table upsert sink: keep-latest semantics per
+    micro-batch, one committed snapshot per batch, every historical
+    snapshot time-travelable."""
+    from outreach_etl_tool_spark.sinks import ManifestTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", value=1.0),
+        ev(2, "2024-03-01T10:00:00Z", value=1.0),
+    ])
+    write_batch(src, "b2.json", [
+        ev(1, "2024-03-01T11:00:00Z", value=99.0),
+    ])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    target = str(tmp_path / "mtable")
+    q = (
+        ST.manifest_upsert_sink(events, target, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    table = ManifestTable(target)
+    out = {r["event_id"]: (r["value"], r["ts"].hour)
+           for r in table.read(spark).collect()}
+    assert out[1] == (99.0, 11) and out[2] == (1.0, 10)
+    # one snapshot per micro-batch; batch-1 snapshot still readable
+    assert table.current_version() == 1
+    v0 = {r["event_id"]: r["value"]
+          for r in table.read(spark, version=0).collect()}
+    assert v0 == {1: 1.0, 2: 1.0}
