@@ -179,6 +179,15 @@ class ManifestTable:
         # parquet footer row counts — a metadata-only job, no data scan
         return spark.read.schema(schema).parquet(*paths).count()
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_files`` files —
+        the small-files remediation every append-heavy table needs.
+        Data is unchanged (a new snapshot referencing fewer, larger
+        files); prior snapshots remain time-travelable until vacuumed.
+        At scale run per partition/bucket range rather than whole-table."""
+        df = self.read(spark).repartition(target_files)
+        return self.overwrite(df)
+
     # ----------------------------------------------------------- vacuum
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` most

@@ -198,3 +198,18 @@ def test_manifest_vacuum_trims_time_travel(spark, tmp_path):
     deleted = t.vacuum(keep_versions=1)
     assert deleted  # v0's files gone
     assert [r["id"] for r in t.read(spark).collect()] == [2]
+
+
+def test_manifest_compact_reduces_files_keeps_data(spark, tmp_path):
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    for i in range(2, 5):
+        t.append(_df(spark, [(i, chr(96 + i), _t(spark, 8))]))
+    before = t._manifest(t.current_version())["n_files"]
+    v = t.compact(spark, target_files=1)
+    m = t._manifest(v)
+    assert m["n_files"] == 1 < before
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+    # pre-compaction snapshot still readable
+    assert len(t.read(spark, version=v - 1).collect()) == 4
