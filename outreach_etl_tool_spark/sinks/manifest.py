@@ -103,7 +103,43 @@ class ManifestTable:
         ]
         return files, df.schema.json()
 
-    def _commit(self, files: list[str], n_rows: int, schema_json: str) -> int:
+    @staticmethod
+    def _file_stats(path: Path) -> dict[str, list]:
+        """Per-column [min, max] from the parquet footer — metadata
+        only, no data read. Non-orderable/statless columns are skipped.
+        This is the Iceberg-style manifest-stats idea: the driver can
+        prune FILES from a snapshot before Spark ever lists them."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        out: dict[str, list] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    continue  # undecoded logical types: no safe ordering
+                name = col.path_in_schema
+                if name in out:
+                    out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+                else:
+                    out[name] = [lo, hi]
+        return {
+            k: v for k, v in out.items()
+            if isinstance(v[0], (int, float, str)) and not isinstance(v[0], bool)
+        }
+
+    def _commit(
+        self,
+        files: list[str],
+        n_rows: int,
+        schema_json: str,
+        stats: dict[str, dict] | None = None,
+    ) -> int:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         parent = self.current_version()
         version = parent + 1
@@ -119,6 +155,7 @@ class ManifestTable:
             "n_files": len(files),
             "n_rows": n_rows,
             "schema_json": schema_json,
+            "stats": stats or {},
         }
         tmp = self.manifest_dir / f".v{version}.json.tmp"
         tmp.write_text(json.dumps(manifest))
@@ -128,11 +165,14 @@ class ManifestTable:
         os.replace(tmp_latest, self.manifest_dir / "LATEST")  # snapshot flips atomically
         return version
 
+    def _stats_for(self, files: list[str]) -> dict[str, dict]:
+        return {f: self._file_stats(self.data_dir / f) for f in files}
+
     def overwrite(self, df: DataFrame) -> int:
         """New snapshot containing exactly ``df``."""
         files, schema_json = self._write_files(df)
         n = self._count_files(df.sparkSession, files, schema_json)
-        return self._commit(files, n, schema_json)
+        return self._commit(files, n, schema_json, self._stats_for(files))
 
     def append(self, df: DataFrame) -> int:
         """New snapshot = previous files + the batch's files (previous
@@ -141,12 +181,19 @@ class ManifestTable:
         files, schema_json = self._write_files(df)
         prev_files: list[str] = []
         prev_rows = 0
+        prev_stats: dict[str, dict] = {}
         v = self.current_version()
         if v >= 0:
             m = self._manifest(v)
             prev_files, prev_rows = m["files"], m["n_rows"]
+            prev_stats = m.get("stats", {})
         n = self._count_files(df.sparkSession, files, schema_json)
-        return self._commit(prev_files + files, prev_rows + n, schema_json)
+        return self._commit(
+            prev_files + files,
+            prev_rows + n,
+            schema_json,
+            {**prev_stats, **self._stats_for(files)},
+        )
 
     def upsert(self, df: DataFrame, key: str, ts: str) -> int:
         """Keep-latest merge: union the current snapshot with the
@@ -178,6 +225,42 @@ class ManifestTable:
         paths = [str(self.data_dir / f) for f in files]
         # parquet footer row counts — a metadata-only job, no data scan
         return spark.read.schema(schema).parquet(*paths).count()
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The snapshot restricted to files whose manifest [min, max]
+        for ``col`` overlaps [lo, hi] — driver-side FILE skipping from
+        KB-sized metadata, before Spark lists or opens anything. Files
+        without stats for ``col`` are conservatively kept. Apply the
+        row-level filter on the result as usual (this prunes files,
+        not rows)."""
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            fmin, fmax = s
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                continue
+            keep.append(f)
+        schema = self._schema(m)
+        if not keep:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[str(self.data_dir / f) for f in keep]
+        )
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current snapshot into ``target_files`` files —

@@ -213,3 +213,24 @@ def test_manifest_compact_reduces_files_keeps_data(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
     # pre-compaction snapshot still readable
     assert len(t.read(spark, version=v - 1).collect()) == 4
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Disjoint-range appends: a range read via manifest stats touches
+    only the overlapping files — driver-side file skipping from the
+    manifest, no directory listing, no footer reads of skipped files."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(i, "lo", _t(spark, 8)) for i in range(0, 10)])
+                .coalesce(1))
+    t.append(_df(spark, [(i, "mid", _t(spark, 9)) for i in range(100, 110)])
+             .coalesce(1))
+    t.append(_df(spark, [(i, "hi", _t(spark, 10)) for i in range(1000, 1010)])
+             .coalesce(1))
+    full = t.read(spark)
+    assert full.count() == 30
+    pruned = t.read_pruned(spark, "id", lo=100, hi=109)
+    assert len(pruned.inputFiles()) == 1 < len(full.inputFiles())
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(100, 110))
+    # out-of-range probe touches nothing and returns empty with schema
+    none = t.read_pruned(spark, "id", lo=5000)
+    assert none.count() == 0 and none.schema == full.schema
