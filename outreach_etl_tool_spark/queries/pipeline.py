@@ -239,6 +239,49 @@ GROUP BY tr.doc_id
 """
 
 
+# Bloom tier of the same operator: once the eval gram table outgrows
+# comfortable broadcast, ship ~10 bits/gram instead of the strings.
+# Corpus grams probe the broadcast bit array in numpy (no join); only
+# bloom survivors (true hits + fpp noise) enter the exact verify join,
+# which removes false positives — so this SHARES decontaminate's
+# oracle: the two-tier output equals the exact join bit-for-bit.
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.bloom import build_bloom
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams("text", _DECON_K))).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    # build: the gram STRINGS are collected once to size the filter —
+    # at real scale this is a treeAggregate of partial bit arrays; the
+    # broadcast payload either way is the ~1.2 MB/M-gram bit array
+    eval_list = [r["gram"] for r in eval_grams.select("gram").distinct().collect()]
+    bloom = build_bloom(eval_list, fpp=0.01)
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def maybe_eval(g: pd.Series) -> pd.Series:
+        return pd.Series(bc.value.contains(list(g.astype(str))))
+
+    train_grams = grams.filter(~is_eval)
+    candidates = train_grams.filter(maybe_eval(F.col("gram")))
+    return (
+        candidates.join(F.broadcast(eval_grams), "gram")  # exact verify
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DEDUP CLUSTER — connected components over near-dup pairs
 # ---------------------------------------------------------------------------
@@ -616,5 +659,9 @@ QUERIES: dict[str, QuerySpec] = {
         quality_percentile_trim, QUALITY_PERCENTILE_TRIM_SQL,
         tags=("L4", "A2", "P5"),
         doc="corpus-relative outlier trim via broadcast percentile bounds",
+    ),
+    "decontaminate_bloom": QuerySpec(
+        decontaminate_bloom, DECONTAMINATE_SQL, tags=("L2", "L4", "J2"),
+        doc="bloom-prefiltered decontamination; exact verify shares the oracle",
     ),
 }

@@ -121,3 +121,27 @@ def test_bound_to_micros_is_exact():
 
     d = dt.datetime(2024, 6, 30, 23, 59, 59, tzinfo=dt.timezone.utc)
     assert got == int(d.timestamp()) * 1_000_000 + 999_999
+
+
+# ----------------------------------------------------------- bloom filter
+def test_bloom_no_false_negatives_and_low_fpp():
+    import numpy as np
+
+    from outreach_etl_tool_spark.functions.bloom import build_bloom
+
+    members = [f"gram number {i} payload" for i in range(2000)]
+    outsiders = [f"other text {i} entirely" for i in range(4000)]
+    b = build_bloom(members, fpp=0.01)
+    assert b.contains(members).all()  # zero false negatives, always
+    fp = float(np.mean(b.contains(outsiders)))
+    assert fp < 0.03, fp  # sized for 1%; allow slack
+
+
+def test_bloom_empty_and_tiny():
+    from outreach_etl_tool_spark.functions.bloom import build_bloom
+
+    b = build_bloom([])
+    assert not b.contains(["anything"]).any()
+    assert b.contains([]).shape == (0,)
+    tiny = build_bloom(["only one"])
+    assert tiny.contains(["only one"]).all()
