@@ -17,6 +17,7 @@ from .streams import (
     sliding_counts,
     stream_dedup,
     tumbling_counts,
+    dedup_ingest_sink,
     manifest_upsert_sink,
     upsert_sink,
 )
@@ -31,4 +32,5 @@ __all__ = [
     "running_user_totals",
     "upsert_sink",
     "manifest_upsert_sink",
+    "dedup_ingest_sink",
 ]

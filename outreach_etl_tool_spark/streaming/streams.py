@@ -209,6 +209,53 @@ def upsert_sink(
     )
 
 
+def dedup_ingest_sink(
+    docs: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus ingest with at-most-once CONTENT semantics:
+    each micro-batch is exact-deduplicated against everything already
+    retained (`dedup/incremental.py` — the hash anti-join, history
+    text untouched) and the survivors append to a manifest table
+    (`sinks/manifest.py`) as one atomic snapshot.
+
+    The retained table carries ``text_sha`` alongside the documents,
+    so it IS the signature store — no second table to keep in sync,
+    and a crash between batches leaves either the old snapshot or the
+    new one, never a half-ingested state (the checkpoint replays the
+    batch; re-appending the same content dedups to nothing).
+    """
+    from pyspark.sql import functions as SF
+
+    from ..dedup.incremental import incremental_exact
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if table.exists():
+            store = table.read(spark).select("text_sha")
+        else:
+            store = spark.createDataFrame([], "text_sha string")
+        keep = incremental_exact(batch, store, id_col=id_col, text_col=text_col)
+        survivors = batch.join(keep.select(id_col), id_col, "left_semi").withColumn(
+            "text_sha", SF.sha2(SF.col(text_col), 256)
+        )
+        if survivors.isEmpty():
+            return  # nothing new: no empty snapshot churn
+        table.append(survivors)
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
 def manifest_upsert_sink(
     events: DataFrame,
     table_path: str,

@@ -343,3 +343,56 @@ def test_manifest_upsert_sink_atomic_versions(spark, tmp_path):
     v0 = {r["event_id"]: r["value"]
           for r in table.read(spark, version=0).collect()}
     assert v0 == {1: 1.0, 2: 1.0}
+
+
+def test_dedup_ingest_sink_at_most_once_content(spark, tmp_path):
+    """Cross-batch and in-batch content duplicates never land twice;
+    each non-empty batch commits one atomic snapshot carrying the
+    signature column."""
+    from outreach_etl_tool_spark.sinks import ManifestTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def doc(did, text):
+        return {"doc_id": did, "source": "web", "lang": "en", "text": text}
+
+    (src / "b1.json").write_text("\n".join(
+        __import__("json").dumps(r) for r in [
+            doc(1, "alpha content"), doc(2, "beta content"),
+            doc(3, "alpha content"),           # in-batch dup of 1
+        ]))
+    import os
+    os.utime(src / "b1.json", (1_000_100_000, 1_000_100_000))
+    (src / "b2.json").write_text("\n".join(
+        __import__("json").dumps(r) for r in [
+            doc(11, "beta content"),           # cross-batch dup of 2
+            doc(12, "gamma content"),
+        ]))
+    os.utime(src / "b2.json", (1_000_100_060, 1_000_100_060))
+    (src / "b3.json").write_text(
+        __import__("json").dumps(doc(21, "alpha content")))  # dup again
+    os.utime(src / "b3.json", (1_000_100_120, 1_000_100_120))
+
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    target = str(tmp_path / "corpus")
+    q = (
+        ST.dedup_ingest_sink(stream, target, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    table = ManifestTable(target)
+    rows = table.read(spark).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 12]
+    assert len({r["text_sha"] for r in rows}) == 3
+    # batch 3 was all-dup → no snapshot churn: versions = 2 batches
+    assert table.current_version() == 1
