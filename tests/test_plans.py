@@ -114,6 +114,15 @@ SHUFFLE_BUDGETS = {
     "decontaminate": 2,  # eval grams broadcast; distinct + final agg
     # distributed block NL join: index→block, probes→block, window merge
     "sim_knn_join": 3,
+    # tf(1) + dfreq(1) + N(1) + window(1) + broadcast-side build; the
+    # corpus is never reshuffled by token (dfreq broadcasts back)
+    "tfidf_keywords": 5,
+    "dedup_incremental": 2,  # hash anti-join + keep-first window
+    "agg_skew_distinct": 3,  # bucket partial + per-key sum phases
+    "join_skew_salted": 1,   # dim agg; the salted join itself broadcasts
+    "evt_scd2_history": 1,   # both windows share one (key, ts) exchange
+    "quality_percentile_trim": 1,  # 2-value bounds agg; scan unshuffled
+    "decontaminate_bloom": 2,  # bloom probe is narrow; verify + agg
 }
 
 
