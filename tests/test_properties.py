@@ -119,3 +119,31 @@ def test_connected_components_matches_union_find(spark, edge_list):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0, max_size=30,
+    )
+)
+def test_star_components_match_union_find(spark, edge_list):
+    """The large-star/small-star variant reaches the same fixed point
+    as union-find on arbitrary small graphs (self-loops, dups, any
+    direction)."""
+    from outreach_etl_tool_spark.dedup import cluster
+
+    nodes = list(range(25))
+    edges = [(a, b) for a, b in edge_list if a != b]
+    expected = _union_find(nodes, edges)
+
+    edges_df = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster.connected_components(
+            edges_df, nodes_df, id_col="doc_id", algorithm="star"
+        ).collect()
+    }
+    assert got == expected
