@@ -234,3 +234,17 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     # out-of-range probe touches nothing and returns empty with schema
     none = t.read_pruned(spark, "id", lo=5000)
     assert none.count() == 0 and none.schema == full.schema
+
+
+def test_manifest_concurrent_commit_detected(spark, tmp_path):
+    """A lost commit race surfaces as an error, never a silently
+    clobbered manifest: if the next version file already exists, the
+    second writer must fail."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    # another writer wins version 1 first
+    (t.manifest_dir / "v1.json").write_text(
+        (t.manifest_dir / "v0.json").read_text()
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.append(_df(spark, [(2, "b", _t(spark, 9))]))
