@@ -143,8 +143,11 @@ def run_replication(
     return results
 
 
-def main(argv: list[str] | None = None) -> int:
-    parser = argparse.ArgumentParser(prog="outreach_etl_tool_spark")
+_DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _replicate(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(prog="outreach_etl_tool_spark replicate")
     parser.add_argument("-c", "--config", required=True, help="Config file")
     parser.add_argument("-o", "--output", required=True, help="Output directory")
     parser.add_argument("--schemas", default=None, help="Schema JSON directory")
@@ -160,6 +163,62 @@ def main(argv: list[str] | None = None) -> int:
                               schemas_dir=args.schemas)
     print(json.dumps(results, sort_keys=True))
     return 0
+
+
+def _query(argv: list[str], explain: bool = False) -> int:
+    parser = argparse.ArgumentParser(
+        prog=f"outreach_etl_tool_spark {'explain' if explain else 'query'}"
+    )
+    parser.add_argument("name", help="Registry query name (see `list`)")
+    parser.add_argument("--sf-dir", default=_DEFAULT_SF_DIR,
+                        help="Directory of the parquet tables")
+    parser.add_argument("--limit", type=int, default=20,
+                        help="Max rows to print (query mode)")
+    args = parser.parse_args(argv)
+
+    from .queries import REGISTRY
+    from .session import get_spark
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; try `list`", flush=True)
+        return 2
+    spark = get_spark(app_name=f"query-{args.name}")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if explain:
+        df.explain("formatted")
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str, sort_keys=True))
+    return 0
+
+
+def _list(argv: list[str]) -> int:
+    from .queries import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        oracle = "sql-oracle" if spec.oracle else "rows-only"
+        tags = ",".join(spec.tags)
+        print(f"{name}\t{oracle}\t[{tags}]\t{spec.doc}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    """`replicate` mirrors the reference's single entry point (and runs
+    by default when bare -c/-o flags are passed, reference-style);
+    `query`/`explain`/`list` expose the analytics registry."""
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("replicate", "query", "explain", "list"):
+        cmd, rest = argv[0], argv[1:]
+        if cmd == "replicate":
+            return _replicate(rest)
+        if cmd == "query":
+            return _query(rest)
+        if cmd == "explain":
+            return _query(rest, explain=True)
+        return _list(rest)
+    return _replicate(argv)  # legacy flag form
 
 
 if __name__ == "__main__":

@@ -127,3 +127,22 @@ def test_cli_previous_day_window(spark, tmp_path):
     )
     # only the 03-02 row is in [today-1, today)
     assert results["t_prospects"] == 1
+
+
+def test_cli_list_and_query_subcommands(spark, capsys):
+    from outreach_etl_tool_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "funnel" in out and "sql-oracle" in out
+
+    assert main(["query", "agg_count", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert '"n_rows"' in out
+
+    assert main(["query", "no_such_query"]) == 2
+
+    assert main(["explain", "top_k_orders", "--sf-dir",
+                 "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in out
