@@ -24,22 +24,41 @@ def test_registry_shape():
         assert spec.oracle is None or "SELECT" in spec.oracle.upper(), name
 
 
-def test_registry_window_ordering():
-    """The external gate evidenced only the first ~50 entries in round
-    1 — the LLM-pipeline surface plus one representative per relational
-    family must sit inside that window."""
-    head = list(REGISTRY)[:50]
-    must_have = {
-        "dedup_exact", "dedup_incremental", "dedup_minhash", "sim_topk",
-        "sim_knn_join", "pipeline_clean_corpus", "dedup_cluster",
-        "decontaminate", "vocab_topk", "quality_signals",
-        "multimodal_meta", "udf_scalar_zscore", "evt_sessions",
-        # relational representatives (evt_tumbling, pos 51, was
-        # driver-evidenced in round 1 already)
-        "funnel", "pricing_summary", "sql_q3_shipping", "join_asof",
-        "agg_rollup", "win_latest_per_key",
-    }
-    assert must_have <= set(head), must_have - set(head)
+def test_registry_rotation_policy():
+    """Registry order is a least-recently-evidenced rotation against the
+    generated ledger: never-evidenced first, then last-run failures,
+    then evidenced entries oldest-round first, alphabetical within a
+    tier. No query can be parked outside the gate's ~50-entry window
+    indefinitely — its evidence ages and it rotates back in."""
+    from outreach_etl_tool_spark.queries import _rotation_key
+    from outreach_etl_tool_spark.queries.evidence import LEDGER
+
+    names = list(REGISTRY)
+    keys = [_rotation_key(n) for n in names]
+    assert keys == sorted(keys)
+
+    never = {n for n in names if n not in LEDGER}
+    failed = {n for n in names if LEDGER.get(n, (0, ""))[1] == "fail"}
+    assert set(names[: len(never)]) == never
+    assert set(names[len(never) : len(never) + len(failed)]) == failed
+
+
+def test_evidence_ledger_matches_correctness_files():
+    """The committed ledger is exactly what tools/update_evidence.py
+    derives from the committed CORRECTNESS_r*.json files — the rotation
+    input is mechanical, not hand-picked."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "update_evidence", Path("/root/repo/tools/update_evidence.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from outreach_etl_tool_spark.queries.evidence import LEDGER
+
+    assert mod.build_ledger() == LEDGER
 
 
 def test_entry_contract(spark):
