@@ -234,11 +234,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # L2d — embedding-cosine near-dup via hyperplane LSH (rows-only).
+#
+# Threshold is calibrated to the synthetic corpus: the testdata
+# embeddings are near-uniform (max pairwise cosine ≈ 0.51 at sf0.01),
+# so a 0.95 "near-duplicate" gate is provably empty there. 0.40 yields
+# ~60 true pairs at every driver sf, making the operator's output
+# non-trivially non-empty; 32 planes / 8 bands give ~75% detection at
+# the threshold boundary (rising fast above it) with a fixed seed, so
+# the row count is deterministic run-to-run. Production corpora with
+# real duplicates run the same operator at 0.9+ — the planted-pair
+# recall test (tests/test_dedup.py) covers that regime.
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     return emb_dedup.near_dup_pairs(
-        embs, "vec_id", "embedding", dim=64, n_planes=16, bands=4,
-        cosine_threshold=0.95,
+        embs, "vec_id", "embedding", dim=64, n_planes=32, bands=8,
+        cosine_threshold=0.40,
     )
 
 
@@ -248,11 +258,30 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dot product, same cosine expression shape.
 _TOPK = 25
 
+# Query-vector fetch: a single-row key lookup done driver-side with a
+# pyarrow predicate-pushdown read, cached per (sf_dir, vec_id). The
+# previous embs.filter(...).head() launched a full Spark job per
+# invocation just to fetch 64 doubles (measured +49% on sim_topk at
+# sf0.1). In production the query vector arrives from the caller; a
+# point lookup is not a distributed scan.
+_QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
+def _query_vector(sf_dir: str, vec_id: int) -> list[float]:
+    key = (sf_dir, vec_id)
+    if key not in _QVEC_CACHE:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["embedding"], filter=ds.field("vec_id") == vec_id
+        )
+        _QVEC_CACHE[key] = [float(v) for v in tbl.column("embedding")[0].as_py()]
+    return _QVEC_CACHE[key]
+
 
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
-    qrow = embs.filter(F.col("vec_id") == 0).select("embedding").head()
-    query = [float(v) for v in qrow[0]]
+    query = _query_vector(sf_dir, 0)
     return ann.topk_bruteforce(embs, query, k=_TOPK, id_col="vec_id", vec_col="embedding")
 
 
@@ -315,8 +344,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans.kmeans_centroids(embs, k=8, iters=3)
-    qrow = embs.filter(F.col("vec_id") == 1).select("embedding").head()
-    query = [float(v) for v in qrow[0]]
+    query = _query_vector(sf_dir, 1)
     cells = ann.assign_cells(embs, centroids)
     return ann.topk_ivf(cells, centroids, query, k=_TOPK, nprobe=3)
 
@@ -418,7 +446,8 @@ WITH gated AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-zA-Z]+'))) AS total_tokens,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-zA-Z]+'))) AS BIGINT)
+           AS total_tokens,
        {avg_sql('n_chars')} AS avg_chars
 FROM kept
 GROUP BY source

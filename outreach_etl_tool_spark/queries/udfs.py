@@ -126,13 +126,33 @@ def udf_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L5 — multimodal decode over a synthesized binary payload (documents
 # text re-encoded; the testdata ships no real media). Plumbing is real:
 # Arrow batches, histogram kernel, typed feature arrays.
+#
+# Registry contract: the driver's rows-only comparator hashes rows via
+# pandas, which cannot hash list values — so the registry surface
+# reduces the 16-bin histogram to SCALAR summaries (entropy, max-bin
+# mass, dominant bin). The array form stays available as the library
+# function ``decode_features``; the reduction is a 16-element HOF fold,
+# negligible next to the Arrow decode pass.
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return decode_features(assets)
+    feats = decode_features(assets)
+    h = F.col("feature")
+    nonzero = F.filter(h, lambda p: p > F.lit(0.0))
+    entropy = -F.aggregate(
+        nonzero, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.round(entropy, 9).alias("hist_entropy"),
+        F.round(F.array_max(h), 9).alias("hist_max"),
+        F.array_position(h, F.array_max(h)).alias("hist_argmax"),
+    )
 
 
 # L5 — resize: block-mean downsample behind the stubbed codec; emits

@@ -268,3 +268,52 @@ def test_embedding_near_dup_pairs(spark):
     assert got[(1, 2)] == pytest.approx(expected32, abs=1e-6) or got[
         (1, 2)
     ] == pytest.approx(expected, abs=1e-3)
+
+
+def test_emb_near_dup_registry_params_recall(spark):
+    """Planted near-duplicates are found at the REGISTRY's exact
+    parameters (VERDICT r2 #4: a pair operator that can emit 0 rows is
+    indistinguishable from a broken one). 20 planted pairs at cosine
+    ≳0.99 plus 60 background vectors; assert high recall and zero false
+    positives at the 0.40 gate."""
+    rng = np.random.RandomState(7)
+    rows, truth = [], set()
+    vid = 0
+    for _ in range(20):
+        base = rng.standard_normal(64)
+        near = base + rng.standard_normal(64) * 0.05
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in near]))
+        truth.add((vid, vid + 1))
+        vid += 2
+    for _ in range(60):
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = emb_dedup.near_dup_pairs(
+        df, "vec_id", "embedding", dim=64, n_planes=32, bands=8,
+        cosine_threshold=0.40,
+    )
+    res = out.collect()
+    got = {(r["id_a"], r["id_b"]) for r in res}
+    found = got & truth
+    # planted pairs sit at cosine ~0.99 where 32/8 banding detects
+    # essentially always
+    assert len(found) >= 18, f"recall {len(found)}/20"
+    # no false positives: candidate verification is exact, so every
+    # emitted pair is genuinely at/above the gate (random background
+    # pairs CAN legitimately exceed 0.40 — that is not an error)
+    vecs = {vid: np.asarray(v, dtype=np.float32).astype(float) for vid, v in rows}
+    for r in res:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        exact = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert exact >= 0.40 - 1e-6, (r["id_a"], r["id_b"], exact)
+
+
+def test_emb_near_dup_registry_query_nonempty(spark):
+    """The registry entry itself yields pairs on the driver's sf0.01
+    corpus — the r2 run recorded 0 rows, which proves nothing."""
+    from outreach_etl_tool_spark.queries.llm import emb_near_dup
+
+    n = emb_near_dup(spark, "/root/testdata/sf0.01").count()
+    assert n > 0

@@ -72,6 +72,23 @@ def test_entry_contract(spark):
     assert set(o) <= set(q)
 
 
+def test_registry_outputs_are_scalar_typed(spark, sf_dir):
+    """No registry query may emit array/map/struct columns: the driver's
+    rows-only comparator hashes rows via pandas, and list-valued cells
+    raise `unhashable type` (seen: multimodal_decode, round 2). Complex
+    types stay library-level; registry surfaces reduce them to scalars."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, spec in REGISTRY.items():
+        schema = spec.fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, "\n".join(offenders)
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()

@@ -75,13 +75,28 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
                     f"col {col}: {int(neq.sum())} mismatches, first at row {i}: "
                     f"spark={sv_s[i]!r} duck={dv_s[i]!r}"
                 )
-    # dtype report (informational)
+    # dtype check — a HARD failure: the driver hashes typed values, so a
+    # HUGEINT→float64 oracle vs an int64 Spark column diverges even when
+    # every value prints identically (seen: pipeline_clean_corpus r2).
     for col in s.columns:
-        if str(spark_pd[col].dtype) != str(duck_pd[col].dtype):
-            problems.append(
-                f"DTYPE col {col}: spark={spark_pd[col].dtype} duck={duck_pd[col].dtype}"
-            )
+        sd, dd = str(spark_pd[col].dtype), str(duck_pd[col].dtype)
+        if sd != dd and not _dtype_equiv(sd, dd):
+            problems.append(f"DTYPE col {col}: spark={sd} duck={dd}")
     return problems
+
+
+def _dtype_equiv(a: str, b: str) -> bool:
+    """Representation-only differences that hash identically downstream.
+
+    Both engines return tz-naive timestamps; pandas may label them
+    datetime64[ns] vs datetime64[us] depending on the Arrow path. Values
+    compare equal, and the driver's canonicalization stringifies them the
+    same way, so unit-only differences are not a correctness risk.
+    """
+    pair = {a, b}
+    return pair <= {"datetime64[ns]", "datetime64[us]", "object"} and (
+        "object" not in pair or any(x.startswith("datetime64") for x in pair)
+    )
 
 
 def main() -> int:
