@@ -72,6 +72,72 @@ class Bloom:
         return out
 
 
+def build_bloom_distributed(
+    df, col: str = "gram", fpp: float = 0.01
+) -> Bloom:
+    """Build a Bloom filter from a DataFrame column WITHOUT collecting
+    the strings to the driver.
+
+    Two bounded passes:
+
+    1. sizing — ``approx_count_distinct`` (HLL, ±2%) fixes (m, k); an
+       estimate is safe because over/undersizing only nudges the
+       false-positive rate, and false positives are removed by the
+       exact verify tier downstream;
+    2. build — each partition folds its grams into a LOCAL m-bit numpy
+       array (duplicate inserts are idempotent, so no distinct shuffle
+       is needed), emits only its set 64-bit words as (word, bits)
+       rows, and a ``bit_or`` aggregation merges the partials. The
+       driver collects at most m/64 rows — the final bit array itself,
+       never a corpus-derived string set.
+
+    At 100 TB the shuffle is ≤ partitions × m/64 words and the driver
+    payload equals the broadcast payload (~1.2 MB per million grams) —
+    both independent of corpus row count.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = int(
+        df.agg(F.approx_count_distinct(col).alias("n")).first()["n"] or 1
+    )
+    m = int(np.ceil(-n * np.log(fpp) / (np.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, int(round(m / n * np.log(2))))
+    n_words = m // 64
+
+    def fold(batches):
+        local = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            strings = pdf.iloc[:, 0].astype(str).tolist()
+            if not strings:
+                continue
+            h1, h2 = _fnv_pair(strings)
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                word = (idx >> np.uint64(6)).astype(np.int64)
+                bit = np.uint64(1) << (idx & np.uint64(63))
+                np.bitwise_or.at(local, word, bit)
+        nz = np.nonzero(local)[0]
+        yield pd.DataFrame(
+            {"word": nz.astype("int64"), "bits": local[nz].view(np.int64)}
+        )
+
+    rows = (
+        df.select(F.col(col).cast("string"))
+        .mapInPandas(fold, "word long, bits long")
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    bits = np.zeros(n_words, dtype=np.uint64)
+    if rows:
+        idxs = np.fromiter((r["word"] for r in rows), dtype=np.int64, count=len(rows))
+        vals = np.fromiter((r["bits"] for r in rows), dtype=np.int64, count=len(rows))
+        bits[idxs] = vals.view(np.uint64)
+    return Bloom(bits=bits, m=m, k=k)
+
+
 def build_bloom(items: list[str], fpp: float = 0.01) -> Bloom:
     """Size for ``fpp`` at len(items): m = −n·ln(fpp)/ln²2, k = m/n·ln2."""
     n = max(len(items), 1)

@@ -248,7 +248,7 @@ GROUP BY tr.doc_id
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    from ..functions.bloom import build_bloom
+    from ..functions.bloom import build_bloom_distributed
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
@@ -256,14 +256,18 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(_grams("text", _DECON_K))).alias("gram"),
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_grams = grams.filter(is_eval).select(
-        F.col("doc_id").alias("eval_id"), "gram"
+    # persist: the eval-gram explode feeds three consumers (sizing,
+    # bloom build, exact verify join); scalar string columns cache
+    # cheaply, and the eval slice is the small side by construction
+    eval_grams = (
+        grams.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .persist()
     )
-    # build: the gram STRINGS are collected once to size the filter —
-    # at real scale this is a treeAggregate of partial bit arrays; the
-    # broadcast payload either way is the ~1.2 MB/M-gram bit array
-    eval_list = [r["gram"] for r in eval_grams.select("gram").distinct().collect()]
-    bloom = build_bloom(eval_list, fpp=0.01)
+    # build: fully distributed — partitions fold grams into local bit
+    # arrays, a bit_or agg merges the 64-bit words, and the driver
+    # receives only the final ~m/64-word array (never gram strings)
+    bloom = build_bloom_distributed(eval_grams.select("gram"), fpp=0.01)
     bc = spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf("boolean")

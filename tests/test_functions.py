@@ -137,6 +137,28 @@ def test_bloom_no_false_negatives_and_low_fpp():
     assert fp < 0.03, fp  # sized for 1%; allow slack
 
 
+def test_bloom_distributed_build_matches_semantics(spark):
+    """Distributed construction (partition-local bit arrays OR-merged
+    via bit_or agg; driver sees only the final words) preserves the
+    Bloom contract: zero false negatives, fpp near target. Duplicate
+    grams across partitions are folded idempotently — no distinct
+    shuffle in the build."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.functions.bloom import build_bloom_distributed
+
+    members = [f"gram number {i} payload" for i in range(2000)]
+    outsiders = [f"other text {i} entirely" for i in range(4000)]
+    # duplicate every member so the idempotent-insert path is exercised
+    df = spark.createDataFrame(
+        [(g,) for g in members + members], "gram string"
+    ).repartition(8)
+    b = build_bloom_distributed(df, "gram", fpp=0.01)
+    assert b.contains(members).all()
+    fp = float(np.mean(b.contains(outsiders)))
+    assert fp < 0.03, fp
+
+
 def test_bloom_empty_and_tiny():
     from outreach_etl_tool_spark.functions.bloom import build_bloom
 
