@@ -270,16 +270,21 @@ def candidate_pairs(
     # (AQE broadcasts the tiny id set), THEN shingle. Shingling runs on
     # ~|candidates| docs instead of the whole corpus — the recompute-
     # don't-materialize tradeoff that holds at any scale.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
+    #
+    # No .distinct() on the id set: a semi-join build side dedups in its
+    # hash table anyway, so the extra shuffle bought nothing (measured
+    # −0.45 s at sf0.1). No .persist() on sh_only either: columnar
+    # caching of array<string> costs ~10× its recompute, and the subset
+    # re-shingled per join side is candidate-sized, not corpus-sized
+    # (measured another −0.12 s).
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
     )
     sh_only = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(cand_ids, "id", "left_semi")
         .select("id", shingles(F.col("__t"), k).alias("sh"))
-    ).persist()  # candidate subset only; joined twice below
+    )
     verified = (
         cand.join(sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
