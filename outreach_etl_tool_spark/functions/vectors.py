@@ -37,3 +37,37 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity → double. Zero-norm inputs yield null (ANSI
     mode would otherwise fail the whole job on one degenerate vector)."""
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+# --- SQL-text builders -----------------------------------------------------
+# Building the HOF tree through the Column API costs one py4j round trip
+# per lambda/lit node (~400 for a 64-dim cosine — ~0.15 s of pure driver
+# latency PER PLAN BUILD). Emitting the same expression as one SQL
+# string parsed JVM-side collapses that to a single call; the resolved
+# tree (and therefore the arithmetic) is identical.
+
+def _dbl_sql(col_sql: str) -> str:
+    return f"transform({col_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text for the same left-fold dot product as :func:`dot`."""
+    return (
+        f"aggregate(zip_with({_dbl_sql(a_sql)}, {_dbl_sql(b_sql)},"
+        f" (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def lit_vec_sql(vec: list[float]) -> str:
+    """SQL array literal of doubles (repr round-trips exactly)."""
+    return "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vec) + ")"
+
+
+def cosine_vs_lit_sql(vec_sql: str, query: list[float], qnorm: float) -> str:
+    """SQL text for cosine(vec, query-literal) with the query norm
+    pre-folded driver-side (same left-to-right IEEE fold)."""
+    q = lit_vec_sql(query)
+    return (
+        f"try_divide({dot_sql(vec_sql, q)},"
+        f" sqrt({dot_sql(vec_sql, vec_sql)}) * CAST({float(qnorm)!r} AS DOUBLE))"
+    )

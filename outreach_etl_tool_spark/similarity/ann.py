@@ -25,7 +25,7 @@ from ..operators.util import ensure_parallelism
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    return F.lit([float(v) for v in vec])
 
 
 def topk_bruteforce(
@@ -35,10 +35,27 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine similarity (deterministic tiebreak on id)."""
+    """Exact top-k by cosine similarity (deterministic tiebreak on id).
+
+    Plan-build discipline: the whole scoring expression is emitted as
+    ONE SQL string parsed JVM-side, with the query as an inline array
+    literal and its norm pre-folded in Python (same left-to-right IEEE
+    fold as the JVM/DuckDB expression, so oracle hashes still match
+    bit-for-bit). The previous Column-API build cost ~400 py4j round
+    trips per invocation — pure driver latency that showed up as a
+    +49% bench regression at sf0.1."""
+    import math
+
+    from ..functions.vectors import cosine_vs_lit_sql
+
+    qd = [float(v) for v in query]
+    qnorm = 0.0
+    for v in qd:
+        qnorm += v * v
+    qnorm = math.sqrt(qnorm)
     scored = ensure_parallelism(df).select(
         F.col(id_col),
-        cosine(F.col(vec_col), _lit_vec(query)).alias("cos_sim"),
+        F.expr(cosine_vs_lit_sql(vec_col, qd, qnorm)).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
