@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 
 def _order(ts: str, tiebreak: list[str] | None):
-    return [F.asc(ts), *(F.asc(c) for c in (tiebreak or []))]
+    # nulls-first is Spark's asc default, but spelled explicitly: a
+    # null-ts observation must sort BEFORE real timestamps (it is the
+    # oldest knowledge we have), and relying on the engine default
+    # would silently flip if a caller ports the window to SQL
+    return [F.asc_nulls_first(ts), *(F.asc(c) for c in (tiebreak or []))]
 
 
 def compress_history(
@@ -41,7 +45,10 @@ def compress_history(
     changed = F.lit(False)
     for c in tracked:
         changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
-    is_first = F.lag(ts).over(w).isNull()
+    # first row by position, NOT lag(ts).isNull(): the lag form also
+    # fires when the PREVIOUS row's ts is null, letting an unchanged
+    # successor of a null-ts observation survive compression
+    is_first = F.row_number().over(w) == 1
     return (
         observations.withColumn("__keep", is_first | changed)
         .filter(F.col("__keep"))

@@ -144,10 +144,6 @@ class ManifestTable:
         parent = self.current_version()
         version = parent + 1
         target = self.manifest_dir / f"v{version}.json"
-        if target.exists():  # lost a concurrent commit race
-            raise RuntimeError(
-                f"concurrent commit detected at version {version}"
-            )
         manifest = {
             "version": version,
             "parent": parent,
@@ -157,9 +153,27 @@ class ManifestTable:
             "schema_json": schema_json,
             "stats": stats or {},
         }
-        tmp = self.manifest_dir / f".v{version}.json.tmp"
-        tmp.write_text(json.dumps(manifest))
-        os.replace(tmp, target)  # manifest visible atomically
+        # put-if-absent: the filesystem arbitrates the commit race. The
+        # previous exists()-then-replace was a TOCTOU window — two
+        # writers racing the same version could both pass the check and
+        # the later os.replace would silently clobber the earlier
+        # manifest. Writing a private tmp (fsynced) and hard-LINKING it
+        # to the version path makes exactly one winner, and the version
+        # file is complete the instant it exists — a crash mid-write
+        # can only orphan a tmp, never publish a torn manifest.
+        tmp = self.manifest_dir / f".v{version}.json.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit detected at version {version}"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
         tmp_latest = self.manifest_dir / ".LATEST.tmp"
         tmp_latest.write_text(str(version))
         os.replace(tmp_latest, self.manifest_dir / "LATEST")  # snapshot flips atomically
@@ -185,6 +199,25 @@ class ManifestTable:
         v = self.current_version()
         if v >= 0:
             m = self._manifest(v)
+            # the commit stamps ONE schema over historical + new files;
+            # silently stamping a drifted batch schema would null out
+            # renamed columns (or fail reads) on the old parquet. Drift
+            # is an error until explicit widening is implemented.
+            if json.loads(m["schema_json"]) != json.loads(schema_json):
+                old = {
+                    f["name"]: f["type"]
+                    for f in json.loads(m["schema_json"])["fields"]
+                }
+                new = {
+                    f["name"]: f["type"]
+                    for f in json.loads(schema_json)["fields"]
+                }
+                diff = sorted(
+                    set(old.items()) ^ set(new.items())
+                ) or sorted(set(old) ^ set(new))
+                raise ValueError(
+                    f"append schema mismatch vs snapshot v{v}: {diff}"
+                )
             prev_files, prev_rows = m["files"], m["n_rows"]
             prev_stats = m.get("stats", {})
         n = self._count_files(df.sparkSession, files, schema_json)
@@ -202,15 +235,25 @@ class ManifestTable:
         still one atomic pointer flip, so readers never observe the
         half-merged state the staging-and-rewrite pattern exposes."""
         spark = df.sparkSession
+        batch = df.withColumn("__src", F.lit(1))
         if self.exists():
-            merged = self.read(spark).unionByName(df)
+            merged = self.read(spark).withColumn("__src", F.lit(0)).unionByName(batch)
         else:
-            merged = df
-        w = Window.partitionBy(key).orderBy(F.col(ts).desc_nulls_last())
+            merged = batch
+        # deterministic winner at equal (key, ts): the incoming batch
+        # beats the stored row (an upsert means "this is the new
+        # truth"), and batch-internal ties resolve by content hash so
+        # replays pick the same row every run instead of whichever
+        # partition happened to sort first
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts).desc_nulls_last(),
+            F.col("__src").desc(),
+            F.xxhash64(*df.columns).desc(),
+        )
         latest = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
         return self.overwrite(latest)
 

@@ -133,3 +133,23 @@ def test_scd2_null_transitions(spark):
     kept = compress_history(df, key="user_id", ts="ts",
                             tracked=["event_type"], tiebreak=["event_id"])
     assert sorted(r["event_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_scd2_null_ts_first_row(spark):
+    """A null-ts observation sorts first and does NOT make its unchanged
+    successor look like a first row: first-row detection is positional
+    (row_number), not lag(ts).isNull(), which also fires when the
+    PREVIOUS row's ts is null."""
+    import datetime as dt
+
+    from outreach_etl_tool_spark.operators.scd2 import compress_history
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "a"),                          # null ts: oldest
+         (1, dt.datetime(2024, 3, 1, 9), 2, "a"),    # unchanged → drop
+         (1, dt.datetime(2024, 3, 1, 10), 3, "b")],  # change → keep
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+    kept = compress_history(df, key="user_id", ts="ts",
+                            tracked=["event_type"], tiebreak=["event_id"])
+    assert sorted(r["event_id"] for r in kept.collect()) == [1, 3]

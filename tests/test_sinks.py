@@ -236,6 +236,41 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     assert none.count() == 0 and none.schema == full.schema
 
 
+def test_manifest_append_rejects_schema_drift(spark, tmp_path):
+    """append() stamps one schema over historical + new files; a
+    drifted batch schema must raise, not silently null out renamed
+    columns when the new schema is applied to old parquet."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    drifted = spark.createDataFrame(
+        [(2, "b", _t(spark, 9))], "id long, renamed string, ts timestamp_ntz"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(drifted)
+    # same schema still appends fine
+    t.append(_df(spark, [(3, "c", _t(spark, 9))]))
+    assert t.read(spark).count() == 2
+
+
+def test_manifest_upsert_equal_ts_is_deterministic(spark, tmp_path):
+    """At equal (key, ts) the incoming batch beats the stored row, and
+    batch-internal duplicate keys at one ts resolve by content hash —
+    replaying the same upsert yields the same winner every run."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "stored", _t(spark, 8))]))
+    batch = _df(
+        spark, [(1, "batch_x", _t(spark, 8)), (1, "batch_y", _t(spark, 8))]
+    )
+    t.upsert(batch, key="id", ts="ts")
+    winner = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert winner[1] in ("batch_x", "batch_y")  # batch beat the store
+    first = winner[1]
+    for _ in range(3):  # replays never flip the winner
+        t.upsert(batch, key="id", ts="ts")
+        got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+        assert got[1] == first
+
+
 def test_manifest_concurrent_commit_detected(spark, tmp_path):
     """A lost commit race surfaces as an error, never a silently
     clobbered manifest: if the next version file already exists, the
