@@ -93,3 +93,36 @@ def test_ivf_prunes_scanned_fraction(spark):
     probe = set(int(i) for i in _np.argsort(-sims)[:3])
     scanned = with_cells.filter(F.col("cell").isin(list(probe))).count()
     assert scanned < 300  # pruning is real, not a full scan
+
+
+def test_knn_block_knob(spark):
+    """The n_blocks knob trades per-task memory for probe replication
+    (SCALE.md sizing rule): results are bit-identical for ANY B, the
+    probe side replicates exactly xB (explode over sequence(0, B-1) in
+    the plan), and the index blocks partition the corpus disjointly."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def key(rows):
+        return [(r["vec_id"], r["neighbor_id"], r["cos_sim"]) for r in
+                sorted(rows, key=lambda r: (r["vec_id"], r["neighbor_id"]))]
+
+    results = {
+        b: key(ann.knn_join_blocked(df, k=3, n_blocks=b).collect())
+        for b in (1, 4, 8)
+    }
+    assert results[1] == results[4] == results[8]  # exactness ∀ B
+    assert len({r[0] for r in results[1]}) == 40   # every probe served
+
+    # replication factor is exactly B: the probe branch explodes a
+    # 0..B-1 sequence (constant-folded to a literal array later, so
+    # assert on the analyzed plan, where the sequence is still symbolic)
+    plan = ann.knn_join_blocked(df, k=3, n_blocks=4)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "sequence(0, 3" in plan, plan[:2000]

@@ -164,6 +164,92 @@ def test_sliding_counts_runs(spark, tmp_path):
     ]
 
 
+def _equivalence_fixture(spark, tmp_path):
+    """Three micro-batches, out-of-order WITHIN the 1-day watermark (so
+    nothing is dropped and stream totals must equal a batch aggregation
+    of the same rows), multiple users/event-types, duplicate-free."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rng_rows = [
+        # batch 1: morning, two types
+        [ev(1, "2024-03-01T10:07:00Z", 1, "view", 2.0),
+         ev(2, "2024-03-01T10:40:00Z", 2, "click", 1.0),
+         ev(3, "2024-03-01T11:05:00Z", 1, "view", 3.0)],
+        # batch 2: out-of-order rows from earlier hours (inside watermark)
+        [ev(4, "2024-03-01T09:55:00Z", 2, "view", 1.5),
+         ev(5, "2024-03-01T10:59:00Z", 3, "click", 0.5),
+         ev(6, "2024-03-01T12:01:00Z", 1, "buy", 7.0)],
+        # batch 3: next-day rows plus one almost-a-day-late row
+        [ev(7, "2024-03-02T10:00:00Z", 2, "view", 1.0),
+         ev(8, "2024-03-01T13:30:00Z", 3, "view", 4.0)],
+        # batch 4: watermark barrier — append mode only emits a window
+        # once the watermark passes its end, so a far-future event
+        # flushes every real window; both sides exclude it
+        [ev(99, "2024-03-05T00:00:00Z", 9, "barrier", 0.0)],
+    ]
+    for i, rows in enumerate(rng_rows, 1):
+        write_batch(src, f"b{i}.json", rows)
+    static = (
+        spark.read.schema(ST.EVENT_SCHEMA)
+        .json(str(src))
+        .filter("event_type <> 'barrier'")
+    )
+    return src, static
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    """T1 equivalence at the operator surface: the streaming
+    tumbling_counts result over replayed micro-batches equals the same
+    groupBy run as one batch job on the identical rows."""
+    from pyspark.sql import functions as F
+
+    src, static = _equivalence_fixture(spark, tmp_path)
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    run_to_memory(ST.tumbling_counts(events, window="1 hour",
+                                     watermark="1 day"), "tumb_eq")
+    got = {
+        (r["bucket_start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in collect_memory(spark, "tumb_eq")
+        if r["event_type"] != "barrier"
+    }
+    expect = {
+        (r["bucket_start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in (
+            static.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+            .select(F.col("window.start").alias("bucket_start"),
+                    "event_type", "n", "total_value")
+        ).collect()
+    }
+    assert got == expect and len(got) >= 6
+
+
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    """T2 equivalence: streaming sliding_counts over replayed
+    micro-batches equals the batch sliding-window aggregation."""
+    from pyspark.sql import functions as F
+
+    src, static = _equivalence_fixture(spark, tmp_path)
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    run_to_memory(ST.sliding_counts(events, window="1 hour",
+                                    slide="15 minutes",
+                                    watermark="1 day"), "slide_eq")
+    got = {
+        r["win_start"].isoformat(): r["n"]
+        for r in collect_memory(spark, "slide_eq")
+        if r["win_start"].month == 3 and r["win_start"].day < 4
+    }
+    expect = {
+        r["win_start"].isoformat(): r["n"]
+        for r in (
+            static.groupBy(F.window("ts", "1 hour", "15 minutes"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("win_start"), "n")
+        ).collect()
+    }
+    assert got == expect and len(got) >= 8
+
+
 def test_upsert_sink_keeps_latest(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
