@@ -61,10 +61,14 @@ def _rotation_key(name: str) -> tuple[int, int, str]:
 
 
 def _build_registry() -> dict[str, QuerySpec]:
-    from . import aggregates, core, events, joins, llm, pipeline, udfs, windows
+    from . import (
+        aggregates, core, events, extended, joins, llm, pipeline, udfs, windows,
+    )
 
     by_module: dict[str, QuerySpec] = {}
-    for mod in (core, joins, aggregates, windows, events, llm, pipeline, udfs):
+    for mod in (
+        core, joins, aggregates, windows, events, llm, pipeline, udfs, extended,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in by_module:
                 raise ValueError(f"duplicate query name {name!r}")

@@ -1,0 +1,269 @@
+"""Round-3 coverage extensions: multi-dim join analytics, corpus
+n-gram statistics, and time-series gap filling.
+
+Each query follows the registry contract — identical column aliases in
+the Spark plan and the DuckDB oracle, integer-exact arithmetic wherever
+a float would make the value hash engine-dependent (integer counts
+divide to bit-identical doubles in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import exact_sum, sum_sql
+from ..functions.text import tokens
+from ..operators.util import ensure_parallelism
+from . import QuerySpec
+
+
+# ---------------------------------------------------------------------------
+# SQL Q5 — local-supplier revenue by nation (TPC-H Q5 shape): the
+# six-way join tree. Scale shape: region/nation/supplier/customer are
+# broadcast dims; orders⋈lineitem is the one fact-fact shuffle; the
+# c_nationkey = s_nationkey "local supplier" predicate closes the loop
+# on already-joined columns without another shuffle. Catalyst orders
+# the joins from stats; the date filter pushes to the orders scan.
+# ---------------------------------------------------------------------------
+def sql_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(exact_sum(revenue, scale=6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_Q5_REGION_REVENUE_SQL = f"""
+SELECT n_name, {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# REPETITION RATIO — Gopher/RefinedWeb-style quality signal: the
+# fraction of a document's bigrams that are repeats. Pure JVM HOF
+# projection per row (no shuffle at all); the ratio divides two exact
+# integers so the double is engine-identical.
+# ---------------------------------------------------------------------------
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    n_bi = F.when(n >= 2, n - 1).otherwise(F.lit(0))
+    n_dist = F.when(n >= 2, F.size(F.array_distinct(bigrams))).otherwise(F.lit(0))
+    ratio = F.when(
+        n >= 2,
+        F.lit(1.0) - n_dist.cast("double") / n_bi.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_bi.cast("long").alias("n_bigrams"),
+        n_dist.cast("long").alias("n_distinct_bigrams"),
+        ratio.alias("dup_bigram_ratio"),
+    )
+
+
+REPETITION_RATIO_SQL = """
+WITH arrs AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN LEN(arr) >= 2 THEN LEN(arr) - 1 ELSE 0 END AS BIGINT)
+           AS n_bigrams,
+       CAST(CASE WHEN LEN(arr) >= 2 THEN LEN(LIST_DISTINCT(
+               [array_to_string(list_slice(arr, i, i + 1), ' ')
+                for i in generate_series(1, LEN(arr) - 1)]))
+           ELSE 0 END AS BIGINT) AS n_distinct_bigrams,
+       CASE WHEN LEN(arr) >= 2 THEN
+           1.0 - CAST(LEN(LIST_DISTINCT(
+               [array_to_string(list_slice(arr, i, i + 1), ' ')
+                for i in generate_series(1, LEN(arr) - 1)])) AS DOUBLE)
+               / CAST(LEN(arr) - 1 AS DOUBLE)
+       ELSE 0.0 END AS dup_bigram_ratio
+FROM arrs
+"""
+
+
+# ---------------------------------------------------------------------------
+# BIGRAM LM TOP-K — corpus bigram counts with conditional probability
+# P(next|prev): the n-gram language-model build shape. Explode to
+# (prev, next) pairs, hash-aggregate (map-side partial absorbs the
+# Zipf head), window-sum per prev for the denominator, TakeOrdered
+# top-k with a full deterministic tiebreak.
+# ---------------------------------------------------------------------------
+_BIGRAM_K = 50
+
+
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.get(toks, i - 1).alias("prev"), F.get(toks, i).alias("nxt")
+        ),
+    )
+    bi = (
+        docs.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.prev", "p.nxt")
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").alias("n_bi"))
+    )
+    w = Window.partitionBy("prev")
+    return (
+        bi.withColumn(
+            "p_next",
+            F.col("n_bi").cast("double") / F.sum("n_bi").over(w).cast("double"),
+        )
+        .orderBy(F.desc("n_bi"), F.asc("prev"), F.asc("nxt"))
+        .limit(_BIGRAM_K)
+    )
+
+
+BIGRAM_LM_TOPK_SQL = f"""
+WITH arrs AS (
+    SELECT regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr FROM documents
+), bi AS (
+    SELECT arr[i] AS prev, arr[i + 1] AS nxt
+    FROM arrs, UNNEST(generate_series(1, LEN(arr) - 1)) AS t(i)
+    WHERE LEN(arr) >= 2
+), counts AS (
+    SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi GROUP BY 1, 2
+)
+SELECT prev, nxt, n_bi,
+       CAST(n_bi AS DOUBLE)
+           / CAST(SUM(n_bi) OVER (PARTITION BY prev) AS DOUBLE) AS p_next
+FROM counts
+ORDER BY n_bi DESC, prev ASC, nxt ASC
+LIMIT {_BIGRAM_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# EVENT GAP FILL — per-user hourly spine with forward fill (the
+# time-series resample/interpolate shape). No cross join: each user's
+# spine spans only their own [min, max] hour (sequence + explode), so
+# spine size is Σ user-spans, not |users| × global-span. One exchange
+# on user_id is shared by the per-user bounds agg, the join, and the
+# forward-fill window.
+# ---------------------------------------------------------------------------
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    # last observation per (user, hour): deterministic by (ts, event_id)
+    wlast = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.select("user_id", h.alias("h"), "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(wlast))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "h", F.col("value").alias("obs_value"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("obs_value", ignorenulls=True)
+            .over(wfill)
+            .alias("filled_value"),
+            F.col("obs_value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+EVT_GAP_FILL_SQL = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, value AS obs_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, date_trunc('hour', ts)
+        ORDER BY ts DESC, event_id DESC) = 1
+), bounds AS (
+    SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+), spine AS (
+    SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+)
+SELECT s.user_id, s.h,
+       LAST_VALUE(hv.obs_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       hv.obs_value IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN hourly hv ON s.user_id = hv.user_id AND s.h = hv.h
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sql_q5_region_revenue": QuerySpec(
+        sql_q5_region_revenue, SQL_Q5_REGION_REVENUE_SQL,
+        tags=("J1", "J2", "A2", "O1"), bench=True,
+        doc="TPC-H Q5 shape: six-way join, broadcast dims, local-supplier predicate",
+    ),
+    "repetition_ratio": QuerySpec(
+        repetition_ratio, REPETITION_RATIO_SQL, tags=("L4", "F6"),
+        doc="duplicate-bigram fraction per doc (Gopher-style quality gate)",
+    ),
+    "bigram_lm_topk": QuerySpec(
+        bigram_lm_topk, BIGRAM_LM_TOPK_SQL, tags=("L4", "A2", "W3", "O3"),
+        doc="corpus bigram LM counts + conditional probabilities, top-k",
+    ),
+    "evt_gap_fill": QuerySpec(
+        evt_gap_fill, EVT_GAP_FILL_SQL, tags=("T6", "W3", "F2"),
+        doc="per-user hourly spine + forward fill (resample/interpolate)",
+    ),
+}
