@@ -9,6 +9,7 @@ divide to bit-identical doubles in both engines).
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: @pandas_udf type-hint inference
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -248,7 +249,53 @@ FROM spine s LEFT JOIN hourly hv ON s.user_id = hv.user_id AND s.h = hv.h
 """
 
 
+# ---------------------------------------------------------------------------
+# HEAVY HITTERS — count-min-sketch candidates + exact verify. The CMS
+# only ever OVER-counts, so probing it yields a candidate superset
+# (no false negatives); the exact count over the semi-joined subset
+# removes false positives — output equals the plain GROUP BY / HAVING
+# bit-for-bit, which is exactly what the oracle runs. At 100 TB the
+# sketch is ~256 KB of additive state built in one narrow pass
+# (functions/cms.py, same partial-merge shape as the bloom build) and
+# the exact pass touches only candidate keys.
+# ---------------------------------------------------------------------------
+_HH_THRESHOLD = 80
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cms import build_cms_distributed
+
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    cms = build_cms_distributed(ev, "user_id", d=4, w=8192)
+    bc = spark.sparkContext.broadcast(cms)
+
+    @F.pandas_udf("boolean")
+    def maybe_heavy(keys: pd.Series) -> pd.Series:
+        est = bc.value.estimate(keys.to_numpy(dtype="int64"))
+        return pd.Series(est >= _HH_THRESHOLD)
+
+    cand = ev.select("user_id").distinct().filter(maybe_heavy(F.col("user_id")))
+    return (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= _HH_THRESHOLD)
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= {_HH_THRESHOLD}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "heavy_hitters": QuerySpec(
+        heavy_hitters, HEAVY_HITTERS_SQL, tags=("A4", "A2", "J5"),
+        doc="count-min-sketch candidates + exact verify == GROUP BY/HAVING",
+    ),
     "sql_q5_region_revenue": QuerySpec(
         sql_q5_region_revenue, SQL_Q5_REGION_REVENUE_SQL,
         tags=("J1", "J2", "A2", "O1"), bench=True,

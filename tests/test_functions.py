@@ -167,3 +167,22 @@ def test_bloom_empty_and_tiny():
     assert b.contains([]).shape == (0,)
     tiny = build_bloom(["only one"])
     assert tiny.contains(["only one"]).all()
+
+
+# ----------------------------------------------------------- count-min sketch
+def test_cms_never_undercounts_and_is_tight(spark):
+    """CMS property: estimate >= true count for every key (this is what
+    makes the heavy-hitters candidate set a superset), and at 4x8192
+    for a few hundred keys the overestimate is almost always zero."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.functions.cms import build_cms_distributed
+
+    rng = np.random.RandomState(3)
+    keys = rng.zipf(1.5, size=5000) % 400  # skewed, like real traffic
+    df = spark.createDataFrame([(int(k),) for k in keys], "user_id long").repartition(8)
+    cms = build_cms_distributed(df, "user_id", d=4, w=8192)
+    uniq, true_counts = np.unique(keys, return_counts=True)
+    est = cms.estimate(uniq.astype(np.int64))
+    assert (est >= true_counts).all()  # never undercounts, ever
+    assert float(np.mean(est - true_counts)) < 1.0  # tight at this load
