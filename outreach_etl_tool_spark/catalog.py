@@ -14,6 +14,8 @@ ReadSchema minimal.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,11 +115,14 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-# events.ts is physically TIMESTAMP(NANOS) in the testdata parquet, which
-# Spark's reader rejects (nanos exceed TimestampNTZ's micro precision). We
-# read it as raw INT64 nanos (spark.sql.legacy.parquet.nanosAsLong) and
-# truncate to micros in the plan — the same ns→µs truncation DuckDB applies,
-# so oracle comparison is exact.
+# events.ts has shipped both as TIMESTAMP(NANOS) (testdata rounds 1-3) and
+# TIMESTAMP(MICROS) (round 4+). Spark reads micros natively into
+# TimestampNTZ but rejects nanos, so we sniff the parquet footer once per
+# path and pick the decode: nanos → raw-INT64 read + ns→µs truncation in
+# the plan (the same truncation DuckDB applies, so oracle comparison stays
+# exact); anything else → the declared schema straight through. Assuming
+# one unit and silently decoding the other collapses every 2024 timestamp
+# onto 1970-01-20 — never hard-code the unit.
 _RAW_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
@@ -174,21 +179,54 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Timestamp unit ('ns'/'us'/'ms'/'s') of events.ts, read from the
+    parquet footer — metadata-only, cached per path. The driver has
+    regenerated the testdata with a different unit between rounds, so the
+    unit is a property of the files, not of the engine."""
+    return _events_ts_unit(table_path(sf_dir, "events"))
+
+
+@_lru_cache(maxsize=None)
+def _events_ts_unit(path: str) -> str:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        probe = parts[0]
+    field = pq.read_schema(probe).field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit is None:
+        raise TypeError(f"events.ts is not a timestamp column: {field.type}")
+    return unit
+
+
+def _events_ns_to_ntz(raw: DataFrame) -> DataFrame:
+    """Project raw-INT64-nanos `ts` down to TimestampNTZ micros."""
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        .cast(T.TimestampNTZType())
+        .alias("ts")
+    )
+    return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema (never inferred)."""
     ensure_shipped(spark)
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; declared: {sorted(SCHEMAS)}")
-    if name == "events":
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
         raw = spark.read.schema(_RAW_SCHEMAS[name]).parquet(
             table_path(sf_dir, name)
         )
-        ts = (
-            F.timestamp_micros(F.expr("ts div 1000"))
-            .cast(T.TimestampNTZType())
-            .alias("ts")
-        )
-        return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+        return _events_ns_to_ntz(raw)
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
@@ -211,17 +249,37 @@ def load_events_between(
     hi: str | None = None,
 ) -> DataFrame:
     """Events with an INCLUSIVE [lo, hi] ts filter that actually pushes
-    down to the parquet scan.
-
-    The generic reader converts the raw nanos column to TimestampNTZ in
-    a projection, so any predicate a caller applies afterwards wraps
-    that expression and never reaches the scan (no row-group pruning —
-    at 100 TB that is a full-table read). The ns→µs conversion is
-    monotone, so bounds translate exactly to raw-nanos bounds applied
-    BEFORE the conversion: ts_µs >= L  ⇔  ts_ns >= L·1000, and
-    ts_µs <= H  ⇔  ts_ns <= H·1000+999. Bounds are UTC-naive strings
+    down to the parquet scan. Bounds are UTC-naive strings
     ('YYYY-MM-DD HH:MM:SS[.ffffff]').
+
+    Micros files (current testdata): filter the native TimestampNTZ
+    column directly — Spark pushes timestamp predicates into the scan
+    for row-group pruning.
+
+    Nanos files: the reader converts the raw nanos column to
+    TimestampNTZ in a projection, so a predicate applied afterwards
+    wraps that expression and never reaches the scan (no row-group
+    pruning — at 100 TB that is a full-table read). The ns→µs
+    conversion is monotone, so bounds translate exactly to raw-nanos
+    bounds applied BEFORE the conversion: ts_µs >= L ⇔ ts_ns >= L·1000,
+    and ts_µs <= H ⇔ ts_ns <= H·1000+999.
     """
+    ensure_shipped(spark)
+    if events_ts_unit(sf_dir) != "ns":
+        # String → TimestampNTZ literal casts fold at plan time, so the
+        # comparison stays column-vs-literal and pushes into the scan
+        # (a python datetime lit would be TIMESTAMP-with-zone and wrap
+        # the column in a cast instead).
+        _ntz = lambda b: F.lit(b).cast(T.TimestampNTZType())  # noqa: E731
+        df = spark.read.schema(SCHEMAS["events"]).parquet(
+            table_path(sf_dir, "events")
+        )
+        if lo is not None:
+            df = df.filter(F.col("ts") >= _ntz(lo))
+        if hi is not None:
+            df = df.filter(F.col("ts") <= _ntz(hi))
+        return df
+
     raw = spark.read.schema(_RAW_SCHEMAS["events"]).parquet(
         table_path(sf_dir, "events")
     )
@@ -231,12 +289,7 @@ def load_events_between(
         raw = raw.filter(F.col("ts") >= _us(lo) * 1000)
     if hi is not None:
         raw = raw.filter(F.col("ts") <= _us(hi) * 1000 + 999)
-    ts = (
-        F.timestamp_micros(F.expr("ts div 1000"))
-        .cast(T.TimestampNTZType())
-        .alias("ts")
-    )
-    return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+    return _events_ns_to_ntz(raw)
 
 
 def load_tables(
