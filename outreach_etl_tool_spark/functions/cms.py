@@ -64,6 +64,31 @@ class CountMin:
         return est
 
 
+def cms_width_for(
+    total: int,
+    threshold: int,
+    w_min: int = 1024,
+    w_max: int = 1 << 22,
+) -> int:
+    """Data-derived CMS width for heavy-hitter detection.
+
+    The expected collision mass landing on any counter is total/w, so a
+    key's over-count is ~total/w per row (the min over d rows only
+    helps). Keeping that at or below threshold/4 (w >= 4*total/
+    threshold) means only keys within ~25% of the threshold can become
+    false-positive candidates — the candidate set stays a small
+    multiple of the true heavy-hitter set instead of approaching all
+    keys, which is what a fixed w does as data grows. Width snaps to a
+    power of two in [w_min, w_max]; at the cap (4M counters, 128 MB at
+    d=4) the superset guarantee degrades gracefully and the exact
+    verify pass still removes every false positive — only its input
+    grows. Mirrors the data-derived sizing of the bloom build
+    (functions/bloom.py)."""
+    target = max(w_min, int(np.ceil(4 * total / max(threshold, 1))))
+    w = 1 << int(np.ceil(np.log2(target)))
+    return min(w, w_max)
+
+
 def build_cms_distributed(
     df, col: str, d: int = 4, w: int = 8192
 ) -> CountMin:

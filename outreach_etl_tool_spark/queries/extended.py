@@ -263,10 +263,18 @@ _HH_THRESHOLD = 80
 
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.cms import build_cms_distributed
+    from ..functions.cms import build_cms_distributed, cms_width_for
 
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
-    cms = build_cms_distributed(ev, "user_id", d=4, w=8192)
+    # Size the sketch from the data, not a constant: CMS over-count
+    # scales with TOTAL event count, so a fixed w=8192 that is exact at
+    # sf0.1 turns every key into a candidate at 10^9 users. One cheap
+    # columnar count pass derives the width (cms_width_for docs the
+    # error budget).
+    total = ev.count()
+    cms = build_cms_distributed(
+        ev, "user_id", d=4, w=cms_width_for(total, _HH_THRESHOLD)
+    )
     bc = spark.sparkContext.broadcast(cms)
 
     @F.pandas_udf("boolean")
@@ -275,8 +283,12 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(est >= _HH_THRESHOLD)
 
     cand = ev.select("user_id").distinct().filter(maybe_heavy(F.col("user_id")))
+    # No broadcast hint on the candidate side: its size is data-
+    # dependent (could approach all keys under an adversarial
+    # threshold), so let AQE pick broadcast vs shuffled semi-join from
+    # the observed size at runtime.
     return (
-        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        ev.join(cand, "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
         .filter(F.col("n_events") >= _HH_THRESHOLD)

@@ -186,3 +186,22 @@ def test_cms_never_undercounts_and_is_tight(spark):
     est = cms.estimate(uniq.astype(np.int64))
     assert (est >= true_counts).all()  # never undercounts, ever
     assert float(np.mean(est - true_counts)) < 1.0  # tight at this load
+
+
+def test_cms_width_sizing_rule():
+    """Width is data-derived: w >= 4*total/threshold (expected
+    over-count <= threshold/4), snapped to a power of two and clamped
+    to [w_min, w_max] so sketch state stays bounded at any scale."""
+    from outreach_etl_tool_spark.functions.cms import cms_width_for
+
+    # error-budget bound holds whenever the cap doesn't bind
+    for total, thr in [(10_000, 80), (1_000_000, 80), (5_000_000, 500)]:
+        w = cms_width_for(total, thr)
+        assert w >= 4 * total / thr
+        assert w & (w - 1) == 0  # power of two
+    # small data floors at w_min, huge data clamps at w_max
+    assert cms_width_for(100, 80) == 1024
+    assert cms_width_for(10**12, 80) == 1 << 22
+    # monotone in total for fixed threshold
+    widths = [cms_width_for(t, 80) for t in (10**4, 10**6, 10**8)]
+    assert widths == sorted(widths)
