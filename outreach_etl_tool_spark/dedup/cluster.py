@@ -22,8 +22,13 @@ skeleton, so swapping the step function is local.
 
 Scale notes, measured on this engine:
 
-- Each round is ONE shuffle (union of self-labels and neighbor-labels,
-  groupBy node, min). The edge table is re-used every round and is
+- The iterative loop touches ONLY edge endpoints: nodes with no pairs
+  are singletons by construction and join back in one final left join,
+  so every round's shuffle is sized by the duplicate graph (sparse),
+  not the corpus. Round 1 is fused into the label init (one groupBy of
+  the edge list). Each subsequent round is ONE shuffle (union of
+  self-labels and neighbor-labels, groupBy node, min). The edge table
+  is re-used every round and is
   persisted once; labels are ``localCheckpoint``-ed each round, which
   truncates the exponentially-growing lineage (without it, round r
   re-plans all rounds < r and the driver's plan-compile time, not the
@@ -168,9 +173,20 @@ def connected_components(
         sym.unpersist()
         return out
 
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # The loop runs ONLY over edge endpoints: a node with no edges is a
+    # singleton by construction and can never change label, so carrying
+    # the full corpus through every round just multiplies each round's
+    # shuffle by corpus/|endpoints| (typically orders of magnitude at
+    # 100 TB — duplicate graphs are sparse). Isolated nodes re-enter
+    # via the final left join. Round 1 is fused into the init: each
+    # endpoint starts at min(own id, min neighbor id), one groupBy
+    # instead of a union + groupBy round.
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min("peer").alias("min_peer"))
+        .select("node", F.least("node", "min_peer").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     # decimal(38,0) sum: exact for any id domain (a long sum would
     # overflow — and under ANSI, fail — at ~10^11 ids × 10^11 values)
@@ -178,8 +194,10 @@ def connected_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
-    converged = False
+    converged = labels.isEmpty()  # no edges → nothing to propagate
     for _ in range(max_iter):
+        if converged:
+            break
         # neighbor labels: peer's current label flows to node
         neighbor = sym.join(
             labels.select(F.col("node").alias("peer"), "label"), "peer"
@@ -194,7 +212,6 @@ def connected_components(
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease → fixed point
             converged = True
-            break
         prev_sum = new_sum
     sym.unpersist()
     if not converged:
@@ -206,4 +223,9 @@ def connected_components(
             "the graph has a component with diameter > max_iter — raise "
             "max_iter or switch the step function to large-star/small-star"
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return nodeset.join(
+        labels, "node", "left"
+    ).select(
+        F.col("node").alias(id_col),
+        F.coalesce("label", "node").alias("cluster_id"),
+    )

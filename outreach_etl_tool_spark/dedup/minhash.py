@@ -37,14 +37,26 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     with no tokens yield an empty array. (Note: sequence(1, hi) with
     hi < 1 would DESCEND through 0 and make slice() throw — the floor
     at 1 plus the n>0 guard covers both short and empty docs.)
-    """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.when(n > 0, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    The token array is bound ONCE through a single-element-array
+    lambda: higher-order functions evaluate the element and bind it to
+    the lambda variable, so the regex tokenizer runs once per row no
+    matter how many times the shingle construction references the
+    array. Referencing ``tokens(text)`` directly repeats the regex per
+    reference — and worse, Catalyst's project collapsing then inlines
+    the whole expression into every downstream consumer (a
+    filter + size + explode chain re-tokenized every row 7× in the
+    executed plan, measured)."""
+
+    def _build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        return F.when(n > 0, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), _build), 1)
 
 
 def _hash_family(num_hashes: int, seed: int = 7):

@@ -1,9 +1,19 @@
-"""Exact n-gram Jaccard similarity self-join (SURVEY.md §2.10 L2).
+"""Exact n-gram Jaccard similarity via shingle posting lists
+(SURVEY.md §2.10 L2).
 
-The exact counterpart to MinHash: explode distinct shingles to
-(shingle, id) pairs, self-join on shingle to count intersections, then
-jaccard = |∩| / (|A| + |B| - |∩|). Correct and fully distributed, but
-the shingle join can blow up on low-entropy corpora — this is the
+The exact counterpart to MinHash: shingle each doc, group (part,
+shingle) into a posting list of the docs containing it, emit every
+ordered pair within each list, and count how many shingles each pair
+shares; jaccard = |∩| / (|A| + |B| - |∩|). The posting-list shape
+beats the textbook exploded self-join twice over: the expensive
+shingle expression is evaluated ONCE (the self-join's two aliases plus
+the doc-size branch re-ran the tokenizer up to three times per query),
+and there are zero joins — doc shingle-counts ride along inside the
+posting-list structs, so the plan is explode → groupBy shingle →
+explode pairs → groupBy pair, exactly two shuffles whose payload is
+(shingle, id) tuples, not duplicated left/right copies. Pair blow-up
+on a low-entropy corpus (a shingle shared by n docs emits n²/2 rows)
+is inherent to EXACT jaccard in any formulation — this is the
 verification/small-partition tool; MinHash (minhash.py) is the scale
 path. A `partition_col` restricts pairs to the same partition (e.g.
 `source`), which is also how a 100 TB run would shard it.
@@ -29,31 +39,42 @@ def jaccard_pairs(
     """Pairs (id_a < id_b) with k-shingle Jaccard ≥ threshold."""
     df = ensure_parallelism(df)
     part = F.col(partition_col) if partition_col else F.lit(0)
+    # No pre-explode emptiness filter: explode of an empty array emits
+    # zero rows, so shingle-less docs drop out for free — and each
+    # extra reference to `sh` is another full evaluation of the
+    # shingle expression once Catalyst collapses the projections.
     base = df.select(
         F.col(id_col).alias("id"),
         part.alias("part"),
         shingles(text_col, k).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sizes = base.select("id", "part", F.size("sh").alias("n_sh"))
-
-    exploded = base.select("id", "part", F.explode("sh").alias("shingle"))
-    l, r = exploded.alias("l"), exploded.alias("r")
-    common = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.part") == F.col("r.part"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
     )
 
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # (part, shingle) → posting list of (id, doc shingle-count) structs;
+    # singleton lists can't form a pair, so drop them before the n²
+    # within-list expansion.
+    posts = (
+        base.select(
+            "id",
+            "part",
+            F.size("sh").alias("n"),
+            F.explode("sh").alias("shingle"),
+        )
+        .groupBy("part", "shingle")
+        .agg(F.collect_list(F.struct("id", "n")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        posts.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n").alias("n_a"),
+            F.first("b.n").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
