@@ -175,8 +175,18 @@ def minhash_signature(
     text: Column | str, num_hashes: int = 32, k: int = 3
 ) -> Column:
     """Array of ``num_hashes`` minhash values (long); null for docs
-    with no tokens."""
-    return make_signature_udf(num_hashes, k)(tokens(text))
+    with no tokens.
+
+    The UDF is marked non-deterministic (it isn't — same input, same
+    signature) purely to pin it in place: Catalyst otherwise pushes an
+    ``isNotNull(sig)`` predicate below the parallelism repartition with
+    the UDF inlined, so the whole tokenize+hash kernel runs TWICE per
+    row — once in the pushed filter, once in the projection above
+    (observed as two stacked ArrowEvalPython nodes in the executed
+    plan). Blocking the push keeps one evaluation; the filter then
+    runs post-shuffle, which is the right trade — the shuffle carries
+    (id, text) either way."""
+    return make_signature_udf(num_hashes, k).asNondeterministic()(tokens(text))
 
 
 def bucket_pairs(
@@ -297,14 +307,38 @@ def candidate_pairs(
         .join(cand_ids, "id", "left_semi")
         .select("id", shingles(F.col("__t"), k).alias("sh"))
     )
-    verified = (
-        cand.join(sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    # Melt each pair into two (pair, id) rows and attach shingle sets
+    # with ONE join instead of one per side: the two-join shape
+    # references the scan→semi-join→shingle subplan twice, so the
+    # corpus was scanned and the candidate docs re-shingled once PER
+    # SIDE (two IsNotNull(doc_id) scans in the r3 plan audit). Here
+    # sh_only appears once in the plan — no reliance on runtime
+    # exchange reuse — and the pair regroup shuffles only
+    # candidate-pair payloads (two shingle arrays per pair), which
+    # stay a tiny fraction of the corpus at any scale.
+    pairs_long = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    side = (
+        pairs_long.join(sh_only, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        verified.withColumn("jaccard", inter / union)
+        side.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

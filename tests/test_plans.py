@@ -123,10 +123,12 @@ SHUFFLE_BUDGETS = {
     "evt_scd2_history": 1,   # both windows share one (key, ts) exchange
     "quality_percentile_trim": 1,  # 2-value bounds agg; scan unshuffled
     "decontaminate_bloom": 2,  # bloom probe is narrow; verify + agg
-    # bucket pipeline + pair dedup + verify chain; the r2 regression
-    # (12 exchanges via a redundant distinct + array-column persist)
-    # fails here if it comes back
-    "dedup_minhash": 10,
+    # bucket pipeline + pair dedup + melt-join verify (sh_only appears
+    # ONCE in the plan); the r2 regression (12 exchanges via a
+    # redundant distinct + array-column persist) and the r3 two-join
+    # verify shape (10 — corpus scanned once per pair side) both fail
+    # here if they come back
+    "dedup_minhash": 7,
 }
 
 
