@@ -11,7 +11,15 @@ the spark-bigquery connector when present, and a pluggable notifier.
 from .layout import write_clustered
 from .manifest import ManifestTable
 from .writers import BigQuerySink, write_bucketed, write_partitioned
-from .notify import EmailNotifier, LogNotifier, Notifier
+from .notify import (
+    EmailNotifier,
+    FileTransport,
+    LogNotifier,
+    MemoryTransport,
+    Message,
+    Notifier,
+    notify_run_log,
+)
 
 __all__ = [
     "ManifestTable",
@@ -22,4 +30,8 @@ __all__ = [
     "Notifier",
     "LogNotifier",
     "EmailNotifier",
+    "Message",
+    "MemoryTransport",
+    "FileTransport",
+    "notify_run_log",
 ]

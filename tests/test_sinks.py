@@ -69,6 +69,63 @@ def test_log_notifier(caplog):
     assert any("sync done" in r.message for r in caplog.records)
 
 
+def test_email_notifier_run_log_through_memory_transport(tmp_path):
+    """The reference's end-of-sync behavior (subject + body + run-log
+    attachment) delivered through the transport seam, no SMTP."""
+    from outreach_etl_tool_spark.sinks import (
+        EmailNotifier,
+        MemoryTransport,
+        notify_run_log,
+    )
+
+    log = tmp_path / "run.log"
+    log.write_text("synced 3 tables\n0 quarantined rows\n")
+    outbox = MemoryTransport()
+    n = EmailNotifier(
+        sender="etl@example.com",
+        recipient="ops@example.com",
+        transport=outbox,
+        run_log_path=str(log),
+    )
+    notify_run_log(n, "nightly-sync", str(log))
+    assert n.sent_count == 1
+    [msg] = outbox.sent
+    assert msg.to == "ops@example.com"
+    assert msg.subject == "run complete: nightly-sync"
+    assert "synced 3 tables" in msg.body
+    assert msg.attachment_bytes() == log.read_bytes()
+
+
+def test_email_notifier_file_transport_writes_outbox(tmp_path):
+    from outreach_etl_tool_spark.sinks import EmailNotifier, FileTransport
+
+    import json
+
+    log = tmp_path / "run.log"
+    log.write_text("all green")
+    n = EmailNotifier(
+        sender="etl@example.com",
+        recipient="ops@example.com",
+        transport=FileTransport(str(tmp_path / "outbox")),
+        run_log_path=str(log),
+    )
+    n.notify("run complete: daily", "all green")
+    n.notify("run complete: weekly", "all green")
+    files = sorted((tmp_path / "outbox").glob("msg_*.json"))
+    assert len(files) == 2
+    payload = json.loads(files[0].read_text())
+    assert payload["subject"] == "run complete: daily"
+    # outbox is self-contained: attachment content inlined
+    assert payload["attachment_content"] == "all green"
+
+
+def test_email_notifier_without_transport_fails_loudly():
+    from outreach_etl_tool_spark.sinks import EmailNotifier
+
+    with pytest.raises(NotImplementedError, match="transport"):
+        EmailNotifier("a@x", "b@x").notify("s", "b")
+
+
 def test_write_clustered_enables_minmax_pruning(spark, tmp_path):
     from outreach_etl_tool_spark.sinks import write_clustered
     import pyarrow.parquet as pq
