@@ -250,6 +250,52 @@ def test_sliding_stream_matches_batch(spark, tmp_path):
     assert got == expect and len(got) >= 8
 
 
+def test_session_stream_matches_batch(spark, tmp_path):
+    """T3 equivalence: streaming session_counts over replayed
+    out-of-order micro-batches equals the batch `sessionize` operator
+    aggregated to session bounds on the identical rows. Streaming
+    session_window's end = last event ts + gap, which is exactly
+    max(ts) + gap per (user, session_id) on the batch side."""
+    from pyspark.sql import functions as F
+
+    from outreach_etl_tool_spark.operators.sessionize import sessionize
+
+    gap_min = 30
+    src, static = _equivalence_fixture(spark, tmp_path)
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    run_to_memory(
+        # 1 day: wide enough that no fixture row is late-dropped, small
+        # enough that the 03-05 barrier pushes the watermark past every
+        # real session's end so append mode actually emits them
+        ST.session_counts(events, gap=f"{gap_min} minutes", watermark="1 day"),
+        "sess_eq",
+    )
+    got = {
+        (r["user_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat()): (r["n_events"], r["total_value"])
+        for r in collect_memory(spark, "sess_eq")
+        if r["user_id"] != 9  # barrier row flushes the real sessions
+    }
+    expect = {
+        (r["user_id"], r["session_start"].isoformat(),
+         r["session_end"].isoformat()): (r["n_events"], r["total_value"])
+        for r in (
+            sessionize(static, "user_id", "ts", gap_seconds=gap_min * 60,
+                       order_tiebreak="event_id")
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                (F.max("ts") + F.expr(f"INTERVAL {gap_min} MINUTES")).alias(
+                    "session_end"
+                ),
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+        ).collect()
+    }
+    assert got == expect and len(got) >= 4
+
+
 def test_upsert_sink_keeps_latest(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
