@@ -1,0 +1,44 @@
+"""sf-scaling smoke: the three heaviest operators must scale
+sub-linearly from sf0.01 to sf0.1 (10× rows).
+
+The per-round bench measures one fixed sf, so a reintroduced per-row
+driver-side cost (a .collect() loop, a row-at-a-time UDF, an
+accidentally-quadratic candidate expansion) can hide inside a constant
+until the next scale-up. Timing the SAME query at two scales catches
+it: distributed plans carry large fixed overhead (JVM, scheduling,
+python workers), so 10× data must cost well under 10× wall-clock; a
+super-linear operator blows straight past that."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from outreach_etl_tool_spark.queries import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+HEAVY = ["dedup_cluster", "dedup_minhash", "sim_knn_join"]
+
+
+def _timed(spark, name: str, sf_dir: str) -> float:
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    REGISTRY[name].fn(spark, sf_dir).count()
+    return time.monotonic() - t0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HEAVY)
+def test_ten_x_data_costs_well_under_ten_x_time(spark, name):
+    REGISTRY[name].fn(spark, SF_SMALL).count()  # warm JIT + python workers
+    t_small = _timed(spark, name, SF_SMALL)
+    t_big = _timed(spark, name, SF_BIG)
+    ratio = t_big / max(t_small, 1e-6)
+    assert ratio < 10.0, (
+        f"{name}: sf0.1 took {t_big:.2f}s vs sf0.01 {t_small:.2f}s "
+        f"(ratio {ratio:.1f}× for 10× data) — super-linear scaling; "
+        "look for driver-side loops or quadratic candidate expansion"
+    )
