@@ -303,7 +303,79 @@ HAVING COUNT(*) >= {_HH_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# MANIFEST SNAPSHOT DIFF — time travel + manifest min/max file skipping
+# (SURVEY.md §2.1 S6b scale path, §2.9 T6c), exercised through an
+# oracled query instead of pytest fixtures only.
+#
+# Builds (idempotently, in a tmp dir keyed by the sf) a two-version
+# manifest table: v0 = orders below a data-derived key cutoff, v1 =
+# v0 + the appended tail. The result is the appended slice aggregated
+# per order status, computed the lakehouse way: read v1 through
+# `read_pruned` (driver-side file skipping from manifest [min,max]
+# stats — base files' o_orderkey max < cutoff, so only appended files
+# are opened) and anti-join the time-traveled `read(version=0)`
+# snapshot. The DuckDB oracle derives the identical appended set
+# straight from the orders table, so the whole
+# write→commit→skip→time-travel path is value-checked, not just
+# "ran". Cutoff = floor(max(o_orderkey)/2) — deterministic and
+# expressible in both engines at any sf.
+# ---------------------------------------------------------------------------
+def manifest_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.manifest import ManifestTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(F.max("o_orderkey")).first()[0] // 2
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = Path(tempfile.gettempdir()) / f"manifest_diff_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(str(root))
+    # range-partitioned writes give each data file a tight disjoint
+    # o_orderkey span, so manifest stats can actually skip files
+    t.overwrite(
+        orders.filter(F.col("o_orderkey") < cutoff)
+        .repartitionByRange(4, "o_orderkey")
+    )  # v0
+    t.append(
+        orders.filter(F.col("o_orderkey") >= cutoff)
+        .repartitionByRange(2, "o_orderkey")
+    )  # v1
+
+    v0 = t.read(spark, version=0)
+    appended = (
+        t.read_pruned(spark, "o_orderkey", lo=cutoff)  # skips v0's files
+        .filter(F.col("o_orderkey") >= cutoff)  # row-level, post-skip
+        .join(v0.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    return appended.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),
+    )
+
+
+MANIFEST_SNAPSHOT_DIFF_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderkey >= (SELECT CAST(FLOOR(MAX(o_orderkey) / 2) AS BIGINT)
+                     FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "manifest_snapshot_diff": QuerySpec(
+        manifest_snapshot_diff, MANIFEST_SNAPSHOT_DIFF_SQL,
+        tags=("S6", "T6", "J6", "A2"),
+        doc="manifest time travel + min/max file skipping, value-checked",
+    ),
     "heavy_hitters": QuerySpec(
         heavy_hitters, HEAVY_HITTERS_SQL, tags=("A4", "A2", "J5"),
         doc="count-min-sketch candidates + exact verify == GROUP BY/HAVING",

@@ -293,6 +293,37 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     assert none.count() == 0 and none.schema == full.schema
 
 
+def test_manifest_snapshot_diff_query_skips_base_files(spark):
+    """The registry's manifest_snapshot_diff must exercise REAL file
+    skipping: in its two-version layout (range-partitioned v0 below
+    the key cutoff, appended tail at or above it), the pruned v1 read
+    opens strictly fewer files than the full snapshot — if stats stop
+    being written the query silently degrades to keep-all, and this
+    pins that."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from outreach_etl_tool_spark.queries.extended import (
+        manifest_snapshot_diff,
+    )
+    from outreach_etl_tool_spark.sinks.manifest import ManifestTable
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r["o_orderstatus"]: r["n_orders"]
+           for r in manifest_snapshot_diff(spark, sf_dir).collect()}
+    assert sum(out.values()) > 0
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = ManifestTable(str(Path(tempfile.gettempdir()) / f"manifest_diff_{tag}"))
+    assert t.current_version() == 1  # v0 overwrite + v1 append
+    from pyspark.sql import functions as F
+
+    full = t.read(spark, version=1)
+    cutoff = full.agg(F.max("o_orderkey")).first()[0] // 2 + 1
+    pruned = t.read_pruned(spark, "o_orderkey", lo=cutoff)
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+
 def test_manifest_append_rejects_schema_drift(spark, tmp_path):
     """append() stamps one schema over historical + new files; a
     drifted batch schema must raise, not silently null out renamed
