@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ..functions.expr import bind_once
 from ..functions.text import tokens
 from ..operators.util import ensure_parallelism
 
@@ -38,14 +39,11 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     hi < 1 would DESCEND through 0 and make slice() throw — the floor
     at 1 plus the n>0 guard covers both short and empty docs.)
 
-    The token array is bound ONCE through a single-element-array
-    lambda: higher-order functions evaluate the element and bind it to
-    the lambda variable, so the regex tokenizer runs once per row no
-    matter how many times the shingle construction references the
-    array. Referencing ``tokens(text)`` directly repeats the regex per
-    reference — and worse, Catalyst's project collapsing then inlines
-    the whole expression into every downstream consumer (a
-    filter + size + explode chain re-tokenized every row 7× in the
+    The token array is bound ONCE through ``bind_once``
+    (functions/expr.py): referencing ``tokens(text)`` directly repeats
+    the regex per reference — and worse, Catalyst's project collapsing
+    then inlines the whole expression into every downstream consumer
+    (a filter + size + explode chain re-tokenized every row 7× in the
     executed plan, measured)."""
 
     def _build(toks: Column) -> Column:
@@ -56,7 +54,7 @@ def shingles(text: Column | str, k: int = 3) -> Column:
             F.array().cast("array<string>")
         )
 
-    return F.element_at(F.transform(F.array(tokens(text)), _build), 1)
+    return bind_once(tokens(text), _build)
 
 
 def _hash_family(num_hashes: int, seed: int = 7):

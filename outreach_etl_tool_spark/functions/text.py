@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expr import bind_once
+
 TOKEN_RE = "[a-zA-Z]+"
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -57,11 +59,13 @@ def ws_token_count(text: Column | str) -> Column:
 
 
 def avg_token_len(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-    )
-    return F.try_divide(total, F.size(toks))
+    def _build(toks: Column) -> Column:
+        total = F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        return F.try_divide(total, F.size(toks))
+
+    return bind_once(tokens(text), _build)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -72,38 +76,68 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.try_divide(n_sw.cast("double"), F.size(toks))
+
+    def _build(toks: Column) -> Column:
+        n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.try_divide(n_sw.cast("double"), F.size(toks))
+
+    return bind_once(tokens(text), _build)
 
 
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation +
     sane mean token length. Mirrors the length/punct/stopword family of
-    Gopher/C4-style quality rules."""
+    Gopher/C4-style quality rules.
+
+    The mean-token-length band references avg_token_len twice, so it is
+    bound once (the when() would otherwise re-run the tokenizer+fold
+    per reference)."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c).cast("double")
     len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
-    atl = avg_token_len(c)
-    tok_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.0)
+    tok_ok = bind_once(
+        avg_token_len(c),
+        lambda atl: F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.0),
+    )
     return (len_ok + punct_ok + tok_ok) / 3.0
 
 
 def lang_id(text: Column | str) -> Column:
     """Stopword-overlap language guess over STOPWORDS (deterministic:
-    ties broken by language code order)."""
-    toks = tokens(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for code in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        better = score > best_score
-        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+    ties broken by language code order; no stopword hits → 'und').
+
+    Shape matters here: the obvious CASE-chain fold (best = when(score
+    > best, ...) per language) textually nests every prior score into
+    every later comparison — 57 tokenizer evaluations per row in the
+    executed plan. Instead the token array is bound once, per-language
+    scores are computed once each into an array, and the winner is
+    array_max + array_position (first occurrence = earliest code, the
+    same tie-break as the strictly-greater chain)."""
+    codes = sorted(STOPWORDS)
+    langs = F.array(*[F.lit(c) for c in codes])
+    sw_lists = F.array(
+        *[F.array(*[F.lit(w) for w in STOPWORDS[c]]) for c in codes]
+    )
+
+    def _pick(toks: Column) -> Column:
+        scores = F.transform(
+            sw_lists,
+            lambda sw: F.size(F.filter(toks, lambda t: F.array_contains(sw, t))),
+        )
+        return bind_once(
+            scores,
+            lambda s: bind_once(
+                F.array_max(s),
+                lambda mx: F.when(
+                    mx > 0,
+                    F.element_at(langs, F.array_position(s, mx).cast("int")),
+                ).otherwise(F.lit("und")),
+            ),
+        )
+
+    return bind_once(tokens(text), _pick)
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..dedup import cluster, ngram
 from ..functions import text as TXT
+from ..functions.expr import bind_once
 from ..operators.util import ensure_parallelism
 from . import QuerySpec
 
@@ -39,13 +40,18 @@ def _grams(text: Column | str, k: int) -> Column:
     """Non-distinct k-token grams, space-joined; empty for docs with
     fewer than k tokens (unlike dedup.minhash.shingles, which floors
     short docs to one whole-doc shingle — the simple convention here
-    mirrors 1:1 into SQL)."""
-    toks = TXT.tokens(text)
-    n = F.size(toks)
-    # sequence(1, hi) DESCENDS when hi < 1 — floor at 1, gate with when()
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.when(n >= k, g).otherwise(F.array().cast("array<string>"))
+    mirrors 1:1 into SQL). Token array bound once (functions/expr.py)
+    so consumers that filter + size + explode the grams don't re-run
+    the tokenizer per reference."""
+
+    def _build(toks: Column) -> Column:
+        n = F.size(toks)
+        # sequence(1, hi) DESCENDS when hi < 1 — floor at 1, gate with when()
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        return F.when(n >= k, g).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(TXT.tokens(text), _build)
 
 
 # ---------------------------------------------------------------------------
