@@ -15,6 +15,9 @@ Scale notes:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 
@@ -47,21 +50,82 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
-class BigQuerySink:
-    """Reference-parity BigQuery loader (etl_tools.py:67-77).
+@dataclass(frozen=True)
+class LoadRequest:
+    """One assembled BigQuery load: the staged parquet files plus the
+    job parameters a client needs. Mirrors what the reference's
+    ``client.load_table_from_dataframe`` call carries
+    (etl_tools.py:67-77), with the data already distributed-written
+    instead of held in driver memory."""
 
-    Delegates to the spark-bigquery connector, which runs a parallel
-    load job from executors — unlike the reference's single-process
-    in-memory upload. The connector jar is not shipped in this
-    environment, so construction succeeds but ``write`` raises until
-    one is on the classpath (documented stub, SURVEY.md §2.1 S4).
+    project: str
+    dataset: str
+    table: str
+    staging_dir: str
+    files: tuple[str, ...]
+    write_disposition: str  # WRITE_TRUNCATE | WRITE_APPEND
+    schema_json: str
+
+
+_DISPOSITION = {"overwrite": "WRITE_TRUNCATE", "append": "WRITE_APPEND"}
+
+
+class BigQuerySink:
+    """Reference-parity BigQuery loader (etl_tools.py:67-77) with two
+    paths:
+
+    - **Connector path** (default): the spark-bigquery connector runs
+      a parallel write from executors — unlike the reference's
+      single-process in-memory upload. The jar is not shipped in this
+      environment, so ``write`` raises until one is on the classpath.
+    - **Load-job path** (``load_job=`` + ``staging_dir=``): the
+      standard stage-then-load pattern — Spark distributed-writes
+      parquet to the staging dir (GCS in deployment), and the
+      injectable ``load_job`` callable submits the assembled
+      :class:`LoadRequest` (in deployment a thin wrapper over
+      google-cloud-bigquery's load API; in tests a recorder). All
+      sink logic — staging write, file manifest, mode→disposition
+      mapping, job assembly — is exercised without any Google SDK.
     """
 
-    def __init__(self, project: str, dataset: str) -> None:
+    def __init__(
+        self,
+        project: str,
+        dataset: str,
+        load_job: "Callable[[LoadRequest], None] | None" = None,
+        staging_dir: str | None = None,
+    ) -> None:
         self.project = project
         self.dataset = dataset
+        self.load_job = load_job
+        self.staging_dir = staging_dir
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        if mode not in _DISPOSITION:
+            raise ValueError(f"mode must be one of {sorted(_DISPOSITION)}")
+        if self.load_job is not None:
+            if self.staging_dir is None:
+                raise ValueError("load_job path requires staging_dir")
+            import uuid
+            from pathlib import Path
+
+            staging = Path(self.staging_dir) / f"{table}_{uuid.uuid4().hex[:12]}"
+            df.write.mode("error").parquet(str(staging))
+            files = tuple(
+                sorted(str(p) for p in staging.glob("*.parquet"))
+            )
+            self.load_job(
+                LoadRequest(
+                    project=self.project,
+                    dataset=self.dataset,
+                    table=table,
+                    staging_dir=str(staging),
+                    files=files,
+                    write_disposition=_DISPOSITION[mode],
+                    schema_json=df.schema.json(),
+                )
+            )
+            return
         target = f"{self.project}.{self.dataset}.{table}"
         try:
             (
@@ -75,5 +139,6 @@ class BigQuerySink:
             raise NotImplementedError(
                 "spark-bigquery connector not on the classpath; add "
                 "com.google.cloud.spark:spark-bigquery-with-dependencies "
-                "to spark.jars.packages to enable this sink"
+                "to spark.jars.packages to enable this sink (or pass "
+                "load_job= + staging_dir= for the stage-then-load path)"
             ) from exc

@@ -188,6 +188,33 @@ def test_cms_never_undercounts_and_is_tight(spark):
     assert float(np.mean(est - true_counts)) < 1.0  # tight at this load
 
 
+def test_bind_once_evaluates_expensive_expr_once(spark):
+    """bind_once is a let-binding: the bound expression appears once in
+    the executed plan however many times the body references it, and
+    the result is value-identical to the naive multi-reference form."""
+    from pyspark.sql import functions as F
+
+    from outreach_etl_tool_spark.functions.expr import bind_once
+    from outreach_etl_tool_spark.functions.text import tokens
+
+    df = spark.createDataFrame([("the quick brown the",), ("",)], "text string")
+    naive = (F.size(tokens("text"))
+             + F.size(F.array_distinct(tokens("text")))).alias("x")
+    bound = bind_once(
+        tokens("text"), lambda t: F.size(t) + F.size(F.array_distinct(t))
+    ).alias("x")
+    assert [r["x"] for r in df.select(bound).collect()] == [
+        r["x"] for r in df.select(naive).collect()
+    ] == [7, 0]
+
+    def evals(col):
+        plan = df.select(col)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("regexp_extract_all")
+
+    assert evals(naive) == 2   # one per reference — the disease
+    assert evals(bound) == 1   # let-bound — the cure
+
+
 def test_cms_width_sizing_rule():
     """Width is data-derived: w >= 4*total/threshold (expected
     over-count <= threshold/4), snapped to a power of two and clamped

@@ -293,6 +293,40 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     assert none.count() == 0 and none.schema == full.schema
 
 
+def test_bigquery_sink_load_job_path(spark, tmp_path):
+    """S4's stage-then-load path end to end without any Google SDK:
+    distributed parquet staging, file manifest, mode→disposition
+    mapping, schema capture — the injectable load_job receives a
+    complete request whose staged files round-trip the data."""
+    from outreach_etl_tool_spark.sinks.writers import BigQuerySink, LoadRequest
+
+    got: list[LoadRequest] = []
+    sink = BigQuerySink(
+        "proj", "ds", load_job=got.append, staging_dir=str(tmp_path / "stage")
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.5)], "id long, name string, v double"
+    )
+    sink.write(df, "t1", mode="overwrite")
+    sink.write(df, "t1", mode="append")
+    assert [r.write_disposition for r in got] == [
+        "WRITE_TRUNCATE", "WRITE_APPEND",
+    ]
+    req = got[0]
+    assert (req.project, req.dataset, req.table) == ("proj", "ds", "t1")
+    assert req.files and all(f.endswith(".parquet") for f in req.files)
+    # staged files are the data, readable by any parquet loader
+    back = spark.read.parquet(*req.files)
+    assert sorted(r["name"] for r in back.collect()) == ["a", "b"]
+    assert "name" in req.schema_json
+    # each write stages into a fresh dir — immutable, replay-safe
+    assert got[0].staging_dir != got[1].staging_dir
+    with pytest.raises(ValueError, match="mode"):
+        sink.write(df, "t1", mode="merge")
+    with pytest.raises(ValueError, match="staging_dir"):
+        BigQuerySink("p", "d", load_job=got.append).write(df, "t")
+
+
 def test_manifest_snapshot_diff_query_skips_base_files(spark):
     """The registry's manifest_snapshot_diff must exercise REAL file
     skipping: in its two-version layout (range-partitioned v0 below
