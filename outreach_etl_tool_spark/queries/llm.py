@@ -190,8 +190,10 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(kernel, schema)
 
 
-# L4c — language-ID heuristic distribution (rows-only: the stopword-vote
-# CASE chain has no clean SQL mirror; accuracy is unit-tested instead).
+# L4c — language-ID heuristic distribution. Oracled: the argmax-over-
+# scores form (functions/text.py lang_id) mirrors into DuckDB as
+# list_filter counts + list_position-of-max, with the stopword lists
+# generated from the SAME python dict so the two can't drift.
 def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
@@ -199,6 +201,36 @@ def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "guessed")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _lang_id_guess_sql() -> str:
+    codes = sorted(TXT.STOPWORDS)
+    def sql_list(words): return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    scores = ",\n             ".join(
+        f"LEN(list_filter(arr, x -> list_contains({sql_list(TXT.STOPWORDS[c])}, x)))"
+        for c in codes
+    )
+    langs = sql_list(codes)
+    return f"""
+WITH t AS (
+    SELECT lang, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), s AS (
+    SELECT lang,
+           [{scores}] AS scores
+    FROM t
+)
+SELECT lang,
+       CASE WHEN list_aggregate(scores, 'max') > 0
+            THEN {langs}[list_position(scores, list_aggregate(scores, 'max'))]
+            ELSE 'und' END AS guessed,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s
+GROUP BY lang, guessed
+"""
+
+
+LANG_ID_GUESS_SQL = _lang_id_guess_sql()
 
 
 # L4d — rolling-hash document fingerprint (xxhash64 chain; rows-only —
@@ -231,6 +263,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram.jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.4, partition_col="source"
     )
+
+
+# DuckDB mirror of the exact pair semantics (same shingle CASE as the
+# dedup_cluster oracle: <3 tokens → one whole-doc shingle, no tokens →
+# empty). jaccard divides two exact integers, so the double is
+# engine-identical and the pair set hash-matches.
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+    SELECT doc_id, source,
+           CASE WHEN LEN(arr) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN LEN(arr) < 3 THEN [array_to_string(arr, ' ')]
+                ELSE list_distinct(list_transform(
+                       generate_series(1, LEN(arr) - 2),
+                       i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+           END AS sh
+    FROM (SELECT doc_id, source,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)))
+           AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
+  AND CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= 0.4
+"""
 
 
 # L2d — embedding-cosine near-dup via hyperplane LSH (rows-only).
@@ -479,11 +539,17 @@ QUERIES: dict[str, QuerySpec] = {
         text_tokens_bpe, TEXT_TOKENS_BPE_SQL, tags=("L4", "F1")
     ),
     "lang_filter": QuerySpec(lang_filter, LANG_FILTER_SQL, tags=("L4",)),
-    "lang_id_guess": QuerySpec(lang_id_guess, None, tags=("L4",)),
+    "lang_id_guess": QuerySpec(
+        lang_id_guess, LANG_ID_GUESS_SQL, tags=("L4",),
+        doc="stopword-vote language ID, value-checked vs list_filter argmax oracle",
+    ),
     "doc_fingerprint": QuerySpec(doc_fingerprint, None, tags=("L4",)),
     "dedup_minhash": QuerySpec(dedup_minhash, None, tags=("L2",), bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, None, tags=("L2",)),
-    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, None, tags=("L2",)),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, tags=("L2",),
+        doc="exact k-shingle Jaccard pairs, value-checked vs list_intersect oracle",
+    ),
     "emb_near_dup": QuerySpec(emb_near_dup, None, tags=("L2", "L3")),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_knn_join": QuerySpec(
