@@ -181,20 +181,29 @@ def connected_components(
     # via the final left join. Round 1 is fused into the init: each
     # endpoint starts at min(own id, min neighbor id), one groupBy
     # instead of a union + groupBy round.
-    labels = (
+    # Convergence metric rides the checkpoint job: an Observation on
+    # the labels frame is filled when localCheckpoint(eager) runs its
+    # materialization, so each round costs ONE job, not a checkpoint
+    # job plus a separate sum action. decimal(38,0) sum: exact for any
+    # id domain (a long sum would overflow — and under ANSI, fail — at
+    # ~10^11 ids × 10^11 values); labels only ever decrease, so the
+    # sum strictly decreases until the fixed point.
+    from pyspark.sql import Observation
+
+    def _checkpoint_with_sum(df: DataFrame):
+        obs = Observation()
+        ck = df.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("ls")
+        ).localCheckpoint(eager=True)
+        return ck, obs.get["ls"]
+
+    labels, prev_sum = _checkpoint_with_sum(
         sym.groupBy("node")
         .agg(F.min("peer").alias("min_peer"))
         .select("node", F.least("node", "min_peer").alias("label"))
-        .localCheckpoint(eager=True)
     )
 
-    # decimal(38,0) sum: exact for any id domain (a long sum would
-    # overflow — and under ANSI, fail — at ~10^11 ids × 10^11 values)
-    def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-
-    prev_sum = _label_sum(labels)
-    converged = labels.isEmpty()  # no edges → nothing to propagate
+    converged = prev_sum is None  # no edges → nothing to propagate
     for _ in range(max_iter):
         if converged:
             break
@@ -202,13 +211,12 @@ def connected_components(
         neighbor = sym.join(
             labels.select(F.col("node").alias("peer"), "label"), "peer"
         ).select("node", "label")
-        new_labels = (
+        new_labels, new_sum = _checkpoint_with_sum(
             labels.select("node", "label")
             .union(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        new_sum = _label_sum(new_labels)
+        )
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease → fixed point
             converged = True
