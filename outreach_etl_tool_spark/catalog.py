@@ -179,6 +179,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side
+    KB read, no Spark job. The right way to get a table's cardinality
+    for sketch sizing / planning decisions: a count() job over 100 TB
+    is a full metadata scan across the cluster for a number every
+    footer already records."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def events_ts_unit(sf_dir: str) -> str:
     """Timestamp unit ('ns'/'us'/'ms'/'s') of events.ts, read from the
     parquet footer — metadata-only, cached per path. The driver has

@@ -290,10 +290,13 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     # Size the sketch from the data, not a constant: CMS over-count
     # scales with TOTAL event count, so a fixed w=8192 that is exact at
-    # sf0.1 turns every key into a candidate at 10^9 users. One cheap
-    # columnar count pass derives the width (cms_width_for docs the
-    # error budget).
-    total = ev.count()
+    # sf0.1 turns every key into a candidate at 10^9 users. The total
+    # comes from parquet footer metadata — a driver-side KB read, not
+    # a count() job over the table (cms_width_for docs the error
+    # budget).
+    from ..catalog import table_rows
+
+    total = table_rows(sf_dir, "events")
     cms = build_cms_distributed(
         ev, "user_id", d=4, w=cms_width_for(total, _HH_THRESHOLD)
     )
