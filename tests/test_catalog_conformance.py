@@ -111,6 +111,57 @@ def test_load_table_decodes_both_units_identically(spark, tmp_path, unit):
     assert got == expect
 
 
+_ARROW_OK: dict[str, tuple[str, ...]] = {
+    # declared Spark type simpleString → acceptable arrow type prefixes
+    "int": ("int32",),
+    "bigint": ("int64",),
+    "double": ("double", "float64"),
+    "string": ("string", "large_string"),
+    "timestamp_ntz": ("timestamp[us]", "timestamp[ns]", "timestamp[ms]"),
+    # pyarrow names the list child 'item' or 'element' depending on
+    # the writer's parquet convention — both are the same logical type
+    "array<float>": (
+        "list<item: float>",
+        "list<element: float>",
+        "large_list<item: float>",
+        "large_list<element: float>",
+    ),
+}
+
+
+@needs_testdata
+def test_every_declared_schema_matches_testdata_footers(spark):
+    """Round-4's break class, generalized to every table: if the
+    driver regenerates ANY testdata column with a different physical
+    type than the declared schema can absorb, fail at suite start
+    with the exact (table, column, got, want) — not as silent nulls
+    or a 1000×-off decode inside 15 queries."""
+    sf_dir = TESTDATA.rsplit("/", 1)[0] + "/sf0.001"
+    for name, schema in catalog.SCHEMAS.items():
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            import glob
+
+            path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+        arrow = pq.read_schema(path)
+        arrow_types = {f.name: str(arrow.field(f.name).type) for f in schema.fields
+                       if f.name in arrow.names}
+        missing = [f.name for f in schema.fields if f.name not in arrow.names]
+        assert not missing, f"{name}: declared columns absent in parquet: {missing}"
+        for f in schema.fields:
+            want = f.dataType.simpleString()
+            got = arrow_types[f.name]
+            ok = _ARROW_OK.get(want)
+            assert ok is not None, (
+                f"{name}.{f.name}: no conformance rule for declared {want!r} "
+                f"(got {got!r}) — extend _ARROW_OK"
+            )
+            assert any(got.startswith(p) for p in ok), (
+                f"{name}.{f.name}: parquet is {got!r}, declared {want!r} — "
+                "testdata regenerated with an incompatible type?"
+            )
+
+
 def test_sniff_rejects_non_timestamp_ts(tmp_path):
     p = str(tmp_path / "events.parquet")
     table = pa.table({"ts": pa.array([1, 2, 3], pa.int64())})
