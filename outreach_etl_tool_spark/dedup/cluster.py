@@ -127,6 +127,47 @@ def _components_star(
     )
 
 
+def _components_driver(
+    sym: DataFrame, nodeset: DataFrame, id_col: str
+) -> DataFrame:
+    """Small-graph fast path: union-find on the driver.
+
+    A duplicate graph under the fast-path threshold is a bounded,
+    model-sized object (two longs per edge — 16 MB per million edges),
+    the same class of driver state as a broadcast hash table or a
+    k-means model, NOT a corpus-sized collect. Union-find resolves it
+    in microseconds where the distributed loop would still pay several
+    scheduler round-trips; the result rejoins the (possibly huge)
+    nodeset distributedly."""
+    spark = sym.sparkSession
+    pairs = sym.filter(F.col("node") < F.col("peer")).distinct().collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs:
+        a, b = find(row["node"]), find(row["peer"])
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    labels = [(n, find(n)) for n in {x for r in pairs for x in (r["node"], r["peer"])}]
+    if not labels:
+        return nodeset.select(
+            F.col("node").alias(id_col), F.col("node").alias("cluster_id")
+        )
+    lab_df = spark.createDataFrame(labels, ["node", "label"])
+    return nodeset.join(F.broadcast(lab_df), "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("label", "node").alias("cluster_id"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -135,6 +176,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "propagation",
+    driver_fast_path_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Assign every node the minimum id of its connected component.
 
@@ -148,6 +190,13 @@ def connected_components(
         duplicate graphs) or ``"star"`` (alternating large-star/
         small-star, O(log n) alternations; right for adversarial
         long-chain graphs).
+    driver_fast_path_max_edges : distinct-edge threshold under which a
+        driver-side union-find replaces the iterative loop — the same
+        hybrid-execution idea as AQE's broadcast-join threshold: a
+        bounded model-sized graph costs microseconds on the driver vs
+        several scheduler round-trips per distributed round. 0 disables
+        the fast path. The edge count is known from one aggregate over
+        the (persisted) edge table, so the decision adds no extra scan.
 
     Returns ``(id_col, cluster_id)`` — one row per node.
     """
@@ -167,6 +216,16 @@ def connected_components(
         .join(nodeset.withColumnRenamed("node", "peer"), "peer", "left_semi")
     )
     sym = sym.persist()
+
+    if driver_fast_path_max_edges > 0:
+        n_edges = sym.count() // 2  # symmetric view: two rows per edge
+        if n_edges <= driver_fast_path_max_edges:
+            out = _components_driver(sym, nodeset, id_col)
+            # materialize before unpersist: the fast path's labels are
+            # already driver-side, but the returned plan still reads
+            # nodeset (not sym) — safe to release the edge cache now
+            sym.unpersist()
+            return out
 
     if algorithm == "star":
         out = _components_star(sym, nodeset, id_col, max_iter)

@@ -21,7 +21,7 @@ def test_cc_transitive_chain(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
     got = assignments(
-        cluster.connected_components(edges, nodes, id_col="doc_id")
+        cluster.connected_components(edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0)
     )
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
 
@@ -34,7 +34,7 @@ def test_cc_long_chain_converges(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     got = assignments(
-        cluster.connected_components(edges, nodes, id_col="doc_id")
+        cluster.connected_components(edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0)
     )
     assert got == {i: 0 for i in range(n)}
 
@@ -47,7 +47,7 @@ def test_cc_two_components_and_direction_blind(spark):
         [(i,) for i in (1, 2, 5, 8, 9)], "doc_id long"
     )
     got = assignments(
-        cluster.connected_components(edges, nodes, id_col="doc_id")
+        cluster.connected_components(edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0)
     )
     assert got == {1: 1, 2: 1, 5: 1, 8: 8, 9: 8}
 
@@ -60,7 +60,7 @@ def test_cc_raises_when_not_converged(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        cluster.connected_components(edges, nodes, id_col="doc_id", max_iter=2)
+        cluster.connected_components(edges, nodes, id_col="doc_id", max_iter=2, driver_fast_path_max_edges=0)
 
 
 def test_cc_ignores_edges_outside_nodes(spark):
@@ -69,7 +69,7 @@ def test_cc_ignores_edges_outside_nodes(spark):
     edges = spark.createDataFrame([(7, 1), (1, 2)], "id_a long, id_b long")
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
     got = assignments(
-        cluster.connected_components(edges, nodes, id_col="doc_id")
+        cluster.connected_components(edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0)
     )
     assert got == {1: 1, 2: 1}
 
@@ -78,7 +78,7 @@ def test_cc_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
     got = assignments(
-        cluster.connected_components(edges, nodes, id_col="doc_id")
+        cluster.connected_components(edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0)
     )
     assert got == {1: 1, 2: 2}
 
@@ -95,7 +95,7 @@ def test_cc_star_path_graph_logarithmic_rounds(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     got = assignments(
         cluster.connected_components(
-            edges, nodes, id_col="doc_id", max_iter=20, algorithm="star"
+            edges, nodes, id_col="doc_id", max_iter=20, algorithm="star", driver_fast_path_max_edges=0
         )
     )
     assert got == {i: 0 for i in range(n)}
@@ -115,14 +115,46 @@ def test_cc_star_matches_propagation(spark):
         "doc_id long",
     )
     prop = assignments(
-        cluster.connected_components(edges, nodes, id_col="doc_id")
+        cluster.connected_components(edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0)
     )
     star = assignments(
         cluster.connected_components(
-            edges, nodes, id_col="doc_id", algorithm="star"
+            edges, nodes, id_col="doc_id", algorithm="star", driver_fast_path_max_edges=0
         )
     )
     assert star == prop
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """The small-graph union-find fast path must assign exactly the
+    labels the distributed loop assigns, on a graph with chains,
+    cliques, dup/reversed/self edges and singletons — and it is the
+    DEFAULT, so production dedup_cluster takes it under the threshold."""
+    edge_list = (
+        [(i, i + 1) for i in range(10, 18)]
+        + [(a, b) for a in (30, 31, 32) for b in (31, 32, 33) if a < b]
+        + [(50, 51), (51, 50), (52, 52)]
+    )
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(10, 19)) + [30, 31, 32, 33, 50, 51, 52, 99]],
+        "doc_id long",
+    )
+    fast = assignments(
+        cluster.connected_components(edges, nodes, id_col="doc_id")
+    )
+    dist = assignments(
+        cluster.connected_components(
+            edges, nodes, id_col="doc_id", driver_fast_path_max_edges=0
+        )
+    )
+    assert fast == dist
+    # fast path handles the empty-edge graph too
+    none = spark.createDataFrame([], "id_a long, id_b long")
+    got = assignments(
+        cluster.connected_components(none, nodes, id_col="doc_id")
+    )
+    assert got == {r["doc_id"]: r["doc_id"] for r in nodes.collect()}
 
 
 # ----------------------------------------------------------------- _grams
