@@ -133,14 +133,21 @@ def _components_driver(
     """Small-graph fast path: union-find on the driver.
 
     A duplicate graph under the fast-path threshold is a bounded,
-    model-sized object (two longs per edge — 16 MB per million edges),
-    the same class of driver state as a broadcast hash table or a
-    k-means model, NOT a corpus-sized collect. Union-find resolves it
-    in microseconds where the distributed loop would still pay several
-    scheduler round-trips; the result rejoins the (possibly huge)
-    nodeset distributedly."""
+    model-sized object, the same class of driver state as a broadcast
+    hash table or a k-means model, NOT a corpus-sized collect.
+    Union-find resolves it in microseconds where the distributed loop
+    would still pay several scheduler round-trips; the result rejoins
+    the (possibly huge) nodeset distributedly.
+
+    The edge list crosses the driver boundary as Arrow batches
+    (``toPandas`` on a two-int64-column frame): ~16 B per edge, so the
+    1M-edge default costs ~16 MB plus the union-find dict. A Row-based
+    ``collect()`` of the same frame would cost ~150-200 B per edge
+    (py4j Row objects) — an order of magnitude more for no benefit."""
     spark = sym.sparkSession
-    pairs = sym.filter(F.col("node") < F.col("peer")).distinct().collect()
+    pdf = sym.filter(F.col("node") < F.col("peer")).distinct().toPandas()
+    us = pdf["node"].to_numpy()
+    vs = pdf["peer"].to_numpy()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -151,12 +158,12 @@ def _components_driver(
             parent[x], x = r, parent[x]
         return r
 
-    for row in pairs:
-        a, b = find(row["node"]), find(row["peer"])
+    for a, b in zip(us.tolist(), vs.tolist()):
+        a, b = find(a), find(b)
         if a != b:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
-    labels = [(n, find(n)) for n in {x for r in pairs for x in (r["node"], r["peer"])}]
+    labels = [(n, find(n)) for n in {*us.tolist(), *vs.tolist()}]
     if not labels:
         return nodeset.select(
             F.col("node").alias(id_col), F.col("node").alias("cluster_id")

@@ -35,8 +35,19 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     partition_col: str | None = None,
+    max_posting: int | None = 10_000,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with k-shingle Jaccard ≥ threshold."""
+    """Pairs (id_a < id_b) with k-shingle Jaccard ≥ threshold.
+
+    ``max_posting`` is a loud size guard, not a truncation: a shingle
+    shared by n docs builds an n-element aggregation buffer and then
+    emits ~n²/2 pairs from ONE row (single-row skew; at n=10⁶ that is
+    5·10¹¹ pairs and a >2 GB record). Exact Jaccard forbids silently
+    dropping members — bucket_pairs-style capping would change the
+    answer — so past the guard the query FAILS with the remediations
+    spelled out (shard with partition_col, raise k, or use the MinHash
+    scale path). None disables the guard.
+    """
     df = ensure_parallelism(df)
     part = F.col(partition_col) if partition_col else F.lit(0)
     # No pre-explode emptiness filter: explode of an empty array emits
@@ -63,6 +74,24 @@ def jaccard_pairs(
         .agg(F.collect_list(F.struct("id", "n")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    if max_posting is not None:
+        posts = posts.withColumn(
+            "docs",
+            F.when(F.size("docs") <= max_posting, F.col("docs")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "jaccard_pairs: a shingle's posting list exceeds "
+                            f"max_posting={max_posting} (n docs share it → "
+                            "~n²/2 pairs from one row). Shard with "
+                            "partition_col, raise k, raise max_posting, or "
+                            "use MinHash-LSH for this corpus; shingle="
+                        ),
+                        F.col("shingle"),
+                    )
+                )
+            ),
+        )
     return (
         posts.select(F.explode("docs").alias("a"), "docs")
         .select("a", F.explode("docs").alias("b"))

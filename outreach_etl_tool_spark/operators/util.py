@@ -4,16 +4,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# (SparkContext id, analyzed-plan semanticHash) → scan partition count.
+# (applicationId, analyzed-plan semanticHash) → scan partition count.
 # Deriving the RDD to count partitions costs ~65 ms of driver-side
 # physical planning PER QUERY BUILD; the semantic hash costs ~20 ms and
 # repeats across builds of the same table scan (every registry query
 # loads from the same catalog), so the probe amortizes to one RDD
 # conversion per distinct plan per session. Staleness is bounded by the
-# key: same plan over files that changed partition count between calls
-# would reuse the old answer — harmless for perf-only repartitioning
-# and impossible for the read-only testdata.
-_PARTITIONS_CACHE: dict[tuple[int, int], int] = {}
+# key: applicationId is unique per SparkContext lifetime (unlike id(),
+# which the allocator can reuse after a stopped context is GC'd), and
+# same-plan-over-changed-files reuse is harmless for perf-only
+# repartitioning and impossible for the read-only testdata. Entries
+# from dead applications are evicted whenever a new application shows
+# up, so the module-level dict can't grow across sessions.
+_PARTITIONS_CACHE: dict[tuple[str, int], int] = {}
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -28,11 +31,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    key = (id(sc), df._jdf.queryExecution().analyzed().semanticHash())
-    n = _PARTITIONS_CACHE.get(key)
+    try:
+        # semanticHash has no public pyspark wrapper; if the private
+        # surface drifts on a Spark upgrade, degrade to uncached probes
+        # (correct, just ~65 ms slower per build) instead of breaking.
+        key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # noqa: BLE001
+        key = None
+    n = _PARTITIONS_CACHE.get(key) if key is not None else None
     if n is None:
         n = df.rdd.getNumPartitions()
-        _PARTITIONS_CACHE[key] = n
+        if key is not None:
+            if any(app != key[0] for app, _ in _PARTITIONS_CACHE):
+                stale = [k for k in _PARTITIONS_CACHE if k[0] != key[0]]
+                for k in stale:
+                    del _PARTITIONS_CACHE[k]
+            _PARTITIONS_CACHE[key] = n
     if n >= max(2, target // 2):
         return df
     return df.repartition(target)

@@ -66,7 +66,16 @@ class FileTransport:
     def __init__(self, outbox_dir: str) -> None:
         self.outbox_dir = Path(outbox_dir)
         self.outbox_dir.mkdir(parents=True, exist_ok=True)
-        self._seq = 0
+        # resume past the highest existing message so a second transport
+        # pointed at the same outbox appends instead of overwriting
+        self._seq = max(
+            (
+                int(p.stem.split("_")[1])
+                for p in self.outbox_dir.glob("msg_*.json")
+                if p.stem.split("_")[1].isdigit()
+            ),
+            default=0,
+        )
 
     def __call__(self, message: Message) -> None:
         payload = asdict(message)

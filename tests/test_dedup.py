@@ -245,6 +245,22 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert all(3 not in p for p in got)
 
 
+def test_ngram_jaccard_posting_guard_fails_loudly(spark, docs):
+    """Exact Jaccard can't silently truncate a hot shingle's posting
+    list (that would change the answer), so the guard raises with the
+    remediations in the message instead of producing n²/2 pairs from
+    one row."""
+    with pytest.raises(Exception, match="max_posting"):
+        ngram.jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_posting=1
+        ).collect()
+    # and the guard is inert when no posting list exceeds it
+    ok = ngram.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_posting=10
+    )
+    assert {(r["id_a"], r["id_b"]) for r in ok.collect()} >= {(1, 4), (1, 2)}
+
+
 # ------------------------------------------------- embedding LSH dedup
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.RandomState(0)

@@ -153,3 +153,29 @@ def test_scd2_null_ts_first_row(spark):
     kept = compress_history(df, key="user_id", ts="ts",
                             tracked=["event_type"], tiebreak=["event_id"])
     assert sorted(r["event_id"] for r in kept.collect()) == [1, 3]
+
+def test_ensure_parallelism_survives_private_api_drift(spark):
+    """The probe cache keys on `_jdf...semanticHash()` — private JVM
+    surface with no pyspark wrapper. If a Spark upgrade drops it, the
+    helper must degrade to an uncached probe (correct, slower), not
+    raise. Simulated by a _jdf proxy whose queryExecution is broken
+    but whose other calls (rdd conversion, repartition) still work."""
+    from outreach_etl_tool_spark.operators import util
+
+    df = spark.range(0, 1000).coalesce(1)
+    real = df._jdf
+
+    class Drifted:
+        def queryExecution(self):
+            raise RuntimeError("private API gone in this Spark version")
+
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+    df._jdf = Drifted()
+    before = dict(util._PARTITIONS_CACHE)
+    out = util.ensure_parallelism(df)
+    # under-split input still repartitioned to the session's parallelism
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # and the broken probe cached nothing
+    assert util._PARTITIONS_CACHE == before

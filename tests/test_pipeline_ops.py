@@ -157,6 +157,37 @@ def test_cc_driver_fast_path_matches_distributed(spark):
     assert got == {r["doc_id"]: r["doc_id"] for r in nodes.collect()}
 
 
+def test_cc_fast_path_threshold_straddle(spark):
+    """Identical labels whichever side of the fast-path gate the same
+    graph lands on: threshold == distinct edge count engages the
+    union-find, threshold == count - 1 falls through to the distributed
+    loop. Pins the gate arithmetic (the symmetric view counts each
+    undirected edge twice, so the gate divides by two)."""
+    edge_list = (
+        [(i, i + 1) for i in range(0, 40, 2)]  # 20 two-node components
+        + [(0, 2), (2, 0), (100, 101)]          # merge 0-1-2-3; dup reversed
+    )
+    distinct_edges = len({tuple(sorted(e)) for e in edge_list})
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 42)] + [(100,), (101,), (999,)], "doc_id long"
+    )
+    on_fast = assignments(
+        cluster.connected_components(
+            edges, nodes, id_col="doc_id",
+            driver_fast_path_max_edges=distinct_edges,
+        )
+    )
+    on_dist = assignments(
+        cluster.connected_components(
+            edges, nodes, id_col="doc_id",
+            driver_fast_path_max_edges=distinct_edges - 1,
+        )
+    )
+    assert on_fast == on_dist
+    assert on_fast[3] == 0 and on_fast[101] == 100 and on_fast[999] == 999
+
+
 # ----------------------------------------------------------------- _grams
 @pytest.mark.parametrize(
     "text,k,expected",

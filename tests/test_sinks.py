@@ -119,6 +119,30 @@ def test_email_notifier_file_transport_writes_outbox(tmp_path):
     assert payload["attachment_content"] == "all green"
 
 
+def test_file_transport_resumes_existing_outbox(tmp_path):
+    """A second FileTransport on the same outbox dir must append after
+    the highest existing message, not overwrite msg_000001 onward —
+    the outbox's durability claim spans transport instances."""
+    from outreach_etl_tool_spark.sinks import FileTransport
+    from outreach_etl_tool_spark.sinks.notify import Message
+
+    outbox = tmp_path / "outbox"
+    first = FileTransport(str(outbox))
+    first(Message("a@x", "b@x", "run 1", "body 1"))
+    first(Message("a@x", "b@x", "run 2", "body 2"))
+
+    second = FileTransport(str(outbox))
+    second(Message("a@x", "b@x", "run 3", "body 3"))
+
+    files = sorted(outbox.glob("msg_*.json"))
+    assert [f.name for f in files] == [
+        "msg_000001.json", "msg_000002.json", "msg_000003.json"
+    ]
+    import json
+    assert json.loads(files[0].read_text())["subject"] == "run 1"
+    assert json.loads(files[2].read_text())["subject"] == "run 3"
+
+
 def test_email_notifier_without_transport_fails_loudly():
     from outreach_etl_tool_spark.sinks import EmailNotifier
 
