@@ -1,0 +1,242 @@
+"""Driver-visible Structured Streaming runs (SURVEY.md §2.9 T4/T5).
+
+Watermark late-drop (T4) and stateful stream dedup (T5) were
+pytest-only through round 5 — the one SURVEY family with no registry
+evidence. These queries run the REAL streaming operators from
+``streaming/streams.py`` through a deterministic ``availableNow``
+replay of the events table and return the materialized sink, with
+EXACT oracles derived from how the replay is constructed:
+
+- The events table is split into day-ranged, ts-ordered slices; each
+  slice is one file and ``maxFilesPerTrigger=1`` makes it one
+  micro-batch (file mtimes are pinned to fixed increasing values so
+  the file source replays slices in order). In-order slices can never
+  produce a late row — slice i+1's minimum ts is past slice i's
+  maximum — so every drop observed below is one the fixture injected
+  deliberately, which is what makes the output SQL-expressible.
+
+- T4 routes every ``event_id % 50 == 0`` row from the FIRST slice's
+  day range out of order into a final file. Spark propagates the
+  event-time watermark with a deliberate batch lag (the late filter
+  of batch k uses stats from earlier batches — measured: batch 3
+  filtered against stats through batch 1), so the fixture does not
+  assume any particular lag: routed rows all predate
+  ``max(slice 0 ts) - delay`` by >23 hours, making them late under
+  EVERY watermark that has seen at least the first batch. All routed
+  rows are provably dropped, and append mode's final flush emits
+  exactly the hour windows over in-order rows with ``window_end <=
+  max_ts - delay`` — plain SQL over the events table.
+
+- T5 re-sends a copy of every ``event_id % 7 == 0`` row one slice
+  later. A copy is dropped whichever way the race goes: if the
+  original's state is still within the watermark horizon the copy is
+  a duplicate; if the state was evicted, the watermark has passed the
+  copy's (identical) event time, so it is late. Originals are never
+  late (in-order slices; copies carry old timestamps and cannot
+  advance the watermark). The sink is therefore exactly the original
+  events table.
+
+The fixture build is itself distributed (day-range filters, one
+Spark JSON write per slice — no collect); only the mtime pinning
+touches the local filesystem, which is inherent to replaying the
+file source deterministically. Timestamps cross the JSON boundary as
+epoch micros (``unix_micros``/``timestamp_micros``), sidestepping
+text timestamp formats entirely; the sink's TimestampType is cast
+back to TIMESTAMP_NTZ in the same session, so the round trip is the
+identity for any session timezone (verified: zero mismatches).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming.streams import stream_dedup, tumbling_counts
+from . import QuerySpec
+
+_REPLAY_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, value double"
+)
+_SINK_T4 = "bucket_start timestamp, event_type string, n long"
+_SINK_T5 = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+# day-of-month boundaries for the in-order slices (events span Jan 2024)
+_SLICE_DAYS = (10, 20)
+
+# bump to invalidate cached replay fixtures when their construction changes
+_FIXTURE_VERSION = 2
+
+
+def _slice_idx() -> F.Column:
+    d = F.dayofmonth("ts")
+    return (
+        F.when(d <= _SLICE_DAYS[0], 0)
+        .when(d <= _SLICE_DAYS[1], 1)
+        .otherwise(2)
+    )
+
+
+def _build_replay(spark: SparkSession, sf_dir: str, variant: str) -> Path:
+    """Materialize the deterministic replay fixture for `variant`
+    (cached per sf_dir — same inputs produce byte-identical slices)."""
+    key = hashlib.sha1(
+        f"{_FIXTURE_VERSION}:{variant}:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_replay" / (
+        f"{variant}_{key}"
+    )
+    marker = dest / "_READY"
+    if marker.exists():
+        return dest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        _slice_idx().alias("slice"),
+    )
+    if variant == "latedrop":
+        # routed rows leave the first ts-ordered slice for the final
+        # file; day <= 9 keeps them >23h below max(slice 0) - delay, so
+        # they are late under any batch-lagged watermark (module doc)
+        routed = (F.col("event_id") % 50 == 0) & (
+            F.dayofmonth(F.timestamp_micros("ts_us")) <= 9
+        )
+        slices = [
+            ev.filter(~routed & (F.col("slice") == i)) for i in range(3)
+        ] + [ev.filter(routed)]
+    elif variant == "dedup":
+        # copies of slice i's marked rows re-arrive in file i+1
+        copied = F.col("event_id") % 7 == 0
+        slices = [ev.filter(F.col("slice") == 0)]
+        for i in range(1, 4):
+            cur = ev.filter(F.col("slice") == i) if i < 3 else None
+            dup = ev.filter(copied & (F.col("slice") == i - 1))
+            slices.append(dup if cur is None else cur.unionByName(dup))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown replay variant {variant!r}")
+
+    for i, sl in enumerate(slices):
+        sl.drop("slice").coalesce(1).write.mode("overwrite").json(
+            str(dest / f"s{i}")
+        )
+    # pin mtimes to fixed increasing epochs: the file source orders new
+    # files by modification time, and this makes slice order == batch
+    # order on any filesystem, independent of write wall-clock
+    for i in range(len(slices)):
+        for p in (dest / f"s{i}").glob("part-*.json"):
+            os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    marker.touch()
+    return dest
+
+
+def _read_replay(spark: SparkSession, dest: Path) -> DataFrame:
+    return (
+        spark.readStream.schema(_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{dest}/s*/part-*.json")
+        .select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+def _run_to_parquet(stream: DataFrame, sink_schema: str) -> DataFrame:
+    spark = stream.sparkSession
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    # explicit schema: an all-dropped run leaves no parquet files
+    return spark.read.schema(sink_schema).parquet(out)
+
+
+def stream_latedrop_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+T1: the production tumbling_counts operator (withWatermark +
+    window groupBy) over the late-routed replay; append mode emits only
+    watermark-closed windows, and the routed rows provably never reach
+    the sink (module docstring)."""
+    replay = _build_replay(spark, sf_dir, "latedrop")
+    agg = tumbling_counts(
+        _read_replay(spark, replay), window="1 hour", watermark="1 hour"
+    ).select("bucket_start", "event_type", "n")
+    sink = _run_to_parquet(agg, _SINK_T4)
+    return sink.select(
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "event_type",
+        "n",
+    )
+
+
+STREAM_LATEDROP_TUMBLING_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type, COUNT(*) AS n
+FROM events
+WHERE NOT (event_id % 50 = 0 AND DATE_PART('day', ts) <= 9)
+  AND DATE_TRUNC('hour', ts) + INTERVAL 2 HOUR <= (SELECT MAX(ts) FROM events)
+GROUP BY 1, 2
+"""
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the production stream_dedup operator
+    (dropDuplicatesWithinWatermark) over the duplicate-injected replay;
+    every injected copy is dropped as duplicate-or-late, so the sink
+    reconstructs the original table exactly (module docstring)."""
+    replay = _build_replay(spark, sf_dir, "dedup")
+    ded = stream_dedup(
+        _read_replay(spark, replay), keys=["event_id"], watermark="1 day"
+    )
+    sink = _run_to_parquet(ded, _SINK_T5)
+    return sink.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+STREAM_DEDUP_WATERMARK_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_latedrop_tumbling": QuerySpec(
+        stream_latedrop_tumbling,
+        STREAM_LATEDROP_TUMBLING_SQL,
+        tags=("T4", "T1"),
+        doc="real availableNow stream: watermark late-drop + append-mode "
+        "window finalization, exact-oracled via a deterministic replay",
+    ),
+    "stream_dedup_watermark": QuerySpec(
+        stream_dedup_watermark,
+        STREAM_DEDUP_WATERMARK_SQL,
+        tags=("T5", "T4"),
+        doc="real availableNow stream: dropDuplicatesWithinWatermark "
+        "removes injected re-sends, exact-oracled via replay construction",
+    ),
+}
