@@ -395,7 +395,122 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# S6c — the partitioned sink layout, exercised end-to-end: write events
+# partitioned by day (sinks/writers.write_partitioned — one directory
+# per day, pre-repartitioned so each day is one file, the layout
+# SCALE.md prescribes for the 100 TB fact table), read it back with a
+# day predicate, and return the surviving rows. The companion plan pin
+# (tests/test_plans.py::test_sink_partitioned_read_prunes) asserts the
+# predicate lands in PartitionFilters and exactly one file is read —
+# the scan never touches the other 29 days. Fixture cached per sf_dir.
+_SINK_FIXTURE_VERSION = 1
+_PRUNE_DAY = "2024-01-15"
+
+
+def _partitioned_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.writers import write_partitioned
+
+    key = hashlib.sha1(
+        f"{_SINK_FIXTURE_VERSION}:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    dest = (
+        Path(tempfile.gettempdir())
+        / "outreach_etl_spark_sink"
+        / f"events_by_day_{key}"
+    )
+    marker = dest.parent / f".{dest.name}_READY"
+    if not marker.exists():
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_day", F.to_date("ts")
+        )
+        write_partitioned(ev, str(dest), ["event_day"])
+        marker.touch()
+    return str(dest)
+
+
+# S6d — the clustered sink layout (sinks/layout.write_clustered):
+# orders range-partitioned + sorted on o_orderdate, so each output file
+# covers a disjoint date range and the reader's pushed-down range
+# predicate skips the other files' row groups via parquet min/max
+# stats (disjointness is pinned by tests/test_sinks.py reading the
+# footers directly). This query drives the full path — clustered
+# write, pushed range read, value-hashed rows — under the driver gate.
+def _clustered_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.layout import write_clustered
+
+    key = hashlib.sha1(
+        f"{_SINK_FIXTURE_VERSION}:clustered:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    dest = (
+        Path(tempfile.gettempdir())
+        / "outreach_etl_spark_sink"
+        / f"orders_by_date_{key}"
+    )
+    marker = dest.parent / f".{dest.name}_READY"
+    if not marker.exists():
+        write_clustered(
+            load_table(spark, sf_dir, "orders"), str(dest), ["o_orderdate"]
+        )
+        marker.touch()
+    return str(dest)
+
+
+def sink_clustered_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _clustered_orders_fixture(spark, sf_dir)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderdate").between("1994-03-01", "1994-03-31")
+    )
+    return back.select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+
+
+SINK_CLUSTERED_MINMAX_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1994-03-01' AND DATE '1994-03-31'
+"""
+
+
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events_fixture(spark, sf_dir)
+    back = spark.read.parquet(path).filter(
+        F.col("event_day") == F.lit(_PRUNE_DAY).cast("date")
+    )
+    return back.select(
+        "event_id", "event_day", "ts", "user_id", "event_type", "value"
+    )
+
+
+SINK_PARTITIONED_PRUNED_SQL = f"""
+SELECT event_id, CAST(ts AS DATE) AS event_day, ts, user_id, event_type, value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DAY}'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sink_partitioned_pruned": QuerySpec(
+        sink_partitioned_pruned, SINK_PARTITIONED_PRUNED_SQL,
+        tags=("S6", "P4"),
+        doc="write_partitioned(day) read back through partition pruning, "
+        "value-checked; plan pin asserts one-file scan",
+    ),
+    "sink_clustered_minmax": QuerySpec(
+        sink_clustered_minmax, SINK_CLUSTERED_MINMAX_SQL,
+        tags=("S6", "P3"),
+        doc="write_clustered(o_orderdate) read back through a pushed range "
+        "predicate over disjoint file ranges, value-checked",
+    ),
     "manifest_snapshot_diff": QuerySpec(
         manifest_snapshot_diff, MANIFEST_SNAPSHOT_DIFF_SQL,
         tags=("S6", "T6", "J6", "A2"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from outreach_etl_tool_spark.queries import REGISTRY
 
@@ -41,4 +42,65 @@ def test_ten_x_data_costs_well_under_ten_x_time(spark, name):
         f"{name}: sf0.1 took {t_big:.2f}s vs sf0.01 {t_small:.2f}s "
         f"(ratio {ratio:.1f}× for 10× data) — super-linear scaling; "
         "look for driver-side loops or quadratic candidate expansion"
+    )
+
+
+# --------------------------------------------------- third point: sf0.3
+# A generated 3× slice of the sf0.1 documents table gives the dedup
+# family a third scaling point beyond the driver-shipped sfs. Each
+# replica offsets doc_id and perturbs the text with a shingle-set
+# bijection (reverse) / near-bijection (vowel translate): within a
+# replica the duplicate-pair structure of the original corpus is
+# preserved, and across replicas no near-dups are introduced — so the
+# duplicate graph grows ~linearly (3×), which is exactly the regime
+# where super-linear operator cost has nowhere to hide.
+
+_REPLICA_PERTURB = (
+    lambda c: c,  # replica 0: identity
+    F.reverse,
+    lambda c: F.translate(c, "aeiou", "01234"),
+)
+
+
+@pytest.fixture(scope="module")
+def sf03_dir(spark):
+    import tempfile
+    from pathlib import Path
+
+    from outreach_etl_tool_spark.catalog import load_table
+
+    dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_scale" / "sf03_v1"
+    marker = dest / "_READY"
+    if not marker.exists():
+        docs = load_table(spark, SF_BIG, "documents")
+        stride = docs.agg(F.max("doc_id")).first()[0] + 1
+        reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                perturb(F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",  # reverse/translate preserve length
+            )
+            for i, perturb in enumerate(_REPLICA_PERTURB)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(str(dest / "documents.parquet"))
+        marker.touch()
+    return str(dest)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["dedup_cluster", "dedup_minhash"])
+def test_three_x_slice_scales_linearly(spark, name, sf03_dir):
+    REGISTRY[name].fn(spark, SF_BIG).count()  # warm
+    t_mid = _timed(spark, name, SF_BIG)
+    t_3x = _timed(spark, name, sf03_dir)
+    ratio = t_3x / max(t_mid, 1e-6)
+    # 3x data: linear is 3x, quadratic ~9x; 6 allows fixed-cost noise
+    assert ratio < 6.0, (
+        f"{name}: sf0.3 took {t_3x:.2f}s vs sf0.1 {t_mid:.2f}s "
+        f"(ratio {ratio:.1f}× for 3× data) — super-linear scaling"
     )
