@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..streaming.streams import stream_dedup, tumbling_counts
+from ..streaming.streams import running_user_totals, stream_dedup, tumbling_counts
 from . import QuerySpec
 
 _REPLAY_SCHEMA = (
@@ -105,7 +105,9 @@ def _build_replay(spark: SparkSession, sf_dir: str, variant: str) -> Path:
         "value",
         _slice_idx().alias("slice"),
     )
-    if variant == "latedrop":
+    if variant == "inorder":
+        slices = [ev.filter(F.col("slice") == i) for i in range(3)]
+    elif variant == "latedrop":
         # routed rows leave the first ts-ordered slice for the final
         # file; day <= 9 keeps them >23h below max(slice 0) - delay, so
         # they are late under any batch-lagged watermark (module doc)
@@ -224,6 +226,59 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 """
 
 
+def stream_custom_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the
+    oracle gate: running_user_totals carries per-user state across the
+    in-order replay's micro-batches in update mode; each batch's
+    emissions land in the sink stamped with their epoch, and the final
+    per-user row (max epoch) IS the converged state — by construction
+    equal to the batch aggregate over all events, independent of how
+    the replay was split into batches. Only order-independent fields
+    (count, max) are compared; a running float SUM's value depends on
+    accumulation order and is excluded from the hash surface."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    replay = _build_replay(spark, sf_dir, "inorder")
+    totals = running_user_totals(_read_replay(spark, replay))
+    out = tempfile.mkdtemp(prefix="stream_state_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_state_ckpt_")
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        batch.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+    sunk = spark.read.schema(
+        "user_id long, n_events long, total_value double, "
+        "max_value double, epoch long"
+    ).parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch"))
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )
+
+
+STREAM_CUSTOM_STATE_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_latedrop_tumbling": QuerySpec(
         stream_latedrop_tumbling,
@@ -238,5 +293,12 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T5", "T4"),
         doc="real availableNow stream: dropDuplicatesWithinWatermark "
         "removes injected re-sends, exact-oracled via replay construction",
+    ),
+    "stream_custom_state_totals": QuerySpec(
+        stream_custom_state_totals,
+        STREAM_CUSTOM_STATE_TOTALS_SQL,
+        tags=("T5", "UDAF"),
+        doc="applyInPandasWithState per-user running state across "
+        "micro-batches; converged state == batch aggregate, exact-oracled",
     ),
 }
