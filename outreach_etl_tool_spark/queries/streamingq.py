@@ -142,6 +142,45 @@ def _build_replay(spark: SparkSession, sf_dir: str, variant: str) -> Path:
     return dest
 
 
+_DOCS_REPLAY_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _build_docs_replay(spark: SparkSession, sf_dir: str) -> Path:
+    """Documents as three doc_id-RANGED slices (JSON, pinned mtimes).
+    Id-ranged order is what makes the ingest sink's retention rule
+    SQL-expressible: the first slice containing a text's sha also
+    holds its minimum doc_id, and the in-batch rule keeps min id — so
+    the retained set is exactly `min(doc_id) per distinct text`."""
+    key = hashlib.sha1(
+        f"{_FIXTURE_VERSION}:docs:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_replay" / (
+        f"docs_{key}"
+    )
+    marker = dest / "_READY"
+    if marker.exists():
+        return dest
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    m = docs.agg(F.max("doc_id")).first()[0]
+    b1, b2 = m // 3, 2 * m // 3
+    slices = [
+        docs.filter(F.col("doc_id") <= b1),
+        docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        docs.filter(F.col("doc_id") > b2),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").json(str(dest / f"s{i}"))
+    for i in range(len(slices)):
+        for p in (dest / f"s{i}").glob("part-*.json"):
+            os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    marker.touch()
+    return dest
+
+
 def _read_replay(spark: SparkSession, dest: Path) -> DataFrame:
     return (
         spark.readStream.schema(_REPLAY_SCHEMA)
@@ -279,6 +318,50 @@ GROUP BY user_id
 """
 
 
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6c: the streaming corpus-ingest sink (foreachBatch incremental
+    exact dedup + manifest append) under the oracle gate. Each
+    micro-batch anti-joins its content hashes against everything
+    already retained and appends survivors as one atomic snapshot;
+    with the doc_id-ranged replay the retained table is exactly
+    `min(doc_id) per distinct text` (see _build_docs_replay)."""
+    import tempfile as _tf
+
+    from ..streaming.streams import dedup_ingest_sink
+
+    replay = _build_docs_replay(spark, sf_dir)
+    docs = (
+        spark.readStream.schema(_DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{replay}/s*/part-*.json")
+    )
+    table_path = _tf.mkdtemp(prefix="stream_ingest_table_")
+    ckpt = _tf.mkdtemp(prefix="stream_ingest_ckpt_")
+    q = (
+        dedup_ingest_sink(docs, table_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+
+    from ..sinks.manifest import ManifestTable
+
+    return ManifestTable(table_path).read(spark).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+STREAM_INGEST_DEDUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_latedrop_tumbling": QuerySpec(
         stream_latedrop_tumbling,
@@ -300,5 +383,12 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T5", "UDAF"),
         doc="applyInPandasWithState per-user running state across "
         "micro-batches; converged state == batch aggregate, exact-oracled",
+    ),
+    "stream_ingest_dedup": QuerySpec(
+        stream_ingest_dedup,
+        STREAM_INGEST_DEDUP_SQL,
+        tags=("T6", "J6", "S6"),
+        doc="foreachBatch incremental-dedup ingest into a manifest table; "
+        "retained set == min(doc_id) per distinct text, exact-oracled",
     ),
 }
