@@ -528,3 +528,39 @@ def test_dedup_ingest_sink_at_most_once_content(spark, tmp_path):
     assert len({r["text_sha"] for r in rows}) == 3
     # batch 3 was all-dup → no snapshot churn: versions = 2 batches
     assert table.current_version() == 1
+
+
+def test_latedrop_replay_is_lag_proof(spark):
+    """The T4 oracle's correctness argument does not depend on WHICH
+    batch's stats feed the late filter (Spark lags watermark updates by
+    more than one batch — measured in round 6). That only holds if the
+    fixture keeps two invariants, pinned here against future edits of
+    the slice boundaries or the routing rule:
+
+    1. every routed row predates max(slice 0) - delay, so it is late
+       under ANY watermark that has seen at least the first batch;
+    2. in-order slices are disjoint in ts, so they never produce a
+       late row regardless of watermark timing.
+    """
+    from pyspark.sql import functions as F
+
+    from outreach_etl_tool_spark.queries.streamingq import (
+        _REPLAY_SCHEMA,
+        _build_replay,
+    )
+
+    dest = _build_replay(spark, "/root/testdata/sf0.001", "latedrop")
+    s = [
+        spark.read.schema(_REPLAY_SCHEMA).json(f"{dest}/s{i}")
+        for i in range(4)
+    ]
+    delay_us = 3_600 * 1_000_000  # "1 hour", the query's watermark delay
+    max0 = s[0].agg(F.max("ts_us")).first()[0]
+    routed_max = s[3].agg(F.max("ts_us")).first()[0]
+    assert s[3].count() > 0  # the late path is actually exercised
+    assert routed_max < max0 - delay_us
+    for a, b in ((0, 1), (1, 2)):
+        assert (
+            s[b].agg(F.min("ts_us")).first()[0]
+            > s[a].agg(F.max("ts_us")).first()[0]
+        )
