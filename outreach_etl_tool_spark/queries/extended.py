@@ -414,6 +414,7 @@ def _partitioned_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     from pathlib import Path
 
     from ..sinks.writers import write_partitioned
+    from .fixtures import atomic_fixture
 
     key = hashlib.sha1(
         f"{_SINK_FIXTURE_VERSION}:{Path(sf_dir).resolve()}".encode()
@@ -423,14 +424,14 @@ def _partitioned_events_fixture(spark: SparkSession, sf_dir: str) -> str:
         / "outreach_etl_spark_sink"
         / f"events_by_day_{key}"
     )
-    marker = dest.parent / f".{dest.name}_READY"
-    if not marker.exists():
+
+    def build(root: Path) -> None:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "event_day", F.to_date("ts")
         )
-        write_partitioned(ev, str(dest), ["event_day"])
-        marker.touch()
-    return str(dest)
+        write_partitioned(ev, str(root), ["event_day"])
+
+    return str(atomic_fixture(dest, build))
 
 
 # S6d — the clustered sink layout (sinks/layout.write_clustered):
@@ -446,6 +447,7 @@ def _clustered_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     from pathlib import Path
 
     from ..sinks.layout import write_clustered
+    from .fixtures import atomic_fixture
 
     key = hashlib.sha1(
         f"{_SINK_FIXTURE_VERSION}:clustered:{Path(sf_dir).resolve()}".encode()
@@ -455,19 +457,20 @@ def _clustered_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
         / "outreach_etl_spark_sink"
         / f"orders_by_date_{key}"
     )
-    marker = dest.parent / f".{dest.name}_READY"
-    if not marker.exists():
+
+    def build(root: Path) -> None:
         write_clustered(
-            load_table(spark, sf_dir, "orders"), str(dest), ["o_orderdate"]
+            load_table(spark, sf_dir, "orders"), str(root), ["o_orderdate"]
         )
-        marker.touch()
-    return str(dest)
+
+    return str(atomic_fixture(dest, build))
 
 
 def sink_clustered_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _clustered_orders_fixture(spark, sf_dir)
+    # orders in this dataset span 1995-01..2001-08 (midnight-aligned ts)
     back = spark.read.parquet(path).filter(
-        F.col("o_orderdate").between("1994-03-01", "1994-03-31")
+        F.col("o_orderdate").between("1996-03-01", "1996-03-31")
     )
     return back.select(
         "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
@@ -477,7 +480,7 @@ def sink_clustered_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_CLUSTERED_MINMAX_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
 FROM orders
-WHERE o_orderdate BETWEEN DATE '1994-03-01' AND DATE '1994-03-31'
+WHERE o_orderdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
 """
 
 

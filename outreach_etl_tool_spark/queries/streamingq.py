@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..streaming.streams import running_user_totals, stream_dedup, tumbling_counts
 from . import QuerySpec
+from .fixtures import atomic_fixture
 
 _REPLAY_SCHEMA = (
     "event_id long, ts_us long, user_id long, event_type string, value double"
@@ -84,62 +85,63 @@ def _slice_idx() -> F.Column:
     )
 
 
+def _write_slices(slices: list[DataFrame], root: Path) -> None:
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").json(str(root / f"s{i}"))
+    # pin mtimes to fixed increasing epochs: the file source orders new
+    # files by modification time, and this makes slice order == batch
+    # order on any filesystem, independent of write wall-clock
+    for i in range(len(slices)):
+        for p in (root / f"s{i}").glob("part-*.json"):
+            os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+
 def _build_replay(spark: SparkSession, sf_dir: str, variant: str) -> Path:
     """Materialize the deterministic replay fixture for `variant`
-    (cached per sf_dir — same inputs produce byte-identical slices)."""
+    (cached per sf_dir — same inputs produce equivalent slices;
+    build-into-tmp + atomic rename via :func:`atomic_fixture`)."""
     key = hashlib.sha1(
         f"{_FIXTURE_VERSION}:{variant}:{Path(sf_dir).resolve()}".encode()
     ).hexdigest()[:12]
     dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_replay" / (
         f"{variant}_{key}"
     )
-    marker = dest / "_READY"
-    if marker.exists():
-        return dest
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "user_id",
-        "event_type",
-        "value",
-        _slice_idx().alias("slice"),
-    )
-    if variant == "inorder":
-        slices = [ev.filter(F.col("slice") == i) for i in range(3)]
-    elif variant == "latedrop":
-        # routed rows leave the first ts-ordered slice for the final
-        # file; day <= 9 keeps them >23h below max(slice 0) - delay, so
-        # they are late under any batch-lagged watermark (module doc)
-        routed = (F.col("event_id") % 50 == 0) & (
-            F.dayofmonth(F.timestamp_micros("ts_us")) <= 9
+    def build(root: Path) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            _slice_idx().alias("slice"),
         )
-        slices = [
-            ev.filter(~routed & (F.col("slice") == i)) for i in range(3)
-        ] + [ev.filter(routed)]
-    elif variant == "dedup":
-        # copies of slice i's marked rows re-arrive in file i+1
-        copied = F.col("event_id") % 7 == 0
-        slices = [ev.filter(F.col("slice") == 0)]
-        for i in range(1, 4):
-            cur = ev.filter(F.col("slice") == i) if i < 3 else None
-            dup = ev.filter(copied & (F.col("slice") == i - 1))
-            slices.append(dup if cur is None else cur.unionByName(dup))
-    else:  # pragma: no cover
-        raise ValueError(f"unknown replay variant {variant!r}")
+        if variant == "inorder":
+            slices = [ev.filter(F.col("slice") == i) for i in range(3)]
+        elif variant == "latedrop":
+            # routed rows leave the first ts-ordered slice for the final
+            # file; day <= 9 keeps them >23h below max(slice 0) - delay,
+            # so they are late under any batch-lagged watermark (module
+            # doc)
+            routed = (F.col("event_id") % 50 == 0) & (
+                F.dayofmonth(F.timestamp_micros("ts_us")) <= 9
+            )
+            slices = [
+                ev.filter(~routed & (F.col("slice") == i)) for i in range(3)
+            ] + [ev.filter(routed)]
+        elif variant == "dedup":
+            # copies of slice i's marked rows re-arrive in file i+1
+            copied = F.col("event_id") % 7 == 0
+            slices = [ev.filter(F.col("slice") == 0)]
+            for i in range(1, 4):
+                cur = ev.filter(F.col("slice") == i) if i < 3 else None
+                dup = ev.filter(copied & (F.col("slice") == i - 1))
+                slices.append(dup if cur is None else cur.unionByName(dup))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown replay variant {variant!r}")
+        _write_slices([sl.drop("slice") for sl in slices], root)
 
-    for i, sl in enumerate(slices):
-        sl.drop("slice").coalesce(1).write.mode("overwrite").json(
-            str(dest / f"s{i}")
-        )
-    # pin mtimes to fixed increasing epochs: the file source orders new
-    # files by modification time, and this makes slice order == batch
-    # order on any filesystem, independent of write wall-clock
-    for i in range(len(slices)):
-        for p in (dest / f"s{i}").glob("part-*.json"):
-            os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-    marker.touch()
-    return dest
+    return atomic_fixture(dest, build)
 
 
 _DOCS_REPLAY_SCHEMA = (
@@ -159,26 +161,23 @@ def _build_docs_replay(spark: SparkSession, sf_dir: str) -> Path:
     dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_replay" / (
         f"docs_{key}"
     )
-    marker = dest / "_READY"
-    if marker.exists():
-        return dest
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    m = docs.agg(F.max("doc_id")).first()[0]
-    b1, b2 = m // 3, 2 * m // 3
-    slices = [
-        docs.filter(F.col("doc_id") <= b1),
-        docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
-        docs.filter(F.col("doc_id") > b2),
-    ]
-    for i, sl in enumerate(slices):
-        sl.coalesce(1).write.mode("overwrite").json(str(dest / f"s{i}"))
-    for i in range(len(slices)):
-        for p in (dest / f"s{i}").glob("part-*.json"):
-            os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-    marker.touch()
-    return dest
+
+    def build(root: Path) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        m = docs.agg(F.max("doc_id")).first()[0]
+        b1, b2 = m // 3, 2 * m // 3
+        _write_slices(
+            [
+                docs.filter(F.col("doc_id") <= b1),
+                docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+                docs.filter(F.col("doc_id") > b2),
+            ],
+            root,
+        )
+
+    return atomic_fixture(dest, build)
 
 
 def _read_replay(spark: SparkSession, dest: Path) -> DataFrame:
