@@ -7,25 +7,29 @@ evidence. These queries run the REAL streaming operators from
 replay of the events table and return the materialized sink, with
 EXACT oracles derived from how the replay is constructed:
 
-- The events table is split into day-ranged, ts-ordered slices; each
-  slice is one file and ``maxFilesPerTrigger=1`` makes it one
+- The events table is split into ts-range TERTILE slices (computed
+  from the table's actual min/max ts, so any regenerated span works);
+  each slice is one file and ``maxFilesPerTrigger=1`` makes it one
   micro-batch (file mtimes are pinned to fixed increasing values so
   the file source replays slices in order). In-order slices can never
   produce a late row — slice i+1's minimum ts is past slice i's
   maximum — so every drop observed below is one the fixture injected
   deliberately, which is what makes the output SQL-expressible.
 
-- T4 routes every ``event_id % 50 == 0`` row from the FIRST slice's
-  day range out of order into a final file. Spark propagates the
-  event-time watermark with a deliberate batch lag (the late filter
-  of batch k uses stats from earlier batches — measured: batch 3
-  filtered against stats through batch 1), so the fixture does not
-  assume any particular lag: routed rows all predate
-  ``max(slice 0 ts) - delay`` by >23 hours, making them late under
-  EVERY watermark that has seen at least the first batch. All routed
-  rows are provably dropped, and append mode's final flush emits
-  exactly the hour windows over in-order rows with ``window_end <=
-  max_ts - delay`` — plain SQL over the events table.
+- T4 routes every ``event_id % 50 == 0`` row from the first QUARTER
+  of the ts range out of order into a final file. Spark propagates
+  the event-time watermark with a deliberate batch lag (the late
+  filter of batch k uses stats from earlier batches — measured:
+  batch 3 filtered against stats through batch 1), so the fixture
+  does not assume any particular lag: routed rows all predate
+  ``max(slice 0 ts) - delay`` by ~span/12 (the tertile/quarter gap —
+  over 2 days at a 30-day span), making them late under EVERY
+  watermark that has seen at least the first batch. All routed rows
+  are provably dropped, and append mode's final flush emits exactly
+  the hour windows over in-order rows with ``window_end <= max_ts -
+  delay`` — plain SQL over the events table (the routing predicate
+  is integer epoch-micros arithmetic, mirrored bit-exactly in the
+  oracle and invariant under uniform timezone shifts).
 
 - T5 re-sends a copy of every ``event_id % 7 == 0`` row one slice
   later. A copy is dropped whichever way the race goes: if the
@@ -69,18 +73,21 @@ _SINK_T5 = (
     "event_id long, ts timestamp, user_id long, event_type string, value double"
 )
 
-# day-of-month boundaries for the in-order slices (events span Jan 2024)
-_SLICE_DAYS = (10, 20)
-
 # bump to invalidate cached replay fixtures when their construction changes
-_FIXTURE_VERSION = 2
+_FIXTURE_VERSION = 3
 
 
-def _slice_idx() -> F.Column:
-    d = F.dayofmonth("ts")
+def _slice_idx(lo_us: int, hi_us: int) -> F.Column:
+    """Tertile slice index over the events' actual ts range — span-
+    agnostic (the driver regenerates testdata between rounds; a
+    day-of-month rule would silently break on a multi-month span and
+    red the gate). Boundaries are integer epoch-micros arithmetic so
+    the oracle can reproduce the routing predicate bit-exactly."""
+    span = hi_us - lo_us
+    b1, b2 = lo_us + span // 3, lo_us + 2 * (span // 3)
     return (
-        F.when(d <= _SLICE_DAYS[0], 0)
-        .when(d <= _SLICE_DAYS[1], 1)
+        F.when(F.col("ts_us") <= b1, 0)
+        .when(F.col("ts_us") <= b2, 1)
         .otherwise(2)
     )
 
@@ -108,23 +115,26 @@ def _build_replay(spark: SparkSession, sf_dir: str, variant: str) -> Path:
     )
 
     def build(root: Path) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
+        base = load_table(spark, sf_dir, "events").select(
             "event_id",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             "user_id",
             "event_type",
             "value",
-            _slice_idx().alias("slice"),
         )
+        lo_us, hi_us = base.agg(F.min("ts_us"), F.max("ts_us")).first()
+        ev = base.withColumn("slice", _slice_idx(lo_us, hi_us))
         if variant == "inorder":
             slices = [ev.filter(F.col("slice") == i) for i in range(3)]
         elif variant == "latedrop":
             # routed rows leave the first ts-ordered slice for the final
-            # file; day <= 9 keeps them >23h below max(slice 0) - delay,
-            # so they are late under any batch-lagged watermark (module
-            # doc)
+            # file; the first-quarter cut keeps them ~span/12 below
+            # max(slice 0) - delay (span/3 tertile vs span/4 routing cut
+            # — >2 days at a 30-day span, >1h down to a 1-day span), so
+            # they are late under any batch-lagged watermark (module
+            # doc); tests/test_streaming.py pins the margin
             routed = (F.col("event_id") % 50 == 0) & (
-                F.dayofmonth(F.timestamp_micros("ts_us")) <= 9
+                F.col("ts_us") < lo_us + (hi_us - lo_us) // 4
             )
             slices = [
                 ev.filter(~routed & (F.col("slice") == i)) for i in range(3)
@@ -232,9 +242,12 @@ def stream_latedrop_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_LATEDROP_TUMBLING_SQL = """
+WITH bounds AS (
+  SELECT MIN(EPOCH_US(ts)) AS lo, MAX(EPOCH_US(ts)) AS hi FROM events
+)
 SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type, COUNT(*) AS n
-FROM events
-WHERE NOT (event_id % 50 = 0 AND DATE_PART('day', ts) <= 9)
+FROM events, bounds
+WHERE NOT (event_id % 50 = 0 AND EPOCH_US(ts) < lo + (hi - lo) // 4)
   AND DATE_TRUNC('hour', ts) + INTERVAL 2 HOUR <= (SELECT MAX(ts) FROM events)
 GROUP BY 1, 2
 """
