@@ -468,9 +468,18 @@ def _clustered_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
 
 def sink_clustered_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _clustered_orders_fixture(spark, sf_dir)
-    # orders in this dataset span 1995-01..2001-08 (midnight-aligned ts)
-    back = spark.read.parquet(path).filter(
-        F.col("o_orderdate").between("1996-03-01", "1996-03-31")
+    back = spark.read.parquet(path)
+    # data-relative window — the 14th calendar month after the minimum
+    # order date — so a regenerated date span can never make the
+    # predicate miss the data and pass trivially on 0 rows (orders
+    # currently span 1995-01..2001-08; a fixed month did exactly that)
+    lo = back.agg(F.min("o_orderdate")).first()[0]
+    y, m0 = lo.year + (lo.month - 1 + 14) // 12, (lo.month - 1 + 14) % 12 + 1
+    start = f"{y:04d}-{m0:02d}-01"
+    y2, m2 = y + m0 // 12, m0 % 12 + 1
+    end = f"{y2:04d}-{m2:02d}-01"
+    back = back.filter(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
     )
     return back.select(
         "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
@@ -478,9 +487,13 @@ def sink_clustered_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SINK_CLUSTERED_MINMAX_SQL = """
+WITH b AS (
+  SELECT DATE_TRUNC('month', MIN(o_orderdate)) + INTERVAL 14 MONTH AS t
+  FROM orders
+)
 SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
-FROM orders
-WHERE o_orderdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+FROM orders, b
+WHERE o_orderdate >= t AND o_orderdate < t + INTERVAL 1 MONTH
 """
 
 

@@ -104,6 +104,15 @@ def duck(sf_dir):
     return con
 
 
+# queries whose semantics make an empty result the CORRECT answer on
+# consistent testdata (anti-join over intact FKs, difference of equal
+# sets). Every other query returning 0 rows is evidence-free — a
+# predicate window that misses the data's actual range (seen:
+# sink_clustered_minmax filtering a month outside the orders span)
+# passes the hash compare trivially and proves nothing.
+EXPECTED_EMPTY = {"join_anti", "set_except"}
+
+
 def test_all_queries_run_and_columns_match_oracle(spark, sf_dir, duck):
     failures = []
     for name, spec in REGISTRY.items():
@@ -113,7 +122,8 @@ def test_all_queries_run_and_columns_match_oracle(spark, sf_dir, duck):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: spark error {e}")
             continue
-        assert n >= 0
+        if n == 0 and name not in EXPECTED_EMPTY:
+            failures.append(f"{name}: 0 rows — trivially-passing evidence")
         if spec.oracle is None:
             continue
         try:
