@@ -1,0 +1,315 @@
+"""Round-6 SQL-surface extensions + PII scrub.
+
+Three more classic decision-support shapes (TPC-H Q7/Q14/Q19 adapted
+to the testdata's columns) and a PII-redaction pipeline operator —
+the redaction pass every training-data pipeline runs before text ever
+reaches a tokenizer (C4/RefinedWeb-style regex scrubbing).
+
+Registry contract as everywhere: identical column aliases in the
+Spark plan and the DuckDB oracle; every float that reaches the value
+hash is either an exact scaled-integer sum divided back in one IEEE
+op, or a ratio of two such sums (both engines perform the identical
+final division).
+
+Scale notes are per-query; the common theme is that each query's only
+wide operation is the single fact-fact shuffle (or none), with dims
+broadcast and predicates pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import exact_sum, sum_sql
+from ..operators.util import ensure_parallelism
+from . import QuerySpec
+
+
+# ---------------------------------------------------------------------------
+# SQL Q7 — volume shipping between two nations (TPC-H Q7 shape).
+# lineitem⋈orders is the one fact-fact shuffle. Only the two 25-row
+# nation copies get an explicit broadcast hint — supplier and customer
+# SCALE with the corpus (hinting them would be wrong at 100 TB), so
+# their join strategy is left to Catalyst/AQE, which broadcasts at toy
+# sf and shuffles at scale. The nation-pair predicate references both
+# sides, so it evaluates post-join; Catalyst still prunes columns and
+# pushes the join keys' IsNotNull to every scan.
+# ---------------------------------------------------------------------------
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
+
+
+def sql_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(exact_sum(volume, scale=6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_Q7_NATION_VOLUME_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+   OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL Q14 — promo revenue share by ship month (TPC-H Q14, grouped by
+# month instead of a one-row scalar so the evidence is non-trivial).
+# Shape: lineitem⋈part with part broadcast; one groupBy shuffle on the
+# truncated month. promo_share divides two exact scaled-integer sums —
+# the numerator×100 and the final division are each one IEEE double op
+# both engines execute identically on identical inputs.
+# ---------------------------------------------------------------------------
+def sql_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            exact_sum(revenue, scale=6).alias("revenue"),
+            (
+                F.lit(100.0)
+                * exact_sum(promo, scale=6)
+                / exact_sum(revenue, scale=6)
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+SQL_Q14_PROMO_SHARE_SQL = f"""
+SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
+       {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue,
+       100.0 * ({sum_sql(
+           "CASE WHEN p_type = 'PROMO'"
+           " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+           scale=6)})
+            / ({sum_sql('l_extendedprice * (1 - l_discount)', scale=6)})
+           AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL Q19 — disjunctive bracket predicate (TPC-H Q19 shape): revenue
+# from three (brand, size-range, quantity-range) brackets OR-ed
+# together. The point at scale: Catalyst extracts the common
+# `p_brand IN (...)` / `p_size BETWEEN 1 AND 40` factors where it can
+# and pushes per-table conjuncts below the join, so the broadcast part
+# scan reads a fraction of the table; the OR itself evaluates post-join
+# in whole-stage codegen, never in Python.
+# ---------------------------------------------------------------------------
+def sql_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(b)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(revenue, scale=6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_Q19_BRACKET_REVENUE_SQL = f"""
+SELECT p_brand,
+       {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII REDACTION — the scrub pass a training pipeline runs before
+# tokenization. The synthetic corpus carries no real PII, so the query
+# first derives a deterministic contaminated view (docs with
+# doc_id%3==0 gain an email, %3==1 a phone number — built from doc_id,
+# so both engines construct byte-identical inputs), then redacts with
+# the standard email/phone regexes and reports per-source audit
+# counts plus an order-free checksum of the redacted bytes.
+#
+# Scale shape: zero shuffles before the final per-source rollup; the
+# regex work is whole-stage-codegen JVM per-row projection (Java regex
+# here, RE2 in the oracle — the patterns below use only syntax the two
+# engines interpret identically). The checksum is a SUM over the first
+# 16 hex digits of each row's md5 — order-independent, collision-safe
+# enough for evidence, and avoids hashing row order.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    contaminated = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(
+            F.col("text"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(contaminated, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "source",
+            F.regexp_count(contaminated, F.lit(_EMAIL_RE)).alias("ne"),
+            F.regexp_count(contaminated, F.lit(_PHONE_RE)).alias("np"),
+            F.conv(F.substring(F.md5(redacted), 1, 16), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("redacted_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH contaminated AS (
+    SELECT source,
+           CASE
+             WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+             WHEN doc_id % 3 = 1 THEN
+               text || ' call 555-'
+                    || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text
+           END AS ctext
+    FROM documents
+), redacted AS (
+    SELECT source,
+           LEN(regexp_extract_all(ctext, '{_EMAIL_RE}')) AS ne,
+           LEN(regexp_extract_all(ctext, '{_PHONE_RE}')) AS np,
+           CAST(('0x' || SUBSTR(MD5(
+               regexp_replace(regexp_replace(
+                   ctext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')), 1, 16))::UBIGINT
+               AS DECIMAL(38,0)) AS h
+    FROM contaminated
+)
+SELECT source,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS redacted_checksum
+FROM redacted
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sql_q7_nation_volume": QuerySpec(
+        sql_q7_nation_volume, SQL_Q7_NATION_VOLUME_SQL,
+        tags=("J1", "J2", "J3", "A2", "F2"),
+        doc="TPC-H Q7 shape: two-nation shipping volume by year",
+    ),
+    "sql_q14_promo_share": QuerySpec(
+        sql_q14_promo_share, SQL_Q14_PROMO_SHARE_SQL,
+        tags=("J2", "A2", "A6", "F2"),
+        doc="TPC-H Q14 shape: promo revenue share by ship month",
+    ),
+    "sql_q19_bracket_revenue": QuerySpec(
+        sql_q19_bracket_revenue, SQL_Q19_BRACKET_REVENUE_SQL,
+        tags=("J2", "P5", "A2"),
+        doc="TPC-H Q19 shape: disjunctive bracket predicate revenue",
+    ),
+    "pii_redact": QuerySpec(
+        pii_redact, PII_REDACT_SQL, tags=("L4", "F1", "A2"),
+        doc="PII scrub: regex email/phone redaction + per-source audit",
+    ),
+}

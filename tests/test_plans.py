@@ -77,6 +77,18 @@ def test_sink_partitioned_read_prunes(spark):
     assert num_files == 1, f"scan read {num_files} files, expected 1"
 
 
+def test_disjunctive_predicate_pushdown_q19(spark):
+    """Q19's OR-of-ANDs must still push its per-column disjuncts to the
+    lineitem scan (Or(And(GreaterThanOrEqual(l_quantity,...)))) and
+    prune the scan to the four referenced columns — the difference
+    between reading 4 and 11 columns of the 100 TB fact table."""
+    df = df_of(spark, "sql_q19_bracket_revenue")
+    pushed = " ".join(pushed_filters(df))
+    assert "Or(" in pushed and "l_quantity" in pushed, pushed
+    li_scan = next(s for s in read_schemas(df) if "l_quantity" in s)
+    assert "l_shipdate" not in li_scan and "l_tax" not in li_scan, li_scan
+
+
 def test_top_k_is_take_ordered(spark):
     a = audit("top_k_orders", df_of(spark, "top_k_orders"))
     assert a.top_k  # top-k never global-sorts
@@ -158,6 +170,14 @@ SHUFFLE_BUDGETS = {
     # verify shape (10 — corpus scanned once per pair side) both fail
     # here if they come back
     "dedup_minhash": 7,
+    # round-6 SQL surface: dims broadcast (only nation is HINTED — the
+    # scaling dims are AQE's call), agg + result-sort exchanges only.
+    # q7's budget leaves one slot for the fact-fact exchange AQE adds
+    # once orders outgrows the broadcast threshold.
+    "sql_q7_nation_volume": 3,
+    "sql_q14_promo_share": 2,
+    "sql_q19_bracket_revenue": 2,
+    "pii_redact": 2,  # regex scrub is pure projection; rollup + sort
 }
 
 
