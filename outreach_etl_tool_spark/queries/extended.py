@@ -405,7 +405,6 @@ GROUP BY o_orderstatus
 # predicate lands in PartitionFilters and exactly one file is read —
 # the scan never touches the other 29 days. Fixture cached per sf_dir.
 _SINK_FIXTURE_VERSION = 1
-_PRUNE_DAY = "2024-01-15"
 
 
 def _partitioned_events_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -497,20 +496,95 @@ WHERE o_orderdate >= t AND o_orderdate < t + INTERVAL 1 MONTH
 """
 
 
-def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _partitioned_events_fixture(spark, sf_dir)
-    back = spark.read.parquet(path).filter(
-        F.col("event_day") == F.lit(_PRUNE_DAY).cast("date")
+# S6e — the z-ordered sink layout (sinks/layout.write_zordered):
+# events Morton-ordered on (user_id, value), so BOTH columns keep
+# narrow per-file min/max envelopes and a predicate on either (or
+# both, as here) skips most row groups — the multi-column layout the
+# 100 TB fact table wants when queries slice on more than one key.
+# File-envelope locality is pinned by tests/test_sinks.py reading the
+# parquet footers directly; this query drives write → 2-D-pushed read
+# → value-hashed rows under the driver gate. Thresholds are
+# data-relative (1/8 of each observed range) so a regenerated domain
+# can never yield trivially-empty evidence.
+def _zordered_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.layout import write_zordered
+    from .fixtures import atomic_fixture
+
+    key = hashlib.sha1(
+        f"{_SINK_FIXTURE_VERSION}:zorder:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    dest = (
+        Path(tempfile.gettempdir())
+        / "outreach_etl_spark_sink"
+        / f"events_zorder_{key}"
     )
+
+    def build(root: Path) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_zordered(ev, str(root), ["user_id", "value"], n_files=8)
+
+    return str(atomic_fixture(dest, build))
+
+
+def sink_zorder_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _zordered_events_fixture(spark, sf_dir)
+    back = spark.read.parquet(path)
+    s = back.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+    ).first()
+    # both thresholds are single IEEE/integer expressions the oracle
+    # repeats verbatim, so the predicate boundary is bit-identical
+    u_hi = s["ulo"] + max(1, (s["uhi"] - s["ulo"]) // 8)
+    v_hi = s["vlo"] + (s["vhi"] - s["vlo"]) / 8.0
+    return back.filter(
+        (F.col("user_id") < F.lit(u_hi)) & (F.col("value") < F.lit(v_hi))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+SINK_ZORDER_MINMAX_SQL = """
+WITH b AS (
+  SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         MIN(value) AS vlo, MAX(value) AS vhi
+  FROM events
+)
+SELECT event_id, user_id, event_type, value
+FROM events, b
+WHERE user_id < ulo + GREATEST(1, (uhi - ulo) // 8)
+  AND value < vlo + (vhi - vlo) / 8.0
+"""
+
+
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    path = _partitioned_events_fixture(spark, sf_dir)
+    back = spark.read.parquet(path)
+    # data-relative day — 14 days after the earliest event — so a
+    # regenerated ts span can never make the predicate miss the data
+    # and pass trivially on 0 rows (the events table has always
+    # spanned ≥30 days; same hardening as sink_clustered_minmax).
+    # min() over the partition column is metadata-cheap: it reads the
+    # directory names, not the row groups.
+    lo = back.agg(F.min("event_day")).first()[0]
+    day = lo + datetime.timedelta(days=14)
+    back = back.filter(F.col("event_day") == F.lit(day))
     return back.select(
         "event_id", "event_day", "ts", "user_id", "event_type", "value"
     )
 
 
-SINK_PARTITIONED_PRUNED_SQL = f"""
+SINK_PARTITIONED_PRUNED_SQL = """
 SELECT event_id, CAST(ts AS DATE) AS event_day, ts, user_id, event_type, value
 FROM events
-WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DAY}'
+WHERE CAST(ts AS DATE) =
+      (SELECT CAST(MIN(ts) AS DATE) + INTERVAL 14 DAY FROM events)
 """
 
 
@@ -520,6 +594,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("S6", "P4"),
         doc="write_partitioned(day) read back through partition pruning, "
         "value-checked; plan pin asserts one-file scan",
+    ),
+    "sink_zorder_minmax": QuerySpec(
+        sink_zorder_minmax, SINK_ZORDER_MINMAX_SQL,
+        tags=("S6", "P3", "P5"),
+        doc="write_zordered(user_id, value) read back through a 2-D "
+        "pushed predicate, value-checked; footer pin proves per-file "
+        "min/max locality on both columns",
     ),
     "sink_clustered_minmax": QuerySpec(
         sink_clustered_minmax, SINK_CLUSTERED_MINMAX_SQL,

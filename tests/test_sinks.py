@@ -186,6 +186,64 @@ def test_write_clustered_enables_minmax_pruning(spark, tmp_path):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,10)" in plan
 
 
+def _file_envelopes(path: str, col: str) -> list[tuple[float, float]]:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_write_zordered_keeps_both_columns_local(spark, tmp_path):
+    """Morton layout vs single-column clustering on independent 2-D
+    data: z-order must keep the per-file min/max envelope narrow on
+    BOTH columns (that's what lets a predicate on either skip files),
+    where clustering on x alone leaves y's envelopes spanning the
+    whole domain."""
+    from outreach_etl_tool_spark.sinks import write_clustered
+    from outreach_etl_tool_spark.sinks.layout import write_zordered
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    zpath, cpath = str(tmp_path / "zorder"), str(tmp_path / "xclust")
+    write_zordered(df, zpath, ["x", "y"], n_files=8)
+    write_clustered(df, cpath, ["x"], n_files=8)
+
+    def mean_width(path, col):
+        env = _file_envelopes(path, col)
+        assert len(env) == 8
+        return sum(hi - lo for lo, hi in env) / len(env) / 999.0
+
+    # z-order: both dims localized; 8 files over the 2-D Morton curve
+    # give alternating ~1/4 and ~1/2 widths — 0.7 is a loose ceiling
+    assert mean_width(zpath, "x") < 0.7
+    assert mean_width(zpath, "y") < 0.7
+    # x-clustering: x razor-thin but y unserved (full-domain envelope)
+    assert mean_width(cpath, "x") < 0.2
+    assert mean_width(cpath, "y") > 0.9
+
+    # the reader keeps either column's predicate at the scan
+    back = spark.read.parquet(zpath).filter(F.col("y").between(10, 20))
+    assert back.count() == df.filter(F.col("y").between(10, 20)).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(y,10)" in plan
+
+
 def test_jsonl_interchange_roundtrip(spark, sf_dir, tmp_path):
     """JSONL corpus interchange: write documents as line-delimited JSON,
     read back with the DECLARED schema (never inference at 100 TB), get
