@@ -111,6 +111,47 @@ GROUP BY c_custkey, c_name
 """
 
 
+# J4b — full outer join across fact domains: per-customer order counts
+# vs per-user event counts, keyed on the shared entity id. The key
+# domains genuinely diverge (custkeys run far past the event user
+# range), so the events-side null extension is exercised structurally,
+# not by luck of the data (the orders side null-extends whenever a
+# user id lacks orders). Full outer cannot broadcast either side (both must
+# null-extend), so this is the shape that MUST sort-merge at scale —
+# but each side is pre-aggregated to its distinct keys first, so the
+# shuffle moves one row per entity, not per fact.
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_cust.join(
+            per_user, per_cust.o_custkey == per_user.user_id, "full_outer"
+        )
+        .select(
+            F.coalesce("o_custkey", "user_id").alias("entity_id"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(o.o_custkey, e.user_id) AS entity_id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events
+FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+FULL OUTER JOIN
+     (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+ON o.o_custkey = e.user_id
+"""
+
+
 # J5 — left semi join ("prospects with ≥1 mailing" shape): customers that
 # have at least one urgent order. Semi join shuffles only distinct keys of
 # the right side — never materializes the match multiplicity.
@@ -338,6 +379,10 @@ QUERIES: dict[str, QuerySpec] = {
         join_fact_fact, JOIN_FACT_FACT_SQL, tags=("J3",), bench=True
     ),
     "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_OUTER_SQL, tags=("J4",)),
+    "join_full_outer": QuerySpec(
+        join_full_outer, JOIN_FULL_OUTER_SQL, tags=("J4",),
+        doc="full outer across fact domains; null extension structural",
+    ),
     "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL, tags=("J5",)),
     "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL, tags=("J6",)),
     "join_range_bands": QuerySpec(
