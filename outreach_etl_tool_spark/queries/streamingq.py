@@ -61,7 +61,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..streaming.streams import running_user_totals, stream_dedup, tumbling_counts
+from ..streaming.streams import (
+    interval_join_streams,
+    running_user_totals,
+    stream_dedup,
+    tumbling_counts,
+)
 from . import QuerySpec
 from .fixtures import atomic_fixture
 
@@ -277,6 +282,53 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 """
 
 
+_SINK_T7 = (
+    "event_id_a long, event_id_b long, user_id long, "
+    "ts_a timestamp, ts_b timestamp"
+)
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: the production interval_join_streams operator (stream⋈stream
+    with watermarks + two-sided time bound) over the in-order replay,
+    self-joined: each event paired with the same user's strictly-later
+    events within 1 hour.
+
+    Why the final sink is SQL-expressible: slices are ts-ordered, so a
+    left row's state can only be evicted once the watermark passes
+    ``ts + 1h`` — and every ts' ≤ ts + 1h then lies below the
+    watermark + delay ≤ the max processed ts, i.e. in an
+    already-processed slice. Eviction therefore never precedes a
+    pending match, inner join emits each pair exactly once, and the
+    converged sink equals the batch interval join over the whole
+    table — the oracle below."""
+    replay = _build_replay(spark, sf_dir, "inorder")
+    joined = interval_join_streams(
+        _read_replay(spark, replay),
+        _read_replay(spark, replay),
+        delay="30 minutes",
+        within="INTERVAL 1 HOUR",
+    )
+    sink = _run_to_parquet(joined, _SINK_T7)
+    return sink.select(
+        "event_id_a",
+        "event_id_b",
+        "user_id",
+        F.col("ts_a").cast("timestamp_ntz").alias("ts_a"),
+        F.col("ts_b").cast("timestamp_ntz").alias("ts_b"),
+    )
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       a.user_id AS user_id, a.ts AS ts_a, b.ts AS ts_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
 def stream_custom_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) under the
     oracle gate: running_user_totals carries per-user state across the
@@ -395,6 +447,14 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T5", "UDAF"),
         doc="applyInPandasWithState per-user running state across "
         "micro-batches; converged state == batch aggregate, exact-oracled",
+    ),
+    "stream_interval_join": QuerySpec(
+        stream_interval_join,
+        STREAM_INTERVAL_JOIN_SQL,
+        tags=("T7", "J7", "T4"),
+        doc="real availableNow stream-stream interval join (watermarked, "
+        "bounded state); converged sink == batch interval join, "
+        "exact-oracled",
     ),
     "stream_ingest_dedup": QuerySpec(
         stream_ingest_dedup,

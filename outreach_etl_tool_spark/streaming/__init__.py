@@ -11,6 +11,7 @@ dedup, and the foreachBatch keep-latest upsert sink.
 
 from .streams import (
     EVENT_SCHEMA,
+    interval_join_streams,
     read_events_stream,
     running_user_totals,
     session_counts,
@@ -29,6 +30,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stream_dedup",
+    "interval_join_streams",
     "running_user_totals",
     "upsert_sink",
     "manifest_upsert_sink",

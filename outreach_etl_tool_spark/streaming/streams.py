@@ -112,6 +112,41 @@ def stream_dedup(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    delay: str = "30 minutes",
+    within: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """T7: stream-stream interval join — each left event paired with
+    the same user's strictly-later right events within ``within``
+    ("action followed by action inside the window" shape).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in both directions, so Spark derives a finite state-retention
+    horizon per side: a buffered left row is evicted once the
+    watermark passes ``ts + within`` (no future right row can match
+    it), a right row once the watermark passes its ``ts``. State is
+    bounded by delay+within worth of events per side — the only way a
+    stream⋈stream holds at 100 TB/day. Inner join, so matches emit as
+    soon as the partner arrives; nothing waits for window close.
+    """
+    l = left.withWatermark("ts", delay).alias("l")
+    r = right.withWatermark("ts", delay).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(within))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.event_id").alias("event_id_a"),
+        F.col("r.event_id").alias("event_id_b"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("ts_a"),
+        F.col("r.ts").alias("ts_b"),
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count / value total / running maximum, carried across

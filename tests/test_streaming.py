@@ -92,6 +92,35 @@ def test_tumbling_with_watermark_drops_late_rows(spark, tmp_path):
     assert rows[("2024-03-01T10:00:00", "view")] == 4
 
 
+def test_interval_join_streams_matches_across_batches(spark, tmp_path):
+    """Stream-stream interval join must pair a left row with right rows
+    that arrive in LATER micro-batches (buffered-state probe), drop
+    pairs outside the 1-hour bound, and never match across users."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=1),
+        ev(2, "2024-03-01T10:20:00Z", user=2),
+    ])
+    # id 3: matches id 1 across the batch boundary (40 min later);
+    # id 4: same user but 90 min after id 1 — outside the bound
+    write_batch(src, "b2.json", [
+        ev(3, "2024-03-01T10:40:00Z", user=1),
+        ev(4, "2024-03-01T11:30:00Z", user=1),
+    ])
+    write_batch(src, "b3.json", [ev(5, "2024-03-01T12:10:00Z", user=2)])
+    mk = lambda: ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    joined = ST.interval_join_streams(mk(), mk(), delay="10 minutes")
+    run_to_memory(joined, "ivjoin")
+    pairs = {
+        (r["event_id_a"], r["event_id_b"])
+        for r in collect_memory(spark, "ivjoin")
+    }
+    # (1,3) crosses the b1→b2 boundary; (3,4) is within-batch;
+    # (1,4) exceeds 1h; (2,5) same user but 1h50 apart; no cross-user
+    assert pairs == {(1, 3), (3, 4)}
+
+
 def test_session_window_stream(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
