@@ -286,6 +286,51 @@ _SINK_T7 = (
     "event_id_a long, event_id_b long, user_id long, "
     "ts_a timestamp, ts_b timestamp"
 )
+_SINK_T8 = "bucket_start timestamp, c_mktsegment string, n long"
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream-static enrichment — the watermarked event stream
+    broadcast-joined to the static customer dim (re-resolvable per
+    micro-batch, never shuffled, no state), then hourly counts per
+    market segment in append mode.
+
+    The watermark is applied BEFORE the join, so it advances on every
+    event (including ids the inner join drops — custkeys start at 1,
+    user 0's events are structural proof of inner semantics) and the
+    final flush emits exactly the hour windows with
+    ``window_end ≤ max(all ts) − delay`` — the bound the oracle
+    repeats. In-order slices mean nothing is ever late."""
+    replay = _build_replay(spark, sf_dir, "inorder")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        _read_replay(spark, replay)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(customer), "user_id", "inner")
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("bucket_start"), "c_mktsegment", "n"
+        )
+    )
+    sink = _run_to_parquet(agg, _SINK_T8)
+    return sink.select(
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "c_mktsegment",
+        "n",
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS bucket_start, c_mktsegment, COUNT(*) AS n
+FROM events JOIN customer ON user_id = c_custkey
+WHERE DATE_TRUNC('hour', ts) + INTERVAL 2 HOUR <= (SELECT MAX(ts) FROM events)
+GROUP BY 1, 2
+"""
 
 
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +492,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T5", "UDAF"),
         doc="applyInPandasWithState per-user running state across "
         "micro-batches; converged state == batch aggregate, exact-oracled",
+    ),
+    "stream_static_enrich": QuerySpec(
+        stream_static_enrich,
+        STREAM_STATIC_ENRICH_SQL,
+        tags=("T1", "T4", "J2"),
+        doc="stream-static broadcast enrichment + watermarked hourly "
+        "rollup per segment; append flush bound mirrored in the oracle",
     ),
     "stream_interval_join": QuerySpec(
         stream_interval_join,
