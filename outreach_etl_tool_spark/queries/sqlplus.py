@@ -18,11 +18,13 @@ broadcast and predicates pushed to the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.expr import bind_once
 from ..functions.scalars import exact_sum, sum_sql
+from ..functions.text import tokens
 from ..operators.util import ensure_parallelism
 from . import QuerySpec
 
@@ -292,7 +294,240 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# LM QUALITY SCORE — CCNet-style language-model document filter: train
+# a bigram LM on the corpus itself (distributed counts), score every
+# document by its mean bigram conditional probability. Low scores mark
+# disfluent/boilerplate text the way an LM-perplexity filter does —
+# expressed in closed rational form so the oracle is exact: each
+# per-occurrence probability is one IEEE division of two exact
+# integers, scaled to a 1e9 integer (ROUND agrees across engines, see
+# functions/scalars.py) and summed order-free; only the final division
+# is floating.
+#
+# Scale shape: one corpus pass builds occurrences; counts aggregate to
+# vocab² rows (tiny vs corpus — AQE broadcasts them back), so the only
+# corpus-sized shuffles are the count groupBy and the per-doc rollup.
+# The occurrence frame is persisted across its two consumers (model
+# build + scoring) to avoid re-tokenizing the corpus.
+# ---------------------------------------------------------------------------
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def _pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+        p = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(toks, i - 1).alias("prev"), F.get(toks, i).alias("nxt")
+            ),
+        )
+        return F.when(n >= 2, p).otherwise(
+            F.array().cast("array<struct<prev:string,nxt:string>>")
+        )
+
+    occ = (
+        docs.select(
+            "doc_id", F.explode(bind_once(tokens("text"), _pairs)).alias("p")
+        )
+        .select("doc_id", "p.prev", "p.nxt")
+        .persist()
+    )
+    counts = occ.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n_bi"))
+    probs = counts.withColumn(
+        "n_prev", F.sum("n_bi").over(Window.partitionBy("prev"))
+    )
+    scaled = F.round(
+        F.lit(1000000000.0)
+        * (F.col("n_bi").cast("double") / F.col("n_prev").cast("double"))
+    ).cast("bigint")
+    return (
+        occ.join(probs, ["prev", "nxt"])
+        .select("doc_id", scaled.alias("sp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("sp").cast("double")
+                / (F.lit(1000000000.0) * F.count(F.lit(1)))
+            ).alias("avg_bigram_prob"),
+        )
+    )
+
+
+LM_QUALITY_SCORE_SQL = """
+WITH arrs AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), occ AS (
+    SELECT doc_id, arr[i] AS prev, arr[i + 1] AS nxt
+    FROM arrs, UNNEST(generate_series(1, LEN(arr) - 1)) AS t(i)
+    WHERE LEN(arr) >= 2
+), counts AS (
+    SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n_bi FROM occ GROUP BY 1, 2
+), probs AS (
+    SELECT prev, nxt, n_bi,
+           SUM(n_bi) OVER (PARTITION BY prev) AS n_prev
+    FROM counts
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(1000000000.0 *
+                (CAST(n_bi AS DOUBLE) / CAST(n_prev AS DOUBLE)))
+            AS BIGINT)) AS DOUBLE)
+           / (1000000000.0 * COUNT(*)) AS avg_bigram_prob
+FROM occ o JOIN probs p ON o.prev = p.prev AND o.nxt = p.nxt
+GROUP BY o.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DATA-QUALITY CONSTRAINT REPORT — the declarative pre-flight a large
+# pipeline runs before training on a snapshot (deequ-shape): hard
+# constraints (uniqueness, not-null, FK integrity, domain ranges) plus
+# profiling rules, all evaluated in as few passes as the semantics
+# allow and emitted as one small report frame.
+#
+# Scale shape: every per-table block is ONE full scan folded into a
+# single multi-aggregate (conditional sums share the pass — map-side
+# partial, 2-value exchange); the FK check is the one join, a left
+# anti against the orders keyset; the report union is rows-of-scalars.
+# The profiling rule (l_discount > 0.05) deliberately fires on real
+# rows so the counting path is evidenced with nonzero values, not a
+# wall of zeros.
+# ---------------------------------------------------------------------------
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "dup_keys"
+        ),
+        viol(F.col("o_custkey").isNull()).alias("null_cust"),
+        viol(F.col("o_totalprice") <= 0).alias("nonpos_price"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders.o_orderkey_unique").alias("check_name"),
+                    F.col("dup_keys").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orders.o_custkey_not_null").alias("check_name"),
+                    F.col("null_cust").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orders.o_totalprice_positive").alias("check_name"),
+                    F.col("nonpos_price").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations")
+
+    li = lineitem.agg(
+        viol(~F.col("l_discount").between(0.0, 1.0)).alias("disc_range"),
+        viol(~F.col("l_quantity").between(1.0, 50.0)).alias("qty_range"),
+        viol(F.col("l_discount") > 0.05).alias("disc_profile"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_discount_in_0_1").alias("check_name"),
+                    F.col("disc_range").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_quantity_in_1_50").alias("check_name"),
+                    F.col("qty_range").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_discount_gt_0.05_profile").alias(
+                        "check_name"
+                    ),
+                    F.col("disc_profile").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations")
+
+    fk = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("lineitem.l_orderkey_fk_orders").alias("check_name"),
+            "n_violations",
+        )
+    )
+
+    return (
+        o.unionByName(li)
+        .unionByName(fk)
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("check_name")
+    )
+
+
+DQ_CONSTRAINT_REPORT_SQL = """
+WITH report AS (
+    SELECT 'orders.o_orderkey_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_discount_in_0_1',
+           CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_quantity_in_1_50',
+           CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_discount_gt_0.05_profile',
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_orderkey_fk_orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT check_name, n_violations, n_violations = 0 AS passed
+FROM report
+ORDER BY check_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_constraint_report": QuerySpec(
+        dq_constraint_report, DQ_CONSTRAINT_REPORT_SQL,
+        tags=("A1", "A2", "A3", "J6", "U1"),
+        doc="deequ-shape data-quality report: uniqueness/null/range/FK "
+        "checks, one multi-aggregate pass per table",
+    ),
+    "lm_quality_score": QuerySpec(
+        lm_quality_score, LM_QUALITY_SCORE_SQL, tags=("L4", "A2", "W3", "J1"),
+        doc="corpus-trained bigram-LM mean-probability document score",
+    ),
     "sql_q7_nation_volume": QuerySpec(
         sql_q7_nation_volume, SQL_Q7_NATION_VOLUME_SQL,
         tags=("J1", "J2", "J3", "A2", "F2"),

@@ -178,6 +178,9 @@ SHUFFLE_BUDGETS = {
     "sql_q14_promo_share": 2,
     "sql_q19_bracket_revenue": 2,
     "pii_redact": 2,  # regex scrub is pure projection; rollup + sort
+    # count groupBy + prev-window + per-doc rollup; the probs join
+    # broadcasts back (vocab² rows), never reshuffling the corpus
+    "lm_quality_score": 3,
 }
 
 
