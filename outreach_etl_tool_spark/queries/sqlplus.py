@@ -385,6 +385,69 @@ GROUP BY o.doc_id
 
 
 # ---------------------------------------------------------------------------
+# SCHEMA EVOLUTION READ — the drift case every long-lived dataset
+# hits: files written before a column existed sit next to files that
+# carry it. Fixture: even-key orders written with the v1 two-column
+# schema, odd-key orders with v2 (+o_orderstatus); the read uses
+# mergeSchema and the v1 rows surface the evolved column as NULL. The
+# rollup groups on the evolved column, so the NULL group is exactly
+# the v1 file population — which is what the oracle reconstructs with
+# a parity CASE. At scale this is a footer-union operation: mergeSchema
+# unions schemas at planning, never rewrites data files.
+# ---------------------------------------------------------------------------
+def _evolved_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from .fixtures import atomic_fixture
+
+    key = hashlib.sha1(
+        f"1:evolved:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    dest = (
+        Path(tempfile.gettempdir())
+        / "outreach_etl_spark_sink"
+        / f"orders_evolved_{key}"
+    )
+
+    def build(root: Path) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        v1.write.parquet(str(root / "batch1"))
+        v2.write.parquet(str(root / "batch2"))
+
+    return str(atomic_fixture(dest, build))
+
+
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _evolved_orders_fixture(spark, sf_dir)
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("o_totalprice").alias("total"),
+    )
+
+
+SINK_SCHEMA_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+       COUNT(*) AS n,
+       {sum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # DATA-QUALITY CONSTRAINT REPORT — the declarative pre-flight a large
 # pipeline runs before training on a snapshot (deequ-shape): hard
 # constraints (uniqueness, not-null, FK integrity, domain ranges) plus
@@ -518,6 +581,12 @@ ORDER BY check_name
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "sink_schema_evolution": QuerySpec(
+        sink_schema_evolution, SINK_SCHEMA_EVOLUTION_SQL,
+        tags=("S6", "A2", "U1"),
+        doc="mergeSchema read over pre/post-evolution files; NULL group "
+        "== the pre-evolution population, oracle-reconstructed",
+    ),
     "dq_constraint_report": QuerySpec(
         dq_constraint_report, DQ_CONSTRAINT_REPORT_SQL,
         tags=("A1", "A2", "A3", "J6", "U1"),
