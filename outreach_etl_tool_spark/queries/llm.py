@@ -409,6 +409,21 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.topk_ivf(cells, centroids, query, k=_TOPK, nprobe=3)
 
 
+# L3d — product-quantized ANN (rows-only: per-subspace Lloyd + ADC are
+# iterative float pipelines with no SQL mirror; recall + compression
+# pinned by tests/test_recall.py::test_pq_adc_recall_and_compression).
+# The memory tier of the ANN story: 64 floats → 8 nibble codes per
+# vector, query scoring via one m×k lookup table (similarity/pq.py).
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity import pq
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    books = pq.train_pq(embs, dim=64, m=8, k=16, iters=2)
+    codes = pq.encode_pq(embs, books)
+    query = _query_vector(sf_dir, 1)
+    return pq.topk_pq(codes, query, books, k=_TOPK)
+
+
 # L5/F6 — per-label embedding centroids via posexplode (the columnar way
 # to aggregate vectors: one shuffle of (label, pos) cells, exact decimal
 # sums for oracle equality).
@@ -557,6 +572,10 @@ QUERIES: dict[str, QuerySpec] = {
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
+    "sim_ann_pq": QuerySpec(
+        sim_ann_pq, None, tags=("L3",),
+        doc="product-quantized ANN: per-subspace codebooks + ADC top-k",
+    ),
     "emb_centroids": QuerySpec(emb_centroids, EMB_CENTROIDS_SQL, tags=("L5", "F6")),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL, tags=("L5",)),
 }
