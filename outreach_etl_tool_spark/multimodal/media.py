@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 # magic-byte prefixes → media type, sniffed JVM-side (startswith on
 # binary); extend as formats are onboarded
 _MAGIC: list[tuple[bytes, str]] = [
+    (b"P6", "image/x-portable-pixmap"),  # real codec: multimodal/ppm.py
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),

@@ -181,6 +181,87 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(assets, max_hamming=3)
 
 
+# L5b — REAL codec round-trip, exact-oracled: synthesize a deterministic
+# gradient PPM per document (geometry and pixel values are closed-form
+# in doc_id), encode to actual binary P6 bytes, decode with the pure-
+# numpy codec (multimodal/ppm.py), and report per-channel pixel means.
+# The oracle computes the same statistics analytically from the
+# generative formula — so a hash match proves the codec reproduces
+# every pixel bit-exactly through the encode→decode round trip, not
+# just that plumbing ran. Each mean is an exact integer sum divided
+# once (IEEE-identical in both engines). Arrow batches only; payloads
+# never leave the executor.
+_PPM_H = 12
+_PPM_SCHEMA = (
+    "asset_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def _gen_decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..multimodal.ppm import decode_ppm, encode_ppm
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "asset_id", "width", "height", "mean_r", "mean_g", "mean_b"
+        )}
+        for aid in pdf["asset_id"]:
+            aid = int(aid)
+            w = 16 + aid % 8
+            y, x = np.mgrid[0:_PPM_H, 0:w]
+            img = np.stack(
+                [(x * 31 + y * 7 + aid * 13 + c * 97) % 256 for c in range(3)],
+                axis=-1,
+            ).astype(np.uint8)
+            dec = decode_ppm(encode_ppm(img))  # the actual round trip
+            sums = dec.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            out["asset_id"].append(aid)
+            out["width"].append(w)
+            out["height"].append(_PPM_H)
+            for i, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+                out[ch].append(float(sums[i]) / (w * _PPM_H))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "mean_r": out["mean_r"],
+                "mean_g": out["mean_g"],
+                "mean_b": out["mean_b"],
+            }
+        )
+
+
+def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select(F.col("doc_id").alias("asset_id")).mapInPandas(
+        _gen_decode_ppm, _PPM_SCHEMA
+    )
+
+
+MULTIMODAL_PPM_ROUNDTRIP_SQL = f"""
+WITH d AS (SELECT doc_id AS asset_id, 16 + doc_id % 8 AS w FROM documents),
+px AS (
+  SELECT asset_id, w, xx.x AS x, yy.y AS y
+  FROM d, UNNEST(generate_series(0, w - 1)) AS xx(x),
+          UNNEST(generate_series(0, {_PPM_H} - 1)) AS yy(y)
+)
+SELECT asset_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST({_PPM_H} AS INTEGER) AS height,
+       CAST(SUM((x*31 + y*7 + asset_id*13 + 0) % 256) AS DOUBLE)
+           / (MAX(w) * {_PPM_H}) AS mean_r,
+       CAST(SUM((x*31 + y*7 + asset_id*13 + 97) % 256) AS DOUBLE)
+           / (MAX(w) * {_PPM_H}) AS mean_g,
+       CAST(SUM((x*31 + y*7 + asset_id*13 + 194) % 256) AS DOUBLE)
+           / (MAX(w) * {_PPM_H}) AS mean_b
+FROM px
+GROUP BY asset_id
+"""
+
+
 # L5 — frame sampling: UDTF-shaped fan-out of fixed-size frames.
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -223,5 +304,11 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_phash_dedup": QuerySpec(
         multimodal_phash_dedup, None, tags=("L5", "L2"),
         doc="perceptual-hash (aHash) image near-dup via banded Hamming",
+    ),
+    "multimodal_ppm_roundtrip": QuerySpec(
+        multimodal_ppm_roundtrip, MULTIMODAL_PPM_ROUNDTRIP_SQL,
+        tags=("L5", "UDTF"),
+        doc="REAL PPM codec round-trip; oracle recomputes pixel stats "
+        "analytically — a hash match proves bit-exact decode",
     ),
 }

@@ -157,3 +157,52 @@ def test_phash_skips_undecodable_assets(spark):
     )
     got = ahash_images(df).collect()
     assert [r["asset_id"] for r in got] == [2]
+
+
+def test_ppm_codec_roundtrip_identity():
+    """encode→decode is the identity for any uint8 image, including
+    non-square geometry."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.ppm import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (7, 13), (12, 23)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_ppm(encode_ppm(img))
+        assert out.shape == (h, w, 3)
+        assert (out == img).all()
+
+
+def test_ppm_decode_header_grammar_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from outreach_etl_tool_spark.multimodal.ppm import decode_ppm
+
+    raster = bytes(range(2 * 3 * 3))  # 2x3 image, 18 bytes
+    # comments and arbitrary whitespace inside the header are legal
+    buf = b"P6 # a comment\n  3\t# another\n 2 \n255\n" + raster
+    img = decode_ppm(buf)
+    assert img.shape == (2, 3, 3)
+    assert img.tobytes() == raster
+
+    with _pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00")
+    with _pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x00")
+
+
+def test_ppm_magic_sniffed(spark):
+    from outreach_etl_tool_spark.multimodal import with_media_meta
+    from outreach_etl_tool_spark.multimodal.ppm import encode_ppm
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "asset_id long, payload binary"
+    )
+    row = with_media_meta(df).first()
+    assert row["media_type"] == "image/x-portable-pixmap"
