@@ -475,6 +475,37 @@ GROUP BY 1
 """
 
 
+# F7b — VARIANT path (Spark 4): parse the JSON column ONCE into the
+# binary variant encoding, then extract typed fields with variant_get.
+# At scale this is the difference between re-parsing a JSON string per
+# extraction and shredding a compact binary once — the semi-structured
+# execution path Spark 4 added for exactly this workload. The oracle
+# extracts the same path from the same JSON text.
+def json_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_VARIANT_PATH_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # F6 — array functions over the embedding column (the reference's positional
 # list columns x_0/x_1 + meta_count, etl_tools.py:184-188,
@@ -673,5 +704,9 @@ QUERIES: dict[str, QuerySpec] = {
         scalar_math_cond, SCALAR_MATH_COND_SQL, tags=("F3", "F4", "F5")
     ),
     "json_props": QuerySpec(json_props, JSON_PROPS_SQL, tags=("F7",)),
+    "json_variant_path": QuerySpec(
+        json_variant_path, JSON_VARIANT_PATH_SQL, tags=("F7",),
+        doc="Spark-4 VARIANT: parse_json once + typed variant_get",
+    ),
     "array_ops": QuerySpec(array_ops, ARRAY_OPS_SQL, tags=("F6",)),
 }

@@ -158,6 +158,42 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
+# W3b — RANGE-interval frame: per-user trailing-1-hour event count and
+# value sum, anchored on EVENT TIME, not row offsets — the "activity
+# in the last hour at each event" shape a rows-frame cannot express
+# (gaps and bursts change how many rows one hour covers). The order
+# key is integer epoch-micros so the frame bound is exact arithmetic
+# in both engines; equal-timestamp peers are included by RANGE
+# semantics identically. One exchange on user_id; the sum is
+# scaled-integer exact.
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    sp = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(sp).over(w).cast("double") / 100).alias("value_last_hour"),
+    )
+
+
+WIN_RANGE_INTERVAL_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+           AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_latest_per_key": QuerySpec(
         win_latest_per_key, WIN_LATEST_PER_KEY_SQL, tags=("W1", "T6", "U3"), bench=True
@@ -166,4 +202,9 @@ QUERIES: dict[str, QuerySpec] = {
     "win_lag_gap": QuerySpec(win_lag_gap, WIN_LAG_GAP_SQL, tags=("W2",)),
     "win_running": QuerySpec(win_running, WIN_RUNNING_SQL, tags=("W3",)),
     "win_quartiles": QuerySpec(win_quartiles, WIN_QUARTILES_SQL, tags=("W4",)),
+    "win_range_interval": QuerySpec(
+        win_range_interval, WIN_RANGE_INTERVAL_SQL, tags=("W3", "F2"),
+        doc="RANGE-interval frame: trailing-1h per-user activity at "
+        "each event, epoch-micros order key",
+    ),
 }
