@@ -247,8 +247,33 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4b — approximate percentiles (GK sketch): the streaming/huge-scale
+# alternative to exact percentile's full sort-by-group. Rows-only: the
+# sketch's merge result depends on partition layout, so there is no
+# cross-engine oracle — instead tests/test_functions.py pins the
+# GUARANTEE (rank error ≤ n/accuracy against the exact quantiles),
+# which is the property a user of the operator actually relies on.
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.95, acc).alias("p95"),
+            F.percentile_approx("l_extendedprice", 0.99, acc).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_count": QuerySpec(agg_count, AGG_COUNT_SQL, tags=("A1",)),
+    "agg_approx_percentiles": QuerySpec(
+        agg_approx_percentiles, None, tags=("A4",),
+        doc="GK-sketch approx percentiles; rank-error bound test-pinned",
+    ),
     "agg_percentiles": QuerySpec(
         agg_percentiles, AGG_PERCENTILES_SQL, tags=("A2",)
     ),

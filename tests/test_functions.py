@@ -232,3 +232,33 @@ def test_cms_width_sizing_rule():
     # monotone in total for fixed threshold
     widths = [cms_width_for(t, 80) for t in (10**4, 10**6, 10**8)]
     assert widths == sorted(widths)
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """percentile_approx's contract: the returned value's RANK is
+    within n/accuracy of the target rank. That bound — not value
+    closeness — is what the GK sketch guarantees and what the
+    rows-only registry entry relies on."""
+    from outreach_etl_tool_spark.queries import REGISTRY
+
+    rows = REGISTRY["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    acc = 10_000
+    for r in rows:
+        vals = (
+            li[li["l_returnflag"] == r["l_returnflag"]]["l_extendedprice"]
+            .sort_values()
+            .to_numpy()
+        )
+        n = len(vals)
+        assert n == r["n"]
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = vals.searchsorted(r[col], side="left")
+            assert abs(rank - q * n) <= max(2.0, n / acc * 2), (
+                r["l_returnflag"], col, rank, q * n, n
+            )
