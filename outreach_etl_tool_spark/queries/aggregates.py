@@ -247,6 +247,41 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A6b — UNPIVOT/melt, the inverse of the pivot surface: the wide
+# measure columns of lineitem melted to (measure, value) long form —
+# an Expand projection (rows × n_measures, zero shuffle) — then a
+# per-measure rollup. The wide→long direction is how a feature store
+# or metrics table feeds generic per-measure pipelines.
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("val", scale=4).alias("total"),
+        )
+        .orderBy("measure")
+    )
+
+
+AGG_UNPIVOT_MELT_SQL = f"""
+SELECT measure, COUNT(*) AS n, {sum_sql('val', scale=4)} AS total
+FROM (
+  SELECT 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 # A4b — approximate percentiles (GK sketch): the streaming/huge-scale
 # alternative to exact percentile's full sort-by-group. Rows-only: the
 # sketch's merge result depends on partition layout, so there is no
@@ -270,6 +305,10 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "agg_count": QuerySpec(agg_count, AGG_COUNT_SQL, tags=("A1",)),
+    "agg_unpivot_melt": QuerySpec(
+        agg_unpivot_melt, AGG_UNPIVOT_MELT_SQL, tags=("A6", "A2"),
+        doc="UNPIVOT/melt (pivot's inverse) + per-measure rollup",
+    ),
     "agg_approx_percentiles": QuerySpec(
         agg_approx_percentiles, None, tags=("A4",),
         doc="GK-sketch approx percentiles; rank-error bound test-pinned",
