@@ -22,7 +22,13 @@ from pyspark.sql import types as T
 # magic-byte prefixes → media type, sniffed JVM-side (startswith on
 # binary); extend as formats are onboarded
 _MAGIC: list[tuple[bytes, str]] = [
-    (b"P6", "image/x-portable-pixmap"),  # real codec: multimodal/ppm.py
+    # real codec: multimodal/ppm.py — the spec requires whitespace
+    # after the magic, so match it too (a bare 2-byte prefix would
+    # misroute 1-in-65k random payloads into the decoder)
+    (b"P6\n", "image/x-portable-pixmap"),
+    (b"P6 ", "image/x-portable-pixmap"),
+    (b"P6\t", "image/x-portable-pixmap"),
+    (b"P6\r", "image/x-portable-pixmap"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),

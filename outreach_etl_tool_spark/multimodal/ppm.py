@@ -55,6 +55,12 @@ def decode_ppm(buf: bytes) -> np.ndarray:
         vals.append(int(buf[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        # without this, a negative header dimension makes the raster
+        # size check vacuous and frombuffer+reshape "succeed" on
+        # garbage (negative counts read everything; reshape infers
+        # the negative dim)
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
     need = w * h * 3

@@ -403,26 +403,17 @@ GROUP BY o_orderstatus
 # day predicate, and return the surviving rows. The companion plan pin
 # (tests/test_plans.py::test_sink_partitioned_read_prunes) asserts the
 # predicate lands in PartitionFilters and exactly one file is read —
-# the scan never touches the other 29 days. Fixture cached per sf_dir.
-_SINK_FIXTURE_VERSION = 1
+# the scan never touches the other 29 days. Fixture cached per sf_dir
+# (location + version single-sourced in fixtures.sink_fixture_dest).
 
 
 def _partitioned_events_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import tempfile
     from pathlib import Path
 
     from ..sinks.writers import write_partitioned
-    from .fixtures import atomic_fixture
+    from .fixtures import atomic_fixture, sink_fixture_dest
 
-    key = hashlib.sha1(
-        f"{_SINK_FIXTURE_VERSION}:{Path(sf_dir).resolve()}".encode()
-    ).hexdigest()[:12]
-    dest = (
-        Path(tempfile.gettempdir())
-        / "outreach_etl_spark_sink"
-        / f"events_by_day_{key}"
-    )
+    dest = sink_fixture_dest("events_by_day", sf_dir)
 
     def build(root: Path) -> None:
         ev = load_table(spark, sf_dir, "events").withColumn(
@@ -441,21 +432,12 @@ def _partitioned_events_fixture(spark: SparkSession, sf_dir: str) -> str:
 # footers directly). This query drives the full path — clustered
 # write, pushed range read, value-hashed rows — under the driver gate.
 def _clustered_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import tempfile
     from pathlib import Path
 
     from ..sinks.layout import write_clustered
-    from .fixtures import atomic_fixture
+    from .fixtures import atomic_fixture, sink_fixture_dest
 
-    key = hashlib.sha1(
-        f"{_SINK_FIXTURE_VERSION}:clustered:{Path(sf_dir).resolve()}".encode()
-    ).hexdigest()[:12]
-    dest = (
-        Path(tempfile.gettempdir())
-        / "outreach_etl_spark_sink"
-        / f"orders_by_date_{key}"
-    )
+    dest = sink_fixture_dest("orders_by_date", sf_dir)
 
     def build(root: Path) -> None:
         write_clustered(
@@ -507,21 +489,12 @@ WHERE o_orderdate >= t AND o_orderdate < t + INTERVAL 1 MONTH
 # data-relative (1/8 of each observed range) so a regenerated domain
 # can never yield trivially-empty evidence.
 def _zordered_events_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import tempfile
     from pathlib import Path
 
     from ..sinks.layout import write_zordered
-    from .fixtures import atomic_fixture
+    from .fixtures import atomic_fixture, sink_fixture_dest
 
-    key = hashlib.sha1(
-        f"{_SINK_FIXTURE_VERSION}:zorder:{Path(sf_dir).resolve()}".encode()
-    ).hexdigest()[:12]
-    dest = (
-        Path(tempfile.gettempdir())
-        / "outreach_etl_spark_sink"
-        / f"events_zorder_{key}"
-    )
+    dest = sink_fixture_dest("events_zorder", sf_dir)
 
     def build(root: Path) -> None:
         ev = load_table(spark, sf_dir, "events").select(

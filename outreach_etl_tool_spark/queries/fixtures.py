@@ -48,3 +48,29 @@ def atomic_fixture(dest: Path, build: Callable[[Path], None]) -> Path:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return dest
+
+
+# Single-sourced version for the sink-layout fixture family: bump to
+# invalidate every cached layout when construction changes. (The
+# streaming replay family keeps its own _FIXTURE_VERSION in
+# streamingq.py — its construction evolves independently.)
+SINK_FIXTURE_VERSION = 1
+
+
+def sink_fixture_dest(kind: str, sf_dir: str) -> Path:
+    """Canonical cache location for a sink-layout fixture: keyed on
+    (SINK_FIXTURE_VERSION, kind, resolved sf_dir) so a version bump
+    invalidates EVERY member of the family at once — a call site that
+    hardcoded its version would keep serving a stale layout after a
+    bump, which is exactly the failure the version exists to prevent."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.sha1(
+        f"{SINK_FIXTURE_VERSION}:{kind}:{Path(sf_dir).resolve()}".encode()
+    ).hexdigest()[:12]
+    return (
+        Path(tempfile.gettempdir())
+        / "outreach_etl_spark_sink"
+        / f"{kind}_{key}"
+    )

@@ -149,21 +149,24 @@ ORDER BY ship_month
 def sql_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # brackets chosen inside the generated domains (brands run
+    # Brand#1..25) and verified non-empty per-arm at every driver sf —
+    # a bracket that can never match is dead predicate, not evidence
     b = (
         (
             (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 10)
-            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(1, 15)
         )
         | (
             (F.col("p_brand") == "Brand#23")
             & F.col("p_size").between(1, 20)
-            & F.col("l_quantity").between(10, 20)
+            & F.col("l_quantity").between(10, 25)
         )
         | (
-            (F.col("p_brand") == "Brand#34")
+            (F.col("p_brand") == "Brand#15")
             & F.col("p_size").between(1, 40)
-            & F.col("l_quantity").between(20, 30)
+            & F.col("l_quantity").between(20, 40)
         )
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -184,12 +187,12 @@ SELECT p_brand,
        {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
-       AND l_quantity BETWEEN 1 AND 11)
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
-       AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40
-       AND l_quantity BETWEEN 20 AND 30)
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 40
+       AND l_quantity BETWEEN 20 AND 40)
 GROUP BY p_brand
 ORDER BY p_brand
 """
@@ -396,20 +399,11 @@ GROUP BY o.doc_id
 # unions schemas at planning, never rewrites data files.
 # ---------------------------------------------------------------------------
 def _evolved_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import tempfile
     from pathlib import Path
 
-    from .fixtures import atomic_fixture
+    from .fixtures import atomic_fixture, sink_fixture_dest
 
-    key = hashlib.sha1(
-        f"1:evolved:{Path(sf_dir).resolve()}".encode()
-    ).hexdigest()[:12]
-    dest = (
-        Path(tempfile.gettempdir())
-        / "outreach_etl_spark_sink"
-        / f"orders_evolved_{key}"
-    )
+    dest = sink_fixture_dest("orders_evolved", sf_dir)
 
     def build(root: Path) -> None:
         orders = load_table(spark, sf_dir, "orders")

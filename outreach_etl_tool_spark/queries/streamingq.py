@@ -295,12 +295,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, never shuffled, no state), then hourly counts per
     market segment in append mode.
 
-    The watermark is applied BEFORE the join, so it advances on every
-    event (including ids the inner join drops — custkeys start at 1,
-    user 0's events are structural proof of inner semantics) and the
-    final flush emits exactly the hour windows with
-    ``window_end ≤ max(all ts) − delay`` — the bound the oracle
-    repeats. In-order slices mean nothing is ever late."""
+    The watermark is applied BEFORE the join so it advances on every
+    event regardless of whether the dim matches it — that makes the
+    final-flush bound ``window_end ≤ max(all ts) − delay`` exact and
+    oracle-expressible without reasoning about which rows survive the
+    join. (On the current generator every event user_id has a
+    customer row — custkeys cover 0..n ⊇ users — so the inner join
+    drops nothing here; the oracle's plain JOIN matches whichever way
+    a regenerated domain lands, since both engines apply the same
+    join.) In-order slices mean nothing is ever late."""
     replay = _build_replay(spark, sf_dir, "inorder")
     customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"

@@ -71,6 +71,7 @@ def train_pq(
     # corpus → (subspace, sub-vector) rows, built once and reused per
     # iteration; narrow (same total floats as the input column)
     subs = fit.select(
+        F.col(id_col).alias("id"),
         F.explode(
             F.array(
                 *[
@@ -81,12 +82,17 @@ def train_pq(
                     for s in range(m)
                 ]
             )
-        ).alias("e")
-    ).select("e.sub", "e.v").persist()
+        ).alias("e"),
+    ).select("id", "e.sub", "e.v").persist()
 
     mean_schema = "sub int, cell int, mean array<double>, n long"
 
     def _mean_of_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive in shuffle-fetch order, which varies run to run;
+        # float addition is non-associative, so sort by id first to
+        # keep the trained codebook bit-stable (same ordering contract
+        # as ann.py's block kernel)
+        pdf = pdf.sort_values("id")
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         return pd.DataFrame(
             {

@@ -206,3 +206,27 @@ def test_ppm_magic_sniffed(spark):
     )
     row = with_media_meta(df).first()
     assert row["media_type"] == "image/x-portable-pixmap"
+
+
+def test_ppm_decode_rejects_negative_dimensions():
+    import pytest as _pytest
+
+    from outreach_etl_tool_spark.multimodal.ppm import decode_ppm
+
+    with _pytest.raises(ValueError, match="invalid PPM dimensions"):
+        decode_ppm(b"P6 -1 4 255\n" + bytes(24))
+    with _pytest.raises(ValueError, match="invalid PPM dimensions"):
+        decode_ppm(b"P6 3 0 255\n")
+
+
+def test_ppm_magic_requires_whitespace(spark):
+    """A bare 'P6xx' prefix must NOT be classified as PPM — the spec
+    requires whitespace after the magic, and the sniffer now feeds a
+    real decoder."""
+    from outreach_etl_tool_spark.multimodal import with_media_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6garbage-not-an-image"))],
+        "asset_id long, payload binary",
+    )
+    assert with_media_meta(df).first()["media_type"] == "application/octet-stream"
