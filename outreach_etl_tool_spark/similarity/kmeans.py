@@ -30,11 +30,19 @@ from pyspark.sql import functions as F
 from .ann import assign_cells, sample_centroids
 
 
-def _cell_means(with_cells: DataFrame, vec_col: str) -> dict[int, np.ndarray]:
+def _cell_means(
+    with_cells: DataFrame, vec_col: str, id_col: str
+) -> dict[int, np.ndarray]:
     """One row per non-empty cell: (cell, mean vector, count)."""
     schema = "cell int, mean array<double>, n long"
 
     def mean_of_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id before the float fold: group rows arrive in
+        # shuffle-fetch order (varies run to run) and float addition
+        # is non-associative — unsorted, the trained centroids drift
+        # by ulps across runs (same ordering contract as ann.py's
+        # block kernel and pq.py's subspace means)
+        pdf = pdf.sort_values(id_col)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         return pd.DataFrame(
             {
@@ -45,7 +53,7 @@ def _cell_means(with_cells: DataFrame, vec_col: str) -> dict[int, np.ndarray]:
         )
 
     rows = (
-        with_cells.select("cell", vec_col)
+        with_cells.select("cell", vec_col, id_col)
         .groupBy("cell")
         .applyInPandas(mean_of_cell, schema)
         .collect()  # k rows of dim doubles — model parameters, not data
@@ -80,7 +88,7 @@ def kmeans_centroids(
         cents = np.asarray(sample_centroids(fit, k, id_col, vec_col), dtype=np.float64)
         for _ in range(iters):
             with_cells = assign_cells(fit, cents.tolist(), vec_col)
-            means = _cell_means(with_cells, vec_col)
+            means = _cell_means(with_cells, vec_col, id_col)
             nxt = cents.copy()  # empty cells keep their old centroid
             for cell, mean in means.items():
                 nxt[cell] = mean
