@@ -33,6 +33,51 @@ def write_clustered(
     )
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ``ceil(total_bytes / target)`` right-sized files, returning
+    the output file count.
+
+    The small-files problem is a top operational cost at 100 TB —
+    every micro-batch/upsert leaves files far below the HDFS/S3 sweet
+    spot, and scan planning then pays per-file open/footer overhead.
+    Sizing uses the source FILE LISTING only (driver-side metadata, no
+    data read); the rewrite is one distributed pass. ``sort_cols``
+    optionally restores clustering during the rewrite (compaction is
+    the natural moment to re-sort); plain compaction uses coalesce()
+    — no shuffle, each output file concatenates input splits.
+
+    Writes to ``dest`` rather than in place: an in-place rewrite that
+    fails mid-way loses data, so callers swap directories (or manifest
+    pointers — sinks/manifest.py) after the write commits.
+    """
+    import math
+    from pathlib import Path
+
+    total = sum(
+        f.stat().st_size
+        for f in Path(src).rglob("*.parquet")
+        if not f.name.startswith((".", "_"))
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode(mode).parquet(dest)
+    return n_files
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     """Morton (z-order) key over ``cols``: each column is equal-width
     bucketed into ``2^bits`` buckets between its observed min/max, and

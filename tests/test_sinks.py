@@ -487,3 +487,37 @@ def test_manifest_concurrent_commit_detected(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="concurrent commit"):
         t.append(_df(spark, [(2, "b", _t(spark, 9))]))
+
+
+def test_compact_parquet_right_sizes_and_preserves_rows(spark, tmp_path):
+    from outreach_etl_tool_spark.sinks.layout import compact_parquet
+    import glob
+
+    df = spark.range(0, 200_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(64).write.parquet(frag)  # the small-files problem
+    n_in = len(glob.glob(f"{frag}/*.parquet"))
+    assert n_in == 64
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{frag}/*.parquet")
+    )
+
+    dest = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, frag, dest, target_file_bytes=total // 4 + 1)
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) == n_out <= 4
+    back = spark.read.parquet(dest)
+    assert back.count() == 200_000
+    # content-identical, not just count-identical
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+    # compaction with sort_cols restores clustering: disjoint k ranges
+    dest2 = str(tmp_path / "compact_sorted")
+    compact_parquet(
+        spark, frag, dest2, target_file_bytes=total // 4 + 1, sort_cols=["k"]
+    )
+    ranges = sorted(_file_envelopes(dest2, "k"))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
