@@ -192,6 +192,31 @@ def _query(argv: list[str], explain: bool = False) -> int:
     return 0
 
 
+def _compact(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(prog="outreach_etl_tool_spark compact")
+    parser.add_argument("src", help="Fragmented parquet directory")
+    parser.add_argument("dest", help="Output directory (not in place)")
+    parser.add_argument("--target-mb", type=int, default=128,
+                        help="Target file size in MiB (default 128)")
+    parser.add_argument("--sort", default=None,
+                        help="Comma-separated columns to re-cluster on")
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+    from .sinks.layout import compact_parquet
+
+    spark = get_spark(app_name="compact")
+    n = compact_parquet(
+        spark,
+        args.src,
+        args.dest,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        sort_cols=args.sort.split(",") if args.sort else None,
+    )
+    print(json.dumps({"src": args.src, "dest": args.dest, "files": n}))
+    return 0
+
+
 def _list(argv: list[str]) -> int:
     from .queries import REGISTRY
 
@@ -209,7 +234,7 @@ def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] in ("replicate", "query", "explain", "list"):
+    if argv and argv[0] in ("replicate", "query", "explain", "list", "compact"):
         cmd, rest = argv[0], argv[1:]
         if cmd == "replicate":
             return _replicate(rest)
@@ -217,6 +242,8 @@ def main(argv: list[str] | None = None) -> int:
             return _query(rest)
         if cmd == "explain":
             return _query(rest, explain=True)
+        if cmd == "compact":
+            return _compact(rest)
         return _list(rest)
     return _replicate(argv)  # legacy flag form
 

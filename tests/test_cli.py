@@ -146,3 +146,18 @@ def test_cli_list_and_query_subcommands(spark, capsys):
                  "/root/testdata/sf0.001"]) == 0
     out = capsys.readouterr().out
     assert "TakeOrderedAndProject" in out
+
+
+def test_cli_compact_subcommand(spark, tmp_path, capsys):
+    import glob
+    import json as _json
+
+    from outreach_etl_tool_spark.cli import main
+
+    frag = str(tmp_path / "frag")
+    spark.range(0, 50_000).repartition(16).write.parquet(frag)
+    dest = str(tmp_path / "out")
+    assert main(["compact", frag, dest, "--target-mb", "1"]) == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["files"] == len(glob.glob(f"{dest}/*.parquet"))
+    assert spark.read.parquet(dest).count() == 50_000
