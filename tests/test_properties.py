@@ -147,3 +147,42 @@ def test_star_components_match_union_find(spark, edge_list):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_codec_identity_property(h, w, seed):
+    """encode→decode is the identity for ANY (h, w) uint8 image."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.ppm import decode_ppm, encode_ppm
+
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    out = decode_ppm(encode_ppm(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_ppm_decode_never_returns_garbage_on_fuzz(buf):
+    """decode_ppm on arbitrary bytes either raises ValueError or
+    returns a structurally valid (h>0, w>0, 3) uint8 array whose size
+    matches its own header — never a crash, never an inferred-shape
+    garbage array (the pre-hardening negative-width failure mode)."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.ppm import decode_ppm
+
+    try:
+        img = decode_ppm(b"P6" + buf)
+    except ValueError:
+        return
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] > 0 and img.shape[1] > 0
+    assert img.dtype == np.uint8
