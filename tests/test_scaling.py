@@ -21,7 +21,7 @@ from outreach_etl_tool_spark.queries import REGISTRY
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 
-HEAVY = ["dedup_cluster", "dedup_minhash", "sim_knn_join"]
+HEAVY = ["dedup_cluster", "dedup_minhash", "sim_knn_join", "lm_quality_score"]
 
 
 def _timed(spark, name: str, sf_dir: str) -> float:
