@@ -104,10 +104,19 @@ def fetch_window(
 
 
 def probe_count(
-    fetcher: Fetcher, endpoint: str, lo: dt.date, hi: dt.date, page_size: int = 100
+    fetcher: Fetcher,
+    endpoint: str,
+    lo: dt.date,
+    hi: dt.date,
+    page_size: int = 100,
+    max_retries: int = 3,
 ) -> int | None:
-    """meta.count for the window (the adaptive-replan input)."""
-    return _fetch_retry(fetcher, endpoint, window_params(lo, hi, page_size), 3).total
+    """meta.count for the window (the adaptive-replan input). Honors
+    the caller's retry budget — this probe gates the whole sync, so it
+    must not be the least-retried fetch of the run."""
+    return _fetch_retry(
+        fetcher, endpoint, window_params(lo, hi, page_size), max_retries
+    ).total
 
 
 def day_windows(lo: dt.date, hi: dt.date) -> list[tuple[dt.date, dt.date]]:
@@ -173,7 +182,7 @@ def sync_endpoint(
         [T.StructField(n, T.StringType(), True) for n in names]
     )
 
-    total = probe_count(fetcher, endpoint, lo, hi, page_size)
+    total = probe_count(fetcher, endpoint, lo, hi, page_size, max_retries)
     if total is not None and total > large_threshold:
         days = [(a.isoformat(), b.isoformat()) for a, b in day_windows(lo, hi)]
         day_df = spark.createDataFrame(days, "d_lo string, d_hi string").repartition(
@@ -206,11 +215,16 @@ def upsert_latest(
     df: DataFrame, key: str = "id", ts: str = "updatedAt"
 ) -> DataFrame:
     """Keep the latest version of each key (W1 form; SURVEY.md §2.9 T6).
-    Deterministic: ties on ts keep an arbitrary-but-stable row via the
-    ts-then-key ordering inside one shuffle."""
+    Deterministic: ties on ts resolve by row content hash (APIs that
+    truncate updatedAt to whole seconds produce equal-ts versions
+    routinely; without the hash the survivor was whichever row the
+    partition sorted first, breaking replay idempotence — the same
+    fix sinks/manifest.upsert carries)."""
     if ts not in df.columns:
         return df.dropDuplicates([key])
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc_nulls_last())
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).desc_nulls_last(), F.xxhash64(*df.columns).desc()
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -139,9 +139,22 @@ class ManifestTable:
         n_rows: int,
         schema_json: str,
         stats: dict[str, dict] | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
-        parent = self.current_version()
+        # expected_parent pins the snapshot this commit DERIVED from
+        # (the version append/upsert read their prev state at). Without
+        # it, recomputing the parent here let a lagging writer link a
+        # FRESH version number on top of a concurrent commit it never
+        # saw — silently dropping that commit's files from the latest
+        # snapshot while the same-version link race below reported
+        # nothing. With the pin, the version file's put-if-absent is a
+        # true optimistic-concurrency check: versions are never
+        # deleted, so "v{parent+1} already exists" ⇔ someone committed
+        # after our read ⇒ exactly one derivation of each parent wins.
+        parent = (
+            self.current_version() if expected_parent is None else expected_parent
+        )
         version = parent + 1
         target = self.manifest_dir / f"v{version}.json"
         manifest = {
@@ -182,11 +195,20 @@ class ManifestTable:
     def _stats_for(self, files: list[str]) -> dict[str, dict]:
         return {f: self._file_stats(self.data_dir / f) for f in files}
 
-    def overwrite(self, df: DataFrame) -> int:
-        """New snapshot containing exactly ``df``."""
+    def overwrite(self, df: DataFrame, expected_parent: int | None = None) -> int:
+        """New snapshot containing exactly ``df``. ``expected_parent``
+        pins the version this state was derived from (upsert passes the
+        version it merged against); default = whatever is current when
+        the write starts."""
+        observed = (
+            self.current_version() if expected_parent is None else expected_parent
+        )
         files, schema_json = self._write_files(df)
         n = self._count_files(df.sparkSession, files, schema_json)
-        return self._commit(files, n, schema_json, self._stats_for(files))
+        return self._commit(
+            files, n, schema_json, self._stats_for(files),
+            expected_parent=observed,
+        )
 
     def append(self, df: DataFrame) -> int:
         """New snapshot = previous files + the batch's files (previous
@@ -226,6 +248,7 @@ class ManifestTable:
             prev_rows + n,
             schema_json,
             {**prev_stats, **self._stats_for(files)},
+            expected_parent=v,
         )
 
     def upsert(self, df: DataFrame, key: str, ts: str) -> int:
@@ -235,9 +258,14 @@ class ManifestTable:
         still one atomic pointer flip, so readers never observe the
         half-merged state the staging-and-rewrite pattern exposes."""
         spark = df.sparkSession
+        merged_from = self.current_version()  # pin: merge derives from here
         batch = df.withColumn("__src", F.lit(1))
-        if self.exists():
-            merged = self.read(spark).withColumn("__src", F.lit(0)).unionByName(batch)
+        if merged_from >= 0:
+            merged = (
+                self.read(spark, version=merged_from)
+                .withColumn("__src", F.lit(0))
+                .unionByName(batch)
+            )
         else:
             merged = batch
         # deterministic winner at equal (key, ts): the incoming batch
@@ -255,7 +283,7 @@ class ManifestTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
-        return self.overwrite(latest)
+        return self.overwrite(latest, expected_parent=merged_from)
 
     def _count_files(
         self, spark: SparkSession, files: list[str], schema_json: str
@@ -315,23 +343,36 @@ class ManifestTable:
         return self.overwrite(df)
 
     # ----------------------------------------------------------- vacuum
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files unreferenced by the ``keep_versions`` most
         recent manifests (orphans from dead writers and files only
         older snapshots used). Returns the deleted relative names.
-        Time travel past the kept horizon stops working — by design."""
+        Time travel past the kept horizon stops working — by design.
+
+        ``min_age_seconds`` is the in-flight-writer grace period: an
+        append that has written its staging files but not yet linked
+        its manifest is live-but-unreferenced, and deleting those
+        files would let the commit publish a manifest pointing at
+        nothing. Unreferenced files younger than the grace age are
+        skipped (the same retention idea every table format uses);
+        set 0 only when no writer can be active."""
+        import time
+
         current = self.current_version()
         if current < 0:
             return []
         keep: set[str] = set()
         for v in range(max(0, current - keep_versions + 1), current + 1):
             keep.update(self._manifest(v)["files"])
+        cutoff = time.time() - min_age_seconds
         deleted = []
         for p in sorted(self.data_dir.rglob("*")):
             if not p.is_file():
                 continue
             rel = str(p.relative_to(self.data_dir))
-            if rel not in keep:
+            if rel not in keep and p.stat().st_mtime <= cutoff:
                 p.unlink()
                 deleted.append(rel)
         # drop now-empty batch dirs

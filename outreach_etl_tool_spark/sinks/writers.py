@@ -135,10 +135,23 @@ class BigQuerySink:
                 .mode(mode)
                 .save()
             )
-        except Exception as exc:  # noqa: BLE001 — connector absent here
-            raise NotImplementedError(
-                "spark-bigquery connector not on the classpath; add "
-                "com.google.cloud.spark:spark-bigquery-with-dependencies "
-                "to spark.jars.packages to enable this sink (or pass "
-                "load_job= + staging_dir= for the stage-then-load path)"
-            ) from exc
+        except Exception as exc:  # noqa: BLE001 — classify, don't mask
+            # Only a missing-connector failure becomes the actionable
+            # NotImplementedError; anything else (credentials, dataset,
+            # quota) must surface as itself — translating every error
+            # into "jar absent" sends the operator debugging classpath
+            # config while the real failure repeats.
+            msg = str(exc)
+            if (
+                "ClassNotFoundException" in msg
+                or "NoClassDefFoundError" in msg
+                or "Failed to find data source: bigquery" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+            ):
+                raise NotImplementedError(
+                    "spark-bigquery connector not on the classpath; add "
+                    "com.google.cloud.spark:spark-bigquery-with-dependencies "
+                    "to spark.jars.packages to enable this sink (or pass "
+                    "load_job= + staging_dir= for the stage-then-load path)"
+                ) from exc
+            raise

@@ -60,6 +60,12 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     optimizer can prune or keep freely, and the text scan itself never
     needs re-reading cached."""
     raw = spark.read.text(path).withColumn("_file", F.input_file_name())
+    # blank / whitespace-only lines (trailing-newline padding, blank
+    # separators) are skipped outright: from_json('') yields a NULL
+    # struct — not a corrupt record — so without this filter they
+    # became all-null rows that split_corrupt classified as CLEAN,
+    # injecting null documents into the corpus
+    raw = raw.filter(F.length(F.trim(F.col("value"))) > 0)
     parsed = F.from_json(F.col("value"), DOCUMENT_SCHEMA, _PARSE_OPTS)
     return raw.select(parsed.alias("r"), "_file").select("r.*", "_file")
 
@@ -68,11 +74,24 @@ def read_documents_csv(spark: SparkSession, path: str, header: bool = True) -> D
     """Schema-declared CSV scan with the same quarantine contract
     (``from_csv`` over text lines; single-line records)."""
     raw = spark.read.text(path).withColumn("_file", F.input_file_name())
+    raw = raw.filter(F.length(F.trim(F.col("value"))) > 0)  # as in JSONL
     if header:
-        header_line = ",".join(
+        # bare and quoted header renderings are dropped wherever they
+        # appear (text() carries no line index, so "first line per
+        # file" is not expressible). A data line cannot collide: its
+        # first column must parse as a LONG doc_id, which the header
+        # text never does — so the only residual is that an exotically
+        # formatted header (spaces, partial quoting) surfaces as one
+        # corrupt row for its file, visible in corrupt_stats rather
+        # than silently skewing anything.
+        fields = [
             f.name for f in DOCUMENT_SCHEMA.fields if f.name != CORRUPT_COL
-        )
-        raw = raw.filter(F.col("value") != header_line)
+        ]
+        variants = [
+            ",".join(fields),
+            ",".join(f'"{n}"' for n in fields),
+        ]
+        raw = raw.filter(~F.col("value").isin(variants))
     parsed = F.from_csv(F.col("value"), DOCUMENT_SCHEMA.simpleString(), _PARSE_OPTS)
     return raw.select(parsed.alias("r"), "_file").select("r.*", "_file")
 

@@ -65,21 +65,12 @@ def _load_names(schema_file: str) -> list[str]:
         return list(json.load(fh))
 
 
-def _flatten(record: dict, sep: str = "_") -> dict:
-    out: dict = {}
-
-    def walk(node, path: str) -> None:
-        if isinstance(node, dict):
-            for k, v in node.items():
-                walk(v, f"{path}{k}{sep}")
-        elif isinstance(node, list):
-            for i, v in enumerate(node):
-                walk(v, f"{path}{i}{sep}")
-        else:
-            out[path[: -len(sep)]] = node
-
-    walk(record, "")
-    return out
+# single source of truth for the flatten naming contract: the
+# golden-tested helper in ingest/flatten.py (a byte-level reimpl here
+# would silently drift from fixes landed there, giving batch-driver
+# ingest and format("restapi") ingest different column names for the
+# same payload)
+from ..ingest.flatten import flatten_record as _flatten  # noqa: E402
 
 
 class _Reader(DataSourceReader):

@@ -219,11 +219,22 @@ def upsert_sink(
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        import shutil
+        from pathlib import Path
+
         spark = batch.sparkSession
-        try:
-            current = spark.read.schema(batch.schema).parquet(target_path)
+        # Crash-safe state location: the committed table lives at
+        # target_path, with target_path__old as the swap backup. "First
+        # batch" is an EXISTENCE fact, never an exception fallback — a
+        # blanket except here turned any torn/unreadable target into
+        # "replace the whole table with this one micro-batch", which is
+        # permanent data loss. Read errors on an existing dir propagate.
+        tgt, old = Path(target_path), Path(f"{target_path}__old")
+        src = tgt if tgt.exists() else (old if old.exists() else None)
+        if src is not None:
+            current = spark.read.schema(batch.schema).parquet(str(src))
             merged = current.unionByName(batch)
-        except Exception:  # noqa: BLE001 — first batch: target absent
+        else:
             merged = batch
         w = Window.partitionBy(key).orderBy(F.col(ts).desc_nulls_last())
         latest = (
@@ -231,11 +242,22 @@ def upsert_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # rewrite via a driver-free temp round-trip: parquet cannot be
-        # read and overwritten in one job, so stage then swap
-        tmp = f"{target_path}__staging"
-        latest.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        # stage → backup-swap commit: at EVERY crash point either tgt
+        # or old holds a complete pre/post-merge state, and foreachBatch
+        # replays the epoch on restart (the upsert is idempotent), so
+        # no window loses data:
+        #   crash before swap  → tgt intact;
+        #   crash mid-swap     → old intact, replay re-merges;
+        #   crash after swap   → tgt is the new state (stale old is
+        #                        cleared on the next commit).
+        tmp = Path(f"{target_path}__staging")
+        shutil.rmtree(tmp, ignore_errors=True)
+        latest.write.mode("overwrite").parquet(str(tmp))
+        if tgt.exists():
+            shutil.rmtree(old, ignore_errors=True)
+            tgt.rename(old)
+        tmp.rename(tgt)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(merge_batch)

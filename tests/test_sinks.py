@@ -322,7 +322,9 @@ def test_manifest_orphans_invisible_and_vacuumed(spark, tmp_path):
     # simulate a dead writer: data files exist, no manifest references them
     orphan_files, _ = t._write_files(_df(spark, [(9, "orphan", _t(spark, 9))]))
     assert [r["id"] for r in t.read(spark).collect()] == [1]
-    deleted = t.vacuum(keep_versions=1)
+    # min_age=0: the test knows no writer is in flight (the default
+    # 1h grace protects live-but-uncommitted staging files)
+    deleted = t.vacuum(keep_versions=1, min_age_seconds=0)
     # sidecars (_SUCCESS, .crc) are deletable noise; the real data
     # files removed must be exactly the orphan batch's
     deleted_parquet = {d for d in deleted if d.endswith(".parquet")}
@@ -334,7 +336,7 @@ def test_manifest_vacuum_trims_time_travel(spark, tmp_path):
     t = _mt(tmp_path)
     t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
     t.overwrite(_df(spark, [(2, "b", _t(spark, 9))]))  # v1 drops v0's files
-    deleted = t.vacuum(keep_versions=1)
+    deleted = t.vacuum(keep_versions=1, min_age_seconds=0)
     assert deleted  # v0's files gone
     assert [r["id"] for r in t.read(spark).collect()] == [2]
 
@@ -521,3 +523,42 @@ def test_compact_parquet_right_sizes_and_preserves_rows(spark, tmp_path):
     ranges = sorted(_file_envelopes(dest2, "k"))
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_manifest_vacuum_grace_protects_inflight_writers(spark, tmp_path):
+    """An append that has staged its files but not yet committed is
+    live-but-unreferenced; default-grace vacuum must not delete it."""
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "a", _t(spark, 8))]))
+    staged, _ = t._write_files(_df(spark, [(9, "inflight", _t(spark, 9))]))
+    deleted = t.vacuum(keep_versions=1)  # default 1h grace
+    assert not any(d.endswith(".parquet") for d in deleted)
+    for f in staged:
+        assert (t.data_dir / f).exists()
+
+
+def test_manifest_concurrent_append_is_detected_not_lost(spark, tmp_path):
+    """Two appends derived from the same snapshot must not silently
+    drop each other: the second commit (stale parent) raises instead
+    of publishing a snapshot without the first's files."""
+    import pytest as _pytest
+
+    t = _mt(tmp_path)
+    t.overwrite(_df(spark, [(1, "base", _t(spark, 8))]))
+    base_v = t.current_version()
+
+    # writer B: full append (wins)
+    t.append(_df(spark, [(2, "b", _t(spark, 9))]))
+
+    # writer A: staged its files while still at base_v, commits late
+    files_a, schema_json = t._write_files(_df(spark, [(3, "a", _t(spark, 9))]))
+    m = t._manifest(base_v)
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        t._commit(
+            m["files"] + files_a,
+            m["n_rows"] + 1,
+            schema_json,
+            expected_parent=base_v,
+        )
+    # B's committed row is still visible — nothing was lost
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}

@@ -172,3 +172,39 @@ def test_csv_corrupt_records_quarantined(spark, tmp_path):
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
     assert quarantine.count() == 1
     assert "oops" in quarantine.collect()[0]["raw_record"]
+
+
+def test_jsonl_blank_lines_neither_clean_nor_corrupt(spark, tmp_path):
+    """Blank/whitespace lines are padding, not documents: they must
+    not surface as all-null CLEAN rows (from_json('') yields a null
+    struct, not a corrupt record — the pre-fix mode injected null
+    documents into the corpus) and must not inflate corrupt_stats."""
+    from outreach_etl_tool_spark.sources import (
+        read_documents_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s"}\n'
+        "\n"
+        "   \n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s"}\n'
+        "\n"
+    )
+    clean, quarantine = split_corrupt(read_documents_jsonl(spark, str(p)))
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert quarantine.count() == 0
+
+
+def test_csv_quoted_header_is_skipped(spark, tmp_path):
+    from outreach_etl_tool_spark.sources import read_documents_csv, split_corrupt
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        '"doc_id","source","lang","text"\n'
+        "1,s,en,hello\n"
+    )
+    clean, quarantine = split_corrupt(read_documents_csv(spark, str(p)))
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+    assert quarantine.count() == 0

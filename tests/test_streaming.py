@@ -593,3 +593,34 @@ def test_latedrop_replay_is_lag_proof(spark):
             s[b].agg(F.min("ts_us")).first()[0]
             > s[a].agg(F.max("ts_us")).first()[0]
         )
+
+
+def test_upsert_sink_recovers_from_interrupted_swap(spark, tmp_path):
+    """If a crash lands between the swap's rename-away and rename-in
+    (target missing, __old holding the last complete state), the next
+    batch must merge against __old — not silently restart from one
+    micro-batch (the pre-fix blanket-except data-loss mode)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", value=1.0),
+        ev(2, "2024-03-01T10:00:00Z", value=2.0),
+    ])
+    events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    target = str(tmp_path / "target")
+    q = ST.upsert_sink(events, target, str(tmp_path / "ckpt"))\
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # simulate the crash window: committed state shifted to __old
+    import os
+    os.rename(target, f"{target}__old")
+
+    write_batch(src, "b2.json", [ev(3, "2024-03-01T11:00:00Z", value=3.0)])
+    events2 = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q2 = ST.upsert_sink(events2, target, str(tmp_path / "ckpt2"))\
+        .trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    got = {r["event_id"] for r in spark.read.parquet(target).collect()}
+    assert got == {1, 2, 3}  # pre-crash keys survived the recovery
