@@ -574,7 +574,289 @@ ORDER BY check_name
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL Q13 — customer order-count distribution (TPC-H Q13 shape): LEFT
+# join so zero-order customers survive with count 0, a priority filter
+# INSIDE the join condition (not a WHERE — that would turn the outer
+# join inner), then a second aggregation over the counts. At scale the
+# first groupBy shuffles on c_custkey (same key as the join → AQE
+# reuses the exchange); the distribution frame is ≤ max-orders-per-
+# customer rows, trivially small.
+# ---------------------------------------------------------------------------
+def sql_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_Q13_CUST_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL Q17 — small-quantity revenue (TPC-H Q17 shape, grouped by brand
+# so the evidence is multi-row). The correlated "below half this
+# part's average quantity" subquery decorrelates into a per-part
+# aggregate joined back to lineitem — in Spark that is explicit: one
+# groupBy on l_partkey (the per-part frame scales with part, ~70×
+# smaller than lineitem, so AQE broadcasts it back), one threshold
+# compare, one final rollup. The threshold is avg = exact-int sum /
+# count — a single IEEE division both engines perform on identical
+# integers, so the < compare is deterministic.
+# ---------------------------------------------------------------------------
+def sql_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).cast("double")
+            / 100
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        lineitem.join(per_part, lineitem.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (exact_sum("l_extendedprice", scale=6) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_Q17_SMALL_QTY_REVENUE_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey AS t_partkey,
+           ({sum_sql('l_quantity', scale=2)}) / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       ({sum_sql('l_extendedprice', scale=6)}) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN per_part ON l_partkey = t_partkey
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL Q18 — large-volume orders (TPC-H Q18 shape): the IN-subquery
+# over a HAVING aggregate decorrelates to a per-order qty rollup
+# re-joined to its own source. Spark shape: groupBy l_orderkey (the
+# one fact-sized shuffle), filter sum > 200, join orders + customer.
+# The qty threshold sits above the ~p90 of per-order totals at every
+# sf (per-order sums are sf-invariant), so the survivor set is small
+# but never empty — AQE broadcasts it into both enrichment joins.
+# ---------------------------------------------------------------------------
+_Q18_QTY = 200
+
+
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy(F.col("l_orderkey").alias("k_orderkey"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("q100")
+        )
+        .filter(F.col("q100") > _Q18_QTY * 100)
+        .select("k_orderkey", (F.col("q100").cast("double") / 100).alias("total_qty"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("k_orderkey"))
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+SQL_Q18_LARGE_ORDERS_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey AS k_orderkey,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q100
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > {_Q18_QTY * 100}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(q100 AS DOUBLE) / 100 AS total_qty
+FROM orders
+JOIN big ON o_orderkey = k_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL Q21 — suppliers who alone shipped late (TPC-H Q21 shape).
+# The original's EXISTS / NOT-EXISTS pair over the same fact table
+# decorrelates to per-(order, supplier) late flags plus per-order
+# counts joined back — zero subqueries, two shuffles on l_orderkey
+# (same key → AQE exchange reuse), and the supplier dim joins
+# broadcast. "Late" is shipped > 60 days after the order date (this
+# schema carries no receipt/commit dates; the correlation structure —
+# multi-supplier order, exactly one late supplier — is the point).
+# ---------------------------------------------------------------------------
+def sql_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late"))
+    )
+    per_order = per.groupBy(F.col("l_orderkey").alias("k_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        per.join(per_order, per.l_orderkey == F.col("k_orderkey"))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), per.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+SQL_Q21_LATE_SUPPLIER_SQL = """
+WITH per AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+    SELECT l_orderkey AS k_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+    FROM per GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per
+JOIN per_order ON l_orderkey = k_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL Q22 — dormant high-balance customers (TPC-H Q22 shape): scalar
+# average subquery + NOT EXISTS anti-join. Data-relative dormancy
+# cutoff (no orders in the last 24 months of the actual order span —
+# a fixed date would silently go empty when the driver regenerates
+# testdata). The global positive-balance average is an exact
+# scaled-integer sum ÷ count (one IEEE division on identical integers
+# in both engines), computed as a 1-row frame cross-broadcast into the
+# filter — the Spark analogue of a scalar subquery. Grouped by nation
+# key (this schema has no phone prefix).
+# ---------------------------------------------------------------------------
+def sql_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.add_months(F.max("o_orderdate"), -24).alias("cutoff")
+    )
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).cast("double")
+            / 100
+            / F.count(F.lit(1))
+        ).alias("pos_avg")
+    )
+    recent = orders.join(F.broadcast(cutoff)).filter(
+        F.col("o_orderdate") >= F.col("cutoff")
+    )
+    return (
+        customer.join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("pos_avg"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal", scale=2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_Q22_DORMANT_CUSTOMERS_SQL = f"""
+WITH cutoff AS (
+    SELECT MAX(o_orderdate) - INTERVAL 24 MONTH AS cutoff FROM orders
+), pos_avg AS (
+    SELECT ({sum_sql('c_acctbal', scale=2)}) / COUNT(*) AS pos_avg
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       {sum_sql('c_acctbal', scale=2)} AS totacctbal
+FROM customer, pos_avg
+WHERE c_acctbal > pos_avg
+  AND NOT EXISTS (
+      SELECT 1 FROM orders, cutoff
+      WHERE o_custkey = c_custkey AND o_orderdate >= cutoff
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_q13_cust_distribution": QuerySpec(
+        sql_q13_cust_distribution, SQL_Q13_CUST_DISTRIBUTION_SQL,
+        tags=("J4", "A2", "A1"),
+        doc="TPC-H Q13 shape: order-count distribution via filtered LEFT join",
+    ),
+    "sql_q17_small_qty_revenue": QuerySpec(
+        sql_q17_small_qty_revenue, SQL_Q17_SMALL_QTY_REVENUE_SQL,
+        tags=("J1", "J2", "A2"),
+        doc="TPC-H Q17 shape: decorrelated per-part avg-quantity threshold",
+    ),
+    "sql_q18_large_orders": QuerySpec(
+        sql_q18_large_orders, SQL_Q18_LARGE_ORDERS_SQL,
+        tags=("J1", "A2", "O1"),
+        doc="TPC-H Q18 shape: HAVING-subquery large-volume orders",
+    ),
+    "sql_q21_late_supplier": QuerySpec(
+        sql_q21_late_supplier, SQL_Q21_LATE_SUPPLIER_SQL,
+        tags=("J1", "J2", "A2", "F2"),
+        doc="TPC-H Q21 shape: decorrelated EXISTS/NOT-EXISTS late-supplier",
+    ),
+    "sql_q22_dormant_customers": QuerySpec(
+        sql_q22_dormant_customers, SQL_Q22_DORMANT_CUSTOMERS_SQL,
+        tags=("J6", "A2", "P5"),
+        doc="TPC-H Q22 shape: scalar-subquery threshold + anti-join dormancy",
+    ),
     "sink_schema_evolution": QuerySpec(
         sink_schema_evolution, SINK_SCHEMA_EVOLUTION_SQL,
         tags=("S6", "A2", "U1"),
