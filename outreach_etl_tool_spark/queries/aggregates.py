@@ -303,7 +303,133 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A2c — equi-width histogram: the profiling primitive behind every
+# "distribution of X" dashboard and the bin step of quantile-free
+# outlier screens. Buckets are closed-form integer arithmetic
+# (floor((x-lo)/step) clamped to the edge bins), so the whole thing is
+# one map-side projection + one tiny groupBy — no sort, no percentile
+# state; the result frame is N_BUCKETS rows regardless of corpus size.
+# Bounds are fixed by the operator (not data-derived) so streaming /
+# incremental runs bin identically; out-of-range values land in the
+# clamped edge bins, preserving total count.
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 500_000.0, 20
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    step = (_HIST_HI - _HIST_LO) / _HIST_N
+    raw = F.floor((F.col("o_totalprice") - _HIST_LO) / step)
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(_HIST_N - 1)).cast("int")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * step).alias("bucket_lo"),
+            (F.lit(_HIST_LO) + (F.col("bucket") + 1) * step).alias("bucket_hi"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+WITH b AS (
+    SELECT CAST(LEAST(GREATEST(
+               FLOOR((o_totalprice - {_HIST_LO}) / {(_HIST_HI - _HIST_LO) / _HIST_N}),
+               0), {_HIST_N - 1}) AS INTEGER) AS bucket
+    FROM orders
+)
+SELECT bucket,
+       {_HIST_LO} + bucket * {(_HIST_HI - _HIST_LO) / _HIST_N} AS bucket_lo,
+       {_HIST_LO} + (bucket + 1) * {(_HIST_HI - _HIST_LO) / _HIST_N} AS bucket_hi,
+       COUNT(*) AS n_orders
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+# A2d — grouped Pearson correlation in closed form: the statistical-
+# profiling step (feature drift, collinearity screens) done the way a
+# 100 TB engine must — ONE pass collecting the five moment sums as
+# exact scaled integers (decimal(38) accumulators: the per-row product
+# of two 1e2-scaled values is ≤ ~5e10, so int64 would overflow past
+# ~2e8 rows; decimal sums never do), then the textbook corr formula
+# evaluated on doubles cast from identical integers in both engines —
+# every float op is the same IEEE instruction on the same bits. No
+# second pass over the data, no per-group sort, result frame = groups.
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dsum = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    mean = lambda s: s / n / 100  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n",
+        mean(sx).alias("mean_qty"),
+        mean(sy).alias("mean_price"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+AGG_STATS_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS sx,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS sy,
+           SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                  * CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS sxx,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS syy,
+           SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_qty,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_price
+FROM m ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_histogram": QuerySpec(
+        agg_histogram, AGG_HISTOGRAM_SQL, tags=("A2", "F3"),
+        doc="equi-width histogram: closed-form binning, one tiny groupBy",
+    ),
+    "agg_stats_corr": QuerySpec(
+        agg_stats_corr, AGG_STATS_CORR_SQL, tags=("A2", "F3"),
+        doc="grouped Pearson corr from one-pass exact moment sums",
+    ),
     "agg_count": QuerySpec(agg_count, AGG_COUNT_SQL, tags=("A1",)),
     "agg_unpivot_melt": QuerySpec(
         agg_unpivot_melt, AGG_UNPIVOT_MELT_SQL, tags=("A6", "A2"),

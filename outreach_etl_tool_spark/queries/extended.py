@@ -561,7 +561,69 @@ WHERE CAST(ts AS DATE) =
 """
 
 
+# T6d — MERGE INTO / CDC apply (operators/merge.py) driven end-to-end.
+# The change feed is derived deterministically from the base itself so
+# both engines construct byte-identical inputs: orders with key%10==3
+# get a price correction (+100), key%10==7 get a correction FOLLOWED BY
+# a delete (two changes, one key — exercises last-writer-wins
+# compaction), and key%10==0 spawn an insert under a shifted key at
+# half price. The oracle reconstructs the merged state set-wise
+# (filter + CASE + UNION ALL) — agreement proves the full-outer
+# resolve implements MERGE semantics exactly, including the
+# delete-beats-earlier-update ordering.
+_MERGE_KSHIFT = 10_000_000
+
+
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    k = F.col("o_orderkey")
+
+    def ch(df: DataFrame, op: str, seq: int) -> DataFrame:
+        return df.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            F.lit(op).alias("op"), F.lit(seq).alias("seq"),
+        )
+
+    corrections = ch(
+        base.filter((k % 10 == 3) | (k % 10 == 7)).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100
+        ),
+        "U", 1,
+    )
+    deletes = ch(base.filter(k % 10 == 7), "D", 2)
+    inserts = ch(
+        base.filter(k % 10 == 0)
+        .withColumn("o_orderkey", k + _MERGE_KSHIFT)
+        .withColumn("o_totalprice", F.col("o_totalprice") / 2),
+        "U", 1,
+    )
+    changes = corrections.unionByName(deletes).unionByName(inserts)
+    return merge_cdc(base, changes, ["o_orderkey"], op_col="op", seq_col="seq")
+
+
+MERGE_CDC_APPLY_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate
+FROM orders
+WHERE o_orderkey % 10 <> 7
+UNION ALL
+SELECT o_orderkey + {_MERGE_KSHIFT}, o_custkey, o_totalprice / 2, o_orderdate
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "merge_cdc_apply": QuerySpec(
+        merge_cdc_apply, MERGE_CDC_APPLY_SQL, tags=("T6", "J4", "W1"),
+        doc="MERGE INTO semantics: compacted CDC feed full-outer-resolved "
+        "against the base snapshot",
+    ),
     "sink_partitioned_pruned": QuerySpec(
         sink_partitioned_pruned, SINK_PARTITIONED_PRUNED_SQL,
         tags=("S6", "P4"),

@@ -363,6 +363,120 @@ def sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_CORRELATED)
 
 
+# J3b — runtime bloom-filter semi-join reduction. The shape that
+# decides 100 TB join cost: a selective predicate on one side should
+# prune the OTHER side's scan before its shuffle, not after the join.
+# Spark 3.3+ ships this as injected runtime filters
+# (InjectRuntimeFilter → BloomFilterAggregate / might_contain); it is
+# off by default, and at toy scale the application side sits far under
+# the 10 GB scan threshold, so the query pins the confs, forces plan
+# materialization inside that window (QueryExecution caches its
+# optimized plan), then restores every conf — later queries in the
+# same session plan untouched. The bloom only PRUNES (false positives
+# die in the exact join), so the oracle is the plain join. At real
+# scale only the default-off master switch is needed; the threshold
+# override exists for the toy-sf demonstration.
+_RTF_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    df = (
+        lineitem.join(urgent, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("order_month")
+    )
+    saved = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    try:
+        for k, v in _RTF_CONFS.items():
+            spark.conf.set(k, v)
+        # materialize the cached QueryExecution while the injection
+        # confs are live; collect()/toPandas() reuse it
+        df._jdf.queryExecution().executedPlan()
+    except Exception:
+        pass  # plan still correct without the injected filter
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
+
+
+JOIN_RUNTIME_FILTER_SQL = f"""
+SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+       {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY order_month
+ORDER BY order_month
+"""
+
+
+# J1c — edit-distance fuzzy self-join (entity resolution / catalog
+# near-match). Semantics: part pairs in the same brand whose names are
+# within Levenshtein distance 2 (excluding exact duplicates), lowest
+# key first. The all-pairs comparison is confined to brand blocks
+# (the blocking key is part of the query's semantics), and inside a
+# block the ||len(a)−len(b)|| ≤ 2 band prefilter is LOSSLESS — length
+# difference lower-bounds edit distance — so the expensive levenshtein
+# kernel (JVM codegen, no Python) runs on a fraction of the block
+# pairs. At 100 TB the same plan holds: one shuffle on the blocking
+# key, per-block pair expansion bounded by block size (monitor skew
+# the same way bucket_pairs does for LSH buckets).
+def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("brand", "key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+FUZZY_JOIN_EDITDIST_SQL = """
+SELECT a.p_brand AS brand,
+       a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL, tags=("J1",)),
     "join_shuffle_hash": QuerySpec(
@@ -395,5 +509,15 @@ QUERIES: dict[str, QuerySpec] = {
     "join_skew_salted": QuerySpec(
         join_skew_salted, JOIN_SKEW_SALTED_SQL, tags=("J1", "J3"),
         doc="hot-key salted join; oracle is the plain join",
+    ),
+    "join_runtime_filter": QuerySpec(
+        join_runtime_filter, JOIN_RUNTIME_FILTER_SQL, tags=("J3", "J5", "P4"),
+        doc="runtime bloom semi-join reduction: selective side's keys "
+        "prune the fact scan before its shuffle",
+    ),
+    "fuzzy_join_editdist": QuerySpec(
+        fuzzy_join_editdist, FUZZY_JOIN_EDITDIST_SQL, tags=("J1", "J9", "F1"),
+        doc="edit-distance fuzzy self-join: brand blocking + lossless "
+        "length-band prefilter before levenshtein",
     ),
 }

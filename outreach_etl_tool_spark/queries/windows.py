@@ -194,7 +194,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
 """
 
 
+# W3c — running DISTINCT count: how many distinct event types each
+# user has touched as of every event (the "behavioral breadth over
+# time" shape; also the engagement-funnel prerequisite "has the user
+# done all K actions yet?"). Spark has no COUNT(DISTINCT) OVER, so the
+# running frame folds a collect_set and takes its size — per-row state
+# is bounded by the DISTINCT DOMAIN (event types: small and fixed),
+# not the frame length; for unbounded domains the right tool is the
+# HLL-sketch variant (agg_hll_rollup), not this operator. One exchange
+# on user_id; the (ts, event_id) order key is a total order so both
+# engines see identical prefixes at every row.
+def win_cume_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+        F.count(F.lit(1)).over(w).alias("n_events_seen"),
+    )
+
+
+WIN_CUME_DISTINCT_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER w AS INTEGER) AS n_types_seen,
+       COUNT(*) OVER w AS n_events_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "win_cume_distinct": QuerySpec(
+        win_cume_distinct, WIN_CUME_DISTINCT_SQL, tags=("W3", "A3"),
+        doc="running distinct-count per user: collect_set-fold frame, "
+        "state bounded by the type domain",
+    ),
     "win_latest_per_key": QuerySpec(
         win_latest_per_key, WIN_LATEST_PER_KEY_SQL, tags=("W1", "T6", "U3"), bench=True
     ),

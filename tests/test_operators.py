@@ -179,3 +179,50 @@ def test_ensure_parallelism_survives_private_api_drift(spark):
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     # and the broken probe cached nothing
     assert util._PARTITIONS_CACHE == before
+
+
+# ---------------------------------------------------------------------------
+# merge_cdc (operators/merge.py)
+# ---------------------------------------------------------------------------
+def _merge_rows(spark, base_rows, change_rows):
+    from outreach_etl_tool_spark.operators.merge import merge_cdc
+
+    base = spark.createDataFrame(base_rows, "k bigint, v string")
+    ch = spark.createDataFrame(change_rows, "k bigint, v string, op string, seq int")
+    out = merge_cdc(base, ch, ["k"], op_col="op", seq_col="seq")
+    return {r["k"]: r["v"] for r in out.collect()}
+
+
+def test_merge_cdc_upsert_delete_insert(spark):
+    got = _merge_rows(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        [
+            (2, "b2", "U", 1),        # replace
+            (3, None, "D", 1),        # delete
+            (9, "new", "U", 1),       # insert on absent key
+        ],
+    )
+    assert got == {1: "a", 2: "b2", 9: "new"}
+
+
+def test_merge_cdc_last_writer_wins(spark):
+    # update then delete → gone; delete then update → reinserted
+    got = _merge_rows(
+        spark,
+        [(1, "a"), (2, "b")],
+        [
+            (1, "a2", "U", 1), (1, None, "D", 2),
+            (2, None, "D", 1), (2, "b9", "U", 2),
+        ],
+    )
+    assert got == {2: "b9"}
+
+
+def test_merge_cdc_no_changes_is_identity(spark):
+    from outreach_etl_tool_spark.operators.merge import merge_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    ch = spark.createDataFrame([], "k bigint, v string, op string, seq int")
+    out = merge_cdc(base, ch, ["k"], op_col="op", seq_col="seq")
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, "a"), (2, "b")]

@@ -181,7 +181,47 @@ SHUFFLE_BUDGETS = {
     # count groupBy + prev-window + per-doc rollup; the probs join
     # broadcasts back (vocab² rows), never reshuffling the corpus
     "lm_quality_score": 3,
+    # round-6 continuation: TPC-H decorrelation batch + new operators.
+    # Budgets = observed-at-toy-sf + one slot for each broadcast AQE
+    # will demote to an exchange at scale.
+    "sql_q13_cust_distribution": 5,   # join + c_count regroup + sort
+    "sql_q17_small_qty_revenue": 5,   # per-part agg + joinback + rollup
+    "sql_q18_large_orders": 5,        # per-order agg + 2 joins + sort
+    "sql_q21_late_supplier": 7,       # two keyed aggs + joinback + rollup
+    "sql_q22_dormant_customers": 6,   # 2 scalar aggs + anti + rollup
+    "win_cume_distinct": 1,           # one exchange on user_id
+    "agg_histogram": 2,               # bucket groupBy + sort of 20 rows
+    "agg_stats_corr": 2,              # one moment-sum pass + 3-row sort
+    "join_runtime_filter": 6,         # bloom build + SMJ both sides + agg
+    "fuzzy_join_editdist": 2,         # blocked self-join shuffles at scale
+    "merge_cdc_apply": 3,             # change compaction + full-outer SMJ
 }
+
+
+def test_runtime_filter_injects_bloom(spark):
+    """join_runtime_filter's reason to exist: the selective orders
+    predicate must materialize as an injected bloom filter
+    (might_contain / BloomFilterAggregate) on the lineitem side of the
+    optimized plan — semi-join reduction before the fact shuffle."""
+    df = df_of(spark, "join_runtime_filter")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "might_contain" in optimized or "bloomfilter" in optimized, (
+        optimized[:1200]
+    )
+
+
+def test_runtime_filter_restores_session_confs(spark):
+    from outreach_etl_tool_spark.queries.joins import _RTF_CONFS
+
+    before = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    df_of(spark, "join_runtime_filter")
+    after = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    assert before == after, (before, after)
+
+
+def test_fuzzy_join_levenshtein_stays_jvm(spark):
+    a = audit("fuzzy_join_editdist", df_of(spark, "fuzzy_join_editdist"))
+    assert a.jvm_only, a.python_nodes
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
