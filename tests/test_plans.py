@@ -195,6 +195,11 @@ SHUFFLE_BUDGETS = {
     "join_runtime_filter": 6,         # bloom build + SMJ both sides + agg
     "fuzzy_join_editdist": 2,         # blocked self-join shuffles at scale
     "merge_cdc_apply": 3,             # change compaction + full-outer SMJ
+    # graph family: budgets cover the post-checkpoint segment (edge
+    # build + orientation live behind localCheckpoint boundaries, same
+    # discipline as dedup_cluster's audited plan)
+    "graph_triangles": 6,             # wedge join + close + corner rollup
+    "graph_pagerank": 2,              # final projection over checkpointed ranks
 }
 
 
