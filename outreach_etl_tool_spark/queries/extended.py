@@ -618,7 +618,84 @@ WHERE o_orderkey % 10 = 0
 """
 
 
+# T6e — incremental materialized-view maintenance. The monthly
+# (month × priority) revenue rollup is stored as MERGEABLE PARTIAL
+# STATE — count + exact scaled-integer sum, NOT the finished averages/
+# doubles — for all data older than a data-relative cutoff (6 months
+# before the newest order). Refresh = aggregate ONLY the delta slice,
+# union the two partial-state frames, merge with one tiny groupBy, and
+# finalize. The 100 TB point: the historical fact data is never
+# re-scanned — the refresh reads |MV| + |delta| rows, and storing
+# sum-of-scaled-ints (associative, order-free) instead of finished
+# doubles is what makes the merge both legal and bit-exact. The oracle
+# is the full recompute over all orders: agreement proves the
+# partial-state merge is lossless.
+def _mv_monthly_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from pathlib import Path
+
+    from .fixtures import atomic_fixture, sink_fixture_dest
+
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderdate")).first()[0]
+    y, m0 = hi.year + (hi.month - 1 - 6) // 12, (hi.month - 1 - 6) % 12 + 1
+    cutoff = f"{y:04d}-{m0:02d}-01"
+    dest = sink_fixture_dest(f"mv_orders_monthly_{cutoff}", sf_dir)
+
+    def build(root: Path) -> None:
+        _mv_partials(orders.filter(F.col("o_orderdate") < cutoff)).write.parquet(
+            str(root)
+        )
+
+    return str(atomic_fixture(dest, build)), cutoff
+
+
+def _mv_partials(orders: DataFrame) -> DataFrame:
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev100"),
+    )
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, cutoff = _mv_monthly_fixture(spark, sf_dir)
+    stored = spark.read.parquet(path)
+    orders = load_table(spark, sf_dir, "orders")
+    delta = _mv_partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        stored.unionByName(delta)
+        .groupBy("order_month", "o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("rev100").alias("r100"))
+        .select(
+            "order_month",
+            "o_orderpriority",
+            "n_orders",
+            (F.col("r100").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("order_month", "o_orderpriority")
+    )
+
+
+MV_INCREMENTAL_REFRESH_SQL = f"""
+SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sum_sql('o_totalprice', scale=2)} AS revenue
+FROM orders
+GROUP BY order_month, o_orderpriority
+ORDER BY order_month, o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mv_incremental_refresh": QuerySpec(
+        mv_incremental_refresh, MV_INCREMENTAL_REFRESH_SQL,
+        tags=("T6", "A2", "A7", "S6"),
+        doc="incremental MV maintenance: stored mergeable partials + "
+        "delta-only aggregation == full recompute",
+    ),
     "merge_cdc_apply": QuerySpec(
         merge_cdc_apply, MERGE_CDC_APPLY_SQL, tags=("T6", "J4", "W1"),
         doc="MERGE INTO semantics: compacted CDC feed full-outer-resolved "

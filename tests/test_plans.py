@@ -200,6 +200,7 @@ SHUFFLE_BUDGETS = {
     # discipline as dedup_cluster's audited plan)
     "graph_triangles": 6,             # wedge join + close + corner rollup
     "graph_pagerank": 2,              # final projection over checkpointed ranks
+    "mv_incremental_refresh": 4,      # delta agg + stored∪delta merge + sort
 }
 
 
