@@ -63,13 +63,13 @@ def _rotation_key(name: str) -> tuple[int, int, str]:
 def _build_registry() -> dict[str, QuerySpec]:
     from . import (
         aggregates, core, events, extended, graph, joins, llm, pipeline,
-        sqlplus, streamingq, udfs, windows,
+        sqlplus, streamingq, tpch, udfs, windows,
     )
 
     by_module: dict[str, QuerySpec] = {}
     for mod in (
         core, joins, aggregates, windows, events, llm, pipeline, udfs, extended,
-        streamingq, sqlplus, graph,
+        streamingq, sqlplus, graph, tpch,
     ):
         for name, spec in mod.QUERIES.items():
             if name in by_module:

@@ -46,6 +46,22 @@ def test_filter_pushdown_reaches_scan(spark):
     ), pushed
 
 
+def test_q6_band_predicates_push_to_scan(spark):
+    """TPC-H Q6's reason to exist: the discount/quantity band must
+    reach the parquet scan (row-group pruning — at 100 TB the
+    difference between scanning ~6 % and 100 % of lineitem). Matched
+    on the raw plan string because toString() truncates long
+    PushedFilters lists past the regex's closing bracket."""
+    plan = physical_plan(df_of(spark, "sql_q6_forecast_revenue"))
+    assert "PushedFilters: [IsNotNull(l_discount)" in plan, plan[-1500:]
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan, plan[-1500:]
+    # and the scan is pruned to the four referenced columns
+    schemas = read_schemas(df_of(spark, "sql_q6_forecast_revenue"))
+    lineitem_scan = next(s for s in schemas if "l_discount" in s)
+    assert "l_orderkey" not in lineitem_scan
+    assert "l_returnflag" not in lineitem_scan
+
+
 def test_column_pruning_funnel(spark):
     schemas = read_schemas(df_of(spark, "funnel"))
     # the orders scan must not read the full table width
@@ -201,6 +217,21 @@ SHUFFLE_BUDGETS = {
     "graph_triangles": 6,             # wedge join + close + corner rollup
     "graph_pagerank": 2,              # final projection over checkpointed ranks
     "mv_incremental_refresh": 4,      # delta agg + stored∪delta merge + sort
+    # TPC-H completion batch (queries/tpch.py). Same convention:
+    # observed-at-toy-sf + one slot per broadcast AQE will demote to an
+    # exchange once the scaling dims (supplier/customer/part) outgrow
+    # the threshold — hinted broadcasts are only nation/region/1-row
+    # scalar frames.
+    "sql_q2_min_cost_supplier": 8,    # supply agg + per-part min + dims
+    "sql_q4_priority_lateness": 4,    # semi join SMJ at scale + rollup
+    "sql_q6_forecast_revenue": 2,     # partial/final agg + 7-row sort
+    "sql_q8_market_share": 8,         # fact-fact + scaling dims at scale
+    "sql_q9_product_profit": 8,       # fact-fact + part/supplier at scale
+    "sql_q11_important_parts": 4,     # partkey agg + 1-row totals + sort
+    "sql_q12_shiplag_priority": 4,    # fact-fact SMJ at scale + 3-row agg
+    "sql_q15_top_supplier": 7,        # revenue agg + scalar max + joinback
+    "sql_q16_supplier_diversity": 6,  # distinct expand + part join at scale
+    "sql_q20_promo_suppliers": 11,    # two partkey aggs + joinback + semi
 }
 
 
