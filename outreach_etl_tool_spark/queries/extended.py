@@ -618,6 +618,91 @@ WHERE o_orderkey % 10 = 0
 """
 
 
+# S6e — bucketed co-located join (sinks/writers.write_bucketed driven
+# end-to-end under the driver gate; the pytest-only half lives in
+# tests/test_sinks.py). Orders and lineitem slices are saved as
+# external tables bucketed AND sorted on the join key into the same 8
+# buckets, so the subsequent fact⋈fact join needs NO exchange and NO
+# sort on either side — the bucket layout IS the shuffle, paid once at
+# write time and amortized over every later join. At 100 TB this is
+# the difference between re-shuffling both facts per query and reading
+# co-located files; the plan pin (tests/test_plans.py) asserts the
+# join segment has zero exchanges and the scans carry the bucket
+# metadata. The oracle is the identical join over the RAW tables —
+# bucketing must never change results, only the plan.
+#
+# Fixture discipline differs from the parquet fixtures above by
+# necessity: bucketing metadata lives in the SESSION CATALOG, not the
+# files (atomic-rename caching can't carry it across sessions), so
+# each session registers its own external copy keyed by applicationId
+# — concurrent sessions never share paths, and within a session the
+# catalog check makes the build run once.
+def _bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.writers import write_bucketed
+    from .fixtures import sink_fixture_dest
+
+    key = sink_fixture_dest("bucketed_join", sf_dir).name
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    slices = {
+        "orders": (
+            ["o_orderkey"],
+            ["o_orderkey", "o_orderpriority"],
+        ),
+        "lineitem": (
+            ["l_orderkey"],
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        ),
+    }
+    names: dict[str, str] = {}
+    for tbl, (bucket_cols, cols) in slices.items():
+        tname = f"{tbl}_{key}"
+        if not spark.catalog.tableExists(tname):
+            path = (
+                Path(tempfile.gettempdir())
+                / "outreach_etl_spark_sink"
+                / f"{tname}_{app}"
+            )
+            write_bucketed(
+                load_table(spark, sf_dir, tbl).select(*cols),
+                tname,
+                bucket_cols,
+                n_buckets=8,
+                sort_cols=bucket_cols,
+                path=str(path),
+            )
+        names[tbl] = tname
+    return names["orders"], names["lineitem"]
+
+
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_join_tables(spark, sf_dir)
+    orders = spark.table(t_orders)
+    lineitem = spark.table(t_lineitem)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(revenue, scale=6).alias("revenue"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+
+
+SINK_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority, l_returnflag,
+       COUNT(*) AS n_lines,
+       {sum_sql('l_extendedprice * (1 - l_discount)', scale=6)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+ORDER BY o_orderpriority, l_returnflag
+"""
+
+
 # T6e — incremental materialized-view maintenance. The monthly
 # (month × priority) revenue rollup is stored as MERGEABLE PARTIAL
 # STATE — count + exact scaled-integer sum, NOT the finished averages/
@@ -700,6 +785,12 @@ QUERIES: dict[str, QuerySpec] = {
         merge_cdc_apply, MERGE_CDC_APPLY_SQL, tags=("T6", "J4", "W1"),
         doc="MERGE INTO semantics: compacted CDC feed full-outer-resolved "
         "against the base snapshot",
+    ),
+    "sink_bucketed_join": QuerySpec(
+        sink_bucketed_join, SINK_BUCKETED_JOIN_SQL,
+        tags=("S6", "J3", "A2"),
+        doc="bucketed+sorted external tables joined with zero exchanges; "
+        "oracle is the identical join over raw tables",
     ),
     "sink_partitioned_pruned": QuerySpec(
         sink_partitioned_pruned, SINK_PARTITIONED_PRUNED_SQL,

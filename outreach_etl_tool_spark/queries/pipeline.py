@@ -628,7 +628,98 @@ QUALIFY rn <= {_STRAT_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# BOILERPLATE COMMONALITY — cross-document repeated-content filter
+# ---------------------------------------------------------------------------
+# The cross-doc complement of quality_signals' intra-doc repetition
+# rules (RefinedWeb/C4-style boilerplate removal: headers, footers,
+# navigation text recur across many pages of a crawl). Per document:
+# the fraction of its distinct 3-token shingles that appear in more
+# than _BOILER_DF other documents corpus-wide. The flag is decided on
+# integers (2·n_common ≥ n_shingles); common_frac divides two exact
+# counts in one IEEE op.
+#
+# Scale shape: explode → groupBy shingle (posting counts) → join back
+# on shingle → per-doc rollup. Three shuffles, all keyed on bounded-
+# cardinality keys (shingle vocabulary, doc_id); nothing is O(docs²) —
+# the same posting-list discipline as tfidf_keywords, and the shingle
+# expression is bound once (bind_once inside dedup.minhash.shingles).
+_BOILER_DF = 4
+
+
+def boilerplate_commonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.minhash import shingles
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", k=3)).alias("sh")
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > _BOILER_DF).cast("long")).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_shingles")).alias(
+                "common_frac"
+            ),
+            (F.lit(2) * F.col("n_common") >= F.col("n_shingles"))
+            .cast("int")
+            .alias("boilerplate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Shingle CASE identical to the dedup_cluster / dedup_ngram oracles
+# (<3 tokens → one whole-doc shingle; no tokens → empty array → the
+# doc vanishes from the explode, same as Spark). Per-(doc, shingle)
+# rows are distinct by construction, so COUNT(*) per shingle equals
+# the distinct-document frequency in both engines.
+BOILERPLATE_COMMONALITY_SQL = f"""
+WITH shl AS (
+    SELECT doc_id,
+           CASE WHEN LEN(arr) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN LEN(arr) < 3 THEN [array_to_string(arr, ' ')]
+                ELSE list_distinct(list_transform(
+                       generate_series(1, LEN(arr) - 2),
+                       i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+           END AS sh
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents)
+), sh AS (
+    SELECT doc_id, UNNEST(sh) AS s FROM shl
+), cnt AS (
+    SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df > {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common,
+       CAST(SUM(CASE WHEN df > {_BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS common_frac,
+       CAST(CASE WHEN 2 * SUM(CASE WHEN df > {_BOILER_DF} THEN 1 ELSE 0 END)
+                      >= COUNT(*) THEN 1 ELSE 0 END AS INTEGER)
+           AS boilerplate
+FROM sh JOIN cnt ON sh.s = cnt.s
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "boilerplate_commonality": QuerySpec(
+        boilerplate_commonality, BOILERPLATE_COMMONALITY_SQL,
+        tags=("L4", "A2", "J1"),
+        doc="cross-doc shingle commonality: boilerplate fraction per doc",
+    ),
     "split_train_holdout": QuerySpec(
         split_train_holdout, SPLIT_TRAIN_HOLDOUT_SQL, tags=("L4", "P6", "F1"),
         doc="deterministic md5-bucket train/val/holdout split",

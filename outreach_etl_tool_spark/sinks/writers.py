@@ -42,11 +42,20 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (+optionally sorted) managed table."""
+    """Save as a bucketed (+optionally sorted) table.
+
+    ``path`` makes it an EXTERNAL table at that location instead of a
+    managed one under spark.sql.warehouse.dir — bucketing metadata
+    lives in the session catalog either way (plain parquet readers see
+    ordinary files; only ``spark.table(name)`` gets the exchange-free
+    join)."""
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 

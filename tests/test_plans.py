@@ -62,6 +62,25 @@ def test_q6_band_predicates_push_to_scan(spark):
     assert "l_returnflag" not in lineitem_scan
 
 
+def test_bucketed_join_has_no_join_exchange(spark):
+    """sink_bucketed_join's reason to exist: with broadcast off (the
+    100 TB regime — neither fact fits), the fact⋈fact join must read
+    the bucketed layout co-located: SortMergeJoin with ZERO exchanges
+    beneath it (the only exchanges in the whole plan are the
+    post-join rollup + result sort). Also pins that the scans carry
+    bucket metadata — a plain parquet read of the same files would
+    silently reintroduce the shuffle."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(df_of(spark, "sink_bucketed_join"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "SelectedBucketsCount" in plan, plan[:1500]
+    assert "hashpartitioning(l_orderkey" not in plan, plan[:2000]
+    assert "hashpartitioning(o_orderkey" not in plan, plan[:2000]
+
+
 def test_column_pruning_funnel(spark):
     schemas = read_schemas(df_of(spark, "funnel"))
     # the orders scan must not read the full table width
@@ -232,6 +251,11 @@ SHUFFLE_BUDGETS = {
     "sql_q15_top_supplier": 7,        # revenue agg + scalar max + joinback
     "sql_q16_supplier_diversity": 6,  # distinct expand + part join at scale
     "sql_q20_promo_suppliers": 11,    # two partkey aggs + joinback + semi
+    # bucketed layout: the join contributes ZERO exchanges at any
+    # scale (that is the operator's point — see the dedicated pin
+    # above); budget covers only rollup + result sort
+    "sink_bucketed_join": 2,
+    "boilerplate_commonality": 4,     # posting counts + joinback + rollup
 }
 
 
