@@ -618,6 +618,58 @@ WHERE o_orderkey % 10 = 0
 """
 
 
+# S6f — dynamic partition pruning (DPP): the fact scan's partition
+# filter comes from a JOIN, not a literal. The dim side (the distinct
+# days inside a 3-day data-relative window) is only knowable by
+# running a subquery, so static pruning is impossible — Spark instead
+# injects a dynamicpruning#... expression into the partitioned scan's
+# PartitionFilters and evaluates the dim first. At 100 TB this is what
+# keeps "join the fact table to a filtered calendar/dim" from scanning
+# every partition. The plan pin (tests/test_plans.py) asserts the
+# dynamic-pruning expression is present; the oracle computes the same
+# join over the raw events table.
+def sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    path = _partitioned_events_fixture(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    raw = load_table(spark, sf_dir, "events")
+    lo = raw.agg(F.min(F.to_date("ts"))).first()[0]
+    d0 = lo + datetime.timedelta(days=10)
+    d1 = lo + datetime.timedelta(days=12)
+    dim = (
+        raw.select(F.to_date("ts").alias("day"))
+        .filter((F.col("day") >= F.lit(d0)) & (F.col("day") <= F.lit(d1)))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.event_day == dim.day)
+        .groupBy("event_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", scale=4).alias("value_sum"),
+        )
+        .orderBy("event_day")
+    )
+
+
+SINK_DPP_JOIN_SQL = f"""
+WITH lo AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo FROM events
+), dim AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day
+    FROM events CROSS JOIN lo
+    WHERE CAST(ts AS DATE) >= lo + 10 AND CAST(ts AS DATE) <= lo + 12
+)
+SELECT CAST(ts AS DATE) AS event_day,
+       COUNT(*) AS n_events,
+       {sum_sql('value', scale=4)} AS value_sum
+FROM events JOIN dim ON CAST(ts AS DATE) = day
+GROUP BY event_day
+ORDER BY event_day
+"""
+
+
 # S6e — bucketed co-located join (sinks/writers.write_bucketed driven
 # end-to-end under the driver gate; the pytest-only half lives in
 # tests/test_sinks.py). Orders and lineitem slices are saved as
@@ -785,6 +837,12 @@ QUERIES: dict[str, QuerySpec] = {
         merge_cdc_apply, MERGE_CDC_APPLY_SQL, tags=("T6", "J4", "W1"),
         doc="MERGE INTO semantics: compacted CDC feed full-outer-resolved "
         "against the base snapshot",
+    ),
+    "sink_dpp_join": QuerySpec(
+        sink_dpp_join, SINK_DPP_JOIN_SQL,
+        tags=("S6", "P4", "J2", "A2"),
+        doc="dynamic partition pruning: join-derived partition filter "
+        "on the partitioned sink, plan-pinned",
     ),
     "sink_bucketed_join": QuerySpec(
         sink_bucketed_join, SINK_BUCKETED_JOIN_SQL,

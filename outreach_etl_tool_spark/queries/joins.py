@@ -477,7 +477,61 @@ WHERE a.p_name <> b.p_name
 """
 
 
+# J1c — null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+# keys match each other instead of vanishing, the semantics every CDC
+# or entity-resolution merge needs when the business key is nullable.
+# Both sides pre-aggregate to ~101 rows before the join, so the
+# null-safe comparison (which blocks hash-key pushdown niceties on
+# some engines) touches bounded data; Spark plans it as a regular
+# equi-join on a null-safe key. Keys are derived deterministically
+# (o_orderkey % 7 == 0 → NULL) so both engines build identical inputs.
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keyed(null_mod: int, alias: str) -> DataFrame:
+        key = (
+            F.when(
+                F.col("o_orderkey") % null_mod == 0,
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(F.col("o_orderkey") % 100)
+        )
+        return orders.groupBy(key.alias("k")).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    a = keyed(7, "n_a")
+    b = keyed(5, "n_b").withColumnRenamed("k", "kb")
+    return (
+        a.join(b, a.k.eqNullSafe(F.col("kb")))
+        .select("k", "n_a", "n_b")
+        .orderBy(F.asc_nulls_first("k"))
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (
+    SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderkey % 100 END AS k,
+           COUNT(*) AS n_a
+    FROM orders GROUP BY 1
+), b AS (
+    SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderkey % 100 END AS k,
+           COUNT(*) AS n_b
+    FROM orders GROUP BY 1
+)
+SELECT a.k AS k, n_a, n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY k NULLS FIRST
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_null_safe": QuerySpec(
+        join_null_safe, JOIN_NULL_SAFE_SQL, tags=("J1", "F4"),
+        doc="null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)",
+    ),
     "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL, tags=("J1",)),
     "join_shuffle_hash": QuerySpec(
         join_shuffle_hash, JOIN_SHUFFLE_HASH_SQL, tags=("J3",)

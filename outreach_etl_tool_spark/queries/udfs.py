@@ -276,7 +276,55 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# UDAF2 — exponentially-weighted moving average per user over event
+# time: the canonical NON-ASSOCIATIVE recurrence (y_i = α·x_i +
+# (1−α)·y_{i−1}) that no built-in Spark aggregate or window frame can
+# express — partial aggregation requires associativity, and a window
+# frame can't reference its own previous OUTPUT. The sanctioned escape
+# is grouped-map applyInPandas: one Arrow batch per user, the
+# recurrence unrolled vectorized inside pandas. α = 1/2 makes every
+# step an exact IEEE halving+add, so the result is bit-deterministic
+# given the row order; rows are ordered by (ts, event_id) — a total
+# order — before the fold. Rows-only in the driver gate (SQL has no
+# recursive window); the recurrence itself is pinned against a scalar
+# reference fold in tests/test_operators.py, and the determinism
+# harness runs the query twice per round.
+#
+# Scale shape: one exchange on user_id; per-group state is the group
+# itself (bounded by events-per-user), nothing crosses the driver.
+_EWMA_SCHEMA = (
+    "event_id long, user_id long, ts timestamp_ntz, value double, ewma double"
+)
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ewma = pdf["value"].ewm(alpha=0.5, adjust=False).mean()
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "ts": pdf["ts"],
+            "value": pdf["value"],
+            "ewma": ewma,
+        }
+    )
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_ewma_group, _EWMA_SCHEMA)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ewma_smooth": QuerySpec(
+        ewma_smooth, None, tags=("UDAF", "W2", "T6"),
+        doc="per-user EWMA: non-associative recurrence via applyInPandas",
+    ),
     "udf_scalar_zscore": QuerySpec(
         udf_scalar_zscore, UDF_SCALAR_ZSCORE_SQL, tags=("UDF",),
         doc="scalar pandas_udf demo (global z-score, oracle-paired)",

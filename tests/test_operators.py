@@ -226,3 +226,29 @@ def test_merge_cdc_no_changes_is_identity(spark):
     ch = spark.createDataFrame([], "k bigint, v string, op string, seq int")
     out = merge_cdc(base, ch, ["k"], op_col="op", seq_col="seq")
     assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_ewma_matches_scalar_recurrence(spark):
+    """ewma_smooth's kernel must implement y_i = (x_i + y_{i-1}) / 2
+    exactly (alpha=1/2, adjust=False), ordered by (ts, event_id)."""
+    import datetime
+
+    from outreach_etl_tool_spark.queries.udfs import _ewma_group
+    import pandas as pd
+
+    t0 = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [3, 1, 2, 4],
+            "user_id": [7] * 4,
+            "ts": [t0 + datetime.timedelta(minutes=m) for m in (2, 0, 1, 2)],
+            "value": [8.0, 1.0, 5.0, 2.0],
+        }
+    )
+    out = _ewma_group(pdf)
+    # order: (t0,1), (t+1,2), (t+2,3), (t+2,4) — event_id breaks the tie
+    assert list(out["event_id"]) == [1, 2, 3, 4]
+    y = []
+    for x in [1.0, 5.0, 8.0, 2.0]:
+        y.append(x if not y else (x + y[-1]) / 2)
+    assert list(out["ewma"]) == y

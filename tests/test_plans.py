@@ -62,6 +62,16 @@ def test_q6_band_predicates_push_to_scan(spark):
     assert "l_returnflag" not in lineitem_scan
 
 
+def test_dpp_join_injects_dynamic_pruning(spark):
+    """sink_dpp_join's reason to exist: the day window is only
+    knowable by running the dim subquery, so the partitioned fact scan
+    must carry a dynamicpruning expression in its PartitionFilters —
+    without it the scan reads every day's directory and filters
+    post-join."""
+    plan = physical_plan(df_of(spark, "sink_dpp_join"))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_bucketed_join_has_no_join_exchange(spark):
     """sink_bucketed_join's reason to exist: with broadcast off (the
     100 TB regime — neither fact fits), the fact⋈fact join must read
@@ -256,6 +266,9 @@ SHUFFLE_BUDGETS = {
     # above); budget covers only rollup + result sort
     "sink_bucketed_join": 2,
     "boilerplate_commonality": 4,     # posting counts + joinback + rollup
+    "join_null_safe": 4,              # two pre-aggs + null-safe join + sort
+    "sink_dpp_join": 4,               # dim distinct + rollup; scan pruned
+    "ewma_smooth": 1,                 # one exchange on user_id
 }
 
 
