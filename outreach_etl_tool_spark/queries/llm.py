@@ -530,7 +530,140 @@ ORDER BY source
 """
 
 
+# L4c — RAG/context-window chunking: split every document into
+# overlapping fixed-width windows (the retrieval/training prep step
+# that feeds embedding models). Pure lateral fan-out — sequence +
+# explode is a JVM-side generator, so the plan is scan → generate →
+# project with ZERO shuffles until the determinism sort; no Python, no
+# per-row state, and at 100 TB the chunk stream inherits the scan's
+# partitioning (each task fans out its own documents locally). Chunk
+# starts stride every 90 chars with 120-char windows (30-char overlap);
+# the trailing chunk is allowed short, matching the usual tokenizer-
+# window semantics.
+_CHUNK_W, _CHUNK_S = 120, 90
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    last = F.greatest(
+        F.floor((F.length("text") - 1) / _CHUNK_S),
+        F.lit(0).cast("bigint"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S + 1
+    chunk = F.col("text").substr(start.cast("int"), F.lit(_CHUNK_W))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+TEXT_CHUNK_WINDOWS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(GREATEST(FLOOR((LENGTH(text) - 1) / {_CHUNK_S}.0), 0)
+                    AS BIGINT))) AS chunk_id
+    FROM documents
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_S} + 1 AS chunk_start,
+       substr(text, CAST(chunk_id * {_CHUNK_S} + 1 AS INTEGER), {_CHUNK_W})
+           AS chunk_text,
+       LENGTH(substr(text, CAST(chunk_id * {_CHUNK_S} + 1 AS INTEGER),
+                     {_CHUNK_W})) AS chunk_len
+FROM fanout
+ORDER BY doc_id, chunk_id
+"""
+
+
+# L2e — span-level exact substring dedup (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" shape):
+# doc-level dedup misses boilerplate PARAGRAPHS repeated across
+# otherwise-distinct documents, so slide a 64-char window at stride 16
+# over every document and find windows that recur in ≥2 distinct docs.
+# Scale shape: the shuffle key is the md5 of the span (32-byte-ish hex,
+# never the span text — at 100 TB the fan-out is ~len/16 hashes per
+# doc and the groupBy combines map-side), one exchange for the
+# aggregate, one for the result sort. The window fan-out itself is a
+# JVM-side sequence+explode, zero Python. Exact semantics: md5
+# collisions would need ~2^64 spans; both engines hash identical bytes
+# so the oracle compare is unaffected either way.
+_SPAN_L, _SPAN_T = 64, 16
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _SPAN_L)
+    last = F.floor((F.length("text") - _SPAN_L) / _SPAN_T)
+    fanout = eligible.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    )
+    spans = fanout.select(
+        "doc_id",
+        F.md5(
+            F.col("text").substr(
+                (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+            )
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("span_hash")
+    )
+
+
+DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(FLOOR((LENGTH(text) - {_SPAN_L}) / {_SPAN_T}.0)
+                    AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_SPAN_L}
+), spans AS (
+    SELECT doc_id,
+           md5(substr(text, CAST(k * {_SPAN_T} + 1 AS INTEGER), {_SPAN_L}))
+               AS span_hash
+    FROM fanout
+)
+SELECT span_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       MIN(doc_id) AS first_doc
+FROM spans
+GROUP BY span_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY span_hash
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_chunk_windows": QuerySpec(
+        text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),
+        doc="RAG chunking: overlapping fixed windows via zero-shuffle "
+        "sequence+explode fan-out",
+    ),
+    "dedup_substring_spans": QuerySpec(
+        dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL, tags=("L2", "L1"),
+        doc="span-level exact substring dedup (Lee et al. shape): "
+        "64-char windows recurring across ≥2 docs",
+    ),
     "pipeline_clean_corpus": QuerySpec(
         pipeline_clean_corpus, PIPELINE_CLEAN_CORPUS_SQL,
         tags=("L1", "L4", "P5", "A2"), bench=True,

@@ -269,6 +269,8 @@ SHUFFLE_BUDGETS = {
     "join_null_safe": 4,              # two pre-aggs + null-safe join + sort
     "sink_dpp_join": 4,               # dim distinct + rollup; scan pruned
     "ewma_smooth": 1,                 # one exchange on user_id
+    "text_chunk_windows": 1,          # zero-shuffle fan-out + result sort
+    "dedup_substring_spans": 3,       # 2-phase distinct agg + result sort
 }
 
 
