@@ -377,6 +377,66 @@ FROM events a JOIN events b
 """
 
 
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b: stream-stream LEFT OUTER interval join — the outer half of
+    the streaming join matrix. Matched pairs emit exactly like the
+    inner join (eviction never precedes a pending match over the
+    in-order replay; see stream_interval_join). Unmatched left rows
+    emit null-extended only once the watermark passes ``ts + 1h`` —
+    and that happens inside the run because availableNow executes a
+    no-data micro-batch after the last file whenever the watermark
+    advances (``spark.sql.streaming.noDataMicroBatches``, on by
+    default): the final watermark is ``max(ts) − 30min``, so every
+    unmatched left row with ``ts + 1h`` below it has provably
+    flushed. The returned frame keeps matched pairs plus unmatched
+    rows at least one minute BELOW that bound (a knife-edge row at
+    the exact boundary would hinge on the eviction comparison's
+    strictness; the margin makes both engines agree without modeling
+    it), and the oracle applies the identical integer-micros bound to
+    a batch LEFT JOIN."""
+    replay = _build_replay(spark, sf_dir, "inorder")
+    joined = interval_join_streams(
+        _read_replay(spark, replay),
+        _read_replay(spark, replay),
+        delay="30 minutes",
+        within="INTERVAL 1 HOUR",
+        how="left_outer",
+    )
+    sink = _run_to_parquet(joined, _SINK_T7)
+    hi_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    # unmatched kept iff ts_a + 1h <= (hi − 30min) − 1min margin
+    bound_us = hi_us - 91 * 60 * 1_000_000
+    return sink.filter(
+        F.col("event_id_b").isNotNull()
+        | (F.unix_micros("ts_a") <= F.lit(bound_us))
+    ).select(
+        "event_id_a",
+        "event_id_b",
+        "user_id",
+        F.col("ts_a").cast("timestamp_ntz").alias("ts_a"),
+        F.col("ts_b").cast("timestamp_ntz").alias("ts_b"),
+    )
+
+
+STREAM_OUTER_INTERVAL_JOIN_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS hi FROM events)
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       a.user_id AS user_id, a.ts AS ts_a, b.ts AS ts_b
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+CROSS JOIN mx
+WHERE b.event_id IS NOT NULL
+   OR epoch_us(a.ts) <= hi - 5460000000
+"""
+
+
 def stream_custom_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) under the
     oracle gate: running_user_totals carries per-user state across the
@@ -510,6 +570,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real availableNow stream-stream interval join (watermarked, "
         "bounded state); converged sink == batch interval join, "
         "exact-oracled",
+    ),
+    "stream_outer_interval_join": QuerySpec(
+        stream_outer_interval_join,
+        STREAM_OUTER_INTERVAL_JOIN_SQL,
+        tags=("T7", "J4", "T4"),
+        doc="stream-stream LEFT OUTER interval join: null-extended rows "
+        "emitted at watermark expiry; flush bound mirrored in the oracle",
     ),
     "stream_ingest_dedup": QuerySpec(
         stream_ingest_dedup,

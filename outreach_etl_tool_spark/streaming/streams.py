@@ -117,6 +117,7 @@ def interval_join_streams(
     right: DataFrame,
     delay: str = "30 minutes",
     within: str = "INTERVAL 1 HOUR",
+    how: str = "inner",
 ) -> DataFrame:
     """T7: stream-stream interval join — each left event paired with
     the same user's strictly-later right events within ``within``
@@ -128,8 +129,13 @@ def interval_join_streams(
     watermark passes ``ts + within`` (no future right row can match
     it), a right row once the watermark passes its ``ts``. State is
     bounded by delay+within worth of events per side — the only way a
-    stream⋈stream holds at 100 TB/day. Inner join, so matches emit as
-    soon as the partner arrives; nothing waits for window close.
+    stream⋈stream holds at 100 TB/day. Inner matches emit as soon as
+    the partner arrives; nothing waits for window close.
+
+    ``how="left_outer"`` keeps unmatched left rows: they are emitted
+    null-extended only when the watermark passes ``ts + within`` (no
+    future match possible), so outer results trail the watermark by
+    the join horizon — the price of outer semantics on infinite input.
     """
     l = left.withWatermark("ts", delay).alias("l")
     r = right.withWatermark("ts", delay).alias("r")
@@ -138,7 +144,7 @@ def interval_join_streams(
         & (F.col("r.ts") > F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(within))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l.event_id").alias("event_id_a"),
         F.col("r.event_id").alias("event_id_b"),
         F.col("l.user_id").alias("user_id"),
