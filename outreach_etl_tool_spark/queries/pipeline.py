@@ -714,7 +714,89 @@ ORDER BY sh.doc_id
 """
 
 
+# L4d — robust outlier screening via MAD (median absolute deviation):
+# the length-distribution gate quality filters should use instead of
+# mean±kσ, because a heavy tail drags the mean but not the median.
+# Exact two-median form: per-source median of n_chars, median of
+# |n_chars − med|, flag docs with |x − med| > 3·MAD. Three passes over
+# the corpus is the honest cost of EXACT nested medians; at 100 TB
+# you would swap F.percentile for approx_percentile (GK sketch, one
+# pass per level — see agg_approx_percentiles) and keep this exact
+# form for validation samples. The two stats frames are per-source
+# (tiny) and broadcast back; Spark's percentile and DuckDB's
+# QUANTILE_CONT share the same linear-interpolation definition, and
+# every derived float op is the identical IEEE instruction in both
+# engines (same discipline as agg_stats_corr).
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).select("source", "n_chars")
+    # localCheckpoint: stats feeds BOTH the mad branch and the final
+    # rollup — without it each branch re-runs the per-source aggregate
+    # over the whole corpus (audited: 5 exchanges → 3)
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_chars", 0.5).alias("med_chars"),
+    ).localCheckpoint()
+    dev = docs.join(F.broadcast(stats), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile("adev", 0.5).alias("mad_chars")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.min("med_chars").alias("med_chars"),
+            F.min("mad_chars").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_chars"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.col("n_outliers").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_MAD_OUTLIERS_SQL = """
+WITH stats AS (
+    SELECT source, COUNT(*) AS n_docs,
+           QUANTILE_CONT(n_chars, 0.5) AS med_chars
+    FROM documents GROUP BY source
+), dev AS (
+    SELECT d.source, s.n_docs, s.med_chars,
+           ABS(d.n_chars - s.med_chars) AS adev
+    FROM documents d JOIN stats s USING (source)
+), mad AS (
+    SELECT source, QUANTILE_CONT(adev, 0.5) AS mad_chars
+    FROM dev GROUP BY source
+)
+SELECT dev.source AS source,
+       MIN(dev.n_docs) AS n_docs,
+       MIN(dev.med_chars) AS med_chars,
+       MIN(mad.mad_chars) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad_chars THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(MIN(dev.n_docs) AS DOUBLE) AS outlier_rate
+FROM dev JOIN mad USING (source)
+GROUP BY dev.source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "quality_mad_outliers": QuerySpec(
+        quality_mad_outliers, QUALITY_MAD_OUTLIERS_SQL,
+        tags=("L4", "A2", "F3"),
+        doc="robust MAD outlier gate: exact nested medians, per-source "
+        "stats broadcast back",
+    ),
     "boilerplate_commonality": QuerySpec(
         boilerplate_commonality, BOILERPLATE_COMMONALITY_SQL,
         tags=("L4", "A2", "J1"),

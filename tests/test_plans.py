@@ -271,6 +271,7 @@ SHUFFLE_BUDGETS = {
     "ewma_smooth": 1,                 # one exchange on user_id
     "text_chunk_windows": 1,          # zero-shuffle fan-out + result sort
     "dedup_substring_spans": 3,       # 2-phase distinct agg + result sort
+    "quality_mad_outliers": 3,        # mad agg + final agg + result sort
 }
 
 
