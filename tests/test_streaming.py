@@ -383,6 +383,62 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
     assert (u8["n_events"], u8["total_value"], u8["max_value"]) == (1, 10.0, 10.0)
 
 
+def test_stateful_restart_recovers_checkpointed_state(spark, tmp_path):
+    """Exactly-once across a stop/restart: a second streaming query on
+    the SAME checkpoint must (a) not reprocess batch 1 (file-source
+    offsets committed) and (b) resume applyInPandasWithState per-user
+    state from the state store — the recovery path a production
+    pipeline exercises on every deploy. If state were lost, user 7's
+    post-restart total would restart from the new batch alone."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=7, value=2.0),
+        ev(2, "2024-03-01T10:01:00Z", user=7, value=3.0),
+        ev(3, "2024-03-01T10:02:00Z", user=8, value=10.0),
+    ])
+
+    def run_once() -> None:
+        events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+
+        def sink(batch, epoch_id):
+            batch.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            ST.running_user_totals(events)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run_once()  # processes b1, commits offsets + state
+    write_batch(src, "b2.json", [ev(4, "2024-03-01T11:00:00Z", user=7, value=5.0)])
+    run_once()  # restart from the same checkpoint
+
+    sunk = spark.read.schema(
+        "user_id long, n_events long, total_value double, "
+        "max_value double, epoch long"
+    ).parquet(out)
+    u7 = sorted(
+        ((r["n_events"], r["total_value"], r["max_value"])
+         for r in sunk.filter("user_id = 7").collect())
+    )
+    # one emission per run: (after b1) and (after b2, built ON b1 state)
+    assert u7 == [(2, 5.0, 3.0), (3, 10.0, 5.0)]
+    # b1 not reprocessed on restart: u8 emitted exactly once, in run 1
+    u8 = sunk.filter("user_id = 8").collect()
+    assert len(u8) == 1 and u8[0]["n_events"] == 1
+
+
 def test_chaos_late_and_duplicate_events_match_batch_oracle(spark, tmp_path):
     """Chaos replay: duplicates (same event_id re-delivered across
     micro-batches), late-but-in-watermark arrivals, and a too-late row
