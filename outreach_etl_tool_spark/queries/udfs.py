@@ -320,7 +320,64 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# UDTF2 — a REAL Python UDTF (Spark 4 `udtf` decorator + LATERAL
+# join), the typed successor of the mapInPandas fan-out demoed by
+# udf_map_tokens: the planner sees a declared row schema and a
+# per-input-row generator, so the lateral fan-out composes with
+# Catalyst (column pruning through the UDTF, no whole-frame schema
+# smuggling). Tokenization is plain `split(' ')` with empties kept —
+# the one convention DuckDB's string_split shares bit-for-bit, which
+# is what makes THIS Python-table-function oracled while
+# udf_map_tokens stays rows-only. Scale shape: one Arrow-batched
+# Python stage inheriting the scan's partitioning, zero shuffles
+# before the determinism sort.
+def _make_token_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string", useArrow=True)
+    class TokenEmitter:
+        def eval(self, text: str):
+            if text is not None:
+                for i, tok in enumerate(text.split(" ")):
+                    yield i, tok
+
+    return TokenEmitter
+
+
+def udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    spark.udtf.register("token_emitter", _make_token_udtf())
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok,
+               CAST(LENGTH(t.tok) AS BIGINT) AS tok_len
+        FROM udtf_docs_v d, LATERAL token_emitter(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+UDTF_LATERAL_TOKENS_SQL = """
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS k
+    FROM documents
+)
+SELECT doc_id,
+       CAST(k - 1 AS INTEGER) AS pos,
+       list_extract(string_split(text, ' '), k) AS tok,
+       LENGTH(list_extract(string_split(text, ' '), k)) AS tok_len
+FROM fanout
+ORDER BY doc_id, pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "udtf_lateral_tokens": QuerySpec(
+        udtf_lateral_tokens, UDTF_LATERAL_TOKENS_SQL, tags=("UDTF", "F1"),
+        doc="Spark 4 Python UDTF + LATERAL join tokenizer, exact-oracled",
+    ),
     "ewma_smooth": QuerySpec(
         ewma_smooth, None, tags=("UDAF", "W2", "T6"),
         doc="per-user EWMA: non-associative recurrence via applyInPandas",

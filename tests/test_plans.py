@@ -272,6 +272,7 @@ SHUFFLE_BUDGETS = {
     "text_chunk_windows": 1,          # zero-shuffle fan-out + result sort
     "dedup_substring_spans": 3,       # 2-phase distinct agg + result sort
     "quality_mad_outliers": 3,        # mad agg + final agg + result sort
+    "udtf_lateral_tokens": 1,         # lateral fan-out + result sort
 }
 
 
