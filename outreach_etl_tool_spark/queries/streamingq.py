@@ -66,6 +66,7 @@ from ..streaming.streams import (
     running_user_totals,
     stream_dedup,
     tumbling_counts,
+    tws_user_totals,
 )
 from . import QuerySpec
 from .fixtures import atomic_fixture
@@ -490,6 +491,73 @@ GROUP BY user_id
 """
 
 
+def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5c: transformWithStateInPandas (Spark 4 stateful v2, typed
+    ValueState, RocksDB-backed) over the in-order replay, same
+    convergence argument as stream_custom_state_totals — the final
+    per-user emission (max epoch) is the converged state and equals
+    the batch aggregate regardless of batch splits. The RocksDB
+    provider the operator requires is set for this query and restored
+    after (same conf discipline as join_runtime_filter); only order-
+    independent fields (count, max) are on the hash surface.
+
+    NOT in the registry: the operator's Python worker speaks the state
+    protocol over protobuf (pyspark/sql/streaming/proto), and
+    ``google.protobuf`` is not installed in this environment — the
+    query is exercised by tests/test_streaming.py behind an
+    importable-protobuf skip gate and registers automatically the
+    moment the dependency exists (see QUERIES note below)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    replay = _build_replay(spark, sf_dir, "inorder")
+    out = tempfile.mkdtemp(prefix="stream_tws_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_tws_ckpt_")
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        batch.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        totals = tws_user_totals(_read_replay(spark, replay))
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    sunk = spark.read.schema(
+        "user_id long, n_events long, max_value double, epoch long"
+    ).parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch"))
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "max_value")
+    )
+
+
+STREAM_TWS_TOTALS_SQL = STREAM_CUSTOM_STATE_TOTALS_SQL
+
+
 def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6c: the streaming corpus-ingest sink (foreachBatch incremental
     exact dedup + manifest append) under the oracle gate. Each
@@ -586,3 +654,30 @@ QUERIES: dict[str, QuerySpec] = {
         "retained set == min(doc_id) per distinct text, exact-oracled",
     ),
 }
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas' Python worker speaks the state-store
+    protocol over protobuf; without google.protobuf the worker crashes
+    at init (observed: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    importing pyspark/sql/streaming/proto/StateMessage_pb2)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# Env-gated registration: the stateful-v2 query joins the registry the
+# moment its one missing dependency exists (it does on any real Spark
+# cluster — protobuf ships with most distros; this container omits it).
+# tests/test_streaming.py carries the matching skip-gated exercise.
+if _protobuf_available():  # pragma: no cover — dep absent here
+    QUERIES["stream_tws_totals"] = QuerySpec(
+        stream_tws_totals,
+        STREAM_TWS_TOTALS_SQL,
+        tags=("T5", "UDAF"),
+        doc="transformWithStateInPandas (stateful v2, typed ValueState, "
+        "RocksDB) running totals; converged state == batch aggregate",
+    )

@@ -207,6 +207,77 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """T5c: the same per-user running totals on ``transformWithState
+    InPandas`` — Spark 4's arbitrary-stateful-processing v2, the
+    successor of applyInPandasWithState. Differences that matter at
+    scale: state is TYPED and COMPOSABLE (named ValueState/ListState/
+    MapState handles instead of one opaque tuple, so wide state reads
+    only the fields a batch touches), timers and per-state TTL are
+    first-class (handle.registerTimer / TTLConfig — eviction no longer
+    hand-rolled through GroupStateTimeout), and the operator requires
+    the RocksDB state-store provider, whose changelog checkpointing is
+    what keeps multi-GB-per-partition state restartable at 100 TB.
+    This operator keeps a single ValueState[(n, mx)] per user and
+    emits the updated row per touched key (update mode) — kept
+    deliberately parallel to running_user_totals so the two APIs'
+    converged results are directly comparable; timeMode="None" keeps
+    the run deterministic (timers fire on wall-clock, which a
+    replayed oracle cannot pin).
+
+    Caller must set ``spark.sql.streaming.stateStore.providerClass``
+    to the RocksDB provider before starting the query (see
+    stream_tws_totals for the set-and-restore pattern).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = (
+                self._state.get() if self._state.exists() else (0, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += len(pdf)
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None else max(mx, m)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def upsert_sink(
     events: DataFrame,
     target_path: str,

@@ -680,3 +680,53 @@ def test_upsert_sink_recovers_from_interrupted_swap(spark, tmp_path):
 
     got = {r["event_id"] for r in spark.read.parquet(target).collect()}
     assert got == {1, 2, 3}  # pre-crash keys survived the recovery
+
+
+def test_transform_with_state_totals(spark, tmp_path):
+    """Spark 4 stateful v2 (transformWithStateInPandas): per-user
+    ValueState carried across micro-batches, RocksDB provider.
+    Skip-gated on google.protobuf — the worker's state protocol needs
+    it and this container doesn't ship it; on any env that does, this
+    runs (and stream_tws_totals joins the registry)."""
+    from outreach_etl_tool_spark.queries.streamingq import _protobuf_available
+
+    if not _protobuf_available():
+        pytest.skip("google.protobuf absent: transformWithState worker "
+                    "cannot start (env-gated feature)")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=7, value=2.0),
+        ev(2, "2024-03-01T10:01:00Z", user=7, value=3.0),
+    ])
+    write_batch(src, "b2.json", [
+        ev(3, "2024-03-01T11:00:00Z", user=7, value=5.0),
+    ])
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        events = ST.read_events_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            ST.tws_user_totals(events)
+            .writeStream.format("memory").queryName("tws_totals")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    rows = sorted(
+        (r["n_events"], r["max_value"])
+        for r in collect_memory(spark, "tws_totals")
+    )
+    # one emission per batch; batch 2 builds on recovered ValueState
+    assert rows == [(2, 3.0), (3, 5.0)]
