@@ -660,7 +660,8 @@ QUERIES: dict[str, QuerySpec] = {
         "sequence+explode fan-out",
     ),
     "dedup_substring_spans": QuerySpec(
-        dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL, tags=("L2", "L1"),
+        dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL,
+        tags=("L2", "L1"), bench=True,
         doc="span-level exact substring dedup (Lee et al. shape): "
         "64-char windows recurring across ≥2 docs",
     ),
