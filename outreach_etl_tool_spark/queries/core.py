@@ -652,7 +652,58 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_LATERAL_TOPN_SQL)
 
 
+# F4b/F5b — ANSI-safe error handling: Spark 4 runs with
+# spark.sql.ansi.enabled=true, where a bad cast or division by zero
+# THROWS mid-job instead of silently nulling — on a 1000-executor run
+# one malformed row kills hours of work. The sanctioned pattern is the
+# try_* family: try_cast yields NULL for unparseable input (counted,
+# not fatal) and try_divide yields NULL on zero divisors. The oracle
+# mirrors try_cast with DuckDB's TRY_CAST and try_divide's null set
+# with its zero-divisor predicate. All JVM-side, one agg exchange.
+def scalar_try_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    full_cast = F.col("o_orderpriority").try_cast("int")
+    prefix_cast = F.split(F.col("o_orderpriority"), "-").getItem(0).try_cast(
+        "int"
+    )
+    zero_div = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(prefix_cast).alias("prio_num"),
+            F.sum(
+                F.when(full_cast.isNull(), 1).otherwise(0).cast("bigint")
+            ).alias("n_unparseable"),
+            F.sum(
+                F.when(zero_div.isNull(), 1).otherwise(0).cast("bigint")
+            ).alias("n_zero_div"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SCALAR_TRY_ANSI_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       MIN(TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER))
+           AS prio_num,
+       CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable,
+       CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_div
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scalar_try_ansi": QuerySpec(
+        scalar_try_ansi, SCALAR_TRY_ANSI_SQL, tags=("F4", "F5", "F1"),
+        doc="ANSI-safe try_cast/try_divide: malformed input nulls and "
+        "is counted instead of killing the job",
+    ),
     "sql_surface": QuerySpec(
         sql_surface, SQL_SURFACE_SQL, tags=("S6", "A2"),
         doc="identical SQL text through spark.sql and the oracle",
