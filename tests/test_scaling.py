@@ -21,7 +21,13 @@ from outreach_etl_tool_spark.queries import REGISTRY
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 
-HEAVY = ["dedup_cluster", "dedup_minhash", "sim_knn_join", "lm_quality_score"]
+HEAVY = [
+    "dedup_cluster",
+    "dedup_minhash",
+    "sim_knn_join",
+    "lm_quality_score",
+    "dedup_substring_spans",
+]
 
 
 def _timed(spark, name: str, sf_dir: str) -> float:
@@ -93,7 +99,9 @@ def sf03_dir(spark):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["dedup_cluster", "dedup_minhash"])
+@pytest.mark.parametrize(
+    "name", ["dedup_cluster", "dedup_minhash", "dedup_substring_spans"]
+)
 def test_three_x_slice_scales_linearly(spark, name, sf03_dir):
     REGISTRY[name].fn(spark, SF_BIG).count()  # warm
     t_mid = _timed(spark, name, SF_BIG)
