@@ -19,6 +19,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F
+
 from outreach_etl_tool_spark import TABLES
 from outreach_etl_tool_spark.queries import REGISTRY
 from outreach_etl_tool_spark.session import get_spark
@@ -99,6 +101,33 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — comparator is best-effort
         print(f"duckdb comparator failed: {exc}", file=sys.stderr)
 
+    # Host-speed calibration: a fixed repo-independent workload (hash
+    # agg + range-partitioned sort over a generated 20M-row frame).
+    # Round-over-round bench deltas are only meaningful relative to
+    # this number — the driver regenerates testdata and the host's
+    # effective speed moves between rounds (measured: the SAME commit
+    # re-benched +19% across one round boundary while calibration
+    # moved equally). Compare value/calibration across rounds, not
+    # raw value. Best-of-2 after the warm passes above.
+    calib = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .select(
+                (F.col("id") % 97).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("h"),
+            )
+            .groupBy("k")
+            .sum("h")
+            .orderBy("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        calib = dt if calib is None else min(calib, dt)
+
     ratios = {
         n: round(timings[n] / duck_timings[n], 2)
         for n in duck_timings
@@ -114,6 +143,7 @@ def main() -> None:
                 "queries": timings,
                 "duckdb": duck_timings,
                 "spark_vs_duckdb": ratios,
+                "host_calibration_sec": calib,
                 "sf": sf_from_dir(SF_DIR),
             }
         )
