@@ -192,6 +192,47 @@ def _query(argv: list[str], explain: bool = False) -> int:
     return 0
 
 
+def _sql(argv: list[str]) -> int:
+    """Ad-hoc SQL over the catalog: every table in TABLES registered
+    as a temp view (through load_table, so the events ts-unit sniffing
+    and worker-pyfile setup apply), then one spark.sql() — the switch
+    path for a reference user who today points a SQL client at their
+    warehouse. `@file.sql` reads the statement from a file."""
+    parser = argparse.ArgumentParser(prog="outreach_etl_tool_spark sql")
+    parser.add_argument("statement",
+                        help="SQL text, or @path/to/file.sql")
+    parser.add_argument("--sf-dir", default=_DEFAULT_SF_DIR,
+                        help="Directory of the parquet tables")
+    parser.add_argument("--limit", type=int, default=50,
+                        help="Max rows to print")
+    parser.add_argument("--explain", action="store_true",
+                        help="Print the physical plan instead of rows")
+    args = parser.parse_args(argv)
+
+    from . import TABLES
+    from .catalog import load_table
+    from .session import get_spark
+
+    sql_text = args.statement
+    if sql_text.startswith("@"):
+        with open(sql_text[1:]) as f:
+            sql_text = f.read()
+
+    spark = get_spark(app_name="sql")
+    for t in TABLES:
+        try:
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        except Exception:  # noqa: BLE001 — partial catalogs are fine
+            pass
+    df = spark.sql(sql_text)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str, sort_keys=True))
+    return 0
+
+
 def _compact(argv: list[str]) -> int:
     parser = argparse.ArgumentParser(prog="outreach_etl_tool_spark compact")
     parser.add_argument("src", help="Fragmented parquet directory")
@@ -234,7 +275,9 @@ def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] in ("replicate", "query", "explain", "list", "compact"):
+    if argv and argv[0] in (
+        "replicate", "query", "explain", "list", "compact", "sql"
+    ):
         cmd, rest = argv[0], argv[1:]
         if cmd == "replicate":
             return _replicate(rest)
@@ -244,6 +287,8 @@ def main(argv: list[str] | None = None) -> int:
             return _query(rest, explain=True)
         if cmd == "compact":
             return _compact(rest)
+        if cmd == "sql":
+            return _sql(rest)
         return _list(rest)
     return _replicate(argv)  # legacy flag form
 

@@ -148,6 +148,24 @@ def test_cli_list_and_query_subcommands(spark, capsys):
     assert "TakeOrderedAndProject" in out
 
 
+def test_cli_sql_subcommand(spark, tmp_path, capsys):
+    from outreach_etl_tool_spark.cli import main
+
+    stmt = ("SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo "
+            "FROM orders JOIN customer ON o_custkey = c_custkey")
+    assert main(["sql", stmt, "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert '"n"' in out and '"lo"' in out
+
+    # @file form + --explain prints a plan, not rows
+    f = tmp_path / "q.sql"
+    f.write_text("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1")
+    assert main(["sql", f"@{f}", "--sf-dir", "/root/testdata/sf0.001",
+                 "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out
+
+
 def test_cli_compact_subcommand(spark, tmp_path, capsys):
     import glob
     import json as _json
