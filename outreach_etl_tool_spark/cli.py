@@ -271,7 +271,9 @@ def _list(argv: list[str]) -> int:
 def main(argv: list[str] | None = None) -> int:
     """`replicate` mirrors the reference's single entry point (and runs
     by default when bare -c/-o flags are passed, reference-style);
-    `query`/`explain`/`list` expose the analytics registry."""
+    `query`/`explain`/`list` expose the analytics registry; `sql` runs
+    ad-hoc SQL over the catalog views; `compact` rewrites fragmented
+    parquet directories."""
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)
