@@ -282,24 +282,35 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # express — partial aggregation requires associativity, and a window
 # frame can't reference its own previous OUTPUT. The sanctioned escape
 # is grouped-map applyInPandas: one Arrow batch per user, the
-# recurrence unrolled vectorized inside pandas. α = 1/2 makes every
-# step an exact IEEE halving+add, so the result is bit-deterministic
-# given the row order; rows are ordered by (ts, event_id) — a total
-# order — before the fold. Rows-only in the driver gate (SQL has no
-# recursive window); the recurrence itself is pinned against a scalar
-# reference fold in tests/test_operators.py, and the determinism
-# harness runs the query twice per round.
+# recurrence folded inside the kernel. α = 1/2 and the EXPLICIT
+# ``(x + y)/2`` formulation make every step one IEEE add + one exact
+# halving — written out rather than delegated to pandas.ewm, whose
+# internal weighting formula is not guaranteed to round identically —
+# so the DuckDB recursive-CTE oracle (same expression, same order by
+# the (ts, event_id) total order) reproduces it bit-for-bit: the rare
+# EXACT oracle for an iterative per-key recurrence. The kernel is
+# additionally pinned against a scalar reference fold in
+# tests/test_operators.py.
 #
 # Scale shape: one exchange on user_id; per-group state is the group
 # itself (bounded by events-per-user), nothing crosses the driver.
+# The oracle's recursion depth is max-events-per-user — fine at gate
+# scale, pure validation machinery (the Spark side IS the scale path).
 _EWMA_SCHEMA = (
     "event_id long, user_id long, ts timestamp_ntz, value double, ewma double"
 )
 
 
 def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    ewma = pdf["value"].ewm(alpha=0.5, adjust=False).mean()
+    vals = pdf["value"].to_numpy(dtype="float64")
+    ewma = np.empty_like(vals)
+    y = 0.0
+    for i, x in enumerate(vals):
+        y = x if i == 0 else (x + y) / 2
+        ewma[i] = y
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
@@ -318,6 +329,25 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_ewma_group, _EWMA_SCHEMA)
     )
+
+
+EWMA_SMOOTH_SQL = """
+WITH RECURSIVE ordered AS (
+    SELECT event_id, user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), walk AS (
+    SELECT event_id, user_id, ts, value, value AS ewma, rn
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.event_id, o.user_id, o.ts, o.value,
+           (o.value + w.ewma) / 2 AS ewma, o.rn
+    FROM walk w
+    JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT event_id, user_id, ts, value, ewma FROM walk
+"""
 
 
 # UDTF2 — a REAL Python UDTF (Spark 4 `udtf` decorator + LATERAL
@@ -379,8 +409,9 @@ QUERIES: dict[str, QuerySpec] = {
         doc="Spark 4 Python UDTF + LATERAL join tokenizer, exact-oracled",
     ),
     "ewma_smooth": QuerySpec(
-        ewma_smooth, None, tags=("UDAF", "W2", "T6"),
-        doc="per-user EWMA: non-associative recurrence via applyInPandas",
+        ewma_smooth, EWMA_SMOOTH_SQL, tags=("UDAF", "W2", "T6"),
+        doc="per-user EWMA: non-associative recurrence via applyInPandas, "
+        "exact-oracled by a recursive CTE",
     ),
     "udf_scalar_zscore": QuerySpec(
         udf_scalar_zscore, UDF_SCALAR_ZSCORE_SQL, tags=("UDF",),
