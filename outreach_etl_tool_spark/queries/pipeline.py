@@ -790,7 +790,105 @@ ORDER BY source
 """
 
 
+# End-to-end ENTITY RESOLUTION — the other composite pipeline shape a
+# warehouse team runs daily (pipeline_clean_corpus being the corpus
+# one): blocking → fuzzy match → transitive clustering → canonical
+# record. Blocking on brand bounds the pair expansion to block size;
+# the |Δlen|≤2 band is a lossless prefilter for levenshtein≤2 (edit
+# distance ≥ length difference); matching includes IDENTICAL names
+# (dist 0 — the same entity listed twice IS the point of ER, unlike
+# fuzzy_join_editdist which studies the fuzzy band alone); transitive
+# closure reuses the production connected_components operator (hybrid
+# driver/distributed, the same engine dedup_cluster gates); the
+# canonical record takes the min-key member's name + member price
+# envelope. Oracle: same pairs via DuckDB levenshtein, same fixed
+# point via the recursive min-label CTE, same rollup.
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "brand")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("id_a", "id_b")
+    )
+    comps = cluster.connected_components(
+        pairs, part.select("p_partkey"), id_col="p_partkey"
+    )
+    stats = (
+        comps.join(part, "p_partkey")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("p_retailprice").alias("price_lo"),
+            F.max("p_retailprice").alias("price_hi"),
+        )
+    )
+    canon = part.select(
+        F.col("p_partkey").alias("cluster_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return (
+        stats.join(canon, "cluster_id")
+        .select(
+            "cluster_id", "n_members", "canonical_name",
+            "price_lo", "price_hi",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+PIPELINE_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+), edges AS (
+    SELECT id_a AS x, id_b AS y FROM pairs
+    UNION ALL
+    SELECT id_b AS x, id_a AS y FROM pairs
+), reach(a, b) AS (
+    SELECT p_partkey, p_partkey FROM part
+    UNION
+    SELECT r.a, e.y FROM reach r JOIN edges e ON r.b = e.x
+), comp AS (
+    SELECT a AS p_partkey, MIN(b) AS cluster_id FROM reach GROUP BY a
+), stats AS (
+    SELECT c.cluster_id,
+           COUNT(*) AS n_members,
+           MIN(p.p_retailprice) AS price_lo,
+           MAX(p.p_retailprice) AS price_hi
+    FROM comp c JOIN part p USING (p_partkey)
+    GROUP BY c.cluster_id
+)
+SELECT s.cluster_id, s.n_members, p.p_name AS canonical_name,
+       s.price_lo, s.price_hi
+FROM stats s JOIN part p ON p.p_partkey = s.cluster_id
+ORDER BY s.cluster_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_entity_resolution": QuerySpec(
+        pipeline_entity_resolution, PIPELINE_ENTITY_RESOLUTION_SQL,
+        tags=("L2", "J1", "A2", "F1"),
+        doc="entity resolution end-to-end: brand blocking, edit-distance "
+        "match, connected components, canonical record",
+    ),
     "quality_mad_outliers": QuerySpec(
         quality_mad_outliers, QUALITY_MAD_OUTLIERS_SQL,
         tags=("L4", "A2", "F3"),

@@ -273,6 +273,10 @@ SHUFFLE_BUDGETS = {
     "dedup_substring_spans": 3,       # 2-phase distinct agg + result sort
     "quality_mad_outliers": 3,        # mad agg + final agg + result sort
     "udtf_lateral_tokens": 1,         # lateral fan-out + result sort
+    # stats agg + result sort; pair/canon joins broadcast at gate
+    # scale, CC fast path collapses the loop (distributed path adds
+    # its bounded per-round exchanges only past the edge threshold)
+    "pipeline_entity_resolution": 4,
 }
 
 
