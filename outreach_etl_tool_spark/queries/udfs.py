@@ -326,6 +326,11 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     return (
         events.select("event_id", "user_id", "ts", "value")
+        # explicit null policy, mirrored in the oracle: a null value
+        # would otherwise ride as NaN through Arrow (poisoning the
+        # fold) while SQL propagates NULL — divergent representations
+        # of the same absence
+        .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .applyInPandas(_ewma_group, _EWMA_SCHEMA)
     )
@@ -337,6 +342,7 @@ WITH RECURSIVE ordered AS (
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn
     FROM events
+    WHERE value IS NOT NULL
 ), walk AS (
     SELECT event_id, user_id, ts, value, value AS ewma, rn
     FROM ordered WHERE rn = 1
