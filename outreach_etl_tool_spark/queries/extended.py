@@ -634,9 +634,16 @@ def sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _partitioned_events_fixture(spark, sf_dir)
     fact = spark.read.parquet(path)
     raw = load_table(spark, sf_dir, "events")
-    lo = raw.agg(F.min(F.to_date("ts"))).first()[0]
-    d0 = lo + datetime.timedelta(days=10)
-    d1 = lo + datetime.timedelta(days=12)
+    lo, hi = raw.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    # span-relative 3-day window at the one-third point (the driver
+    # regenerates testdata between rounds; a fixed +10d offset would
+    # silently go empty on a shorter span) — integer-days arithmetic
+    # mirrored in the oracle
+    off = max(1, (hi - lo).days // 3)
+    d0 = lo + datetime.timedelta(days=off)
+    d1 = min(hi, d0 + datetime.timedelta(days=2))
     dim = (
         raw.select(F.to_date("ts").alias("day"))
         .filter((F.col("day") >= F.lit(d0)) & (F.col("day") <= F.lit(d1)))
@@ -654,12 +661,18 @@ def sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SINK_DPP_JOIN_SQL = f"""
-WITH lo AS (
-    SELECT MIN(CAST(ts AS DATE)) AS lo FROM events
+WITH bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+    FROM events
+), win AS (
+    SELECT lo + CAST(GREATEST(1, (hi - lo) // 3) AS INTEGER) AS d0,
+           LEAST(hi, lo + CAST(GREATEST(1, (hi - lo) // 3) + 2 AS INTEGER))
+               AS d1
+    FROM bounds
 ), dim AS (
     SELECT DISTINCT CAST(ts AS DATE) AS day
-    FROM events CROSS JOIN lo
-    WHERE CAST(ts AS DATE) >= lo + 10 AND CAST(ts AS DATE) <= lo + 12
+    FROM events CROSS JOIN win
+    WHERE CAST(ts AS DATE) >= d0 AND CAST(ts AS DATE) <= d1
 )
 SELECT CAST(ts AS DATE) AS event_day,
        COUNT(*) AS n_events,
