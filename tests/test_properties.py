@@ -186,3 +186,93 @@ def test_ppm_decode_never_returns_garbage_on_fuzz(buf):
     assert img.ndim == 3 and img.shape[2] == 3
     assert img.shape[0] > 0 and img.shape[1] > 0
     assert img.dtype == np.uint8
+
+
+# ------------------------------------------------ span dedup / chunking
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_substring_spans_match_bruteforce(spark, tmp_path):
+    """dedup_substring_spans against an exhaustive python enumeration
+    over a corpus with a planted shared paragraph — every reported
+    span must recur across >=2 docs with exact counts, and no
+    recurring span may be missed (oracle-independent evidence)."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    from outreach_etl_tool_spark.queries.llm import (
+        _SPAN_L, _SPAN_T, dedup_substring_spans,
+    )
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdef ") for _ in range(80))
+    texts = []
+    for i in range(12):
+        pre = "".join(rng.choice("ghijkl ") for _ in range(rng.randint(0, 50)))
+        post = "".join(rng.choice("mnopqr ") for _ in range(rng.randint(0, 50)))
+        texts.append(pre + (shared if i % 3 == 0 else "") + post)
+
+    occ = defaultdict(list)
+    for d, t in enumerate(texts):
+        if len(t) >= _SPAN_L:
+            for k in range((len(t) - _SPAN_L) // _SPAN_T + 1):
+                occ[t[k * _SPAN_T:k * _SPAN_T + _SPAN_L]].append(d)
+    expected = {
+        hashlib.md5(s.encode()).hexdigest(): (
+            len(set(ds)), len(ds), min(ds)
+        )
+        for s, ds in occ.items()
+        if len(set(ds)) >= 2
+    }
+    assert expected, "fixture must plant at least one recurring span"
+
+    got = {
+        r["span_hash"]: (r["n_docs"], r["n_occ"], r["first_doc"])
+        for r in dedup_substring_spans(
+            spark, _write_docs(spark, tmp_path, texts)
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_chunk_windows_cover_and_reconstruct(spark, tmp_path):
+    """text_chunk_windows: every chunk is exactly text[start-1 :
+    start-1+W], starts stride by S from 1, and the windows cover the
+    whole document (boundary lengths 0/1/S-1/S/S+1 included)."""
+    import random
+
+    from outreach_etl_tool_spark.queries.llm import (
+        _CHUNK_S, _CHUNK_W, text_chunk_windows,
+    )
+
+    rng = random.Random(11)
+    texts = ["", "x", "a" * (_CHUNK_S - 1), "b" * _CHUNK_S,
+             "c" * (_CHUNK_S + 1),
+             "".join(rng.choice("stuvwx ") for _ in range(500))]
+    out = text_chunk_windows(spark, _write_docs(spark, tmp_path, texts))
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for d, t in enumerate(texts):
+        chunks = sorted(by_doc[d], key=lambda r: r["chunk_id"])
+        n_expected = max(1, (max(len(t), 1) - 1) // _CHUNK_S + 1)
+        assert [r["chunk_id"] for r in chunks] == list(range(n_expected))
+        for r in chunks:
+            start = r["chunk_id"] * _CHUNK_S
+            assert r["chunk_start"] == start + 1
+            assert r["chunk_text"] == t[start:start + _CHUNK_W]
+            assert r["chunk_len"] == len(r["chunk_text"])
+        # coverage: the final chunk reaches the end of the document
+        last = chunks[-1]
+        assert last["chunk_start"] - 1 + last["chunk_len"] == len(t)
