@@ -207,6 +207,12 @@ def _sql(argv: list[str]) -> int:
                         help="Max rows to print")
     parser.add_argument("--explain", action="store_true",
                         help="Print the physical plan instead of rows")
+    parser.add_argument("--param", action="append", default=[],
+                        metavar="NAME=VALUE",
+                        help="Bind :name markers (Spark parameterized "
+                        "SQL — literals, not string splicing; repeat "
+                        "per parameter; value parsed as JSON, else "
+                        "kept as string)")
     args = parser.parse_args(argv)
 
     from . import TABLES
@@ -217,6 +223,13 @@ def _sql(argv: list[str]) -> int:
     if sql_text.startswith("@"):
         with open(sql_text[1:]) as f:
             sql_text = f.read()
+    params = {}
+    for p in args.param:
+        name, _, raw = p.partition("=")
+        try:
+            params[name] = json.loads(raw)
+        except ValueError:
+            params[name] = raw
 
     spark = get_spark(app_name="sql")
     for t in TABLES:
@@ -224,7 +237,7 @@ def _sql(argv: list[str]) -> int:
             load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
         except Exception:  # noqa: BLE001 — partial catalogs are fine
             pass
-    df = spark.sql(sql_text)
+    df = spark.sql(sql_text, args=params) if params else spark.sql(sql_text)
     if args.explain:
         df.explain("formatted")
         return 0

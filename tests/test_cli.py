@@ -157,6 +157,15 @@ def test_cli_sql_subcommand(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"n"' in out and '"lo"' in out
 
+    # named parameters bind as literals (parameterized SQL, no splicing)
+    assert main(["sql",
+                 "SELECT COUNT(*) AS n FROM orders "
+                 "WHERE o_orderpriority = :prio",
+                 "--param", "prio=1-URGENT",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert '"n"' in out
+
     # @file form + --explain prints a plan, not rows
     f = tmp_path / "q.sql"
     f.write_text("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1")
