@@ -64,6 +64,7 @@ from ..catalog import load_table
 from ..streaming.streams import (
     interval_join_streams,
     running_user_totals,
+    sessionize_with_timeout,
     stream_dedup,
     tumbling_counts,
     tws_user_totals,
@@ -558,6 +559,95 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TWS_TOTALS_SQL = STREAM_CUSTOM_STATE_TOTALS_SQL
 
 
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3b/T5 under the oracle gate: event-time-TIMER sessionization
+    (applyInPandasWithState + EventTimeTimeout) over the in-order
+    replay. Emission rule, derived from the operator: every session
+    FOLLOWED by another event of its user closes inline when that
+    event is processed (emitted unconditionally); each user's LAST
+    session closes only when the watermark passes ``last + gap``,
+    which the trailing no-data batch guarantees for sessions ending
+    below ``max(ts) − delay``. Timer safety: with delay == gap, the
+    watermark at the batch carrying a session-extending event is
+    provably below the timer's fire point, so a timer can never
+    preempt a pending extension (in-order slices). The query keeps
+    non-final sessions plus final sessions a 1-minute margin below
+    the flush bound; the oracle replays the identical rule on a
+    gaps-and-islands sessionization."""
+    replay = _build_replay(spark, sf_dir, "inorder")
+    sess = sessionize_with_timeout(
+        _read_replay(spark, replay), gap_minutes=30, watermark="30 minutes"
+    )
+    sink = _run_to_parquet(
+        sess,
+        "user_id long, session_start timestamp, "
+        "session_end timestamp, n_events long",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hi_us = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    bound_us = hi_us - 31 * 60 * 1_000_000  # delay 30min + 1min margin
+    gap_us = 30 * 60 * 1_000_000
+    # "non-final" must come from the EVENTS table, not the sink: when a
+    # user's true final session is never flushed (timer past the final
+    # watermark), the sink's last session is the penultimate one —
+    # judging finality from the sink would bound-filter a session the
+    # oracle keeps unconditionally (caught at sf0.1: one such user).
+    # A session is non-final iff the user has any event past its last
+    # event (= session_end − gap), exact integer-micros both sides.
+    user_hi = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "user_hi_us"
+        )
+    )
+    return (
+        sink.join(user_hi, "user_id")
+        .filter(
+            (F.col("user_hi_us")
+             > F.unix_micros("session_end") - F.lit(gap_us))
+            | (F.unix_micros("session_end") <= F.lit(bound_us))
+        )
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+STREAM_SESSION_TIMEOUT_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+         COUNT(*) AS n_events
+  FROM numbered
+  GROUP BY user_id, session_id
+), uhi AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS user_hi FROM events GROUP BY user_id
+), mx AS (SELECT MAX(epoch_us(ts)) AS hi FROM events)
+SELECT sess.user_id AS user_id, session_start, session_end, n_events
+FROM sess JOIN uhi USING (user_id) CROSS JOIN mx
+WHERE user_hi > epoch_us(session_end) - 1800000000
+   OR epoch_us(session_end) <= hi - 1860000000
+"""
+
+
 def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6c: the streaming corpus-ingest sink (foreachBatch incremental
     exact dedup + manifest append) under the oracle gate. Each
@@ -638,6 +728,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="real availableNow stream-stream interval join (watermarked, "
         "bounded state); converged sink == batch interval join, "
         "exact-oracled",
+    ),
+    "stream_session_timeout": QuerySpec(
+        stream_session_timeout,
+        STREAM_SESSION_TIMEOUT_SQL,
+        tags=("T3", "T5", "UDAF"),
+        doc="event-time-timer sessionization (EventTimeTimeout state); "
+        "inline closes + timer flush bound mirrored in the oracle",
     ),
     "stream_outer_interval_join": QuerySpec(
         stream_outer_interval_join,

@@ -15,6 +15,7 @@ from .streams import (
     read_events_stream,
     running_user_totals,
     session_counts,
+    sessionize_with_timeout,
     sliding_counts,
     stream_dedup,
     tumbling_counts,
@@ -29,6 +30,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "sessionize_with_timeout",
     "stream_dedup",
     "interval_join_streams",
     "running_user_totals",

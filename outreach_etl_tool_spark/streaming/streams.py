@@ -207,6 +207,96 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_with_timeout(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 day"
+) -> DataFrame:
+    """T3b: custom sessionization on applyInPandasWithState with
+    EVENT-TIME TIMERS (GroupStateTimeout.EventTimeTimeout) — the
+    pattern for session semantics the built-in ``session_window``
+    cannot express (per-session early emission, dynamic gaps,
+    session-scoped model state). Per-user state is one (start, last,
+    n) triple; each batch folds its rows in event-time order, closing
+    a session inline when the in-batch gap exceeds ``gap_minutes``,
+    and re-arms the timer at ``last + gap``. When the WATERMARK (not
+    wall-clock) passes that timestamp the state times out and the
+    session is emitted — deterministic under a file replay, which is
+    what lets the equivalence test pin this against the built-in
+    session_window operator row for row.
+
+    Scale shape: identical to any stateful aggregation — each batch
+    shuffles only its own rows to the key's state partition; state is
+    one triple per ACTIVE user, evicted by the timer (no unbounded
+    session memory).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _emit(user: int, s: int, last: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user],
+                "session_start": [pd.Timestamp(s, unit="us")],
+                # built-in session_window semantics: end = last + gap
+                "session_end": [pd.Timestamp(last + gap_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        if state.hasTimedOut:
+            s, last, n = state.get
+            state.remove()
+            yield _emit(user, s, last, n)
+            return
+        ts = (
+            pd.concat([p["ts"] for p in pdfs])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .sort_values()
+        )
+        cur = state.get if state.exists else None
+        for t in ts:
+            if cur is None:
+                cur = (int(t), int(t), 1)
+            elif t - cur[1] > gap_us:
+                yield _emit(user, *cur)
+                cur = (int(t), int(t), 1)
+            else:
+                cur = (cur[0], int(t), cur[2] + 1)
+        state.update(cur)
+        # event-time timer: fires when the WATERMARK passes last + gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def tws_user_totals(events: DataFrame) -> DataFrame:
     """T5c: the same per-user running totals on ``transformWithState
     InPandas`` — Spark 4's arbitrary-stateful-processing v2, the

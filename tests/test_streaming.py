@@ -730,3 +730,55 @@ def test_transform_with_state_totals(spark, tmp_path):
     )
     # one emission per batch; batch 2 builds on recovered ValueState
     assert rows == [(2, 3.0), (3, 5.0)]
+
+
+def test_timer_sessionize_matches_builtin_session_window(spark, tmp_path):
+    """Custom event-time-timer sessionization (applyInPandasWithState
+    + EventTimeTimeout) must emit exactly the sessions the built-in
+    session_window emits on the same replay: same starts, same
+    last+gap ends, same counts — covering in-batch splits, cross-batch
+    continuation, and timer-driven closure at watermark advance."""
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch(src, "b1.json", [
+        ev(1, "2024-03-01T10:00:00Z", user=1),
+        ev(2, "2024-03-01T10:10:00Z", user=1),   # same session
+        ev(3, "2024-03-01T12:00:00Z", user=1),   # in-batch gap: new one
+        ev(4, "2024-03-01T10:00:00Z", user=2),
+    ])
+    write_batch(src, "b2.json", [
+        ev(5, "2024-03-01T12:20:00Z", user=1),   # continues session 2
+    ])
+    # far-future event advances the watermark past every end+gap
+    write_batch(src, "b3.json", [ev(99, "2024-03-02T12:00:00Z", user=9)])
+
+    def run(df, name):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return {
+            (r["user_id"], r["session_start"].isoformat(),
+             r["session_end"].isoformat(), r["n_events"])
+            for r in collect_memory(spark, name)
+        }
+
+    custom = run(
+        ST.sessionize_with_timeout(
+            ST.read_events_stream(spark, str(src), max_files_per_trigger=1),
+            gap_minutes=30, watermark="1 minute",
+        ),
+        "timer_sessions",
+    )
+    builtin = run(
+        ST.session_counts(
+            ST.read_events_stream(spark, str(src), max_files_per_trigger=1),
+            gap="30 minutes", watermark="1 minute",
+        ).select("user_id", "session_start", "session_end", "n_events"),
+        "builtin_sessions",
+    )
+    assert custom == builtin
+    # sanity: the fixture exercised all three session shapes
+    assert len(custom) == 3
