@@ -262,6 +262,85 @@ GROUP BY asset_id
 """
 
 
+# L5c — REAL audio codec round-trip, exact-oracled (the WAV analogue
+# of multimodal_ppm_roundtrip): synthesize a deterministic PCM16
+# waveform per document (sample values closed-form in asset_id),
+# encode to actual RIFF/WAVE bytes, decode with the pure-numpy codec
+# (multimodal/wav.py), and report exact amplitude statistics. A hash
+# match proves every sample survives the encode→decode round trip
+# bit-exactly. Mean amplitude is an exact integer sum divided once.
+_WAV_SCHEMA = (
+    "asset_id long, n_samples int, channels int, "
+    "sample_rate int, mean_amp double, peak bigint"
+)
+
+
+def _gen_decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..multimodal.wav import decode_wav, encode_wav
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "asset_id", "n_samples", "channels", "sample_rate",
+            "mean_amp", "peak",
+        )}
+        for aid in pdf["asset_id"]:
+            aid = int(aid)
+            n, ch = 256 + aid % 64, 1 + aid % 2
+            i, c = np.mgrid[0:n, 0:ch]
+            wave = ((i * 37 + aid * 11 + c * 101) % 4096 - 2048).astype(
+                np.int16
+            )
+            dec, sr = decode_wav(encode_wav(wave, 16000))  # the round trip
+            s = dec.astype(np.int64)
+            out["asset_id"].append(aid)
+            out["n_samples"].append(n)
+            out["channels"].append(ch)
+            out["sample_rate"].append(sr)
+            out["mean_amp"].append(float(s.sum()) / (n * ch))
+            out["peak"].append(int(np.abs(s).max()))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "channels": pd.Series(out["channels"], dtype="int32"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "mean_amp": out["mean_amp"],
+                "peak": pd.Series(out["peak"], dtype="int64"),
+            }
+        )
+
+
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return docs.select(F.col("doc_id").alias("asset_id")).mapInPandas(
+        _gen_decode_wav, _WAV_SCHEMA
+    )
+
+
+MULTIMODAL_WAV_ROUNDTRIP_SQL = """
+WITH d AS (
+  SELECT doc_id AS asset_id, 256 + doc_id % 64 AS n, 1 + doc_id % 2 AS ch
+  FROM documents
+), px AS (
+  SELECT asset_id, n, ch, ii.i AS i, cc.c AS c
+  FROM d, UNNEST(generate_series(0, n - 1)) AS ii(i),
+          UNNEST(generate_series(0, ch - 1)) AS cc(c)
+)
+SELECT asset_id,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       CAST(MAX(ch) AS INTEGER) AS channels,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(SUM((i*37 + asset_id*11 + c*101) % 4096 - 2048) AS DOUBLE)
+           / (MAX(n) * MAX(ch)) AS mean_amp,
+       CAST(MAX(ABS((i*37 + asset_id*11 + c*101) % 4096 - 2048)) AS BIGINT)
+           AS peak
+FROM px
+GROUP BY asset_id
+"""
+
+
 # L5 — frame sampling: UDTF-shaped fan-out of fixed-size frames.
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -446,6 +525,12 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_phash_dedup": QuerySpec(
         multimodal_phash_dedup, None, tags=("L5", "L2"),
         doc="perceptual-hash (aHash) image near-dup via banded Hamming",
+    ),
+    "multimodal_wav_roundtrip": QuerySpec(
+        multimodal_wav_roundtrip, MULTIMODAL_WAV_ROUNDTRIP_SQL,
+        tags=("L5", "UDTF"),
+        doc="real PCM-WAV codec round-trip (pure numpy RIFF walk), "
+        "amplitude stats vs analytic oracle",
     ),
     "multimodal_ppm_roundtrip": QuerySpec(
         multimodal_ppm_roundtrip, MULTIMODAL_PPM_ROUNDTRIP_SQL,

@@ -276,3 +276,81 @@ def test_chunk_windows_cover_and_reconstruct(spark, tmp_path):
         # coverage: the final chunk reaches the end of the document
         last = chunks[-1]
         assert last["chunk_start"] - 1 + last["chunk_len"] == len(t)
+
+
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_codec_identity_property(n, ch, seed):
+    """encode→decode is the identity for ANY (n, ch) int16 signal,
+    and the sample rate survives the header round trip."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.wav import decode_wav, encode_wav
+
+    sig = np.random.RandomState(seed).randint(
+        -32768, 32768, size=(n, ch)
+    ).astype(np.int16)
+    out, sr = decode_wav(encode_wav(sig, sample_rate=8000))
+    assert sr == 8000 and out.shape == sig.shape and (out == sig).all()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_wav_decode_never_returns_garbage_on_fuzz(buf):
+    """decode_wav on arbitrary bytes either raises ValueError or
+    returns a structurally valid (n, ch>=1) int16 array — never a
+    crash, never a shape that disagrees with its own header."""
+    from outreach_etl_tool_spark.multimodal.wav import decode_wav
+
+    try:
+        samples, sr = decode_wav(b"RIFF" + buf)
+    except ValueError:
+        return
+    assert samples.ndim == 2 and samples.shape[1] >= 1 and sr > 0
+
+
+def test_wav_decoder_walks_unknown_and_odd_chunks():
+    """RIFF grammar: unknown chunks are skipped, odd-sized chunks
+    consume their pad byte, and chunk order does not matter."""
+    import struct
+
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.wav import decode_wav, encode_wav
+
+    sig = np.arange(-6, 6, dtype=np.int16).reshape(-1, 2)
+    canonical = encode_wav(sig, sample_rate=44100)
+    fmt_chunk = canonical[12:36]
+    data_chunk = canonical[36:]
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    rebuilt = (
+        b"RIFF" + struct.pack("<I", 4 + len(odd + data_chunk + fmt_chunk))
+        + b"WAVE" + odd + data_chunk + fmt_chunk
+    )
+    out, sr = decode_wav(rebuilt)
+    assert sr == 44100 and (out == sig).all()
+
+
+def test_wav_decoder_rejects_non_pcm_and_torn_frames():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from outreach_etl_tool_spark.multimodal.wav import decode_wav, encode_wav
+
+    sig = np.zeros((4, 1), dtype=np.int16)
+    good = bytearray(encode_wav(sig, 8000))
+    ieee = good[:20] + struct.pack("<H", 3) + good[22:]  # format=3 (float)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(ieee))
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(good[:-3]))  # data chunk shorter than declared
+    # whole frames declared but a ragged tail: 7 bytes of int16 mono
+    ragged = bytes(good[:40]) + struct.pack("<I", 7) + b"\x00" * 7
+    with _pytest.raises(ValueError):
+        decode_wav(ragged)
