@@ -32,7 +32,9 @@ _MAGIC: list[tuple[bytes, str]] = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),        # RIFF container (WAV/AVI — refined below)
+    # RIFF is a container, not a format: audio/wav needs the WAVE tag
+    # at offset 8 (an AVI also starts RIFF) — special-cased in both
+    # sniffers rather than listed as a bare prefix here
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with a size byte run
 ]
@@ -46,7 +48,14 @@ def sniff_media_type(payload: Column | str) -> Column:
         hexpat = magic.hex()
         prefix = F.hex(F.substring(c, 1, len(magic)))
         expr = F.when(prefix == F.lit(hexpat.upper()), F.lit(mtype)).otherwise(expr)
-    return expr
+    # RIFF container: WAV iff the WAVE tag sits at offset 8
+    riff = F.hex(F.substring(c, 1, 4)) == F.lit(b"RIFF".hex().upper())
+    wave = F.hex(F.substring(c, 9, 4)) == F.lit(b"WAVE".hex().upper())
+    return (
+        F.when(riff & wave, F.lit("audio/wav"))
+        .when(riff, F.lit("application/riff"))
+        .otherwise(expr)
+    )
 
 
 def with_media_meta(df: DataFrame, payload: str = "payload") -> DataFrame:
@@ -83,36 +92,63 @@ def _byte_histogram(buf: bytes, bins: int = 16) -> np.ndarray:
     return hist / arr.size
 
 
+def _decoded_feature(buf: bytes, mtype: str, bins: int) -> np.ndarray:
+    """Per-type feature: REAL decodes for the formats the engine ships
+    codecs for, byte-histogram stand-in for the rest.
+
+    - PPM → pure-numpy decode (multimodal/ppm.py), normalized
+      histogram of the actual PIXEL bytes (header excluded);
+    - WAV → pure-numpy RIFF walk (multimodal/wav.py), normalized
+      histogram of the int16 SAMPLE values over [-2^15, 2^15);
+    - everything else (PNG/JPEG/MP3/MP4 — codecs not shipped here)
+      keeps the deterministic byte-histogram stub.
+
+    A payload that sniffs as a decodable type but fails its codec
+    raises — at scale you quarantine those rows upstream (S3b path),
+    not silently re-feature them.
+    """
+    if mtype == "image/x-portable-pixmap":
+        from .ppm import decode_ppm
+
+        px = decode_ppm(buf).reshape(-1)
+        hist, _ = np.histogram(px, bins=bins, range=(0, 256))
+        return hist / px.size
+    if mtype == "audio/wav":
+        from .wav import decode_wav
+
+        samples, _sr = decode_wav(buf)
+        flat = samples.reshape(-1).astype(np.int32)
+        hist, _ = np.histogram(flat, bins=bins, range=(-32768, 32768))
+        return hist / max(flat.size, 1)
+    return _byte_histogram(buf, bins)
+
+
 def decode_features(
     df: DataFrame, id_col: str = "asset_id", payload: str = "payload",
     bins: int = 16,
 ) -> DataFrame:
     """Feature-extract every asset via Arrow-batched mapInPandas.
 
-    STUB: the codec step is a deterministic byte histogram. To use a
-    real decoder, replace ``_byte_histogram`` with e.g.::
-
-        try:
-            from PIL import Image          # not shipped here
-        except ImportError:
-            raise NotImplementedError("image codecs unavailable")
-
-    The batch plumbing (schema, Arrow transfer, per-partition
-    iteration) is exactly what a real decoder needs.
+    The codec step is REAL for PPM images and PCM WAV audio (pure
+    numpy, see ``_decoded_feature``); other formats keep the
+    deterministic byte-histogram stand-in until their codecs are
+    onboarded (PIL/ffmpeg are not shipped in this environment). The
+    batch plumbing (schema, Arrow transfer, per-partition iteration)
+    is identical either way.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload]
+            mtypes = [_sniff_py(b) for b in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
-                    "media_type": [
-                        _sniff_py(b) for b in payloads
-                    ],
+                    "media_type": mtypes,
                     "n_bytes": payloads.str.len().astype("int64"),
                     "feature": [
-                        _byte_histogram(b, bins).tolist() for b in payloads
+                        _decoded_feature(b, t, bins).tolist()
+                        for b, t in zip(payloads, mtypes)
                     ],
                 }
             )
@@ -191,6 +227,8 @@ def resize_images(
 
 
 def _sniff_py(buf: bytes) -> str:
+    if buf.startswith(b"RIFF"):
+        return "audio/wav" if buf[8:12] == b"WAVE" else "application/riff"
     for magic, mtype in _MAGIC:
         if buf.startswith(magic):
             return mtype

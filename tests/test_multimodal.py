@@ -17,7 +17,17 @@ from outreach_etl_tool_spark.multimodal import (
 
 PNG = b"\x89PNG\r\n\x1a\n" + b"fakepixels" * 10
 JPG = b"\xff\xd8\xff\xe0" + b"jfif" * 25
-WAV = b"RIFF" + b"\x00" * 96
+# a REAL minimal PCM16 WAV — since the WAVE-tag sniff refinement, a
+# bare RIFF prefix without the tag is (correctly) application/riff
+def _wav_bytes() -> bytes:
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.wav import encode_wav
+
+    return encode_wav(np.zeros((40, 1), dtype=np.int16), 8000)
+
+
+WAV = _wav_bytes()
 RAW = b"justbytes" * 11
 
 
@@ -230,3 +240,32 @@ def test_ppm_magic_requires_whitespace(spark):
         "asset_id long, payload binary",
     )
     assert with_media_meta(df).first()["media_type"] == "application/octet-stream"
+
+
+def test_decode_features_uses_real_codecs_for_ppm_and_wav(spark):
+    """PPM and WAV payloads must be featured from DECODED content
+    (pixel / sample histograms), not raw file bytes; the WAVE-tag
+    refinement keeps non-WAV RIFF containers off the audio path."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.ppm import encode_ppm
+    from outreach_etl_tool_spark.multimodal.wav import encode_wav
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)          # all pixels 0
+    wav = encode_wav(np.full((64, 1), 20000, dtype=np.int16), 8000)
+    avi = b"RIFF" + b"\x10\x00\x00\x00" + b"AVI " + b"\x00" * 16
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img))), (2, bytearray(wav)),
+         (3, bytearray(avi))],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in decode_features(assets).collect()}
+    assert rows[1]["media_type"] == "image/x-portable-pixmap"
+    # decoded pixels are all zero → first histogram bin holds all mass
+    # (the raw-bytes stub would put header bytes in higher bins)
+    assert rows[1]["feature"][0] == 1.0
+    assert rows[2]["media_type"] == "audio/wav"
+    # all samples = 20000 → exactly one nonzero bin at 20000's bucket
+    feat = rows[2]["feature"]
+    assert feat[(20000 + 32768) * 16 // 65536] == 1.0 and sum(feat) == 1.0
+    assert rows[3]["media_type"] == "application/riff"
