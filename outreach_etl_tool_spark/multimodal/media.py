@@ -166,15 +166,15 @@ def resize_images(
     """Resize every image asset to (out_w × out_h) via Arrow-batched
     mapInPandas — one narrow pass, pixels never shuffle.
 
-    STUB CODEC: with no image libraries in this container, the "image"
-    is the payload interpreted as a square uint8 grid (side =
-    floor(sqrt(n_bytes))) and the resize is an exact block-mean
-    downsample via a numpy reshape — deterministic, vectorized, and
-    shaped exactly like the real thing: a real pipeline swaps
-    ``_fake_decode`` for PIL/libvips decode + resample behind the same
+    REAL for PPM payloads (pure-numpy decode, per-channel exact
+    block-mean downsample, interleaved RGB out); other formats keep
+    the stub codec — payload interpreted as a square uint8 grid
+    (side = floor(sqrt(n_bytes))), block-mean downsampled — until
+    PIL/libvips-class codecs are onboarded behind the same
     (id, payload) → (id, width, height, pixels) signature. Assets too
-    small to form a grid (< out_w*out_h bytes) emit width/height 0 and
-    null pixels rather than failing the batch.
+    small to form one block per output pixel emit width/height 0 and
+    null pixels rather than failing the batch; a corrupt PPM payload
+    does the same (quarantine upstream is the scale path).
     """
     schema = T.StructType(
         [
@@ -190,7 +190,18 @@ def resize_images(
         if side < max(out_w, out_h):
             return None
         a = np.frombuffer(buf[: side * side], dtype=np.uint8)
-        return a.reshape(side, side)
+        return a.reshape(side, side, 1)
+
+    def _decode(buf: bytes) -> np.ndarray | None:
+        """(h, w, ch) uint8, REAL pixels for PPM, stub grid otherwise."""
+        if _sniff_py(buf) == "image/x-portable-pixmap":
+            from .ppm import decode_ppm
+
+            try:
+                return decode_ppm(buf)
+            except ValueError:
+                return None
+        return _fake_decode(buf)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,18 +210,20 @@ def resize_images(
             hs: list[int] = []
             px: list[bytes | None] = []
             for aid, buf in zip(pdf[id_col], pdf[payload]):
-                img = _fake_decode(bytes(buf))
+                img = _decode(bytes(buf))
                 ids.append(int(aid))
-                if img is None:
+                if img is not None:
+                    h, w = img.shape[:2]
+                    bh, bw = h // out_h, w // out_w
+                if img is None or bh < 1 or bw < 1:
                     ws.append(0); hs.append(0); px.append(None)
                     continue
-                # block-mean: crop to a multiple of the target, then
-                # reshape (h, bh, w, bw) and mean over the blocks
-                side = img.shape[0]
-                bh, bw = side // out_h, side // out_w
+                # block-mean per channel: crop to a multiple of the
+                # target, reshape (h, bh, w, bw, ch), mean the blocks
+                ch = img.shape[2]
                 crop = img[: bh * out_h, : bw * out_w]
                 small = (
-                    crop.reshape(out_h, bh, out_w, bw)
+                    crop.reshape(out_h, bh, out_w, bw, ch)
                     .mean(axis=(1, 3))
                     .astype(np.uint8)
                 )

@@ -269,3 +269,27 @@ def test_decode_features_uses_real_codecs_for_ppm_and_wav(spark):
     feat = rows[2]["feature"]
     assert feat[(20000 + 32768) * 16 // 65536] == 1.0 and sum(feat) == 1.0
     assert rows[3]["media_type"] == "application/riff"
+
+
+def test_resize_decodes_real_ppm_pixels(spark):
+    """A PPM payload resizes from DECODED pixels: 2x2 block-mean of a
+    known 16x16 RGB gradient, interleaved RGB out (stub path unchanged
+    for non-PPM payloads)."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal import resize_images
+    from outreach_etl_tool_spark.multimodal.ppm import encode_ppm
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([(x * 16) % 256, (y * 16) % 256,
+                    np.full_like(x, 7)], axis=-1).astype(np.uint8)
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "asset_id long, payload binary"
+    )
+    (row,) = resize_images(assets, out_w=8, out_h=8).collect()
+    assert (row["width"], row["height"]) == (8, 8)
+    got = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape(8, 8, 3)
+    expect = (
+        img.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    )
+    assert (got == expect).all()
