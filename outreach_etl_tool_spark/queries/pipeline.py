@@ -793,30 +793,40 @@ ORDER BY source
 # End-to-end ENTITY RESOLUTION — the other composite pipeline shape a
 # warehouse team runs daily (pipeline_clean_corpus being the corpus
 # one): blocking → fuzzy match → transitive clustering → canonical
-# record. Blocking on brand bounds the pair expansion to block size;
-# the |Δlen|≤2 band is a lossless prefilter for levenshtein≤2 (edit
-# distance ≥ length difference); matching includes IDENTICAL names
-# (dist 0 — the same entity listed twice IS the point of ER, unlike
+# record. Blocking is TWO-dimensional, because at 100 TB brand-only
+# blocks grow linearly with the catalog and their pair expansion
+# quadratically: the join key is (brand, length-bucket) with bucket
+# width 3 and the probe side replicated into buckets {b−1, b, b+1} —
+# LOSSLESS for levenshtein≤2 (edit distance ≥ |Δlen|, and any pair
+# with |Δlen|≤2 shares a probed bucket; exactly one probe matches, so
+# no pair dedup is needed). Matching includes IDENTICAL names (dist 0
+# — the same entity listed twice IS the point of ER, unlike
 # fuzzy_join_editdist which studies the fuzzy band alone); transitive
 # closure reuses the production connected_components operator (hybrid
 # driver/distributed, the same engine dedup_cluster gates); the
 # canonical record takes the min-key member's name + member price
-# envelope. Oracle: same pairs via DuckDB levenshtein, same fixed
-# point via the recursive min-label CTE, same rollup.
+# envelope. Oracle: the SEMANTIC spec — plain quadratic-in-block
+# levenshtein pairs (band losslessness means identical results), the
+# same fixed point via the recursive min-label CTE, the same rollup.
 def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = ensure_parallelism(load_table(spark, sf_dir, "part"))
+    bucket = F.floor(F.length("p_name") / 3).cast("long")
     a = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("id_a"),
         F.col("p_name").alias("name_a"),
+        bucket.alias("bk"),
     )
     b = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("id_b"),
         F.col("p_name").alias("name_b"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bk"),
     )
     pairs = (
-        a.join(b, "brand")
+        a.join(b, ["brand", "bk"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
