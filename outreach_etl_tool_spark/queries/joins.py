@@ -430,28 +430,32 @@ ORDER BY order_month
 # J1c — edit-distance fuzzy self-join (entity resolution / catalog
 # near-match). Semantics: part pairs in the same brand whose names are
 # within Levenshtein distance 2 (excluding exact duplicates), lowest
-# key first. The all-pairs comparison is confined to brand blocks
-# (the blocking key is part of the query's semantics), and inside a
-# block the ||len(a)−len(b)|| ≤ 2 band prefilter is LOSSLESS — length
-# difference lower-bounds edit distance — so the expensive levenshtein
-# kernel (JVM codegen, no Python) runs on a fraction of the block
-# pairs. At 100 TB the same plan holds: one shuffle on the blocking
-# key, per-block pair expansion bounded by block size (monitor skew
-# the same way bucket_pairs does for LSH buckets).
+# key first. Blocking is (brand, length-bucket): brand-only blocks
+# grow linearly with the catalog (quadratic pair expansion at 100 TB),
+# so the probe side replicates into buckets {b−1, b, b+1} of width 3 —
+# LOSSLESS for dist ≤ 2, since length difference lower-bounds edit
+# distance and any |Δlen| ≤ 2 pair shares a probed bucket (exactly one
+# probe matches → no pair dedup). The levenshtein kernel itself stays
+# JVM codegen, applied after the |Δlen| band. One shuffle on the
+# blocking key; monitor residual block skew the same way bucket_pairs
+# does for LSH buckets.
 def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    bucket = F.floor(F.length("p_name") / 3).cast("long")
     a = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
+        bucket.alias("bk"),
     )
     b = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
     )
     return (
-        a.join(b, "brand")
+        a.join(b, ["brand", "bk"])
         .filter(
             (F.col("key_a") < F.col("key_b"))
             & (
