@@ -475,6 +475,43 @@ FROM documents
 """
 
 
+# L3e — incremental ANN index maintenance (rows-only: IVF recall is
+# approximate; the exact invariant lives in tests/test_recall.py).
+# The production lifecycle a nightly embedding pipeline needs: the
+# coarse quantizer trains ONCE on the base corpus, the index persists
+# partitioned by cell, and each new batch is assigned against the
+# FROZEN centroids and appended — no retrain, no base re-read. The
+# fixture builds the base index from the first ~80% of vec_ids and
+# appends the rest through the append path; the query probes the
+# merged store, and because `cell` is a partition column the read
+# prunes to nprobe directories (pinned in tests/test_plans.py).
+def _ivf_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from pathlib import Path
+
+    from ..similarity import kmeans
+    from .fixtures import atomic_fixture, sink_fixture_dest
+
+    dest = sink_fixture_dest("ivf_index", sf_dir)
+
+    def build(root: Path) -> None:
+        embs = load_table(spark, sf_dir, "embeddings")
+        cut = int(embs.agg(F.max("vec_id")).first()[0] * 0.8)
+        base = embs.filter(F.col("vec_id") <= cut)
+        delta = embs.filter(F.col("vec_id") > cut)
+        cents = kmeans.kmeans_centroids(base, k=8, iters=3)
+        ann.write_ivf_index(base, cents, str(root))
+        ann.append_to_ivf_index(delta, str(root))
+
+    return str(atomic_fixture(dest, build))
+
+
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_index_fixture(spark, sf_dir)
+    index = ann.read_ivf_index(spark, path)
+    cents = ann.read_ivf_centroids(path)
+    return ann.topk_ivf(index, cents, _query_vector(sf_dir, 1), k=_TOPK, nprobe=3)
+
+
 # Composite corpus-cleaning pipeline — the realistic end-to-end shape a
 # training-data run takes: language whitelist → quality gates (length
 # band, punctuation ratio, token floor) → exact dedup keep-min-id →
@@ -706,6 +743,11 @@ QUERIES: dict[str, QuerySpec] = {
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
+    "sim_ann_incremental": QuerySpec(
+        sim_ann_incremental, None, tags=("L3", "T6"),
+        doc="persisted IVF index + frozen-centroid delta appends; "
+        "probe prunes cell partitions",
+    ),
     "sim_ann_pq": QuerySpec(
         sim_ann_pq, None, tags=("L3",),
         doc="product-quantized ANN: per-subspace codebooks + ADC top-k",

@@ -362,3 +362,57 @@ def sample_centroids(
         df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )
     return [[float(v) for v in r[0]] for r in rows]
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index with incremental maintenance — the production
+# lifecycle: train the coarse quantizer ONCE on a base corpus, write
+# the assigned vectors partitioned by cell, then APPEND each new
+# embedding batch assigned against the SAME frozen centroids (one
+# Arrow pass over the delta; the base is never re-read, the quantizer
+# never retrained). Because assignment is a pure function of the
+# frozen centroids, the merged index is bit-identical to a one-shot
+# build over the union — the invariant tests/test_recall.py pins.
+# Queries read the store with a `cell` predicate, and since cell is a
+# PARTITION column the probe prunes to nprobe directories — at 100 TB
+# the read cost scales with the probed cells, not the corpus.
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Build the base index: assign + write partitioned by cell, with
+    the frozen centroids stored alongside (the index is self-contained
+    — readers and appenders must use these, not retrained ones)."""
+    import json
+    from pathlib import Path
+
+    assign_cells(df, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    (Path(path) / "_centroids.json").write_text(json.dumps(centroids))
+
+
+def read_ivf_centroids(path: str) -> list[list[float]]:
+    import json
+    from pathlib import Path
+
+    return json.loads((Path(path) / "_centroids.json").read_text())
+
+
+def append_to_ivf_index(
+    new_batch: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """Assign a delta batch against the index's OWN frozen centroids
+    and append its files under the matching cell partitions."""
+    cents = read_ivf_centroids(path)
+    assign_cells(new_batch, cents, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Merged view of base + all appended deltas; `cell` comes back as
+    a partition column, so cell predicates prune directories."""
+    return spark.read.parquet(path)

@@ -158,3 +158,42 @@ def test_pq_adc_recall_and_compression(spark):
     # ADC still ranks the near field far above chance (20/400 = 5%)
     assert recall >= 0.3, f"recall {recall:.2f}"
     assert got[0] == 11  # own vector: quantization error is smallest
+
+
+def test_incremental_ivf_equals_one_shot_build(spark, tmp_path):
+    """Appending a delta against the index's FROZEN centroids must
+    produce an index bit-identical to a one-shot build of the union —
+    same cell assignments, same probe results — and the merged read
+    must prune to the probed cell partitions."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)],
+        "vec_id long, embedding array<float>",
+    )
+    base, delta, union = mk(0, 240), mk(240, 300), mk(0, 300)
+    cents = ann.sample_centroids(base, 8, id_col="vec_id")
+
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(base, cents, path)
+    ann.append_to_ivf_index(delta, path)
+    merged = ann.read_ivf_index(spark, path)
+
+    one_shot = ann.assign_cells(union, cents)
+    got = {r["vec_id"]: r["cell"] for r in merged.collect()}
+    want = {r["vec_id"]: r["cell"] for r in one_shot.collect()}
+    assert got == want  # assignment is a pure fn of frozen centroids
+
+    query = [float(x) for x in vecs[250]]  # a DELTA vector
+    inc = [r["vec_id"] for r in ann.topk_ivf(
+        merged, cents, query, k=10, nprobe=3, id_col="vec_id").collect()]
+    ref = [r["vec_id"] for r in ann.topk_ivf(
+        one_shot, cents, query, k=10, nprobe=3, id_col="vec_id").collect()]
+    assert inc == ref and inc[0] == 250
+
+    # probe pruning: the cell predicate must reach PartitionFilters
+    probed_df = merged.filter(F.col("cell").isin([0, 1]))
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
