@@ -505,6 +505,21 @@ def _ivf_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     return str(atomic_fixture(dest, build))
 
 
+# L4e — BPE tokenizer training (rows-only: the iterative merge loop
+# has no SQL mirror; the trainer is pinned against the literature's
+# worked example in tests/test_functions.py and is deterministic by
+# tie-break, which the determinism harness re-verifies per round).
+# Scale shape per functions/bpe.py: ONE corpus aggregation into the
+# vocabulary-sized word table, then training cost independent of
+# corpus size — only the word table (bounded, like sketch/centroid
+# collects) and the merge rules (the model) touch the driver.
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import bpe
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return bpe.bpe_train_merges(spark, docs, n_merges=40)
+
+
 def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_index_fixture(spark, sf_dir)
     index = ann.read_ivf_index(spark, path)
@@ -743,6 +758,11 @@ QUERIES: dict[str, QuerySpec] = {
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
+    "bpe_train": QuerySpec(
+        bpe_train, None, tags=("L4", "A2"),
+        doc="BPE tokenizer training: one corpus word-count shuffle, "
+        "vocabulary-sized driver training (Sennrich)",
+    ),
     "sim_ann_incremental": QuerySpec(
         sim_ann_incremental, None, tags=("L3", "T6"),
         doc="persisted IVF index + frozen-centroid delta appends; "

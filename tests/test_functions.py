@@ -262,3 +262,42 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
             assert abs(rank - q * n) <= max(2.0, n / acc * 2), (
                 r["l_returnflag"], col, rank, q * n, n
             )
+
+
+# ------------------------------------------------------------ BPE trainer
+def test_bpe_trains_the_literature_example():
+    """Sennrich's worked example: {low:5, lower:2, newest:6, widest:3}
+    must merge e+s (9), then es+t (9), then est+</w> (9) — frequency
+    with deterministic lexicographic tie-break."""
+    from outreach_etl_tool_spark.functions.bpe import encode_word, train_bpe
+
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    rules = train_bpe(freqs, n_merges=3)
+    assert [(r[1], r[2], r[3]) for r in rules] == [
+        ("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9)
+    ]
+    assert encode_word("newest", rules) == ["n", "e", "w", "est</w>"]
+    assert encode_word("widest", rules) == ["w", "i", "d", "est</w>"]
+
+
+def test_bpe_stops_when_no_pair_repeats():
+    from outreach_etl_tool_spark.functions.bpe import train_bpe
+
+    # every word unique, every pair frequency 1 → zero merges
+    assert train_bpe([("ab", 1), ("cd", 1)], n_merges=10) == []
+
+
+def test_bpe_end_to_end_over_dataframe(spark):
+    from outreach_etl_tool_spark.functions.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower"),
+         (1, "newest newest newest newest newest newest"),
+         (2, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    rules = bpe_train_merges(spark, docs, n_merges=3).collect()
+    assert [(r["left"], r["right"], r["pair_freq"]) for r in rules] == [
+        ("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9)
+    ]
+    assert [r["rank"] for r in rules] == [0, 1, 2]
