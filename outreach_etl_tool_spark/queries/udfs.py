@@ -435,6 +435,50 @@ SELECT event_id, user_id, ts, value, ewma FROM walk
 """
 
 
+# UDAF3 — GROUPED_AGG pandas_udf: the fourth Arrow UDF flavor (scalar
+# / grouped-map / map-iter being the other three), and the only one
+# Spark accepts INSIDE a window frame as a custom aggregate. The
+# kernel computes a quantity-weighted mean price over exact integer
+# sums (cents × integral quantity — int64 sums are order-free, so the
+# result is partition-order independent and the DuckDB SUM/SUM mirror
+# is bit-exact; same float discipline as udf_scalar_zscore, with
+# half-up rounding spelled out because np.round is banker's).
+def _wavg_kernel(price: pd.Series, qty: pd.Series) -> float:
+    import numpy as np
+
+    p = np.floor(price.to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+    q = np.floor(qty.to_numpy(dtype="float64") + 0.5).astype("int64")
+    den = int(q.sum())
+    if den == 0:
+        return float("nan")
+    return float(int((p * q).sum())) / float(den) / 100
+
+
+def udf_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wavg = F.pandas_udf(_wavg_kernel, "double")
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    # NOTE: Spark forbids mixing a GROUPED_AGG pandas UDF with
+    # JVM aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT) —
+    # so the aggregate list is UDF-only
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+UDF_GROUPED_AGG_WAVG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+       / CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100 AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # UDTF2 — a REAL Python UDTF (Spark 4 `udtf` decorator + LATERAL
 # join), the typed successor of the mapInPandas fan-out demoed by
 # udf_map_tokens: the planner sees a declared row schema and a
@@ -489,6 +533,11 @@ ORDER BY doc_id, pos
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "udf_grouped_agg_wavg": QuerySpec(
+        udf_grouped_agg_wavg, UDF_GROUPED_AGG_WAVG_SQL, tags=("UDAF", "A2"),
+        doc="GROUPED_AGG pandas_udf (window-capable custom aggregate): "
+        "exact weighted mean, oracle-paired",
+    ),
     "udtf_lateral_tokens": QuerySpec(
         udtf_lateral_tokens, UDTF_LATERAL_TOKENS_SQL, tags=("UDTF", "F1"),
         doc="Spark 4 Python UDTF + LATERAL join tokenizer, exact-oracled",

@@ -252,3 +252,24 @@ def test_ewma_matches_scalar_recurrence(spark):
     for x in [1.0, 5.0, 8.0, 2.0]:
         y.append(x if not y else (x + y[-1]) / 2)
     assert list(out["ewma"]) == y
+
+
+def test_grouped_agg_pandas_udf_works_in_window_frames(spark):
+    """GROUPED_AGG is the one Arrow UDF flavor Spark accepts inside a
+    window frame: the same kernel over an unbounded partition frame
+    must equal its groupBy result broadcast to every member row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from outreach_etl_tool_spark.queries.udfs import _wavg_kernel
+
+    wavg = F.pandas_udf(_wavg_kernel, "double")
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)],
+        "k string, price double, qty double",
+    )
+    w = Window.partitionBy("k")
+    rows = df.withColumn("wv", wavg("price", "qty").over(w)).collect()
+    got = {(r["k"], r["price"]): r["wv"] for r in rows}
+    assert got[("a", 10.0)] == got[("a", 20.0)] == (10 * 1 + 20 * 3) / 4
+    assert got[("b", 5.0)] == 5.0
