@@ -435,6 +435,43 @@ SELECT event_id, user_id, ts, value, ewma FROM walk
 """
 
 
+# UDTF3 — mapInArrow: the zero-pandas Arrow escape. Batches arrive as
+# raw pyarrow RecordBatches and the kernel runs pyarrow.compute —
+# skipping the Arrow→pandas→Arrow conversion entirely, which is the
+# right tier when the kernel is itself expressible in Arrow compute
+# (string/bytes ops over huge batches; pandas adds a copy and dtype
+# coercions for nothing). Exact-oracled: utf8_length counts
+# codepoints, same as LENGTH in Spark SQL and DuckDB.
+def _arrow_len_kernel(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(0),
+                pc.cast(pc.utf8_length(batch.column(1)), pa.int64()),
+            ],
+            ["doc_id", "n_chars_arrow"],
+        )
+
+
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", "text")
+        .mapInArrow(_arrow_len_kernel, "doc_id long, n_chars_arrow long")
+        .orderBy("doc_id")
+    )
+
+
+UDF_MAP_ARROW_SQL = """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_arrow
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # UDAF3 — GROUPED_AGG pandas_udf: the fourth Arrow UDF flavor (scalar
 # / grouped-map / map-iter being the other three), and the only one
 # Spark accepts INSIDE a window frame as a custom aggregate. The
@@ -533,6 +570,11 @@ ORDER BY doc_id, pos
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "udf_map_arrow": QuerySpec(
+        udf_map_arrow, UDF_MAP_ARROW_SQL, tags=("UDTF", "F1"),
+        doc="mapInArrow: raw RecordBatch kernel via pyarrow.compute "
+        "(no pandas hop), exact-oracled",
+    ),
     "udf_grouped_agg_wavg": QuerySpec(
         udf_grouped_agg_wavg, UDF_GROUPED_AGG_WAVG_SQL, tags=("UDAF", "A2"),
         doc="GROUPED_AGG pandas_udf (window-capable custom aggregate): "
