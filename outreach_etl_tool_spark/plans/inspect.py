@@ -69,7 +69,9 @@ def python_eval_modes(df: DataFrame, plan: str | None = None) -> list[str]:
             "ArrowEvalPython",
             "FlatMapGroupsInPandas",
             "MapInPandas",
+            "MapInArrow",
             "FlatMapGroupsInPandasWithState",
+            "AggregateInPandas",
         )
         if node in p
     ]
