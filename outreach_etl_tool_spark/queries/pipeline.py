@@ -892,7 +892,134 @@ ORDER BY s.cluster_id
 """
 
 
+# The CAPSTONE composite: the full pretraining data-prep chain a
+# training run actually consumes, every stage the production shape
+# proven individually elsewhere in the registry — quality gates
+# (pipeline_clean_corpus), exact dedup keep-min-id, overlapping
+# chunking (text_chunk_windows' fan-out), per-chunk token counts,
+# greedy capacity packing (pack_sequences' running-sum window), and
+# the deterministic md5 train/val/holdout gate (split_train_holdout).
+# Output is the bin manifest: (source, bin, split) → chunk/token
+# totals. One pipeline, oracle-mirrored stage by stage — the whole
+# chain is hash-compared, not just its pieces. Shuffle shape: dedup
+# window (1) + pack window (1) + final rollup (1) + result sort (1);
+# the chunk fan-out and gates ride the scan.
+from .llm import _CHUNK_S, _CHUNK_W  # single-sourced chunk geometry
+def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gated = docs.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.length("text").between(20, 10000)
+        & (TXT.punct_ratio("text") <= 0.2)
+        & (TXT.token_count("text") >= 10)
+    )
+    w_dedup = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        gated.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    last = F.greatest(
+        F.floor((F.length("text") - 1) / _CHUNK_S),
+        F.lit(0).cast("bigint"),
+    )
+    fanout = kept.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("chunk_id"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("chunk_id") * _CHUNK_S + 1).cast("int"), F.lit(_CHUNK_W)
+    )
+    chunks = fanout.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        TXT.token_count(chunk).cast("long").alias("n_tok"),
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    packed = chunks.select(
+        "source",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0)) / _PACK_CAPACITY
+        ).alias("bin_id"),
+        F.when(bucket < "e6", "train")
+        .when(bucket < "f3", "val")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+    return (
+        packed.groupBy("source", "bin_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id", "split")
+    )
+
+
+PIPELINE_PRETRAIN_PREP_SQL = f"""
+WITH gated AS (
+    SELECT * FROM documents
+    WHERE lang IN ('en', 'de', 'fr')
+      AND LENGTH(text) BETWEEN 20 AND 10000
+      AND LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+          / LENGTH(text) <= 0.2
+      AND LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-zA-Z]+')) >= 10
+), kept AS (
+    SELECT doc_id, source, text FROM gated
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+), fanout AS (
+    SELECT doc_id, source, text,
+           unnest(generate_series(0,
+               CAST(GREATEST(FLOOR((LENGTH(text) - 1) / {_CHUNK_S}.0), 0)
+                    AS BIGINT))) AS chunk_id
+    FROM kept
+), chunks AS (
+    SELECT doc_id, source, chunk_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(
+               substr(text, CAST(chunk_id * {_CHUNK_S} + 1 AS INTEGER),
+                      {_CHUNK_W})),
+               '[a-zA-Z]+')) AS BIGINT) AS n_tok
+    FROM fanout
+), packed AS (
+    SELECT source, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
+           CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                ELSE 'holdout' END AS split
+    FROM chunks
+)
+SELECT source, bin_id, split,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed
+GROUP BY source, bin_id, split
+ORDER BY source, bin_id, split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_pretrain_prep": QuerySpec(
+        pipeline_pretrain_prep, PIPELINE_PRETRAIN_PREP_SQL,
+        tags=("L4", "L1", "A2", "W3", "P5"),
+        doc="capstone pretraining prep: gates -> dedup -> chunk -> "
+        "token count -> capacity pack -> split manifest",
+    ),
     "pipeline_entity_resolution": QuerySpec(
         pipeline_entity_resolution, PIPELINE_ENTITY_RESOLUTION_SQL,
         tags=("L2", "J1", "A2", "F1"),

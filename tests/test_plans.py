@@ -277,6 +277,8 @@ SHUFFLE_BUDGETS = {
     # scale, CC fast path collapses the loop (distributed path adds
     # its bounded per-round exchanges only past the edge threshold)
     "pipeline_entity_resolution": 4,
+    # dedup window + pack window + rollup + sort; fan-out rides the scan
+    "pipeline_pretrain_prep": 4,
 }
 
 
