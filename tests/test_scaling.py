@@ -27,6 +27,7 @@ HEAVY = [
     "sim_knn_join",
     "lm_quality_score",
     "dedup_substring_spans",
+    "pipeline_pretrain_prep",
 ]
 
 
@@ -100,7 +101,13 @@ def sf03_dir(spark):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "name", ["dedup_cluster", "dedup_minhash", "dedup_substring_spans"]
+    "name",
+    [
+        "dedup_cluster",
+        "dedup_minhash",
+        "dedup_substring_spans",
+        "pipeline_pretrain_prep",
+    ],
 )
 def test_three_x_slice_scales_linearly(spark, name, sf03_dir):
     REGISTRY[name].fn(spark, SF_BIG).count()  # warm
