@@ -439,6 +439,78 @@ WHERE b.event_id IS NOT NULL
 """
 
 
+def stream_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T7c: stream-stream FULL OUTER interval join — both unmatched
+    sides null-extend at their own state-expiry horizons. The left
+    horizon is the left-outer one (``ts_a + 1h`` must pass the
+    watermark); the RIGHT horizon is earlier: the condition
+    ``ts_b > ts_a`` means a right row can never match a LATER-arriving
+    left (in-order slices ⟹ later arrivals carry larger ts, and a
+    match needs ``ts_a < ts_b``), so right state evicts — and its
+    null-extension emits — once the watermark passes ``ts_b`` itself.
+    The trailing no-data batch applies the final watermark
+    ``max(ts) − 30min``; the query keeps matched pairs plus each
+    side's unmatched rows one margin-minute below its own bound, and
+    the oracle applies the identical two integer-micros bounds to a
+    batch FULL JOIN."""
+    replay = _build_replay(spark, sf_dir, "inorder")
+    joined = interval_join_streams(
+        _read_replay(spark, replay),
+        _read_replay(spark, replay),
+        delay="30 minutes",
+        within="INTERVAL 1 HOUR",
+        how="full_outer",
+    )
+    sink = _run_to_parquet(
+        joined,
+        "event_id_a long, event_id_b long, user_id long, "
+        "ts_a timestamp, ts_b timestamp",
+    )
+    hi_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    left_bound = hi_us - 91 * 60 * 1_000_000   # (hi − 30m − 1h) − 1m
+    right_bound = hi_us - 31 * 60 * 1_000_000  # (hi − 30m) − 1m
+    return sink.filter(
+        (F.col("event_id_a").isNotNull() & F.col("event_id_b").isNotNull())
+        | (
+            F.col("event_id_b").isNull()
+            & (F.unix_micros("ts_a") <= F.lit(left_bound))
+        )
+        | (
+            F.col("event_id_a").isNull()
+            & (F.unix_micros("ts_b") <= F.lit(right_bound))
+        )
+    ).select(
+        "event_id_a",
+        "event_id_b",
+        "user_id",
+        F.col("ts_a").cast("timestamp_ntz").alias("ts_a"),
+        F.col("ts_b").cast("timestamp_ntz").alias("ts_b"),
+    )
+
+
+STREAM_FULL_OUTER_INTERVAL_JOIN_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS hi FROM events)
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       COALESCE(a.user_id, b.user_id) AS user_id,
+       a.ts AS ts_a, b.ts AS ts_b
+FROM events a
+FULL JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+CROSS JOIN mx
+WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
+   OR (b.event_id IS NULL AND epoch_us(a.ts) <= hi - 5460000000)
+   OR (a.event_id IS NULL AND epoch_us(b.ts) <= hi - 1860000000)
+"""
+
+
 def stream_custom_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) under the
     oracle gate: running_user_totals carries per-user state across the
@@ -735,6 +807,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T3", "T5", "UDAF"),
         doc="event-time-timer sessionization (EventTimeTimeout state); "
         "inline closes + timer flush bound mirrored in the oracle",
+    ),
+    "stream_full_outer_interval_join": QuerySpec(
+        stream_full_outer_interval_join,
+        STREAM_FULL_OUTER_INTERVAL_JOIN_SQL,
+        tags=("T7", "J4", "T4"),
+        doc="stream-stream FULL OUTER interval join: per-side expiry "
+        "horizons, both flush bounds mirrored in the oracle",
     ),
     "stream_outer_interval_join": QuerySpec(
         stream_outer_interval_join,

@@ -147,7 +147,10 @@ def interval_join_streams(
     return l.join(r, cond, how).select(
         F.col("l.event_id").alias("event_id_a"),
         F.col("r.event_id").alias("event_id_b"),
-        F.col("l.user_id").alias("user_id"),
+        # coalesce: identical for inner/left (l present), and the only
+        # non-null side for a full-outer right-unmatched row — the join
+        # key IS user equality, so this is the natural output key
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
         F.col("l.ts").alias("ts_a"),
         F.col("r.ts").alias("ts_b"),
     )
