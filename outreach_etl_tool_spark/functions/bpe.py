@@ -114,3 +114,42 @@ def bpe_train_merges(
     return spark.createDataFrame(
         rules or [], "rank int, left string, right string, pair_freq long"
     )
+
+
+def encode_corpus_tokens(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained merges corpus-wide: (doc_id, n_words,
+    n_bpe_tokens) per document via one Arrow pass. The rules ride the
+    task closure (model-sized, like centroids), and a per-batch memo
+    collapses the per-word merge loop to one application per DISTINCT
+    word — the Zipf skew that makes corpus encoding cheap in practice.
+    Tokenization matches the trainer (lowercase, whitespace runs)."""
+    import pandas as pd
+
+    def kernel(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_words, n_tok = [], []
+            for text in pdf[text_col]:
+                words = text.lower().split() if text else []
+                total = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(encode_word(w, rules))
+                    total += memo[w]
+                n_words.append(len(words))
+                n_tok.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_tok, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id long, n_words long, n_bpe_tokens long"
+    )

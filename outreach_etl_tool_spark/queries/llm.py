@@ -520,6 +520,33 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train_merges(spark, docs, n_merges=40)
 
 
+# L4f — BPE apply at scale (rows-only, same reasoning as bpe_train):
+# train once (word table → rules), then ONE Arrow pass over the corpus
+# counting encoded tokens per doc with a distinct-word memo; rollup to
+# the per-source compression report a tokenizer change ships with.
+# All output columns are exact integers, so the determinism harness
+# pins run-to-run stability.
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import bpe
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    rules = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe.bpe_train_merges(spark, docs, n_merges=40).collect()
+    ]
+    per_doc = bpe.encode_corpus_tokens(docs, rules)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_index_fixture(spark, sf_dir)
     index = ann.read_ivf_index(spark, path)
@@ -758,6 +785,11 @@ QUERIES: dict[str, QuerySpec] = {
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
+    "bpe_encode_corpus": QuerySpec(
+        bpe_encode_corpus, None, tags=("L4", "UDTF", "A2"),
+        doc="BPE apply at scale: one Arrow pass with distinct-word "
+        "memo, per-source token/compression report",
+    ),
     "bpe_train": QuerySpec(
         bpe_train, None, tags=("L4", "A2"),
         doc="BPE tokenizer training: one corpus word-count shuffle, "
