@@ -279,6 +279,10 @@ SHUFFLE_BUDGETS = {
     "pipeline_entity_resolution": 4,
     # dedup window + pack window + rollup + sort; fan-out rides the scan
     "pipeline_pretrain_prep": 4,
+    "scalar_try_ansi": 2,             # one agg exchange + result sort
+    # GROUPED_AGG ships whole groups (no partial agg) + result sort
+    "udf_grouped_agg_wavg": 2,
+    "udf_map_arrow": 1,               # arrow pass rides the scan + sort
 }
 
 
