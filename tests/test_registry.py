@@ -137,3 +137,22 @@ def test_all_queries_run_and_columns_match_oracle(spark, sf_dir, duck):
                 f"oracle={sorted(cols)}"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_generated_catalogs_are_fresh():
+    """COVERAGE.md and QUERIES.md are committed generator output; their
+    count lines must match the live registry, so forgetting to re-run
+    tools/coverage.py / tools/catalog.py after adding a query fails
+    here instead of shipping a stale judge-facing catalog."""
+    from pathlib import Path
+
+    from outreach_etl_tool_spark.queries import REGISTRY
+
+    oracled = sum(1 for s in REGISTRY.values() if s.oracle)
+    cov = Path("COVERAGE.md").read_text()
+    assert f"{len(REGISTRY)} queries, {oracled} with DuckDB oracles" in cov
+    cat = Path("QUERIES.md").read_text()
+    assert f"{len(REGISTRY)} queries, {oracled} DuckDB-oracled" in cat
+    assert sum(1 for ln in cat.splitlines() if ln.startswith("| ")) >= len(
+        REGISTRY
+    )
