@@ -494,6 +494,61 @@ def stream_full_outer_interval_join(
     )
 
 
+def stream_right_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T7d: the RIGHT outer variant, completing the
+    inner/left/right/full enumeration — unmatched RIGHT rows
+    null-extend at the right-side horizon (watermark > ts_b; see
+    stream_full_outer_interval_join for why the right horizon is
+    ``ts_b`` itself), matched pairs emit as in the inner join."""
+    replay = _build_replay(spark, sf_dir, "inorder")
+    joined = interval_join_streams(
+        _read_replay(spark, replay),
+        _read_replay(spark, replay),
+        delay="30 minutes",
+        within="INTERVAL 1 HOUR",
+        how="right_outer",
+    )
+    sink = _run_to_parquet(
+        joined,
+        "event_id_a long, event_id_b long, user_id long, "
+        "ts_a timestamp, ts_b timestamp",
+    )
+    hi_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    right_bound = hi_us - 31 * 60 * 1_000_000  # (hi − 30m) − 1m margin
+    return sink.filter(
+        F.col("event_id_a").isNotNull()
+        | (F.unix_micros("ts_b") <= F.lit(right_bound))
+    ).select(
+        "event_id_a",
+        "event_id_b",
+        "user_id",
+        F.col("ts_a").cast("timestamp_ntz").alias("ts_a"),
+        F.col("ts_b").cast("timestamp_ntz").alias("ts_b"),
+    )
+
+
+STREAM_RIGHT_OUTER_INTERVAL_JOIN_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS hi FROM events)
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       COALESCE(a.user_id, b.user_id) AS user_id,
+       a.ts AS ts_a, b.ts AS ts_b
+FROM events a
+RIGHT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+CROSS JOIN mx
+WHERE a.event_id IS NOT NULL
+   OR epoch_us(b.ts) <= hi - 1860000000
+"""
+
+
 STREAM_FULL_OUTER_INTERVAL_JOIN_SQL = """
 WITH mx AS (SELECT MAX(epoch_us(ts)) AS hi FROM events)
 SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
@@ -807,6 +862,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T3", "T5", "UDAF"),
         doc="event-time-timer sessionization (EventTimeTimeout state); "
         "inline closes + timer flush bound mirrored in the oracle",
+    ),
+    "stream_right_outer_interval_join": QuerySpec(
+        stream_right_outer_interval_join,
+        STREAM_RIGHT_OUTER_INTERVAL_JOIN_SQL,
+        tags=("T7", "J4", "T4"),
+        doc="stream-stream RIGHT OUTER interval join: right-horizon "
+        "null extension, flush bound mirrored in the oracle",
     ),
     "stream_full_outer_interval_join": QuerySpec(
         stream_full_outer_interval_join,
