@@ -732,7 +732,117 @@ ORDER BY span_hash
 """
 
 
+# L2f — MAXIMAL duplicated span runs per document: the actionable form
+# of span-level dedup (dedup_substring_spans finds which 64-char
+# windows recur; a cleaning pass needs the CHAR RANGES to excise).
+# Every stride-16 window whose hash occurs ≥2 times corpus-wide
+# (cross-doc or internal repetition — both are training-data bloat)
+# is flagged, and per document the flagged positions chain into
+# maximal runs via gaps-and-islands (consecutive = stride apart), so
+# a duplicated paragraph reports as ONE (start, length) interval.
+# Scale shape: the hash aggregate is the span-dedup one (md5 keys,
+# map-side combine); the islands pass shuffles (doc_id, pos) pairs —
+# two longs per window — once; no pair expansion anywhere. The oracle
+# replays the identical islands on the identical flagged set.
+def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _SPAN_L)
+    last = F.floor((F.length("text") - _SPAN_L) / _SPAN_T)
+    fanout = eligible.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    )
+    occ = fanout.select(
+        "doc_id",
+        (F.col("k") * _SPAN_T + 1).alias("pos"),
+        F.md5(
+            F.col("text").substr(
+                (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+            )
+        ).alias("span_hash"),
+    )
+    dup_hashes = (
+        occ.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("span_hash")
+    )
+    flagged = occ.join(dup_hashes, "span_hash").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) != _SPAN_T),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + _SPAN_L).alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DEDUP_SPAN_RUNS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(FLOOR((LENGTH(text) - {_SPAN_L}) / {_SPAN_T}.0)
+                    AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_SPAN_L}
+), occ AS (
+    SELECT doc_id, k * {_SPAN_T} + 1 AS pos,
+           md5(substr(text, CAST(k * {_SPAN_T} + 1 AS INTEGER), {_SPAN_L}))
+               AS span_hash
+    FROM fanout
+), dup AS (
+    SELECT span_hash FROM occ GROUP BY span_hash HAVING COUNT(*) >= 2
+), flagged AS (
+    SELECT doc_id, pos FROM occ JOIN dup USING (span_hash)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w != {_SPAN_T} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) - MIN(pos) + {_SPAN_L} AS span_len,
+       COUNT(*) AS n_windows
+FROM numbered
+GROUP BY doc_id, run_id
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_runs": QuerySpec(
+        dedup_span_runs, DEDUP_SPAN_RUNS_SQL, tags=("L2", "L1", "W3"),
+        doc="maximal duplicated char ranges per doc: flagged stride "
+        "windows chained via gaps-and-islands",
+    ),
     "text_chunk_windows": QuerySpec(
         text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),
         doc="RAG chunking: overlapping fixed windows via zero-shuffle "

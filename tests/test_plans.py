@@ -283,6 +283,8 @@ SHUFFLE_BUDGETS = {
     # GROUPED_AGG ships whole groups (no partial agg) + result sort
     "udf_grouped_agg_wavg": 2,
     "udf_map_arrow": 1,               # arrow pass rides the scan + sort
+    # hash agg + islands window + result sort; dup set broadcast-joined
+    "dedup_span_runs": 4,
 }
 
 
