@@ -837,7 +837,137 @@ ORDER BY doc_id, span_start
 """
 
 
+# L2g — per-source duplicated-character fraction: the headline metric
+# a span-dedup pass reports ("N% of source X is boilerplate"). Runs
+# from dedup_span_runs can OVERLAP char-wise (two runs whose window
+# positions are ≥2 strides apart still cover intersecting 64-char
+# extents), so the char accounting needs an interval UNION — a second
+# gaps-and-islands over (start, end) with a running max end deciding
+# where a new merged interval begins. Exact integer char math all the
+# way; dup_frac is one IEEE division per source.
+def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    runs = dedup_span_runs(spark, sf_dir).withColumn(
+        "span_end", F.col("span_start") + F.col("span_len")
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_max = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        runs.withColumn(
+            "is_new",
+            F.when(
+                prev_max.isNull() | (F.col("span_start") > prev_max), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "ivl_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "ivl_id")
+        .agg(
+            (F.max("span_end") - F.min("span_start")).alias("ivl_len")
+        )
+    )
+    dup_per_doc = merged.groupBy("doc_id").agg(
+        F.sum("ivl_len").alias("dup_chars")
+    )
+    return (
+        docs.select("doc_id", "source", F.length("text").cast("bigint").alias("n_chars"))
+        .join(dup_per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.coalesce(F.col("dup_chars"), F.lit(0))).alias("dup_chars"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("dup_chars").cast("double")
+            / F.col("total_chars").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+SPAN_DUP_STATS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(FLOOR((LENGTH(text) - {_SPAN_L}) / {_SPAN_T}.0)
+                    AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_SPAN_L}
+), occ AS (
+    SELECT doc_id, k * {_SPAN_T} + 1 AS pos,
+           md5(substr(text, CAST(k * {_SPAN_T} + 1 AS INTEGER), {_SPAN_L}))
+               AS span_hash
+    FROM fanout
+), dup AS (
+    SELECT span_hash FROM occ GROUP BY span_hash HAVING COUNT(*) >= 2
+), flagged AS (
+    SELECT doc_id, pos FROM occ JOIN dup USING (span_hash)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w != {_SPAN_T} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM marked
+), runs AS (
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_L} AS span_end
+    FROM numbered GROUP BY doc_id, run_id
+), ivl_marked AS (
+    SELECT doc_id, span_start, span_end,
+           CASE WHEN MAX(span_end) OVER (PARTITION BY doc_id
+                    ORDER BY span_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR span_start > MAX(span_end) OVER (PARTITION BY doc_id
+                    ORDER BY span_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS is_new
+    FROM runs
+), ivl AS (
+    SELECT doc_id, span_start, span_end,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY span_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ivl_id
+    FROM ivl_marked
+), merged AS (
+    SELECT doc_id, MAX(span_end) - MIN(span_start) AS ivl_len
+    FROM ivl GROUP BY doc_id, ivl_id
+), dup_per_doc AS (
+    SELECT doc_id, CAST(SUM(ivl_len) AS BIGINT) AS dup_chars
+    FROM merged GROUP BY doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(d.text)) AS BIGINT) AS total_chars,
+       CAST(SUM(COALESCE(p.dup_chars, 0)) AS BIGINT) AS dup_chars,
+       CAST(SUM(COALESCE(p.dup_chars, 0)) AS DOUBLE)
+           / CAST(SUM(LENGTH(d.text)) AS DOUBLE) AS dup_frac
+FROM documents d LEFT JOIN dup_per_doc p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "span_dup_stats": QuerySpec(
+        span_dup_stats, SPAN_DUP_STATS_SQL, tags=("L2", "A2", "W3"),
+        doc="per-source duplicated-char fraction: interval-union over "
+        "span runs, exact char accounting",
+    ),
     "dedup_span_runs": QuerySpec(
         dedup_span_runs, DEDUP_SPAN_RUNS_SQL, tags=("L2", "L1", "W3"),
         doc="maximal duplicated char ranges per doc: flagged stride "

@@ -285,6 +285,9 @@ SHUFFLE_BUDGETS = {
     "udf_map_arrow": 1,               # arrow pass rides the scan + sort
     # hash agg + islands window + result sort; dup set broadcast-joined
     "dedup_span_runs": 4,
+    # + interval-union window (reuses doc_id partitioning), doc join,
+    # source rollup
+    "span_dup_stats": 7,
 }
 
 
