@@ -962,7 +962,210 @@ ORDER BY d.source
 """
 
 
+# L2h — SPAN EXCISION, the full Lee et al. (2022) cleaning pass: every
+# duplicated window EXCEPT its corpus-wide canonical first occurrence
+# (rank 1 by (doc_id, pos) within the hash) is cut from the text, and
+# the cleaned document is REBUILT byte-exactly — per doc, the merged
+# excision intervals' complement segments concatenate in order, and
+# the output carries length + md5 of the reconstructed text, so the
+# oracle hash-verifies the actual string surgery, not just counts.
+# Scale shape: rank-1 selection is one window over (hash) — the same
+# shuffle the span aggregate costs; interval merge is per-doc islands;
+# the rebuild is per-doc segment concat (sort_array + aggregate —
+# JVM-side, no Python), never a cross-doc operation.
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _SPAN_L)
+    last = F.floor((F.length("text") - _SPAN_L) / _SPAN_T)
+    fanout = eligible.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    )
+    occ = fanout.select(
+        "doc_id",
+        (F.col("k") * _SPAN_T + 1).alias("pos"),
+        F.md5(
+            F.col("text").substr(
+                (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+            )
+        ).alias("span_hash"),
+    )
+    wh = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    flagged = (
+        occ.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.withColumn(
+            "is_new",
+            F.when(
+                F.lag("pos").over(wd).isNull()
+                | (F.col("pos") - F.lag("pos").over(wd) != _SPAN_T),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("is_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("r_start"),
+            (F.max("pos") + _SPAN_L).alias("r_end"),  # exclusive
+        )
+    )
+    ws = Window.partitionBy("doc_id").orderBy("r_start")
+    prev_max = F.max("r_end").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    ivls = (
+        runs.withColumn(
+            "is_new",
+            F.when(prev_max.isNull() | (F.col("r_start") > prev_max), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "ivl_id",
+            F.sum("is_new").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "ivl_id")
+        .agg(
+            F.min("r_start").alias("ivl_start"),
+            F.max("r_end").alias("ivl_end"),
+        )
+    )
+    wg = Window.partitionBy("doc_id").orderBy("ivl_start")
+    gaps = ivls.select(
+        "doc_id",
+        F.coalesce(F.lag("ivl_end").over(wg), F.lit(1)).alias("gs"),
+        F.col("ivl_start").alias("ge"),
+    ).unionByName(
+        ivls.groupBy("doc_id").agg(
+            F.max("ivl_end").alias("gs"), F.lit(None).cast("long").alias("ge")
+        )
+    )
+    segs = gaps.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "gs",
+        F.col("text").substr(
+            F.col("gs").cast("int"),
+            (
+                F.coalesce(F.col("ge"), F.length("text") + 1) - F.col("gs")
+            ).cast("int"),
+        ).alias("seg"),
+    )
+    rebuilt = segs.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "seg"))),
+                lambda s: s["seg"],
+            ),
+            F.lit(""),
+            lambda acc, s: F.concat(acc, s),
+        ).alias("cleaned")
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"), "text")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length(F.coalesce("cleaned", "text")).cast("bigint").alias(
+                "kept_chars"
+            ),
+            F.md5(F.coalesce("cleaned", "text")).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPAN_EXCISE_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(FLOOR((LENGTH(text) - {_SPAN_L}) / {_SPAN_T}.0)
+                    AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_SPAN_L}
+), occ AS (
+    SELECT doc_id, k * {_SPAN_T} + 1 AS pos,
+           md5(substr(text, CAST(k * {_SPAN_T} + 1 AS INTEGER), {_SPAN_L}))
+               AS span_hash
+    FROM fanout
+), flagged AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY span_hash
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ
+    ) WHERE rn >= 2
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w != {_SPAN_T} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM marked
+), runs AS (
+    SELECT doc_id, MIN(pos) AS r_start, MAX(pos) + {_SPAN_L} AS r_end
+    FROM numbered GROUP BY doc_id, run_id
+), ivl_marked AS (
+    SELECT doc_id, r_start, r_end,
+           CASE WHEN MAX(r_end) OVER wp IS NULL
+                  OR r_start > MAX(r_end) OVER wp THEN 1 ELSE 0 END AS is_new
+    FROM runs
+    WINDOW wp AS (PARTITION BY doc_id ORDER BY r_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), ivl_numbered AS (
+    SELECT doc_id, r_start, r_end,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY r_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ivl_id
+    FROM ivl_marked
+), ivls AS (
+    SELECT doc_id, MIN(r_start) AS ivl_start, MAX(r_end) AS ivl_end
+    FROM ivl_numbered GROUP BY doc_id, ivl_id
+), gaps AS (
+    SELECT doc_id,
+           COALESCE(LAG(ivl_end) OVER (PARTITION BY doc_id
+                                       ORDER BY ivl_start), 1) AS gs,
+           ivl_start AS ge
+    FROM ivls
+    UNION ALL
+    SELECT doc_id, MAX(ivl_end) AS gs, NULL AS ge
+    FROM ivls GROUP BY doc_id
+), segs AS (
+    SELECT g.doc_id, g.gs,
+           substr(d.text, CAST(g.gs AS INTEGER),
+                  CAST(COALESCE(g.ge, LENGTH(d.text) + 1) - g.gs AS INTEGER))
+               AS seg
+    FROM gaps g JOIN documents d USING (doc_id)
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, '' ORDER BY gs) AS cleaned
+    FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(COALESCE(r.cleaned, d.text)) AS BIGINT) AS kept_chars,
+       md5(COALESCE(r.cleaned, d.text)) AS cleaned_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_excise": QuerySpec(
+        dedup_span_excise, DEDUP_SPAN_EXCISE_SQL, tags=("L2", "L1", "W3", "F1"),
+        doc="Lee-et-al span excision: canonical first occurrence kept, "
+        "cleaned text rebuilt and md5-verified byte-exactly",
+    ),
     "span_dup_stats": QuerySpec(
         span_dup_stats, SPAN_DUP_STATS_SQL, tags=("L2", "A2", "W3"),
         doc="per-source duplicated-char fraction: interval-union over "

@@ -288,6 +288,9 @@ SHUFFLE_BUDGETS = {
     # + interval-union window (reuses doc_id partitioning), doc join,
     # source rollup
     "span_dup_stats": 7,
+    # hash rank window + doc islands ×2 + gap/segment joins + rebuild
+    # agg + sort; all per-doc after the one hash shuffle, no Python
+    "dedup_span_excise": 7,
 }
 
 
