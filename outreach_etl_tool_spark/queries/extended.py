@@ -683,6 +683,36 @@ ORDER BY event_day
 """
 
 
+# S6g — the hidden `_metadata` column: per-file audit counts without
+# any filesystem listing logic — the scan itself reports which file
+# each row came from (file-level lineage, corrupt-file triage, audit
+# manifests). Rows-only: the oracle's static SQL cannot name the
+# fixture's generated part files (they exist only after the fixture
+# builds); determinism holds because the fixture is cached, so both
+# runs of the determinism harness read identical file names, and
+# tests/test_operators.py pins the lineage against a direct listing.
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events_fixture(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    # partition-dir + basename: bare _metadata.file_name is ambiguous —
+    # two partition directories can hold identically-named part files
+    # (same task id), and grouping on the basename would merge rows
+    # from different days (caught by the listing-pin test)
+    rel = F.regexp_extract(
+        F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+    )
+    return (
+        fact.select(rel.alias("file_rel"), "event_day")
+        .groupBy("file_rel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_day").alias("day_lo"),
+            F.max("event_day").alias("day_hi"),
+        )
+        .orderBy("file_rel")
+    )
+
+
 # S6e — bucketed co-located join (sinks/writers.write_bucketed driven
 # end-to-end under the driver gate; the pytest-only half lives in
 # tests/test_sinks.py). Orders and lineitem slices are saved as
@@ -850,6 +880,11 @@ QUERIES: dict[str, QuerySpec] = {
         merge_cdc_apply, MERGE_CDC_APPLY_SQL, tags=("T6", "J4", "W1"),
         doc="MERGE INTO semantics: compacted CDC feed full-outer-resolved "
         "against the base snapshot",
+    ),
+    "scan_file_lineage": QuerySpec(
+        scan_file_lineage, None, tags=("S6", "P4"),
+        doc="_metadata hidden column: per-file lineage/audit counts "
+        "from the scan itself",
     ),
     "sink_dpp_join": QuerySpec(
         sink_dpp_join, SINK_DPP_JOIN_SQL,

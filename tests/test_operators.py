@@ -273,3 +273,30 @@ def test_grouped_agg_pandas_udf_works_in_window_frames(spark):
     got = {(r["k"], r["price"]): r["wv"] for r in rows}
     assert got[("a", 10.0)] == got[("a", 20.0)] == (10 * 1 + 20 * 3) / 4
     assert got[("b", 5.0)] == 5.0
+
+
+def test_scan_file_lineage_matches_listing(spark):
+    """_metadata-based lineage must agree with a direct filesystem
+    listing of the same fixture: exact file-name set, total rows equal
+    the table, and each file confined to its partition day."""
+    import glob
+    import os
+
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.queries.extended import (
+        _partitioned_events_fixture,
+        scan_file_lineage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = scan_file_lineage(spark, sf).collect()
+    path = _partitioned_events_fixture(spark, sf)
+    listed = {
+        "/".join(p.split("/")[-2:])
+        for p in glob.glob(f"{path}/event_day=*/part-*.parquet")
+    }
+    assert {r["file_rel"] for r in rows} == listed and listed
+    assert sum(r["n_rows"] for r in rows) == load_table(
+        spark, sf, "events"
+    ).count()
+    assert all(r["day_lo"] == r["day_hi"] for r in rows)
