@@ -134,6 +134,27 @@ def main() -> None:
         if duck_timings[n] > 0
     }
     total = round(sum(timings.values()), 3)
+
+    # Round-over-round comparability: split the total into the COMMON
+    # set (queries also benched last round — apples-to-apples) and new
+    # headliners (reported separately for one round so additions never
+    # masquerade as regressions). The previous round is the highest-
+    # numbered committed BENCH_r*.json.
+    prev_queries: set[str] = set()
+    prev_files = sorted(
+        Path(__file__).resolve().parent.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)),
+    )
+    if prev_files:
+        try:
+            prev_queries = set(
+                json.loads(prev_files[-1].read_text()).get("queries", {})
+            )
+        except Exception:  # noqa: BLE001 — comparability is best-effort
+            pass
+    common = {n: t for n, t in timings.items() if n in prev_queries}
+    new_queries = sorted(set(timings) - prev_queries)
+
     print(
         json.dumps(
             {
@@ -144,6 +165,17 @@ def main() -> None:
                 "duckdb": duck_timings,
                 "spark_vs_duckdb": ratios,
                 "host_calibration_sec": calib,
+                # cross-round comparison lines: compare
+                # common_total_normalized (common set / host speed)
+                # across rounds, not raw value
+                "common_total": round(sum(common.values()), 3),
+                "common_total_normalized": (
+                    round(sum(common.values()) / calib, 3) if calib else None
+                ),
+                "new_queries": new_queries,
+                "new_total": round(
+                    sum(timings[n] for n in new_queries), 3
+                ),
                 "sf": sf_from_dir(SF_DIR),
             }
         )

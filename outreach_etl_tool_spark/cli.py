@@ -22,6 +22,7 @@ import argparse
 import datetime as dt
 import json
 import logging
+import sys
 from pathlib import Path
 
 from pyspark.sql import SparkSession
@@ -235,8 +236,10 @@ def _sql(argv: list[str]) -> int:
     for t in TABLES:
         try:
             load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
-        except Exception:  # noqa: BLE001 — partial catalogs are fine
-            pass
+        except Exception as exc:  # noqa: BLE001 — partial catalogs are fine
+            # surface the root cause now; the query will otherwise fail
+            # later with an unhelpful "table not found"
+            print(f"warning: could not register table {t!r}: {exc}", file=sys.stderr)
     df = spark.sql(sql_text, args=params) if params else spark.sql(sql_text)
     if args.explain:
         df.explain("formatted")

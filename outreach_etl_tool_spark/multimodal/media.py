@@ -212,6 +212,7 @@ def resize_images(
             for aid, buf in zip(pdf[id_col], pdf[payload]):
                 img = _decode(bytes(buf))
                 ids.append(int(aid))
+                bh = bw = 0
                 if img is not None:
                     h, w = img.shape[:2]
                     bh, bw = h // out_h, w // out_w

@@ -746,15 +746,18 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SESSION_TIMEOUT_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1
               ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- the running SUM orders by (ts, event_id) — the same total order
+  -- is_new was computed over — so equal-ts boundary events can't get
+  -- an engine-chosen peer order that diverges from the Spark side
   SELECT user_id, ts,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS session_id
   FROM flagged

@@ -376,6 +376,36 @@ def sample_centroids(
 # Queries read the store with a `cell` predicate, and since cell is a
 # PARTITION column the probe prunes to nprobe directories — at 100 TB
 # the read cost scales with the probed cells, not the corpus.
+def _hadoop_path_fs(spark, path_str: str):
+    """Resolve (Path, FileSystem) through Hadoop's FS API so the
+    centroid sidecar works on any URI Spark itself can write
+    (file://, hdfs://, s3a://, ...), not just the local filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return p, fs
+
+
+def _fs_write_text(spark, path_str: str, text: str) -> None:
+    p, fs = _hadoop_path_fs(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path_str: str) -> str:
+    p, fs = _hadoop_path_fs(spark, path_str)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: list[list[float]],
@@ -386,19 +416,27 @@ def write_ivf_index(
     the frozen centroids stored alongside (the index is self-contained
     — readers and appenders must use these, not retrained ones)."""
     import json
-    from pathlib import Path
 
     assign_cells(df, centroids, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
-    (Path(path) / "_centroids.json").write_text(json.dumps(centroids))
+    _fs_write_text(
+        df.sparkSession, path.rstrip("/") + "/_centroids.json",
+        json.dumps(centroids),
+    )
 
 
 def read_ivf_centroids(path: str) -> list[list[float]]:
     import json
-    from pathlib import Path
 
-    return json.loads((Path(path) / "_centroids.json").read_text())
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover — callers always hold a session
+        raise RuntimeError("read_ivf_centroids needs an active SparkSession")
+    return json.loads(
+        _fs_read_text(spark, path.rstrip("/") + "/_centroids.json")
+    )
 
 
 def append_to_ivf_index(

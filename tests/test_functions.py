@@ -301,3 +301,92 @@ def test_bpe_end_to_end_over_dataframe(spark):
         ("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9)
     ]
     assert [r["rank"] for r in rules] == [0, 1, 2]
+
+
+def test_bpe_vocab_cap_raises_loudly(spark):
+    """The driver collect is hard-bounded: a vocabulary past max_vocab
+    must fail with an actionable error, never silently truncate."""
+    import pytest
+
+    from outreach_etl_tool_spark.functions.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab=4"):
+        bpe_train_merges(spark, docs, n_merges=3, max_vocab=4)
+    # explicit opt-in trains on the top-N instead of raising
+    rules = bpe_train_merges(
+        spark, docs, n_merges=3, max_vocab=4, allow_truncation=True
+    )
+    assert rules.count() >= 0  # runs; rule content covered elsewhere
+
+
+def test_bpe_min_freq_floor_preserves_rules_when_tail_is_inert(spark):
+    """A min_freq=2 floor that only drops frequency-1 words whose pairs
+    never reach pair-frequency 2 elsewhere must leave the merge-rule
+    sequence byte-identical (the documented truncation contract)."""
+    from outreach_etl_tool_spark.functions.bpe import bpe_train_merges
+
+    # head words reuse pairs heavily; the tail words ('qz', 'xv') are
+    # frequency-1 and made of symbol pairs no other word contains
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower qz"),
+         (1, "newest newest newest newest newest newest xv"),
+         (2, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    unfloored = bpe_train_merges(spark, docs, n_merges=5).collect()
+    floored = bpe_train_merges(spark, docs, n_merges=5, min_freq=2).collect()
+    assert [tuple(r) for r in unfloored] == [tuple(r) for r in floored]
+    assert len(unfloored) > 0
+
+
+def test_bpe_encode_matches_trainer_on_unicode_whitespace(spark):
+    """Train/apply tokenization contract: the trainer splits on Java
+    \\s+ (ASCII); the Arrow encode kernel must agree — a NBSP-joined
+    token pair is ONE word on both sides, not two."""
+    from outreach_etl_tool_spark.functions.bpe import (
+        bpe_train_merges, encode_corpus_tokens, word_counts,
+    )
+
+    nbsp_text = "low\u00a0low newest newest"  # NBSP joins the first pair
+    docs = spark.createDataFrame(
+        [(0, nbsp_text)], "doc_id long, text string"
+    )
+    wc = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    assert wc == {"low low": 1, "newest": 2}
+
+    rules = [
+        tuple(r)
+        for r in bpe_train_merges(spark, docs, n_merges=2).collect()
+    ]
+    out = encode_corpus_tokens(docs, rules).collect()[0]
+    # 3 words under ASCII splitting (str.split would have said 4)
+    assert out["n_words"] == 3
+
+
+def test_bpe_encode_memo_cap_keeps_counts_exact(spark):
+    """A memo too small to hold the vocabulary changes nothing about
+    the output — only the cache hit rate."""
+    from outreach_etl_tool_spark.functions.bpe import (
+        bpe_train_merges, encode_corpus_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower newest widest unique{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rules = [
+        tuple(r)
+        for r in bpe_train_merges(spark, docs, n_merges=3).collect()
+    ]
+    uncapped = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in encode_corpus_tokens(docs, rules).collect()
+    }
+    capped = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in encode_corpus_tokens(docs, rules, memo_cap=2).collect()
+    }
+    assert uncapped == capped and len(uncapped) == 20
