@@ -92,6 +92,38 @@ def _byte_histogram(buf: bytes, bins: int = 16) -> np.ndarray:
     return hist / arr.size
 
 
+# Formats Pillow decodes when it is importable; the probe is cached
+# per-process (one failed import per executor worker, not per row)
+_PIL_FORMATS = frozenset({"image/png", "image/jpeg", "image/gif"})
+_PIL_PROBE: list[bool] | None = None
+
+
+def _pil_available() -> bool:
+    global _PIL_PROBE
+    if _PIL_PROBE is None:
+        try:
+            from PIL import Image  # noqa: F401
+
+            _PIL_PROBE = [True]
+        except ImportError:
+            _PIL_PROBE = [False]
+    return _PIL_PROBE[0]
+
+
+def _pil_decode_rgb(buf: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 via Pillow. Raises ValueError on a corrupt
+    payload — same contract as decode_ppm (quarantine upstream)."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(buf)) as img:
+            return np.asarray(img.convert("RGB"))
+    except Exception as exc:  # noqa: BLE001 — normalize codec errors
+        raise ValueError(f"Pillow decode failed: {exc}") from exc
+
+
 def _decoded_feature(buf: bytes, mtype: str, bins: int) -> np.ndarray:
     """Per-type feature: REAL decodes for the formats the engine ships
     codecs for, byte-histogram stand-in for the rest.
@@ -100,13 +132,19 @@ def _decoded_feature(buf: bytes, mtype: str, bins: int) -> np.ndarray:
       histogram of the actual PIXEL bytes (header excluded);
     - WAV → pure-numpy RIFF walk (multimodal/wav.py), normalized
       histogram of the int16 SAMPLE values over [-2^15, 2^15);
-    - everything else (PNG/JPEG/MP3/MP4 — codecs not shipped here)
-      keeps the deterministic byte-histogram stub.
+    - PNG/JPEG/GIF → real pixel histogram when Pillow is importable
+      (optional dependency — not shipped in this container), else the
+      deterministic byte-histogram stub;
+    - everything else (MP3/MP4 — codecs not shipped) keeps the stub.
 
     A payload that sniffs as a decodable type but fails its codec
     raises — at scale you quarantine those rows upstream (S3b path),
     not silently re-feature them.
     """
+    if mtype in _PIL_FORMATS and _pil_available():
+        px = _pil_decode_rgb(buf).reshape(-1)
+        hist, _ = np.histogram(px, bins=bins, range=(0, 256))
+        return hist / max(px.size, 1)
     if mtype == "image/x-portable-pixmap":
         from .ppm import decode_ppm
 
@@ -193,12 +231,21 @@ def resize_images(
         return a.reshape(side, side, 1)
 
     def _decode(buf: bytes) -> np.ndarray | None:
-        """(h, w, ch) uint8, REAL pixels for PPM, stub grid otherwise."""
-        if _sniff_py(buf) == "image/x-portable-pixmap":
+        """(h, w, ch) uint8 — REAL pixels for PPM always and for
+        PNG/JPEG/GIF when Pillow is importable; stub grid otherwise.
+        Corrupt payloads of a decodable type yield None (the batch
+        survives; quarantine upstream)."""
+        mtype = _sniff_py(buf)
+        if mtype == "image/x-portable-pixmap":
             from .ppm import decode_ppm
 
             try:
                 return decode_ppm(buf)
+            except ValueError:
+                return None
+        if mtype in _PIL_FORMATS and _pil_available():
+            try:
+                return _pil_decode_rgb(buf)
             except ValueError:
                 return None
         return _fake_decode(buf)

@@ -837,6 +837,119 @@ ORDER BY doc_id, span_start
 """
 
 
+# L2h — EXACT variable-length duplicated extents (Lee et al. 2022's
+# actual formulation, not the stride-16 screen): report, per document,
+# the maximal character ranges covered by ANY duplicated substring of
+# length ≥ L. Single-node engines compute this with a suffix array;
+# the distributed equivalence this query exploits is exact:
+#
+#   a character position lies inside some duplicated substring of
+#   length ≥ L  ⟺  it is covered by some duplicated L-gram,
+#
+# because every length-≥L duplicate contains (and is covered by) its
+# stride-1 L-windows, each itself duplicated, and conversely a
+# duplicated L-gram IS a duplicated substring of length L. So
+# stride-1 L-gram fingerprints + an interval union reproduce the
+# suffix-array answer with one md5-keyed aggregate — no suffix
+# sorting, no pair expansion, map-side combinable.
+#
+# Scale shape: fan-out is len(text) rows/doc (the price of exactness —
+# the stride-16 family is the cheap screen, THIS is the cleaning
+# pass), each row (16B hash, 8B doc, 8B pos) ≈ 32× corpus bytes
+# through one exchange; linear, skew-free (hash keys), zero Python.
+# Because all intervals share length L, interval union degenerates to
+# gaps-and-islands on start positions (new extent ⟺ gap > L) — end
+# positions are monotone in starts, so no running-max pass is needed.
+_LDS_L = 64
+
+
+def dedup_span_exact_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _LDS_L)
+    last = (F.length("text") - _LDS_L).cast("bigint")
+    fanout = eligible.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    )
+    occ = fanout.select(
+        "doc_id",
+        (F.col("k") + 1).alias("pos"),
+        F.md5(
+            F.col("text").substr((F.col("k") + 1).cast("int"), F.lit(_LDS_L))
+        ).alias("gram_hash"),
+    )
+    dup = (
+        occ.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram_hash")
+    )
+    flagged = occ.join(dup, "gram_hash").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > _LDS_L),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "ext_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "ext_id")
+        .agg(
+            F.min("pos").alias("ext_start"),
+            (F.max("pos") - F.min("pos") + _LDS_L).alias("ext_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "ext_start", "ext_len", "n_grams")
+        .orderBy("doc_id", "ext_start")
+    )
+
+
+DEDUP_SPAN_EXACT_EXTENTS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - {_LDS_L} AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_LDS_L}
+), occ AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_LDS_L})) AS gram_hash
+    FROM fanout
+), dup AS (
+    SELECT gram_hash FROM occ GROUP BY gram_hash HAVING COUNT(*) >= 2
+), flagged AS (
+    SELECT doc_id, pos FROM occ JOIN dup USING (gram_hash)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > {_LDS_L} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext_id
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS ext_start,
+       MAX(pos) - MIN(pos) + {_LDS_L} AS ext_len,
+       COUNT(*) AS n_grams
+FROM numbered
+GROUP BY doc_id, ext_id
+ORDER BY doc_id, ext_start
+"""
+
+
 # L2g — per-source duplicated-character fraction: the headline metric
 # a span-dedup pass reports ("N% of source X is boilerplate"). Runs
 # from dedup_span_runs can OVERLAP char-wise (two runs whose window
@@ -1175,6 +1288,13 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_span_runs, DEDUP_SPAN_RUNS_SQL, tags=("L2", "L1", "W3"),
         doc="maximal duplicated char ranges per doc: flagged stride "
         "windows chained via gaps-and-islands",
+    ),
+    "dedup_span_exact_extents": QuerySpec(
+        dedup_span_exact_extents, DEDUP_SPAN_EXACT_EXTENTS_SQL,
+        tags=("L2", "L1", "W3"), bench=True,
+        doc="exact Lee-et-al variable-length duplicated extents: "
+        "stride-1 L-gram fingerprints reproduce the suffix-array "
+        "answer; gap>L islands = interval union",
     ),
     "text_chunk_windows": QuerySpec(
         text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),

@@ -1,0 +1,62 @@
+"""Scaling-evidence toolkit: synthetic scale slices + timing helpers.
+
+The driver ships sf0.001/sf0.01/sf0.1; sub-linearity claims need a
+third point above the largest shipped scale. ``build_documents_slice``
+manufactures one deterministically from the sf0.1 documents table:
+N replicas, each offsetting doc_id by a stride and perturbing the text
+with a shingle-set bijection (identity / reverse / vowel-translate).
+Within a replica the duplicate-pair structure of the original corpus
+is preserved; across replicas no near-dups are introduced — so the
+duplicate graph grows ~linearly (N×), exactly the regime where
+super-linear operator cost has nowhere to hide.
+
+Shared by tests/test_scaling.py (assertion form) and
+tools/gen_scaling.py (committed SCALING.md table form) so both read
+the same slice definition.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# replica perturbations: each preserves length and in-replica duplicate
+# structure while making cross-replica 64-char grams distinct
+REPLICA_PERTURB = (
+    lambda c: c,  # replica 0: identity
+    F.reverse,
+    lambda c: F.translate(c, "aeiou", "01234"),
+)
+
+
+def build_documents_slice(
+    spark: SparkSession, src_dir: str, dest: str | Path
+) -> str:
+    """Materialize the 3× documents slice under ``dest`` (idempotent —
+    a _READY marker skips the rebuild). Returns the slice dir usable
+    as an sf_dir for documents-only queries."""
+    from .catalog import load_table
+
+    dest = Path(dest)
+    marker = dest / "_READY"
+    if not marker.exists():
+        docs = load_table(spark, src_dir, "documents")
+        stride = docs.agg(F.max("doc_id")).first()[0] + 1
+        reps: list[DataFrame] = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                perturb(F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",  # reverse/translate preserve length
+            )
+            for i, perturb in enumerate(REPLICA_PERTURB)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(str(dest / "documents.parquet"))
+        marker.touch()
+    return str(dest)

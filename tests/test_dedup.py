@@ -333,3 +333,64 @@ def test_emb_near_dup_registry_query_nonempty(spark):
 
     n = emb_near_dup(spark, "/root/testdata/sf0.01").count()
     assert n > 0
+
+
+# ---------------------------------------- exact variable-length extents
+def test_span_exact_extents_matches_bruteforce_suffix_semantics(spark, tmp_path):
+    """Pin the suffix-array equivalence on a crafted corpus: the
+    per-doc duplicated-character set computed by stride-1 L-gram
+    islands must equal the brute-force union of ALL duplicated
+    substrings of length >= L (what a suffix array reports)."""
+    import random
+
+    from outreach_etl_tool_spark.queries.llm import _LDS_L, dedup_span_exact_extents
+
+    rng = random.Random(11)
+    alpha = "abcdefghij "
+    boiler = "".join(rng.choice(alpha) for _ in range(150))  # shared paragraph
+    short_dup = "".join(rng.choice(alpha) for _ in range(_LDS_L))  # exactly L
+    texts = {
+        # doc 0/1 share `boiler` at different offsets; doc 0 also
+        # self-repeats `short_dup`
+        0: "".join(rng.choice(alpha) for _ in range(80)) + boiler
+           + short_dup + "x" * 70 + short_dup,
+        1: boiler + "".join(rng.choice(alpha) for _ in range(90)),
+        # doc 2: unique text, below-L overlap with others only
+        2: "".join(rng.choice(alpha) for _ in range(200)),
+        # doc 3: shorter than L entirely
+        3: "tiny",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    rows = dedup_span_exact_extents(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).update(
+            range(r["ext_start"], r["ext_start"] + r["ext_len"])
+        )
+
+    # brute force: every duplicated substring of length exactly L
+    # (length > L duplicates are unions of their L-windows, so L-grams
+    # suffice for coverage — the same theorem, verified independently
+    # by counting occurrences with str.find, no hashing)
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for t in texts.values():
+        for i in range(len(t) - _LDS_L + 1):
+            grams[t[i:i + _LDS_L]] += 1
+    expect: dict[int, set[int]] = {}
+    for d, t in texts.items():
+        for i in range(len(t) - _LDS_L + 1):
+            if grams[t[i:i + _LDS_L]] >= 2:
+                # 1-based char positions, matching the query
+                expect.setdefault(d, set()).update(
+                    range(i + 1, i + 1 + _LDS_L)
+                )
+    assert got == expect
+    assert 0 in got and 1 in got and 2 not in got and 3 not in got

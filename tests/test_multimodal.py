@@ -293,3 +293,79 @@ def test_resize_decodes_real_ppm_pixels(spark):
         img.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
     )
     assert (got == expect).all()
+
+
+# ------------------------------------------- optional Pillow codec path
+def _png_bytes(img):
+    """Encode an RGB numpy array as PNG via Pillow (caller skip-gates)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_png_decode_features_real_pixels_when_pillow_present(spark):
+    """With Pillow importable, PNG features come from the DECODED
+    pixels (lossless roundtrip → histogram computable analytically),
+    not the compressed byte stream."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL")
+    from outreach_etl_tool_spark.multimodal import decode_features
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(img)))], "asset_id long, payload binary"
+    )
+    (row,) = decode_features(assets).collect()
+    assert row["media_type"] == "image/png"
+    px = img.reshape(-1)
+    hist, _ = np.histogram(px, bins=16, range=(0, 256))
+    expect = hist / px.size
+    assert np.allclose(row["feature"], expect)
+
+
+def test_png_resize_block_mean_when_pillow_present(spark):
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL")
+    from outreach_etl_tool_spark.multimodal import resize_images
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([(x * 16) % 256, (y * 16) % 256,
+                    np.full_like(x, 9)], axis=-1).astype(np.uint8)
+    assets = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(img)))], "asset_id long, payload binary"
+    )
+    (row,) = resize_images(assets, out_w=8, out_h=8).collect()
+    assert (row["width"], row["height"]) == (8, 8)
+    got = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape(8, 8, 3)
+    expect = img.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    assert (got == expect).all()
+
+
+def test_png_without_pillow_keeps_deterministic_stub(spark):
+    """Pillow absent → PNG payloads take the byte-histogram stub, and
+    the pipeline stays deterministic (this is the path this container
+    exercises; the two tests above cover the Pillow branch)."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal import decode_features
+    from outreach_etl_tool_spark.multimodal.media import _pil_available
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    assets = spark.createDataFrame(
+        [(1, bytearray(png_magic))], "asset_id long, payload binary"
+    )
+    (row,) = decode_features(assets).collect()
+    assert row["media_type"] == "image/png"
+    if not _pil_available():
+        arr = np.frombuffer(png_magic, dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+        assert np.allclose(row["feature"], hist / arr.size)

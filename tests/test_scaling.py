@@ -14,7 +14,6 @@ from __future__ import annotations
 import time
 
 import pytest
-from pyspark.sql import functions as F
 
 from outreach_etl_tool_spark.queries import REGISTRY
 
@@ -27,6 +26,7 @@ HEAVY = [
     "sim_knn_join",
     "lm_quality_score",
     "dedup_substring_spans",
+    "dedup_span_exact_extents",
     "pipeline_pretrain_prep",
 ]
 
@@ -62,41 +62,15 @@ def test_ten_x_data_costs_well_under_ten_x_time(spark, name):
 # duplicate graph grows ~linearly (3×), which is exactly the regime
 # where super-linear operator cost has nowhere to hide.
 
-_REPLICA_PERTURB = (
-    lambda c: c,  # replica 0: identity
-    F.reverse,
-    lambda c: F.translate(c, "aeiou", "01234"),
-)
-
-
 @pytest.fixture(scope="module")
 def sf03_dir(spark):
     import tempfile
     from pathlib import Path
 
-    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.scalekit import build_documents_slice
 
     dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_scale" / "sf03_v1"
-    marker = dest / "_READY"
-    if not marker.exists():
-        docs = load_table(spark, SF_BIG, "documents")
-        stride = docs.agg(F.max("doc_id")).first()[0] + 1
-        reps = [
-            docs.select(
-                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
-                perturb(F.col("text")).alias("text"),
-                "lang",
-                "source",
-                "n_chars",  # reverse/translate preserve length
-            )
-            for i, perturb in enumerate(_REPLICA_PERTURB)
-        ]
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(str(dest / "documents.parquet"))
-        marker.touch()
-    return str(dest)
+    return build_documents_slice(spark, SF_BIG, dest)
 
 
 @pytest.mark.slow
@@ -106,6 +80,7 @@ def sf03_dir(spark):
         "dedup_cluster",
         "dedup_minhash",
         "dedup_substring_spans",
+        "dedup_span_exact_extents",
         "pipeline_pretrain_prep",
     ],
 )
