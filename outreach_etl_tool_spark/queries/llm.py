@@ -1150,6 +1150,18 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("r_end").alias("ivl_end"),
         )
     )
+    return _excise_rebuild(docs, ivls)
+
+
+def _excise_rebuild(docs: DataFrame, ivls: DataFrame) -> DataFrame:
+    """Byte-exact text surgery shared by the excision queries: given
+    per-doc NON-OVERLAPPING excision intervals (doc_id, ivl_start,
+    ivl_end) — 1-based char positions, exclusive end — cut them out
+    and rebuild the cleaned string (complement segments concatenated
+    in order via sort_array + aggregate, all JVM-side). Docs with no
+    intervals pass through untouched via the left join."""
+    from pyspark.sql.window import Window
+
     wg = Window.partitionBy("doc_id").orderBy("ivl_start")
     gaps = ivls.select(
         "doc_id",
@@ -1193,6 +1205,126 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# L2h-excise — the cleaning pass for the EXACT variable-length family:
+# every duplicated L-gram occurrence except its corpus-wide canonical
+# first (rank 1 by (doc_id, pos) within the hash) is excised, flagged
+# positions chain into intervals by gap>L islands (all intervals share
+# length L, so islands ARE the interval union — no running-max pass),
+# and the cleaned text is rebuilt byte-exactly with md5 verification.
+# This is dedup_span_excise with the stride-16 approximation removed:
+# the excised character set is exactly the non-canonical cover of
+# duplicated substrings of length ≥ L (same theorem as
+# dedup_span_exact_extents). Scale shape identical: one md5-keyed
+# window shuffle (~32× corpus bytes — the exactness price), per-doc
+# islands, per-doc rebuild, zero Python, no pair expansion.
+def dedup_span_exact_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _LDS_L)
+    last = (F.length("text") - _LDS_L).cast("bigint")
+    fanout = eligible.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    )
+    occ = fanout.select(
+        "doc_id",
+        (F.col("k") + 1).alias("pos"),
+        F.md5(
+            F.col("text").substr((F.col("k") + 1).cast("int"), F.lit(_LDS_L))
+        ).alias("gram_hash"),
+    )
+    wh = Window.partitionBy("gram_hash").orderBy("doc_id", "pos")
+    flagged = (
+        occ.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ivls = (
+        flagged.withColumn(
+            "is_new",
+            F.when(
+                F.lag("pos").over(wd).isNull()
+                | (F.col("pos") - F.lag("pos").over(wd) > _LDS_L),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "ivl_id",
+            F.sum("is_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "ivl_id")
+        .agg(
+            F.min("pos").alias("ivl_start"),
+            (F.max("pos") + _LDS_L).alias("ivl_end"),  # exclusive
+        )
+    )
+    return _excise_rebuild(docs, ivls)
+
+
+DEDUP_SPAN_EXACT_EXCISE_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - {_LDS_L} AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_LDS_L}
+), occ AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_LDS_L})) AS gram_hash
+    FROM fanout
+), flagged AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram_hash
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ
+    ) WHERE rn >= 2
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > {_LDS_L} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ivl_id
+    FROM marked
+), ivls AS (
+    SELECT doc_id, MIN(pos) AS ivl_start, MAX(pos) + {_LDS_L} AS ivl_end
+    FROM numbered GROUP BY doc_id, ivl_id
+), gaps AS (
+    SELECT doc_id,
+           COALESCE(LAG(ivl_end) OVER (PARTITION BY doc_id
+                                       ORDER BY ivl_start), 1) AS gs,
+           ivl_start AS ge
+    FROM ivls
+    UNION ALL
+    SELECT doc_id, MAX(ivl_end) AS gs, NULL AS ge
+    FROM ivls GROUP BY doc_id
+), segs AS (
+    SELECT g.doc_id, g.gs,
+           substr(d.text, CAST(g.gs AS INTEGER),
+                  CAST(COALESCE(g.ge, LENGTH(d.text) + 1) - g.gs AS INTEGER))
+               AS seg
+    FROM gaps g JOIN documents d USING (doc_id)
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, '' ORDER BY gs) AS cleaned
+    FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(COALESCE(r.cleaned, d.text)) AS BIGINT) AS kept_chars,
+       md5(COALESCE(r.cleaned, d.text)) AS cleaned_md5
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 DEDUP_SPAN_EXCISE_SQL = f"""
@@ -1295,6 +1427,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="exact Lee-et-al variable-length duplicated extents: "
         "stride-1 L-gram fingerprints reproduce the suffix-array "
         "answer; gap>L islands = interval union",
+    ),
+    "dedup_span_exact_excise": QuerySpec(
+        dedup_span_exact_excise, DEDUP_SPAN_EXACT_EXCISE_SQL,
+        tags=("L2", "L1", "W3", "F1"),
+        doc="exact variable-length excision: non-canonical duplicated "
+        "cover cut, cleaned text rebuilt byte-exactly and md5-verified",
     ),
     "text_chunk_windows": QuerySpec(
         text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),

@@ -394,3 +394,62 @@ def test_span_exact_extents_matches_bruteforce_suffix_semantics(spark, tmp_path)
                 )
     assert got == expect
     assert 0 in got and 1 in got and 2 not in got and 3 not in got
+
+
+def test_span_exact_excise_matches_bruteforce_first_occurrence(spark, tmp_path):
+    """Independent replica (dict-of-grams, str slicing — no Spark, no
+    SQL) of the exact excision contract: every duplicated L-gram
+    occurrence except the corpus-wide first (ordered by (doc_id, pos))
+    is cut; cleaned text = complement of the union of cut intervals."""
+    import hashlib
+    import random
+
+    from outreach_etl_tool_spark.queries.llm import _LDS_L, dedup_span_exact_excise
+
+    rng = random.Random(23)
+    alpha = "abcdefghij "
+    boiler = "".join(rng.choice(alpha) for _ in range(150))
+    texts = {
+        0: "".join(rng.choice(alpha) for _ in range(80)) + boiler,
+        1: boiler + "".join(rng.choice(alpha) for _ in range(90)),
+        2: "".join(rng.choice(alpha) for _ in range(70)) + boiler + boiler,
+        3: "short",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # brute force: first-occurrence registry in (doc_id, pos) order
+    first_seen: set[str] = set()
+    cut: dict[int, set[int]] = {d: set() for d in texts}
+    for d in sorted(texts):
+        t = texts[d]
+        for i in range(len(t) - _LDS_L + 1):
+            g = t[i:i + _LDS_L]
+            if g in first_seen:
+                cut[d].update(range(i, i + _LDS_L))  # 0-based here
+            else:
+                first_seen.add(g)
+    # NOTE: the engine flags rank>=2 among ALL occurrences — a gram's
+    # first occurrence stays even when the gram recurs later in the
+    # SAME doc, which the sequential first_seen scan reproduces.
+    expect = {}
+    for d, t in texts.items():
+        cleaned = "".join(c for i, c in enumerate(t) if i not in cut[d])
+        expect[d] = (len(t), len(cleaned),
+                     hashlib.md5(cleaned.encode()).hexdigest())
+
+    got = {
+        r["doc_id"]: (r["n_chars"], r["kept_chars"], r["cleaned_md5"])
+        for r in dedup_span_exact_excise(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # sanity on the construction itself: doc0 keeps everything (its
+    # boiler occurrence is canonical), doc1 loses ~the boiler, doc3
+    # (shorter than L) is untouched
+    assert got[0][1] == got[0][0]
+    assert got[1][1] <= got[1][0] - 150 + (_LDS_L - 1)
+    assert got[3][1] == got[3][0]
