@@ -147,9 +147,12 @@ def main() -> None:
     )
     if prev_files:
         try:
-            prev_queries = set(
-                json.loads(prev_files[-1].read_text()).get("queries", {})
-            )
+            data = json.loads(prev_files[-1].read_text())
+            # the driver wraps the bench line: {"n", "rc", "tail",
+            # "parsed": {...the actual JSON...}} — unwrap if present
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            prev_queries = set(data.get("queries", {}))
         except Exception:  # noqa: BLE001 — comparability is best-effort
             pass
     common = {n: t for n, t in timings.items() if n in prev_queries}

@@ -1162,16 +1162,37 @@ def _excise_rebuild(docs: DataFrame, ivls: DataFrame) -> DataFrame:
     intervals pass through untouched via the left join."""
     from pyspark.sql.window import Window
 
+    # complement gaps in ONE window pass: each interval emits its
+    # leading gap, and the last interval (row_number == count; non-
+    # overlapping intervals make start-order = end-order, so its end
+    # IS the max end) additionally emits the open-ended tail gap.
+    # This replaces the union-with-groupBy formulation, whose separate
+    # aggregation re-exchanged the interval frame a second time.
     wg = Window.partitionBy("doc_id").orderBy("ivl_start")
-    gaps = ivls.select(
+    wall = Window.partitionBy("doc_id")
+    staged = ivls.select(
         "doc_id",
-        F.coalesce(F.lag("ivl_end").over(wg), F.lit(1)).alias("gs"),
-        F.col("ivl_start").alias("ge"),
-    ).unionByName(
-        ivls.groupBy("doc_id").agg(
-            F.max("ivl_end").alias("gs"), F.lit(None).cast("long").alias("ge")
-        )
+        "ivl_start",
+        "ivl_end",
+        F.coalesce(F.lag("ivl_end").over(wg), F.lit(1)).alias("prev_end"),
+        (
+            F.row_number().over(wg) == F.count(F.lit(1)).over(wall)
+        ).alias("is_last"),
     )
+    lead_gap = F.struct(
+        F.col("prev_end").alias("gs"), F.col("ivl_start").alias("ge")
+    )
+    tail_gap = F.struct(
+        F.col("ivl_end").alias("gs"), F.lit(None).cast("long").alias("ge")
+    )
+    gaps = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("is_last"), F.array(lead_gap, tail_gap)).otherwise(
+                F.array(lead_gap)
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.gs").alias("gs"), F.col("g.ge").alias("ge"))
     segs = gaps.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         "gs",

@@ -271,6 +271,13 @@ SHUFFLE_BUDGETS = {
     "ewma_smooth": 1,                 # one exchange on user_id
     "text_chunk_windows": 1,          # zero-shuffle fan-out + result sort
     "dedup_substring_spans": 3,       # 2-phase distinct agg + result sort
+    # exact variable-length span family (round 7): gram agg/window +
+    # doc-islands window + extent rollup + result sort; excise adds
+    # the complement-gap pass + per-doc rebuild joins (single-pass gap
+    # emission — the union-with-groupBy shape costs 11, fails here)
+    "dedup_span_exact_extents": 6,
+    "dedup_span_exact_excise": 9,
+    "dedup_span_excise": 9,
     "quality_mad_outliers": 3,        # mad agg + final agg + result sort
     "udtf_lateral_tokens": 1,         # lateral fan-out + result sort
     # stats agg + result sort; pair/canon joins broadcast at gate
