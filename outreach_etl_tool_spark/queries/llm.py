@@ -950,6 +950,231 @@ ORDER BY doc_id, ext_start
 """
 
 
+# L2i — WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS algorithm): from every window of w consecutive k-gram
+# hashes, keep the RIGHTMOST MINIMAL hash. Guarantee: any substring
+# match of length ≥ w+k-1 shares at least one selected fingerprint,
+# while the expected density is 2/(w+1) — an order-of-magnitude
+# cheaper index than stride-1 hashing with a provable recall floor.
+# This is the third tier of the span-dedup family: stride-16 screen
+# (cheap, alignment-sensitive) → winnowing (cheap, alignment-ROBUST)
+# → stride-1 exact (the cleaning pass).
+#
+# Cross-engine determinism: "rightmost minimal" = min by (hash asc,
+# pos desc). Both engines reduce over an ENCODED string
+# hash || lpad(10^8 - pos) — fixed-width, so lexicographic min IS the
+# (hash asc, pos desc) min, bit-identical in Spark and DuckDB with no
+# struct-ordering assumptions.
+#
+# Scale shape: k-gram fan-out (len rows/doc), ONE ordered window per
+# doc (frame = w following rows) — no self-join, no pair expansion;
+# the shared-fingerprint aggregate shuffles 32-byte keys with
+# map-side combine. Window-frame min is O(w) per row; w is a small
+# constant (8).
+_WIN_K, _WIN_W = 16, 8
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _WIN_K + _WIN_W - 1)
+    last = (F.length("text") - _WIN_K).cast("bigint")
+    grams = eligible.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    ).select(
+        "doc_id",
+        (F.col("k") + 1).alias("pos"),
+        F.md5(
+            F.col("text").substr((F.col("k") + 1).cast("int"), F.lit(_WIN_K))
+        ).alias("h"),
+    )
+    # fixed-width encoding: 32-hex md5 ++ 8-digit (10^8 - pos); string
+    # min == (hash asc, pos desc) min == rightmost minimal hash
+    enc = F.concat(
+        F.col("h"), F.format_string("%08d", (F.lit(100000000) - F.col("pos")))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    n_grams = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    windows = grams.select(
+        "doc_id",
+        "pos",
+        F.min(enc).over(wd.rowsBetween(0, _WIN_W - 1)).alias("sel"),
+        n_grams.alias("n_grams"),
+    ).filter(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)
+    fps = windows.select(
+        "doc_id",
+        F.substring("sel", 1, 32).alias("fp_hash"),
+        (
+            F.lit(100000000) - F.substring("sel", 33, 8).cast("bigint")
+        ).alias("fp_pos"),
+    ).distinct()
+    return (
+        fps.groupBy("fp_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp_hash")
+    )
+
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - {_WIN_K} AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_WIN_K + _WIN_W - 1}
+), grams AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_WIN_K})) AS h
+    FROM fanout
+), windows AS (
+    SELECT doc_id, pos,
+           MIN(h || lpad(CAST(100000000 - pos AS VARCHAR), 8, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS sel,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM grams
+), fps AS (
+    SELECT DISTINCT doc_id,
+           substr(sel, 1, 32) AS fp_hash,
+           100000000 - CAST(substr(sel, 33, 8) AS BIGINT) AS fp_pos
+    FROM windows
+    WHERE pos <= n_grams - {_WIN_W} + 1
+)
+SELECT fp_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_fps,
+       MIN(doc_id) AS first_doc
+FROM fps
+GROUP BY fp_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY fp_hash
+"""
+
+
+# L2j — TOKEN-level span dedup: Lee et al. operate on TOKEN sequences
+# (50-token threshold in the paper), not characters — token windows
+# canonicalize whitespace (the join with a single space) so documents
+# differing only in spacing/newlines still collide. Same exact
+# covering theorem as the char family, in token coordinates: a token
+# position is inside a duplicated token-run of length ≥ T ⟺ covered by
+# a duplicated T-token window. Extents report as (tok_start, tok_len)
+# in token space. Scale shape: the fan-out is n_tokens rows/doc (one
+# slice+join per window — JVM-side array ops, zero Python), md5-keyed
+# aggregate, per-doc islands; no pair expansion.
+_TOK_T = 16
+
+
+def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # explicit IsNotNull gives the scan a pushable filter (the size
+    # predicate below is post-split and can't push); null text yields
+    # no windows either way, so the oracle is unaffected
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda x: x != ""
+        ).alias("toks"),
+    ).filter(F.size("toks") >= _TOK_T)
+    last = (F.size("toks") - _TOK_T + 1).cast("bigint")
+    occ = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), last)).alias("tpos"),
+    ).select(
+        "doc_id",
+        "tpos",
+        F.md5(
+            F.array_join(
+                F.slice("toks", F.col("tpos").cast("int"), _TOK_T), " "
+            )
+        ).alias("win_hash"),
+    )
+    dup = (
+        occ.groupBy("win_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("win_hash")
+    )
+    flagged = occ.join(dup, "win_hash").select("doc_id", "tpos")
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    runs = flagged.withColumn(
+        "is_new",
+        F.when(
+            F.lag("tpos").over(w).isNull()
+            | (F.col("tpos") - F.lag("tpos").over(w) > _TOK_T),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "ext_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "ext_id")
+        .agg(
+            F.min("tpos").alias("tok_start"),
+            (F.max("tpos") - F.min("tpos") + _TOK_T).alias("tok_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "tok_start", "tok_len", "n_windows")
+        .orderBy("doc_id", "tok_start")
+    )
+
+
+DEDUP_TOKEN_SPANS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), eligible AS (
+    SELECT doc_id, toks FROM toks WHERE len(toks) >= {_TOK_T}
+), occ AS (
+    SELECT doc_id, tpos,
+           md5(array_to_string(
+               list_slice(toks, CAST(tpos AS INTEGER),
+                          CAST(tpos + {_TOK_T} - 1 AS INTEGER)), ' '))
+               AS win_hash
+    FROM eligible,
+         unnest(generate_series(1,
+             CAST(len(toks) - {_TOK_T} + 1 AS BIGINT))) AS t(tpos)
+), dup AS (
+    SELECT win_hash FROM occ GROUP BY win_hash HAVING COUNT(*) >= 2
+), flagged AS (
+    SELECT doc_id, tpos FROM occ JOIN dup USING (win_hash)
+), marked AS (
+    SELECT doc_id, tpos,
+           CASE WHEN LAG(tpos) OVER w IS NULL
+                  OR tpos - LAG(tpos) OVER w > {_TOK_T} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY tpos)
+), numbered AS (
+    SELECT doc_id, tpos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY tpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext_id
+    FROM marked
+)
+SELECT doc_id,
+       MIN(tpos) AS tok_start,
+       MAX(tpos) - MIN(tpos) + {_TOK_T} AS tok_len,
+       COUNT(*) AS n_windows
+FROM numbered
+GROUP BY doc_id, ext_id
+ORDER BY doc_id, tok_start
+"""
+
+
 # L2g — per-source duplicated-character fraction: the headline metric
 # a span-dedup pass reports ("N% of source X is boilerplate"). Runs
 # from dedup_span_runs can OVERLAP char-wise (two runs whose window
@@ -1454,6 +1679,19 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("L2", "L1", "W3", "F1"),
         doc="exact variable-length excision: non-canonical duplicated "
         "cover cut, cleaned text rebuilt byte-exactly and md5-verified",
+    ),
+    "winnow_fingerprints": QuerySpec(
+        winnow_fingerprints, WINNOW_FINGERPRINTS_SQL,
+        tags=("L2", "L1", "W3"),
+        doc="MOSS winnowing: rightmost-minimal k-gram hash per window, "
+        "2/(w+1) density with a >=w+k-1 match-recall guarantee; "
+        "encoded-string min is bit-identical cross-engine",
+    ),
+    "dedup_token_spans": QuerySpec(
+        dedup_token_spans, DEDUP_TOKEN_SPANS_SQL,
+        tags=("L2", "L1", "W3", "F6"),
+        doc="token-level Lee-et-al span dedup: whitespace-canonical "
+        "T-token windows, exact covering theorem in token coordinates",
     ),
     "text_chunk_windows": QuerySpec(
         text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),
