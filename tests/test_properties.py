@@ -4,6 +4,7 @@ driver-side (no Spark) so hypothesis can explore freely."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -354,3 +355,64 @@ def test_wav_decoder_rejects_non_pcm_and_torn_frames():
     ragged = bytes(good[:40]) + struct.pack("<I", 7) + b"\x00" * 7
     with _pytest.raises(ValueError):
         decode_wav(ragged)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_exact_extents_match_bruteforce_random_corpora(spark, tmp_path, seed):
+    """dedup_span_exact_extents against the covering-theorem brute
+    force over randomized corpora — including the adversarial shapes:
+    period-1 runs ('aaaa…' shared across docs: every gram identical,
+    maximal island merging), self-repeats within one doc, docs with no
+    duplicates, and docs shorter than L."""
+    import random
+    from collections import Counter
+
+    from outreach_etl_tool_spark.queries.llm import (
+        _LDS_L, dedup_span_exact_extents,
+    )
+
+    rng = random.Random(seed)
+    alpha = "abcdefgh "
+    shared = "".join(rng.choice(alpha) for _ in range(rng.randint(_LDS_L, 120)))
+    texts = []
+    for i in range(8):
+        pre = "".join(rng.choice("jklmno ") for _ in range(rng.randint(0, 90)))
+        mid = {
+            0: shared,                       # cross-doc duplicate
+            1: "a" * rng.randint(_LDS_L, 150),  # period-1 run
+            2: shared + shared,              # self-repeat + cross-doc
+            3: "",                           # nothing planted
+        }[i % 4]
+        post = "".join(rng.choice("pqrstu ") for _ in range(rng.randint(0, 90)))
+        texts.append(pre + mid + post)
+    texts.append("tiny")  # below L entirely
+
+    grams: Counter = Counter()
+    for t in texts:
+        for i in range(len(t) - _LDS_L + 1):
+            grams[t[i:i + _LDS_L]] += 1
+    expect: dict[int, set[int]] = {}
+    for d, t in enumerate(texts):
+        for i in range(len(t) - _LDS_L + 1):
+            if grams[t[i:i + _LDS_L]] >= 2:
+                expect.setdefault(d, set()).update(range(i + 1, i + 1 + _LDS_L))
+
+    got: dict[int, set[int]] = {}
+    rows = dedup_span_exact_extents(
+        spark, _write_docs(spark, tmp_path, texts)
+    ).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).update(
+            range(r["ext_start"], r["ext_start"] + r["ext_len"])
+        )
+    assert got == expect
+    # extents within a doc must be disjoint and separated by > 0 gap
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["ext_start"], r["ext_start"] + r["ext_len"])
+        )
+    for d, ivls in per_doc.items():
+        ivls.sort()
+        for (s1, e1), (s2, e2) in zip(ivls, ivls[1:]):
+            assert s2 > e1, (d, ivls)
