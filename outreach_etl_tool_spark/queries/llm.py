@@ -1175,6 +1175,124 @@ ORDER BY doc_id, tok_start
 """
 
 
+# L2k — INCREMENTAL span dedup: the ingest form of the exact family.
+# An established corpus maintains a GRAM-HASH store (32-byte keys —
+# the span analog of the sha256 signature store in dedup_incremental);
+# each new batch flags extents covered by grams that (a) already exist
+# in the store or (b) repeat within the batch itself. Historical TEXT
+# is never re-read — only the hash store joins — so ingest cost scales
+# with the batch, not the corpus. Same covering theorem → the flagged
+# extents are exactly the new batch's characters duplicated against
+# history-or-batch at ≥L granularity. Scale shape: store build is one
+# distinct over history grams (in production: persisted, appended per
+# batch like incremental.history_hashes); the probe is a semi-join on
+# md5 keys; islands per new doc; no pair expansion, zero Python.
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def grams(df: DataFrame) -> DataFrame:
+        eligible = df.filter(F.length("text") >= _LDS_L)
+        last = (F.length("text") - _LDS_L).cast("bigint")
+        return eligible.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+        ).select(
+            "doc_id",
+            (F.col("k") + 1).alias("pos"),
+            F.md5(
+                F.col("text").substr(
+                    (F.col("k") + 1).cast("int"), F.lit(_LDS_L)
+                )
+            ).alias("gram_hash"),
+        )
+
+    store = (
+        grams(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("gram_hash")
+        .distinct()
+    )
+    new_occ = grams(docs.filter(F.col("doc_id") % 2 == 1))
+    batch_dups = (
+        new_occ.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram_hash")
+    )
+    flagged_hashes = store.unionByName(batch_dups).distinct()
+    flagged = new_occ.join(flagged_hashes, "gram_hash", "left_semi").select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > _LDS_L),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "ext_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc_id", "ext_id")
+        .agg(
+            F.min("pos").alias("ext_start"),
+            (F.max("pos") - F.min("pos") + _LDS_L).alias("ext_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "ext_start", "ext_len", "n_grams")
+        .orderBy("doc_id", "ext_start")
+    )
+
+
+DEDUP_SPAN_INCREMENTAL_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_LDS_L})) AS gram_hash
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(LENGTH(text) - {_LDS_L} AS BIGINT))) AS k
+        FROM documents
+        WHERE LENGTH(text) >= {_LDS_L}
+    )
+), store AS (
+    SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 2 = 0
+), new_occ AS (
+    SELECT doc_id, pos, gram_hash FROM grams WHERE doc_id % 2 = 1
+), batch_dups AS (
+    SELECT gram_hash FROM new_occ GROUP BY gram_hash HAVING COUNT(*) >= 2
+), flagged AS (
+    SELECT doc_id, pos FROM new_occ
+    WHERE gram_hash IN (SELECT gram_hash FROM store)
+       OR gram_hash IN (SELECT gram_hash FROM batch_dups)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > {_LDS_L} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext_id
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS ext_start,
+       MAX(pos) - MIN(pos) + {_LDS_L} AS ext_len,
+       COUNT(*) AS n_grams
+FROM numbered
+GROUP BY doc_id, ext_id
+ORDER BY doc_id, ext_start
+"""
+
+
 # L2g — per-source duplicated-character fraction: the headline metric
 # a span-dedup pass reports ("N% of source X is boilerplate"). Runs
 # from dedup_span_runs can OVERLAP char-wise (two runs whose window
@@ -1692,6 +1810,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("L2", "L1", "W3", "F6"),
         doc="token-level Lee-et-al span dedup: whitespace-canonical "
         "T-token windows, exact covering theorem in token coordinates",
+    ),
+    "dedup_span_incremental": QuerySpec(
+        dedup_span_incremental, DEDUP_SPAN_INCREMENTAL_SQL,
+        tags=("L2", "L1", "J5", "W3", "T6"),
+        doc="incremental span dedup: new-batch extents flagged against "
+        "a historical gram-hash store (history text never re-read) "
+        "plus in-batch repeats",
     ),
     "text_chunk_windows": QuerySpec(
         text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),

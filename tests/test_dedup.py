@@ -584,3 +584,50 @@ def test_token_spans_whitespace_canonical_and_bruteforce(spark, tmp_path):
                 )
     assert got == expect
     assert 0 in got and 1 in got and 2 not in got
+
+
+def test_span_incremental_flags_history_and_batch_dups_only(spark, tmp_path):
+    """Incremental contract: new-batch (odd doc_id) extents are flagged
+    iff covered by grams in the history store (even doc_id) or repeated
+    within the batch; unique new content never flags; history docs
+    never appear in the output."""
+    import random
+
+    from outreach_etl_tool_spark.queries.llm import (
+        _LDS_L, dedup_span_incremental,
+    )
+
+    rng = random.Random(31)
+    alpha = "abcdefgh "
+    hist_boiler = "".join(rng.choice(alpha) for _ in range(100))
+    batch_boiler = "".join(rng.choice(alpha) for _ in range(90))
+    texts = {
+        0: hist_boiler + "".join(rng.choice(alpha) for _ in range(50)),  # history
+        2: "".join(rng.choice(alpha) for _ in range(120)),               # history
+        1: "".join(rng.choice("jklmn ") for _ in range(40)) + hist_boiler,  # new: dups history
+        3: batch_boiler + "".join(rng.choice("opqrs ") for _ in range(30)),  # new: dups doc 5
+        5: "".join(rng.choice("tuvwx ") for _ in range(25)) + batch_boiler,  # new: dups doc 3
+        7: "".join(rng.choice("yz12 ") for _ in range(150)),             # new: unique
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    rows = dedup_span_incremental(spark, str(tmp_path)).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in rows:
+        assert r["doc_id"] % 2 == 1  # only new-batch docs reported
+        by_doc.setdefault(r["doc_id"], set()).update(
+            range(r["ext_start"], r["ext_start"] + r["ext_len"])
+        )
+    assert 1 in by_doc and 3 in by_doc and 5 in by_doc
+    assert 7 not in by_doc                      # unique content clean
+    # doc 1's flagged extent covers its history-boiler region
+    start1 = texts[1].index(hist_boiler) + 1
+    assert set(range(start1, start1 + 100)) <= by_doc[1]
+    # doc 3 / doc 5 flag each other's shared batch boiler
+    assert set(range(1, 91)) <= by_doc[3]
+    start5 = texts[5].index(batch_boiler) + 1
+    assert set(range(start5, start5 + 90)) <= by_doc[5]
