@@ -758,9 +758,14 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = fanout.select(
         "doc_id",
         (F.col("k") * _SPAN_T + 1).alias("pos"),
-        F.md5(
-            F.col("text").substr(
-                (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+        # unhex: the hash is internal (never output), so ship the
+        # shuffle 16 raw bytes instead of 32 hex chars — halves the
+        # dominant exchange's key width; oracle equality is unaffected
+        F.unhex(
+            F.md5(
+                F.col("text").substr(
+                    (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+                )
             )
         ).alias("span_hash"),
     )
@@ -877,8 +882,13 @@ def dedup_span_exact_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = fanout.select(
         "doc_id",
         (F.col("k") + 1).alias("pos"),
-        F.md5(
-            F.col("text").substr((F.col("k") + 1).cast("int"), F.lit(_LDS_L))
+        # internal hash -> 16-byte binary keys (see dedup_span_runs)
+        F.unhex(
+            F.md5(
+                F.col("text").substr(
+                    (F.col("k") + 1).cast("int"), F.lit(_LDS_L)
+                )
+            )
         ).alias("gram_hash"),
     )
     dup = (
@@ -1094,9 +1104,12 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "tpos",
-        F.md5(
-            F.array_join(
-                F.slice("toks", F.col("tpos").cast("int"), _TOK_T), " "
+        # internal hash -> 16-byte binary keys (see dedup_span_runs)
+        F.unhex(
+            F.md5(
+                F.array_join(
+                    F.slice("toks", F.col("tpos").cast("int"), _TOK_T), " "
+                )
             )
         ).alias("win_hash"),
     )
@@ -1202,9 +1215,12 @@ def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "doc_id",
             (F.col("k") + 1).alias("pos"),
-            F.md5(
-                F.col("text").substr(
-                    (F.col("k") + 1).cast("int"), F.lit(_LDS_L)
+            # internal hash -> 16-byte binary keys (see dedup_span_runs)
+            F.unhex(
+                F.md5(
+                    F.col("text").substr(
+                        (F.col("k") + 1).cast("int"), F.lit(_LDS_L)
+                    )
                 )
             ).alias("gram_hash"),
         )
@@ -1443,9 +1459,12 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = fanout.select(
         "doc_id",
         (F.col("k") * _SPAN_T + 1).alias("pos"),
-        F.md5(
-            F.col("text").substr(
-                (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+        # internal hash -> 16-byte binary keys (see dedup_span_runs)
+        F.unhex(
+            F.md5(
+                F.col("text").substr(
+                    (F.col("k") * _SPAN_T + 1).cast("int"), F.lit(_SPAN_L)
+                )
             )
         ).alias("span_hash"),
     )
@@ -1597,8 +1616,13 @@ def dedup_span_exact_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = fanout.select(
         "doc_id",
         (F.col("k") + 1).alias("pos"),
-        F.md5(
-            F.col("text").substr((F.col("k") + 1).cast("int"), F.lit(_LDS_L))
+        # internal hash -> 16-byte binary keys (see dedup_span_runs)
+        F.unhex(
+            F.md5(
+                F.col("text").substr(
+                    (F.col("k") + 1).cast("int"), F.lit(_LDS_L)
+                )
+            )
         ).alias("gram_hash"),
     )
     wh = Window.partitionBy("gram_hash").orderBy("doc_id", "pos")
