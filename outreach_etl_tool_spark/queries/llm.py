@@ -1309,6 +1309,125 @@ ORDER BY doc_id, ext_start
 """
 
 
+# L2l — composite cleaning pipeline with EXACT span excision: the
+# shape a real pretraining-prep job runs — language gate → exact
+# variable-length excision (duplicate universe = the GATED corpus,
+# matching production where filtering precedes dedup) → drop docs
+# whose cleaned remnant is too short or mostly-duplicate → per-source
+# yield report. Pure composition of audited pieces (gate predicates
+# push to the scan; excision core is exact_span_excise_frame); the
+# report is integer char math, so the oracle matches bit-for-bit.
+_PSC_MIN_KEPT = 80
+
+
+def pipeline_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gated = docs.filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    ex = exact_span_excise_frame(gated.select("doc_id", "text"))
+    joined = gated.select("doc_id", "source").join(ex, "doc_id")
+    kept = (F.col("kept_chars") >= _PSC_MIN_KEPT) & (
+        F.col("kept_chars") * 2 >= F.col("n_chars")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(
+                "n_docs_kept"
+            ),
+            F.sum("n_chars").cast("bigint").alias("chars_in"),
+            F.sum(F.when(kept, F.col("kept_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+            F.sum(F.col("n_chars") - F.col("kept_chars"))
+            .cast("bigint")
+            .alias("dup_chars_excised"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_SPAN_CLEAN_SQL = f"""
+WITH gated AS (
+    SELECT doc_id, text, source FROM documents
+    WHERE text IS NOT NULL AND lang IN ('en', 'de', 'fr', 'es')
+), fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - {_LDS_L} AS BIGINT))) AS k
+    FROM gated
+    WHERE LENGTH(text) >= {_LDS_L}
+), occ AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_LDS_L})) AS gram_hash
+    FROM fanout
+), flagged AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram_hash
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ
+    ) WHERE rn >= 2
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > {_LDS_L} THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ivl_id
+    FROM marked
+), ivls AS (
+    SELECT doc_id, MIN(pos) AS ivl_start, MAX(pos) + {_LDS_L} AS ivl_end
+    FROM numbered GROUP BY doc_id, ivl_id
+), gaps AS (
+    SELECT doc_id,
+           COALESCE(LAG(ivl_end) OVER (PARTITION BY doc_id
+                                       ORDER BY ivl_start), 1) AS gs,
+           ivl_start AS ge
+    FROM ivls
+    UNION ALL
+    SELECT doc_id, MAX(ivl_end) AS gs, NULL AS ge
+    FROM ivls GROUP BY doc_id
+), segs AS (
+    SELECT g.doc_id, g.gs,
+           substr(d.text, CAST(g.gs AS INTEGER),
+                  CAST(COALESCE(g.ge, LENGTH(d.text) + 1) - g.gs AS INTEGER))
+               AS seg
+    FROM gaps g JOIN gated d USING (doc_id)
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, '' ORDER BY gs) AS cleaned
+    FROM segs GROUP BY doc_id
+), per_doc AS (
+    SELECT d.doc_id, d.source,
+           CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(COALESCE(r.cleaned, d.text)) AS BIGINT) AS kept_chars
+    FROM gated d LEFT JOIN rebuilt r USING (doc_id)
+), judged AS (
+    SELECT *,
+           (kept_chars >= {_PSC_MIN_KEPT} AND kept_chars * 2 >= n_chars)
+               AS kept
+    FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_in,
+       CAST(SUM(CASE WHEN kept THEN kept_chars ELSE 0 END) AS BIGINT)
+           AS chars_kept,
+       CAST(SUM(n_chars - kept_chars) AS BIGINT) AS dup_chars_excised
+FROM judged
+GROUP BY source
+ORDER BY source
+"""
+
+
 # L2g — per-source duplicated-character fraction: the headline metric
 # a span-dedup pass reports ("N% of source X is boilerplate"). Runs
 # from dedup_span_runs can OVERLAP char-wise (two runs whose window
@@ -1603,9 +1722,18 @@ def _excise_rebuild(docs: DataFrame, ivls: DataFrame) -> DataFrame:
 # window shuffle (~32× corpus bytes — the exactness price), per-doc
 # islands, per-doc rebuild, zero Python, no pair expansion.
 def dedup_span_exact_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return exact_span_excise_frame(docs)
+
+
+def exact_span_excise_frame(docs: DataFrame) -> DataFrame:
+    """Exact-excision core over an arbitrary documents frame (doc_id,
+    text, ...): returns (doc_id, n_chars, kept_chars, cleaned_md5).
+    The duplicate universe is the INPUT frame — callers that gate the
+    corpus first (pipeline_span_clean) get excision relative to the
+    gated corpus, mirrored in their oracles."""
     from pyspark.sql.window import Window
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     eligible = docs.filter(F.length("text") >= _LDS_L)
     last = (F.length("text") - _LDS_L).cast("bigint")
     fanout = eligible.select(
@@ -1841,6 +1969,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="incremental span dedup: new-batch extents flagged against "
         "a historical gram-hash store (history text never re-read) "
         "plus in-batch repeats",
+    ),
+    "pipeline_span_clean": QuerySpec(
+        pipeline_span_clean, PIPELINE_SPAN_CLEAN_SQL,
+        tags=("L2", "L1", "L4", "P5", "A2", "F1"),
+        doc="composite cleaning: lang gate -> exact span excision over "
+        "the gated corpus -> drop short/mostly-dup remnants -> "
+        "per-source yield report, integer-exact",
     ),
     "text_chunk_windows": QuerySpec(
         text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL, tags=("L4", "F6"),
