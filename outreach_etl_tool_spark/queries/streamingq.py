@@ -822,7 +822,114 @@ SELECT doc_id, lang, source, n_chars FROM (
 """
 
 
+def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6c/L2k: streaming span-aware ingest under the oracle gate.
+    Each doc_id-ranged micro-batch is annotated with duplicated-char
+    extents relative to earlier batches (gram store probe) plus
+    in-batch repeats (see streams.span_ingest_sink). Because the
+    replay's three batch boundaries are a pure function of
+    max(doc_id) (m//3, 2m//3 — `_build_docs_replay`), the oracle can
+    recompute batch membership and replicate the flag rule exactly:
+    first_batch(gram) < batch(doc) OR in-batch count >= 2."""
+    import tempfile as _tf
+
+    from ..streaming.streams import span_ingest_sink
+
+    replay = _build_docs_replay(spark, sf_dir)
+    docs = (
+        spark.readStream.schema(_DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{replay}/s*/part-*.json")
+    )
+    table_path = _tf.mkdtemp(prefix="stream_span_table_")
+    store_path = _tf.mkdtemp(prefix="stream_span_store_")
+    ckpt = _tf.mkdtemp(prefix="stream_span_ckpt_")
+    q = (
+        span_ingest_sink(docs, table_path, store_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+
+    from ..sinks.manifest import ManifestTable
+
+    return (
+        ManifestTable(table_path)
+        .read(spark)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "source", "n_chars", "dup_chars", "n_extents")
+        .orderBy("doc_id")
+    )
+
+
+STREAM_SPAN_INGEST_SQL = """
+WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+assigned AS (
+    SELECT doc_id, text, source, n_chars,
+           CASE WHEN doc_id <= mx // 3 THEN 0
+                WHEN doc_id <= (2 * mx) // 3 THEN 1
+                ELSE 2 END AS batch
+    FROM documents CROSS JOIN m
+), fanout AS (
+    SELECT doc_id, batch, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - 64 AS BIGINT))) AS k
+    FROM assigned
+    WHERE LENGTH(text) >= 64
+), grams AS (
+    SELECT doc_id, batch, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), 64)) AS h
+    FROM fanout
+), hb AS (
+    SELECT h, batch, COUNT(*) AS c FROM grams GROUP BY h, batch
+), firstb AS (
+    SELECT h, MIN(batch) AS fb FROM hb GROUP BY h
+), flagged AS (
+    SELECT g.doc_id, g.pos
+    FROM grams g
+    JOIN firstb f ON f.h = g.h
+    JOIN hb ON hb.h = g.h AND hb.batch = g.batch
+    WHERE f.fb < g.batch OR hb.c >= 2
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > 64 THEN 1
+                ELSE 0 END AS is_new
+    FROM flagged
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext_id
+    FROM marked
+), extents AS (
+    SELECT doc_id, MAX(pos) - MIN(pos) + 64 AS ext_len
+    FROM numbered GROUP BY doc_id, ext_id
+), stats AS (
+    SELECT doc_id,
+           CAST(SUM(ext_len) AS BIGINT) AS dup_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_extents
+    FROM extents GROUP BY doc_id
+)
+SELECT a.doc_id, a.source, a.n_chars,
+       COALESCE(s.dup_chars, 0) AS dup_chars,
+       COALESCE(s.n_extents, 0) AS n_extents
+FROM assigned a LEFT JOIN stats s USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_span_ingest": QuerySpec(
+        stream_span_ingest,
+        STREAM_SPAN_INGEST_SQL,
+        tags=("T6", "L2", "L1", "W3"),
+        doc="streaming span-aware ingest: per-batch duplicated-extent "
+        "annotation vs a persistent gram store + in-batch repeats, "
+        "exact-oracled via the deterministic batch boundaries",
+    ),
     "stream_latedrop_tumbling": QuerySpec(
         stream_latedrop_tumbling,
         STREAM_LATEDROP_TUMBLING_SQL,

@@ -20,6 +20,7 @@ from .streams import (
     stream_dedup,
     tumbling_counts,
     dedup_ingest_sink,
+    span_ingest_sink,
     manifest_upsert_sink,
     upsert_sink,
 )
@@ -37,4 +38,5 @@ __all__ = [
     "upsert_sink",
     "manifest_upsert_sink",
     "dedup_ingest_sink",
+    "span_ingest_sink",
 ]

@@ -507,3 +507,128 @@ def manifest_upsert_sink(
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
     )
+
+
+def span_ingest_sink(
+    docs: DataFrame,
+    table_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 64,
+):
+    """Streaming SPAN-aware corpus ingest (the stream form of
+    `queries.llm.dedup_span_incremental`): each micro-batch's documents
+    are annotated with their duplicated-char extents relative to
+    everything ingested BEFORE them plus in-batch repeats, then
+    appended; the batch's distinct gram hashes append to a persistent
+    GRAM STORE so historical text is never re-read — per-batch cost
+    scales with the batch and the store's hash count, not the corpus
+    text.
+
+    Flag rule per gram occurrence (exactly the incremental covering
+    rule): the gram exists in the store (some earlier batch contained
+    it) OR it occurs ≥ 2 times within the current batch. Flagged
+    positions chain into maximal extents (gap > min_len islands —
+    equal-length intervals make islands the interval union), and each
+    doc lands with (dup_chars, n_extents) alongside its metadata.
+    Documents are annotated, not dropped — retention policy is the
+    reader's choice (see pipeline_span_clean for the batch form).
+
+    Durability note: the doc table and the gram store are two manifest
+    tables appended sequentially; a crash between the two appends can
+    leave one batch's grams missing until the checkpoint replays the
+    batch (appends are content-idempotent for the store — a replay
+    re-derives the same distinct hashes — and the replayed doc rows
+    are deduplicated by doc_id at read time in the query wrapper). A
+    production deployment would commit both under one snapshot.
+    """
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as SW
+
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+    store_table = ManifestTable(store_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        eligible = batch.filter(SF.length(text_col) >= min_len)
+        last = (SF.length(text_col) - min_len).cast("bigint")
+        grams = eligible.select(
+            SF.col(id_col),
+            SF.col(text_col),
+            SF.explode(
+                SF.sequence(SF.lit(0).cast("bigint"), last)
+            ).alias("k"),
+        ).select(
+            SF.col(id_col),
+            (SF.col("k") + 1).alias("pos"),
+            SF.unhex(
+                SF.md5(
+                    SF.col(text_col).substr(
+                        (SF.col("k") + 1).cast("int"), SF.lit(min_len)
+                    )
+                )
+            ).alias("gram_hash"),
+        )
+        if store_table.exists():
+            store = store_table.read(spark).select("gram_hash")
+        else:
+            store = spark.createDataFrame([], "gram_hash binary")
+        batch_dups = (
+            grams.groupBy("gram_hash")
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .filter(SF.col("n") >= 2)
+            .select("gram_hash")
+        )
+        flagged_hashes = store.unionByName(batch_dups).distinct()
+        flagged = grams.join(
+            flagged_hashes, "gram_hash", "left_semi"
+        ).select(id_col, "pos")
+        w = SW.partitionBy(id_col).orderBy("pos")
+        extents = (
+            flagged.withColumn(
+                "is_new",
+                SF.when(
+                    SF.lag("pos").over(w).isNull()
+                    | (SF.col("pos") - SF.lag("pos").over(w) > min_len),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "ext_id",
+                SF.sum("is_new").over(
+                    w.rowsBetween(SW.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy(id_col, "ext_id")
+            .agg(
+                (
+                    SF.max("pos") - SF.min("pos") + min_len
+                ).alias("ext_len"),
+            )
+            .groupBy(id_col)
+            .agg(
+                SF.sum("ext_len").cast("bigint").alias("dup_chars"),
+                SF.count(SF.lit(1)).cast("bigint").alias("n_extents"),
+            )
+        )
+        out = (
+            batch.select(id_col, "lang", "source", "n_chars")
+            .join(extents, id_col, "left")
+            .fillna(0, subset=["dup_chars", "n_extents"])
+        )
+        table.append(out)
+        new_grams = grams.select("gram_hash").distinct().join(
+            store, "gram_hash", "left_anti"
+        )
+        if not new_grams.isEmpty():
+            store_table.append(new_grams)
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )

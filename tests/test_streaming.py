@@ -782,3 +782,75 @@ def test_timer_sessionize_matches_builtin_session_window(spark, tmp_path):
     assert custom == builtin
     # sanity: the fixture exercised all three session shapes
     assert len(custom) == 3
+
+
+def test_span_ingest_sink_annotates_extents_per_batch(spark, tmp_path):
+    """Span-aware ingest: batch-2 docs duplicating batch-1 content are
+    annotated with the duplicated extent; in-batch repeats flag within
+    their own batch; unique docs annotate 0; the gram store grows only
+    by new hashes (idempotent distinct append)."""
+    import json as _json
+    import os
+    import random
+
+    from outreach_etl_tool_spark.sinks import ManifestTable
+
+    rng = random.Random(41)
+    alpha = "abcdefgh "
+    boiler = "".join(rng.choice(alpha) for _ in range(100))
+    fresh1 = "".join(rng.choice("jklmn ") for _ in range(120))
+    fresh2 = "".join(rng.choice("opqrs ") for _ in range(110))
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def doc(did, text):
+        return {"doc_id": did, "source": "web", "lang": "en",
+                "text": text, "n_chars": len(text)}
+
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        doc(1, fresh1 + boiler),     # establishes boiler grams
+        doc(2, fresh2),              # unique
+    ]))
+    os.utime(src / "b1.json", (1_000_100_000, 1_000_100_000))
+    b2_self = "x" * 0 + boiler  # will appear at pos 31 in doc 11
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
+        doc(11, "".join(rng.choice("tuvw ") for _ in range(30)) + b2_self),
+        doc(12, "".join(rng.choice("yz12 ") for _ in range(140))),  # unique
+    ]))
+    os.utime(src / "b2.json", (1_000_100_060, 1_000_100_060))
+
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    target = str(tmp_path / "corpus")
+    store = str(tmp_path / "gramstore")
+    q = (
+        ST.span_ingest_sink(stream, target, store, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["doc_id"]: r for r in ManifestTable(target).read(spark).collect()}
+    assert set(rows) == {1, 2, 11, 12}
+    # batch-1 docs see an empty store and have no in-batch repeats
+    assert rows[1]["dup_chars"] == 0 and rows[2]["dup_chars"] == 0
+    # doc 11's boiler (100 chars at offset 30) is store-flagged: the
+    # extent covers exactly those 100 chars
+    assert rows[11]["dup_chars"] == 100 and rows[11]["n_extents"] == 1
+    assert rows[12]["dup_chars"] == 0 and rows[12]["n_extents"] == 0
+
+    # store holds each distinct gram once: re-counting grams of all
+    # docs >= store rows (store deduped), and every boiler gram is in
+    store_df = ManifestTable(store).read(spark)
+    n_store = store_df.count()
+    assert n_store == store_df.distinct().count()
+    assert n_store > 0
