@@ -853,12 +853,21 @@ def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q.exception() is not None:
         raise q.exception()
 
+    from pyspark.sql.window import Window
+
     from ..sinks.manifest import ManifestTable
 
+    # read-time doc_id dedup keeps the MINIMUM (dup_chars, n_extents)
+    # row: a checkpoint replay that re-annotates a batch AFTER its own
+    # grams landed in the store can only inflate dup_chars (self-
+    # flagging), so min deterministically recovers the original
+    # annotation (see span_ingest_sink's durability note)
+    wmin = Window.partitionBy("doc_id").orderBy("dup_chars", "n_extents")
     return (
         ManifestTable(table_path)
         .read(spark)
-        .dropDuplicates(["doc_id"])
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars", "dup_chars", "n_extents")
         .orderBy("doc_id")
     )

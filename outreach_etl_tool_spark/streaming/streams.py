@@ -537,12 +537,16 @@ def span_ingest_sink(
     reader's choice (see pipeline_span_clean for the batch form).
 
     Durability note: the doc table and the gram store are two manifest
-    tables appended sequentially; a crash between the two appends can
-    leave one batch's grams missing until the checkpoint replays the
-    batch (appends are content-idempotent for the store — a replay
-    re-derives the same distinct hashes — and the replayed doc rows
-    are deduplicated by doc_id at read time in the query wrapper). A
-    production deployment would commit both under one snapshot.
+    tables appended sequentially (docs first). Crash windows under
+    checkpoint replay: (a) before the doc append — clean re-run; (b)
+    between the appends — the replay recomputes against a store that
+    still lacks this batch's grams, producing BYTE-IDENTICAL doc rows
+    (read-time doc_id dedup collapses them) and the store append is
+    distinct-idempotent; (c) after both appends — the replay sees its
+    own grams in the store and can only INFLATE dup_chars, so the
+    query wrapper's min-(dup_chars, n_extents)-per-doc pick recovers
+    the original annotation deterministically. A production
+    deployment would instead commit both tables under one snapshot.
     """
     from pyspark.sql import functions as SF
     from pyspark.sql.window import Window as SW
