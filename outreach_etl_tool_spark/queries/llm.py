@@ -1002,7 +1002,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     # fixed-width encoding: 32-hex md5 ++ 8-digit (10^8 - pos); string
-    # min == (hash asc, pos desc) min == rightmost minimal hash
+    # min == (hash asc, pos desc) min == rightmost minimal hash.
+    # Width contract: valid for docs < 10^8 chars (100 MB of text in
+    # ONE document) — beyond that the pad overflows and both engines
+    # would need a wider field; document scans chunk long before that
     enc = F.concat(
         F.col("h"), F.format_string("%08d", (F.lit(100000000) - F.col("pos")))
     )
