@@ -141,9 +141,17 @@ def main() -> None:
     # masquerade as regressions). The previous round is the highest-
     # numbered committed BENCH_r*.json.
     prev_queries: set[str] = set()
+    def _round_no(p: Path) -> int:
+        m = re.search(r"_r(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
     prev_files = sorted(
-        Path(__file__).resolve().parent.glob("BENCH_r*.json"),
-        key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)),
+        (
+            p
+            for p in Path(__file__).resolve().parent.glob("BENCH_r*.json")
+            if _round_no(p) >= 0
+        ),
+        key=_round_no,
     )
     if prev_files:
         try:

@@ -1093,10 +1093,13 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit IsNotNull gives the scan a pushable filter (the size
     # predicate below is post-split and can't push); null text yields
     # no windows either way, so the oracle is unaffected
+    # explicit ASCII whitespace class, identical bytes in both regex
+    # dialects: Java \s includes \x0B but RE2's (DuckDB) does not, so
+    # a bare \s+ would tokenize vertical-tab-separated text differently
     toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.filter(
-            F.split(F.col("text"), r"\s+"), lambda x: x != ""
+            F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
         ).alias("toks"),
     ).filter(F.size("toks") >= _TOK_T)
     last = (F.size("toks") - _TOK_T + 1).cast("bigint")
@@ -1150,7 +1153,7 @@ def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_TOKEN_SPANS_SQL = f"""
 WITH toks AS (
     SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'),
+           list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> x <> '') AS toks
     FROM documents
 ), eligible AS (

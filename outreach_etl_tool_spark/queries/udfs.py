@@ -413,8 +413,10 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic user sample (mirrored in the oracle): the EWMA
         # recurrence is per-user, so a key-sampled cohort exercises the
         # identical semantics while keeping the oracle's recursive-CTE
-        # frame (the registry's largest) canonicalization-cheap
-        .filter(F.col("user_id") % 20 == 0)
+        # frame (the registry's largest) canonicalization-cheap. 1-in-5
+        # keeps 20% of users under the gate — a 5x frame reduction
+        # without giving up most of the validation surface
+        .filter(F.col("user_id") % 5 == 0)
         .groupBy("user_id")
         .applyInPandas(_ewma_group, _EWMA_SCHEMA)
     )
@@ -426,7 +428,7 @@ WITH RECURSIVE ordered AS (
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn
     FROM events
-    WHERE value IS NOT NULL AND user_id % 20 = 0
+    WHERE value IS NOT NULL AND user_id % 5 = 0
 ), walk AS (
     SELECT event_id, user_id, ts, value, value AS ewma, rn
     FROM ordered WHERE rn = 1

@@ -4,11 +4,18 @@ The driver ships sf0.001/sf0.01/sf0.1; sub-linearity claims need a
 third point above the largest shipped scale. ``build_documents_slice``
 manufactures one deterministically from the sf0.1 documents table:
 N replicas, each offsetting doc_id by a stride and perturbing the text
-with a shingle-set bijection (identity / reverse / vowel-translate).
-Within a replica the duplicate-pair structure of the original corpus
-is preserved; across replicas no near-dups are introduced — so the
-duplicate graph grows ~linearly (N×), exactly the regime where
-super-linear operator cost has nowhere to hide.
+with a length-preserving transform (identity / reverse /
+vowel-translate). Within a replica the duplicate-pair structure of
+the original corpus is preserved exactly. Across replicas the
+transforms are fixed-point-free for natural-language grams — but not
+universally: a vowel-free gram (digit/consonant/separator runs) is a
+fixed point of the translate, and a palindromic gram (single-char
+runs) of the reverse, so such grams DO collide across replicas. On
+the shipped prose-like corpus these are negligible and the duplicate
+graph grows ~linearly (N×) — the regime where super-linear operator
+cost has nowhere to hide; for corpora dominated by separator art or
+numeric tables the slice would overstate duplication, and a salt
+inserted per replica would be the fix.
 
 Shared by tests/test_scaling.py (assertion form) and
 tools/gen_scaling.py (committed SCALING.md table form) so both read

@@ -560,6 +560,10 @@ def span_ingest_sink(
         spark = batch.sparkSession
         eligible = batch.filter(SF.length(text_col) >= min_len)
         last = (SF.length(text_col) - min_len).cast("bigint")
+        # persist the gram fan-out: it feeds the in-batch-dup
+        # aggregate, the flag semi-join, AND the store delta — without
+        # the persist each consumer would redo the explode+md5 pass
+        # over the batch (the cost the docstring promises to pay once)
         grams = eligible.select(
             SF.col(id_col),
             SF.col(text_col),
@@ -576,7 +580,7 @@ def span_ingest_sink(
                     )
                 )
             ).alias("gram_hash"),
-        )
+        ).persist()
         if store_table.exists():
             store = store_table.read(spark).select("gram_hash")
         else:
@@ -619,17 +623,26 @@ def span_ingest_sink(
                 SF.count(SF.lit(1)).cast("bigint").alias("n_extents"),
             )
         )
+        # generic metadata passthrough: every non-text input column
+        # rides along, so the id_col/text_col knobs work for any
+        # document-shaped stream, not just the reference schema
+        meta_cols = [c for c in batch.columns if c != text_col]
         out = (
-            batch.select(id_col, "lang", "source", "n_chars")
+            batch.select(*meta_cols)
             .join(extents, id_col, "left")
             .fillna(0, subset=["dup_chars", "n_extents"])
         )
         table.append(out)
-        new_grams = grams.select("gram_hash").distinct().join(
-            store, "gram_hash", "left_anti"
+        new_grams = (
+            grams.select("gram_hash")
+            .distinct()
+            .join(store, "gram_hash", "left_anti")
+            .persist()
         )
         if not new_grams.isEmpty():
             store_table.append(new_grams)
+        new_grams.unpersist()
+        grams.unpersist()
 
     return (
         docs.writeStream.foreachBatch(merge_batch)
