@@ -275,7 +275,93 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# T1b/W1 — OHLC time-series resample: the financial/telemetry
+# downsampling operator — per (user, 6-hour epoch-aligned bucket):
+# open/close = the first/last value in the bucket's (ts, event_id)
+# total order, high/low = extrema, n_events = volume. Pure value
+# PICKING (no float arithmetic), so the oracle matches bit-for-bit
+# with zero decimal gymnastics. Plan shape: both row_numbers and the
+# final aggregate share ONE (user_id, bucket) hash partitioning —
+# a single exchange; Spark's epoch-aligned `window()` equals
+# day-trunc + 6h*floor(hour/6) because 21600 divides 86400.
+def evt_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    b = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.window("ts", "6 hours").start.alias("bucket_start"),
+    )
+    w = Window.partitionBy("user_id", "bucket_start")
+    ranked = b.select(
+        "user_id",
+        "bucket_start",
+        "value",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number()
+        .over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("user_id", "bucket_start")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias(
+                "open_value"
+            ),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+                "close_value"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
+EVT_OHLC_RESAMPLE_SQL = """
+WITH ranked AS (
+    SELECT user_id,
+           DATE_TRUNC('day', ts)
+               + (CAST(EXTRACT(hour FROM ts) AS BIGINT) // 6)
+                 * INTERVAL 6 HOUR AS bucket_start,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY user_id,
+               DATE_TRUNC('day', ts)
+                   + (CAST(EXTRACT(hour FROM ts) AS BIGINT) // 6)
+                     * INTERVAL 6 HOUR
+               ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY user_id,
+               DATE_TRUNC('day', ts)
+                   + (CAST(EXTRACT(hour FROM ts) AS BIGINT) // 6)
+                     * INTERVAL 6 HOUR
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+    WHERE value IS NOT NULL
+)
+SELECT user_id, bucket_start,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY user_id, bucket_start
+ORDER BY user_id, bucket_start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_ohlc_resample": QuerySpec(
+        evt_ohlc_resample, EVT_OHLC_RESAMPLE_SQL, tags=("T1", "W1", "A2"),
+        doc="OHLC downsample per (user, 6h epoch bucket): first/last by "
+        "total order + extrema, value-picking only — bit-exact oracle",
+    ),
     "evt_tumbling": QuerySpec(evt_tumbling, EVT_TUMBLING_SQL, tags=("T1",), bench=True),
     "evt_retention": QuerySpec(
         evt_retention, EVT_RETENTION_SQL, tags=("A2", "A3", "F2", "J2"),

@@ -276,6 +276,9 @@ SHUFFLE_BUDGETS = {
     # the complement-gap pass + per-doc rebuild joins (single-pass gap
     # emission — the union-with-groupBy shape costs 11, fails here)
     "dedup_span_exact_extents": 6,
+    # both row_number windows + the final agg share one (user, bucket)
+    # partitioning; second slot is the result range sort
+    "evt_ohlc_resample": 2,
     "dedup_span_exact_excise": 9,
     "dedup_span_excise": 9,
     "quality_mad_outliers": 3,        # mad agg + final agg + result sort
