@@ -1434,6 +1434,126 @@ ORDER BY source
 """
 
 
+# L2m — EXACT set-similarity self-join via prefix filtering (the
+# PPJoin family, Xiao et al. 2008): all doc pairs with token-set
+# Jaccard ≥ τ, EXACTLY — the deterministic complement to MinHash-LSH
+# (probabilistic recall) and n-gram Jaccard (posting-list n²). The
+# prefix-filter lemma: order every doc's tokens by one global rank
+# (document frequency asc, token asc — rarest first); if
+# |x∩y| ≥ t then the first |x|-t+1 tokens of x and |y|-t+1 of y share
+# a token. Jaccard ≥ τ forces overlap ≥ ⌈τ·max(|x|,|y|)⌉, so pairs
+# need only be generated from PREFIX token collisions — and because
+# prefixes keep the RAREST tokens, the hot-token posting blowup of
+# naive token joins never materializes (a stopword lands in a prefix
+# only for docs short enough that it ranks rare — the skew is bounded
+# by construction, no cap needed). Candidates then verify with one
+# exact integer test (10·|∩| ≥ 9·|∪| for τ=0.9) — no floats until the
+# final reported ratio. Scale shape: token df is one agg; the rank is
+# one per-doc window; the candidate join is keyed by rare tokens; the
+# verify re-joins token arrays by doc_id (melt-join discipline —
+# candidate pairs shuffle as id pairs, never arrays). The oracle is
+# the O(n²) exact pair join, same gate as sim_knn_join.
+_SSJ_NUM, _SSJ_DEN = 9, 10  # τ = 9/10 = 0.9
+
+
+def dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+"),
+                    lambda x: x != "",
+                )
+            ).alias("s"),
+        )
+        .filter(F.size("s") > 0)
+    )
+    sized = toks.select("doc_id", F.size("s").cast("bigint").alias("n"), "s")
+    tok = sized.select("doc_id", "n", F.explode("s").alias("token"))
+    df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    # prefix length |x| - ceil(τ|x|) + 1; ceil(3n/5) = (3n+4) div 5
+    prefix = (
+        tok.join(df_tok, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.expr(f"({_SSJ_NUM}*n + {_SSJ_DEN - 1}) div {_SSJ_DEN}") + 1
+        )
+        .select("doc_id", "n", "token")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: τ|a| ≤ |b| ≤ |a|/τ, in integers
+            & (_SSJ_DEN * F.col("a.n") >= _SSJ_NUM * F.col("b.n"))
+            & (_SSJ_DEN * F.col("b.n") >= _SSJ_NUM * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = cands.join(
+        toks.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
+        "id_a",
+    )
+    vb = va.join(
+        toks.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+        "id_b",
+    )
+    scored = vb.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_inter"),
+        (
+            F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+        )
+        .cast("bigint")
+        .alias("n_union"),
+    )
+    return (
+        scored.filter(
+            _SSJ_DEN * F.col("n_inter") >= _SSJ_NUM * F.col("n_union")
+        )
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_SETSIM_JOIN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(list_filter(
+               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+               x -> x <> '')) AS s
+    FROM documents
+    WHERE text IS NOT NULL
+), nonempty AS (
+    SELECT doc_id, s, len(s) AS n FROM toks WHERE len(s) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+           CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS BIGINT)
+               AS n_union
+    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_inter, n_union,
+       n_inter / n_union AS jaccard
+FROM pairs
+WHERE {_SSJ_DEN} * n_inter >= {_SSJ_NUM} * n_union
+ORDER BY id_a, id_b
+"""
+
+
 # L2g — per-source duplicated-character fraction: the headline metric
 # a span-dedup pass reports ("N% of source X is boilerplate"). Runs
 # from dedup_span_runs can OVERLAP char-wise (two runs whose window
@@ -1975,6 +2095,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="incremental span dedup: new-batch extents flagged against "
         "a historical gram-hash store (history text never re-read) "
         "plus in-batch repeats",
+    ),
+    "dedup_setsim_join": QuerySpec(
+        dedup_setsim_join, DEDUP_SETSIM_JOIN_SQL,
+        tags=("L2", "J1", "W1", "F6"),
+        doc="exact Jaccard>=0.9 set-similarity self-join via PPJoin "
+        "prefix filtering (rarest-token prefixes, integer verify); "
+        "oracle is the O(n^2) exact pair join",
     ),
     "pipeline_span_clean": QuerySpec(
         pipeline_span_clean, PIPELINE_SPAN_CLEAN_SQL,

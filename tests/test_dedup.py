@@ -631,3 +631,44 @@ def test_span_incremental_flags_history_and_batch_dups_only(spark, tmp_path):
     assert set(range(1, 91)) <= by_doc[3]
     start5 = texts[5].index(batch_boiler) + 1
     assert set(range(start5, start5 + 90)) <= by_doc[5]
+
+
+def test_setsim_join_threshold_boundary_and_prefix_recall(spark, tmp_path):
+    """Exact τ=0.9 semantics at the boundary: a pair at Jaccard
+    exactly 0.9 is included (>=, integer gate), just below is
+    excluded; the prefix filter loses nothing (result equals the
+    definitionally-computed pair set)."""
+    from itertools import combinations
+
+    from outreach_etl_tool_spark.queries.llm import dedup_setsim_join
+
+    # doc 0: tokens t0..t9 (10); doc 1: t0..t8 (9) -> inter 9, union
+    # 10, J = 0.9 exactly -> IN. doc 2: t0..t8 + u (10) vs doc 0:
+    # inter 9, union 11, J = 9/11 -> OUT. doc 2 vs doc 1: inter 9,
+    # union 10 -> IN.
+    texts = {
+        0: " ".join(f"t{i}" for i in range(10)),
+        1: " ".join(f"t{i}" for i in range(9)),
+        2: " ".join(f"t{i}" for i in range(9)) + " u0",
+        3: " ".join(f"z{i}" for i in range(10)),  # unrelated
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup_setsim_join(spark, str(tmp_path)).collect()
+    }
+
+    # definitional replica
+    sets = {d: set(t.split()) for d, t in texts.items()}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 10 * inter >= 9 * union:
+            expect[(a, b)] = (inter, union)
+    assert got == expect
+    assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
