@@ -1478,6 +1478,11 @@ def dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     # prefix length |x| - ceil(τ|x|) + 1; ceil(3n/5) = (3n+4) div 5
+    # localCheckpoint (same discipline as graph.py / dedup/cluster.py):
+    # the prefix relation feeds BOTH sides of the candidate self-join,
+    # and Spark does not reuse the exchange across the aliases — the
+    # checkpoint materializes the df-agg + rank pipeline once instead
+    # of twice (audited: 16 → single-digit exchanges)
     prefix = (
         tok.join(df_tok, "token")
         .withColumn("rn", F.row_number().over(w))
@@ -1486,6 +1491,7 @@ def dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.expr(f"({_SSJ_NUM}*n + {_SSJ_DEN - 1}) div {_SSJ_DEN}") + 1
         )
         .select("doc_id", "n", "token")
+        .localCheckpoint()
     )
     cands = (
         prefix.alias("a")

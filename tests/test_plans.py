@@ -279,6 +279,9 @@ SHUFFLE_BUDGETS = {
     # both row_number windows + the final agg share one (user, bucket)
     # partitioning; second slot is the result range sort
     "evt_ohlc_resample": 2,
+    # post-checkpoint segment (graph-family discipline): candidate
+    # self-join both sides + distinct + two verify joins + result sort
+    "dedup_setsim_join": 7,
     "dedup_span_exact_excise": 9,
     "dedup_span_excise": 9,
     "quality_mad_outliers": 3,        # mad agg + final agg + result sort
