@@ -1453,6 +1453,14 @@ ORDER BY source
 # verify re-joins token arrays by doc_id (melt-join discipline —
 # candidate pairs shuffle as id pairs, never arrays). The oracle is
 # the O(n²) exact pair join, same gate as sim_knn_join.
+#
+# Output-size caveat (SCALING.md context): the RESULT is the set of
+# qualifying pairs, which is inherently quadratic in near-dup cluster
+# size — on the test corpus 10× docs yields ~107× pairs (9 020 →
+# 964 854), so the measured 7× wall-clock is strongly SUB-linear in
+# the true output-driven work. At 100 TB you do not materialize the
+# pair list: feed it straight into cluster resolution
+# (dedup/cluster.py) where each cluster collapses to one row.
 _SSJ_NUM, _SSJ_DEN = 9, 10  # τ = 9/10 = 0.9
 
 
