@@ -858,21 +858,169 @@ ORDER BY doc_id, span_start
 # suffix-array answer with one md5-keyed aggregate — no suffix
 # sorting, no pair expansion, map-side combinable.
 #
-# Scale shape: fan-out is len(text) rows/doc (the price of exactness —
-# the stride-16 family is the cheap screen, THIS is the cleaning
-# pass), each row (16B hash, 8B doc, 8B pos) ≈ 32× corpus bytes
-# through one exchange; linear, skew-free (hash keys), zero Python.
+# Scale shape: the stride-1 fan-out is len(text) rows/doc, each row
+# (16B hash, 8B doc, 8B pos) ≈ 32× corpus bytes through one exchange —
+# the price of exactness — so it runs ONLY over documents flagged by
+# the sound winnowing screen (_winnow_screen_ids: shuffle-free k-gram
+# winnowing, ~6% fingerprint density, provably misses nothing ≥ L).
+# On a mostly-clean corpus the 32× exchange touches only the dup-
+# bearing tail; worst case (everything duplicated) degrades to the
+# unscreened cost plus the screen's one small exchange.  Linear,
+# skew-free (hash keys), zero Python.
 # Because all intervals share length L, interval union degenerates to
 # gaps-and-islands on start positions (new extent ⟺ gap > L) — end
 # positions are monotone in starts, so no running-max pass is needed.
 _LDS_L = 64
+
+# Screen parameters for the stride-1 tier (see _winnow_screen_ids):
+# k-gram size and winnowing window, chosen so the guarantee threshold
+# t = K + W - 1 = 64 ≤ _LDS_L — every duplicated substring of length
+# ≥ L is ≥ t, so the screen can never miss a document the exact pass
+# would report.  K is deliberately LARGE (half of L): the screen's
+# false-flag rate is the probability two docs share a selected
+# K-char substring WITHOUT sharing an L-char one, and short grams
+# (common phrases) make that near-certain on natural text — K=32
+# keeps accidental flags rare while W=33 keeps the guarantee tight
+# at exactly t = L.  Fingerprint density is ~2/(W+1) ≈ 6%.
+_SCR_K, _SCR_W = 32, 33
+assert _SCR_K + _SCR_W - 1 <= _LDS_L
+
+
+def _winnow_screen_ids(eligible: DataFrame) -> DataFrame:
+    """Sound document screen for the exact (stride-1) span-dedup tier.
+
+    Returns a DataFrame[doc_id] that is a SUPERSET of the documents
+    containing any duplicated substring of length ≥ _LDS_L, computed
+    WITHOUT the stride-1 fan-out exchange.  Soundness proof:
+
+      * Winnowing guarantee (Schleimer–Wilkerson–Aiken 2003, thm 2):
+        for any two matching substrings of length ≥ t = K + W − 1,
+        at least one k-gram is fingerprinted in BOTH occurrences.
+        With K=32, W=33, t = 64 ≤ L = 64, so every duplicated
+        ≥L-substring pair shares a fingerprint hash VALUE.
+      * The two occurrences start at different positions a ≠ b, and
+        the shared fingerprint sits at the same relative offset o in
+        both (ties inside a window are broken by position, and tied
+        hashes have identical relative order in matching windows),
+        so it yields two DISTINCT (doc_id, pos) fingerprint rows
+        a+o ≠ b+o — within-doc and overlapping duplicates included.
+      * Hence every doc the exact pass would flag contains a
+        fingerprint hash with global occurrence count ≥ 2, and —
+        conversely — every occurrence of a duplicated L-gram lives in
+        a screened doc, so computing the exact pass's dup-hash set
+        over screened docs ONLY is identical to computing it over the
+        full corpus.  (Pinned by test_span_screen_* in
+        tests/test_dedup.py: gated output ≡ ungated output.)
+
+    The screen hashes with a polynomial rolling hash, not md5: a
+    collision can only make two DIFFERENT grams look equal, i.e. ADD
+    a flagged doc — never remove one — and matching regions have
+    identical hash sequences under any content-determined hash, so
+    the common-fingerprint argument above is hash-function-agnostic.
+
+    Implementation note: this is the span family's one Arrow kernel
+    (minhash.py discipline).  The pure-expression alternative
+    (transform/slice/array_min over per-position structs) is
+    CodegenFallback — Spark interprets higher-order-function lambdas
+    per element, ~W boxed comparisons per character — measured 2-5×
+    slower than the whole stride-1 pass it is meant to screen.  The
+    kernel is O(n) vectorized numpy (Horner rolling hash + a
+    sliding-window argmin), runs inside the scan stage with ZERO
+    shuffle, and emits only the ~2/(W+1) ≈ 6%-density fingerprints;
+    the one exchange downstream carries 24 B per fingerprint vs the
+    stride-1 tier's 32 B × every corpus character.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            texts = [
+                t for t in pdf["text"] if len(t) >= _SCR_K + _SCR_W - 1
+            ]
+            ids = np.asarray(
+                [
+                    d
+                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                    if len(t) >= _SCR_K + _SCR_W - 1
+                ],
+                dtype=np.int64,
+            )
+            if not texts:
+                continue
+            # ONE vectorized pass over the whole batch: concatenate,
+            # Horner-hash once, window-argmin once; per-doc work is
+            # only view slicing (grams/windows crossing a doc
+            # boundary are computed but never selected)
+            c = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            lens = np.asarray([len(t) for t in texts], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m = len(c) - _SCR_K + 1
+            with np.errstate(over="ignore"):
+                H = np.zeros(m, dtype=np.uint64)
+                for t in range(_SCR_K):
+                    H = H * np.uint64(1099511628211) + c[t : t + m]
+            # rightmost-minimal per window: argmin of the REVERSED
+            # window is leftmost-in-reversed = rightmost-minimal
+            nw = m - _SCR_W + 1
+            rel = np.lib.stride_tricks.sliding_window_view(H, _SCR_W)[
+                :, ::-1
+            ].argmin(axis=1)
+            sel_all = np.arange(nw) + (_SCR_W - 1) - rel
+            doc_ids: list[np.ndarray] = []
+            hashes: list[np.ndarray] = []
+            for d, s, ln in zip(ids, starts, lens):
+                # windows fully inside this doc: starts s .. s+ln-K-W+1
+                lo, hi = s, s + ln - _SCR_K - _SCR_W + 2
+                sel = np.unique(sel_all[lo:hi])
+                doc_ids.append(np.full(len(sel), d, dtype=np.int64))
+                hashes.append(H[sel])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(doc_ids),
+                    "h": np.concatenate(hashes).view(np.int64),
+                }
+            )
+
+    from pyspark.sql.window import Window
+
+    fps = eligible.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, h long"
+    )
+    # one pass over the fingerprints: a hash shared by >= 2 (doc, pos)
+    # fingerprint rows marks every doc it appears in (window, not a
+    # groupBy + re-join — the kernel must not run twice)
+    wh = Window.partitionBy("h")
+    return (
+        fps.withColumn("n_occ", F.count(F.lit(1)).over(wh))
+        .filter(F.col("n_occ") >= 2)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _screen_eligible(eligible: DataFrame) -> DataFrame:
+    """Restrict the stride-1 fan-out to winnow-screened documents.
+
+    Identical output by the proof in _winnow_screen_ids; the semi-join
+    is AQE-sized (broadcasts when the flagged set is small — the
+    common case on a mostly-clean corpus).  localCheckpoint (same
+    discipline as dedup_setsim_join / graph.py): extents feeds the
+    screened fan-out into BOTH sides of its dup-gram self-join, and
+    Spark would otherwise evaluate the whole screen twice — the
+    checkpoint materializes the (small) flagged-docs relation once."""
+    return eligible.join(
+        _winnow_screen_ids(eligible), "doc_id", "left_semi"
+    ).localCheckpoint()
 
 
 def dedup_span_exact_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    eligible = docs.filter(F.length("text") >= _LDS_L)
+    eligible = _screen_eligible(docs.filter(F.length("text") >= _LDS_L))
     last = (F.length("text") - _LDS_L).cast("bigint")
     fanout = eligible.select(
         "doc_id",
@@ -1004,10 +1152,23 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-width encoding: 32-hex md5 ++ 8-digit (10^8 - pos); string
     # min == (hash asc, pos desc) min == rightmost minimal hash.
     # Width contract: valid for docs < 10^8 chars (100 MB of text in
-    # ONE document) — beyond that the pad overflows and both engines
-    # would need a wider field; document scans chunk long before that
+    # ONE document) — beyond that the pad would overflow and silently
+    # corrupt the ordering, so both engines FAIL LOUDLY instead (the
+    # SQL oracle carries the matching error() guard)
     enc = F.concat(
-        F.col("h"), F.format_string("%08d", (F.lit(100000000) - F.col("pos")))
+        F.col("h"),
+        F.when(
+            F.col("pos") >= 10**8,
+            F.raise_error(
+                F.lit(
+                    "winnow_fingerprints: fixed-width pos encoding "
+                    "supports documents < 1e8 chars — chunk the "
+                    "document or widen the pad"
+                )
+            ),
+        ).otherwise(
+            F.format_string("%08d", (F.lit(100000000) - F.col("pos")))
+        ),
     )
     wd = Window.partitionBy("doc_id").orderBy("pos")
     n_grams = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
@@ -1049,7 +1210,10 @@ WITH fanout AS (
     FROM fanout
 ), windows AS (
     SELECT doc_id, pos,
-           MIN(h || lpad(CAST(100000000 - pos AS VARCHAR), 8, '0'))
+           MIN(h || CASE WHEN pos >= 100000000
+                         THEN error('winnow pos encoding overflow')
+                         ELSE lpad(CAST(100000000 - pos AS VARCHAR), 8, '0')
+                    END)
                OVER (PARTITION BY doc_id ORDER BY pos
                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
                AS sel,
@@ -1485,7 +1649,10 @@ def dedup_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = sized.select("doc_id", "n", F.explode("s").alias("token"))
     df_tok = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
-    # prefix length |x| - ceil(τ|x|) + 1; ceil(3n/5) = (3n+4) div 5
+    # prefix length |x| - ceil(τ|x|) + 1; ceil(9n/10) = (9n+9) div 10,
+    # so at most n - ceil(9n/10) + 1 = ⌊n/10⌋ + 1 tokens fan out per
+    # doc — the candidate-generating relation is ~1/10th of the token
+    # universe, and those are the RAREST tokens by construction
     # localCheckpoint (same discipline as graph.py / dedup/cluster.py):
     # the prefix relation feeds BOTH sides of the candidate self-join,
     # and Spark does not reuse the exchange across the aliases — the
@@ -1859,8 +2026,9 @@ def _excise_rebuild(docs: DataFrame, ivls: DataFrame) -> DataFrame:
 # the excised character set is exactly the non-canonical cover of
 # duplicated substrings of length ≥ L (same theorem as
 # dedup_span_exact_extents). Scale shape identical: one md5-keyed
-# window shuffle (~32× corpus bytes — the exactness price), per-doc
-# islands, per-doc rebuild, zero Python, no pair expansion.
+# window shuffle (~32× the SCREENED docs' bytes — the winnowing
+# screen keeps the exactness price off the clean bulk of the corpus),
+# per-doc islands, per-doc rebuild, zero Python, no pair expansion.
 def dedup_span_exact_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return exact_span_excise_frame(docs)
@@ -1871,10 +2039,17 @@ def exact_span_excise_frame(docs: DataFrame) -> DataFrame:
     text, ...): returns (doc_id, n_chars, kept_chars, cleaned_md5).
     The duplicate universe is the INPUT frame — callers that gate the
     corpus first (pipeline_span_clean) get excision relative to the
-    gated corpus, mirrored in their oracles."""
+    gated corpus, mirrored in their oracles.
+
+    The stride-1 fan-out runs only over winnow-screened documents
+    (_winnow_screen_ids).  Output is unchanged: all occurrences of any
+    duplicated L-gram live in screened docs (soundness proof on the
+    screen), so the rank-1-per-hash canonical ordering over screened
+    occurrences equals the global one, and unscreened docs flow
+    through _excise_rebuild with no intervals — i.e. untouched."""
     from pyspark.sql.window import Window
 
-    eligible = docs.filter(F.length("text") >= _LDS_L)
+    eligible = _screen_eligible(docs.filter(F.length("text") >= _LDS_L))
     last = (F.length("text") - _LDS_L).cast("bigint")
     fanout = eligible.select(
         "doc_id",

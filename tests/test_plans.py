@@ -274,8 +274,12 @@ SHUFFLE_BUDGETS = {
     # exact variable-length span family (round 7): gram agg/window +
     # doc-islands window + extent rollup + result sort; excise adds
     # the complement-gap pass + per-doc rebuild joins (single-pass gap
-    # emission — the union-with-groupBy shape costs 11, fails here)
-    "dedup_span_exact_extents": 6,
+    # emission — the union-with-groupBy shape costs 11, fails here).
+    # Round 8: +1 for the winnowing screen's fingerprint window (one
+    # ~6%-density exchange on the fingerprint hash; the doc-id
+    # distinct + semi-join broadcast at this scale); the screen keeps
+    # the 32×-corpus-bytes stride-1 exchange off unflagged docs
+    "dedup_span_exact_extents": 7,
     # both row_number windows + the final agg share one (user, bucket)
     # partitioning; second slot is the result range sort
     "evt_ohlc_resample": 2,
