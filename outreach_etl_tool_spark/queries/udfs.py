@@ -401,34 +401,47 @@ def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ewma_frame(
+    spark: SparkSession, sf_dir: str, sampled: bool
+) -> DataFrame:
     events = ensure_parallelism(load_table(spark, sf_dir, "events"))
-    return (
+    out = (
         events.select("event_id", "user_id", "ts", "value")
         # explicit null policy, mirrored in the oracle: a null value
         # would otherwise ride as NaN through Arrow (poisoning the
         # fold) while SQL propagates NULL — divergent representations
         # of the same absence
         .filter(F.col("value").isNotNull())
-        # deterministic user sample (mirrored in the oracle): the EWMA
-        # recurrence is per-user, so a key-sampled cohort exercises the
-        # identical semantics while keeping the oracle's recursive-CTE
-        # frame (the registry's largest) canonicalization-cheap. 1-in-5
-        # keeps 20% of users under the gate — a 5x frame reduction
-        # without giving up most of the validation surface
-        .filter(F.col("user_id") % 5 == 0)
-        .groupBy("user_id")
-        .applyInPandas(_ewma_group, _EWMA_SCHEMA)
     )
+    if sampled:
+        # deterministic 1-in-5 user cohort (mirrored in the sampled
+        # oracle): the EWMA recurrence is per-user, so a key-sampled
+        # cohort exercises identical semantics with a 5× smaller
+        # recursive-CTE oracle frame — registered under its own name
+        # so the full-corpus contract of ewma_smooth never silently
+        # narrows (round-8 advice)
+        out = out.filter(F.col("user_id") % 5 == 0)
+    return out.groupBy("user_id").applyInPandas(_ewma_group, _EWMA_SCHEMA)
 
 
-EWMA_SMOOTH_SQL = """
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus per-user EWMA (the round-6 contract)."""
+    return _ewma_frame(spark, sf_dir, sampled=False)
+
+
+def ewma_smooth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-5 user-cohort EWMA — the cheap-oracle variant."""
+    return _ewma_frame(spark, sf_dir, sampled=True)
+
+
+def _ewma_sql(where_extra: str) -> str:
+    return f"""
 WITH RECURSIVE ordered AS (
     SELECT event_id, user_id, ts, value,
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn
     FROM events
-    WHERE value IS NOT NULL AND user_id % 5 = 0
+    WHERE value IS NOT NULL{where_extra}
 ), walk AS (
     SELECT event_id, user_id, ts, value, value AS ewma, rn
     FROM ordered WHERE rn = 1
@@ -440,6 +453,10 @@ WITH RECURSIVE ordered AS (
 )
 SELECT event_id, user_id, ts, value, ewma FROM walk
 """
+
+
+EWMA_SMOOTH_SQL = _ewma_sql("")
+EWMA_SMOOTH_SAMPLED_SQL = _ewma_sql(" AND user_id % 5 = 0")
 
 
 # UDTF3 — mapInArrow: the zero-pandas Arrow escape. Batches arrive as
@@ -594,7 +611,13 @@ QUERIES: dict[str, QuerySpec] = {
     "ewma_smooth": QuerySpec(
         ewma_smooth, EWMA_SMOOTH_SQL, tags=("UDAF", "W2", "T6"),
         doc="per-user EWMA: non-associative recurrence via applyInPandas, "
-        "exact-oracled by a recursive CTE",
+        "exact-oracled by a recursive CTE (full corpus)",
+    ),
+    "ewma_smooth_sampled": QuerySpec(
+        ewma_smooth_sampled, EWMA_SMOOTH_SAMPLED_SQL,
+        tags=("UDAF", "W2", "T6"),
+        doc="1-in-5 user-cohort EWMA — same recurrence, 5x smaller "
+        "recursive-CTE oracle frame",
     ),
     "udf_scalar_zscore": QuerySpec(
         udf_scalar_zscore, UDF_SCALAR_ZSCORE_SQL, tags=("UDF",),

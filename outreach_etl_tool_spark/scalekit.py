@@ -41,14 +41,17 @@ REPLICA_PERTURB = (
 def build_documents_slice(
     spark: SparkSession, src_dir: str, dest: str | Path
 ) -> str:
-    """Materialize the 3× documents slice under ``dest`` (idempotent —
-    a _READY marker skips the rebuild). Returns the slice dir usable
-    as an sf_dir for documents-only queries."""
+    """Materialize the 3× documents slice under ``dest`` (idempotent
+    AND concurrency-safe: built into a tmp dir, published by atomic
+    rename via :func:`queries.fixtures.atomic_fixture` — concurrent
+    pytest and tools/gen_scaling.py runs sharing a slice dir can
+    never observe a half-written slice or race the overwrite).
+    Returns the slice dir usable as an sf_dir for documents-only
+    queries."""
     from .catalog import load_table
+    from .queries.fixtures import atomic_fixture
 
-    dest = Path(dest)
-    marker = dest / "_READY"
-    if not marker.exists():
+    def build(tmp: Path) -> None:
         docs = load_table(spark, src_dir, "documents")
         stride = docs.agg(F.max("doc_id")).first()[0] + 1
         reps: list[DataFrame] = [
@@ -64,6 +67,6 @@ def build_documents_slice(
         out = reps[0]
         for r in reps[1:]:
             out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(str(dest / "documents.parquet"))
-        marker.touch()
-    return str(dest)
+        out.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    return str(atomic_fixture(Path(dest), build))

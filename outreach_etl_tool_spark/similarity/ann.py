@@ -396,12 +396,18 @@ def _fs_write_text(spark, path_str: str, text: str) -> None:
 
 
 def _fs_read_text(spark, path_str: str) -> str:
+    # Hadoop-API-only read (no commons-io: it is a transitive bundle
+    # of current Spark distros, not an API guarantee — ClassNotFound
+    # on slimmed classpaths). Hadoop's own IOUtils.copyBytes drains
+    # the stream JVM-side into a ByteArrayOutputStream; only the
+    # final byte[] crosses py4j.
     p, fs = _hadoop_path_fs(spark, path_str)
     stream = fs.open(p)
     try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
+        jvm = spark._jvm
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 65536, False)
+        return bytes(buf.toByteArray()).decode("utf-8")
     finally:
         stream.close()
 
