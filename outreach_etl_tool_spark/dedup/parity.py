@@ -1,0 +1,746 @@
+"""Oracle-parity near-dup detection: MinHash-LSH and SimHash whose
+ENTIRE pipeline — base hash, signatures, banding, bucket cap, exact
+verify — is reproducible in ANSI-ish SQL (DuckDB), so the driver's
+hash-equality gate can certify the pair output instead of recording a
+rows-only run (SURVEY.md §2.10 L2; reference parity: the pandas
+reference has no near-dedup at all — this is EXT surface).
+
+Design deltas vs dedup/minhash.py + dedup/simhash.py (kept for the
+kernel-benchmark path and the incremental signature store):
+
+* Base hash = integer prefix of md5 (``conv(substr(md5(x),1,n),16,10)``
+  / ``('0x' || substr(md5(x),1,n))::BIGINT``) — bit-identical in Spark
+  and DuckDB, unlike FNV-over-utf8 numpy kernels, and computed
+  JVM-side AFTER an explode so it stays inside whole-stage codegen
+  (no interpreted higher-order chain, no Arrow round-trip).
+* Affine minhash maps use 30-bit constants on 28-bit base hashes:
+  every intermediate fits comfortably in a signed 64-bit integer, so
+  Spark BIGINT and DuckDB BIGINT arithmetic agree exactly — no mod-2^64
+  wraparound semantics to reconcile.
+* The signature is ONE groupBy with ``num_hashes`` MIN aggregates —
+  map-side combinable, so the exchange carries one signature-sized row
+  per (doc × partition), not per token. That is the property that
+  makes this formulation scale-legitimate rather than a test-only
+  shim: at 10^11 docs the shuffle is signature-bytes, and the band
+  self-join is keyed by 4-minhash band keys exactly like the kernel
+  path.
+* The bucket cap (deterministic ascending-id truncation of degenerate
+  buckets) is expressed as ``row_number() <= cap`` over (band, key) —
+  the same kept-subset as ``list_slice(list_sort(ids), 1, cap)`` —
+  and mirrored verbatim in the oracle.
+
+Recall notes: SimHash banding at max_hamming=3 over 32 bits with 4
+8-bit bands is EXHAUSTIVE by pigeonhole (<=3 differing bits cannot
+touch all 4 bands), so the output is exactly the Hamming-<=3 pair set
+(modulo capped degenerate buckets, mirrored). MinHash banding is the
+standard probabilistic recall curve; with pinned constants the
+candidate set — hence the output — is a pure function of the corpus,
+which is what the oracle certifies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import tokens
+from ..operators.util import ensure_parallelism
+from .minhash import shingles
+
+# ---------------------------------------------------------------- constants
+_MH_SEED = 2024
+_MH_NUM, _MH_BANDS, _MH_K = 32, 8, 3
+_MH_ROWS = _MH_NUM // _MH_BANDS  # 4 minhashes per band key
+_MH_MASK = (1 << 30) - 1
+_CAP = 1024  # deterministic degenerate-bucket truncation
+
+
+def _mh_constants() -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(_MH_SEED)
+    a = (rng.randint(1, 2**29, size=_MH_NUM) * 2 + 1).tolist()
+    b = rng.randint(0, 2**30, size=_MH_NUM).tolist()
+    return a, b
+
+
+_MH_A, _MH_B = _mh_constants()
+
+# 60-bit fingerprint (15 md5 hex chars): close to the kernel path's
+# 64-bit tightness — Hamming<=3 of 60 is a near-dup gate, of 32 it
+# would be a loose similarity gate (measured 725 vs ~17 pairs at
+# sf0.01) — while still fitting signed-64 arithmetic in both engines
+_SH_BITS = 60
+_SH_BANDS, _SH_BAND_BITS = 4, 15
+_SH_MAXHAM = 3  # < _SH_BANDS -> pigeonhole-exhaustive banding
+
+
+def _hex_long(col: Column, n: int) -> Column:
+    """First n hex chars of md5 as BIGINT (n <= 15)."""
+    return F.conv(F.substring(F.md5(col), 1, n), 16, 10).cast("long")
+
+
+# ------------------------------------------------------------ MinHash-LSH
+def _mh_shingle_frame(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), shingles(text_col, _MH_K).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def _mh_signature(sh: DataFrame) -> DataFrame:
+    """(id, s0..s31) minhash signature from a (id, sh) shingle frame.
+    Exploded shingles -> md5 prefix hash, all codegen; the groupBy's
+    partial MIN collapses to one signature row per doc per partition."""
+    hs = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", _hex_long(F.col("s"), 7).alias("h")
+    )
+    return hs.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i]))
+                .bitwiseAND(F.lit(_MH_MASK))
+            ).alias(f"s{i}")
+            for i in range(_MH_NUM)
+        ]
+    )
+
+
+def _mh_banded(sig: DataFrame) -> DataFrame:
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"s{b * _MH_ROWS + r}")
+                                for r in range(_MH_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def minhash_pairs_parity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold_num: int = 2, threshold_den: int = 5,
+) -> DataFrame:
+    """Exact-verified MinHash-LSH near-dup pairs, oracle-reproducible.
+
+    Jaccard threshold τ = threshold_num/threshold_den (default 2/5 =
+    0.4, matching dedup_ngram_jaccard); the verify compares integers
+    (den·|∩| ≥ num·|∪|), floats appear only in the reported ratio.
+    """
+    df = ensure_parallelism(df)
+    sh = _mh_shingle_frame(df, id_col, text_col)
+    banded = _mh_banded(_mh_signature(sh))
+    cands = _banded_pairs(banded)
+    va = cands.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a"
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    union = (F.size("sa") + F.size("sb")).cast("bigint") - inter
+    return (
+        va.select(
+            "id_a", "id_b", inter.alias("n_inter"), union.alias("n_union")
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num) * F.col("n_union")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _banded_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) sharing a (band, key) bucket, after the
+    deterministic cap: only the first _CAP ids (ascending) of each
+    bucket participate — `row_number() <= cap` ≡ the sorted-slice cap
+    of dedup/minhash.bucket_pairs, and the exact shape the oracle
+    mirrors.  localCheckpoint: the relation feeds both sides of the
+    self-join (setsim discipline — one evaluation, not two)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key").orderBy("id")
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP)
+        .select("band", "key", "id")
+        .localCheckpoint()
+    )
+    return (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_pairs_parity_sql(
+    threshold_num: int = 2, threshold_den: int = 5
+) -> str:
+    mins = ",\n           ".join(
+        f"MIN(({_MH_A[i]} * h + {_MH_B[i]}) & {_MH_MASK}) AS s{i}"
+        for i in range(_MH_NUM)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT id, {b} AS band, CONCAT_WS(',', {cols}) AS key FROM sig"
+        .format(
+            b=b,
+            cols=", ".join(
+                f"s{b * _MH_ROWS + r}" for r in range(_MH_ROWS)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id AS id,
+           CASE WHEN LEN(arr) < {_MH_K} THEN [array_to_string(arr, ' ')]
+                ELSE list_distinct(list_transform(
+                       generate_series(1, LEN(arr) - {_MH_K - 1}),
+                       i -> array_to_string(
+                                list_slice(arr, i, i + {_MH_K - 1}), ' ')))
+           END AS sh
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents)
+    WHERE LEN(arr) > 0
+), hs AS (
+    SELECT id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+    FROM sh, unnest(sh) AS t(s)
+), sig AS (
+    SELECT id,
+           {mins}
+    FROM hs GROUP BY id
+), banded AS (
+{band_rows}
+), capped AS (
+    SELECT band, key, id FROM (
+        SELECT band, key, id,
+               ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) AS rn
+        FROM banded
+    ) WHERE rn <= {_CAP}
+), cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), verified AS (
+    SELECT c.id_a, c.id_b,
+           CAST(LEN(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+           CAST(LEN(sa.sh) + LEN(sb.sh)
+                - LEN(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_union
+    FROM cands c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM verified
+WHERE {threshold_den} * n_inter >= {threshold_num} * n_union
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------- SimHash
+def simhash_pairs_parity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Hamming(simhash32) <= 3 — EXHAUSTIVE
+    by pigeonhole over the 4x8-bit bands (modulo the mirrored bucket
+    cap), so the output is exactly the Hamming-ball pair set and the
+    oracle is a full replica, not a containment check.
+
+    Token-frequency-weighted bit votes (ties -> 0 bit), 32-bit md5
+    prefix per token; the vote accumulation is one groupBy with 32
+    conditional SUMs — map-side combinable, fingerprint-sized
+    exchange, zero Python."""
+    df = ensure_parallelism(df)
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    th = tok.select(
+        "id", _hex_long(F.col("t"), _SH_BITS // 4).alias("h")
+    )
+    votes = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(_SH_BITS)
+        ]
+    )
+    fp_expr = None
+    for j in range(_SH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp_expr = bit if fp_expr is None else fp_expr + bit
+    fp = votes.select("id", fp_expr.cast("long").alias("fp"))
+    banded = fp.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("fp", b * _SH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SH_BAND_BITS) - 1))
+                        .cast("string")
+                        .alias("key"),
+                    )
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cands = _banded_pairs(banded)
+    va = cands.join(
+        fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fa")), "id_a"
+    ).join(
+        fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fb")), "id_b"
+    )
+    return (
+        va.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH_MAXHAM)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------ incremental MinHash
+def incremental_minhash_parity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    agree_min: int = 16,
+) -> DataFrame:
+    """Incremental near-dedup probe, oracle-reproducible: the even-id
+    half plays the persisted (id, signature) store, the odd-id half is
+    the arriving batch; new band keys probe the store's band keys and
+    candidate matches are scored by SIGNATURE AGREEMENT (the unbiased
+    Jaccard estimator — historical text is never re-read, which is the
+    operator's point), reported at agreement >= agree_min/32 = 0.5.
+    Estimation, not exact verify, is the contract here — and with the
+    parity signature it IS the oracle's arithmetic, so the estimate
+    matches bit-for-bit (an integer count divided by 32)."""
+    docs = ensure_parallelism(docs)
+    sh = _mh_shingle_frame(docs, id_col, text_col)
+    sig = _mh_signature(sh).localCheckpoint()  # feeds 4 legs below
+    hist_sig = sig.filter(F.col("id") % 2 == 0)
+    new_sig = sig.filter(F.col("id") % 2 == 1)
+    cand = (
+        _mh_banded(new_sig)
+        .alias("n")
+        .join(
+            _mh_banded(hist_sig).alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("n.id").alias("id_new"), F.col("h.id").alias("id_hist")
+        )
+        .distinct()
+    )
+    va = cand.join(
+        new_sig.select(
+            F.col("id").alias("id_new"),
+            *[F.col(f"s{i}").alias(f"a{i}") for i in range(_MH_NUM)],
+        ),
+        "id_new",
+    ).join(
+        hist_sig.select(
+            F.col("id").alias("id_hist"),
+            *[F.col(f"s{i}").alias(f"b{i}") for i in range(_MH_NUM)],
+        ),
+        "id_hist",
+    )
+    agree = None
+    for i in range(_MH_NUM):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        va.select(
+            "id_new", "id_hist", agree.cast("long").alias("n_agree")
+        )
+        .filter(F.col("n_agree") >= agree_min)
+        .select(
+            "id_new",
+            "id_hist",
+            "n_agree",
+            (F.col("n_agree") / F.lit(float(_MH_NUM))).alias("est_jaccard"),
+        )
+        .orderBy("id_new", "id_hist")
+    )
+
+
+def incremental_minhash_parity_sql(agree_min: int = 16) -> str:
+    mins = ",\n           ".join(
+        f"MIN(({_MH_A[i]} * h + {_MH_B[i]}) & {_MH_MASK}) AS s{i}"
+        for i in range(_MH_NUM)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT id, {b} AS band, CONCAT_WS(',', {cols}) AS key FROM sig"
+        .format(
+            b=b,
+            cols=", ".join(f"s{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_NUM)
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id AS id,
+           CASE WHEN LEN(arr) < {_MH_K} THEN [array_to_string(arr, ' ')]
+                ELSE list_distinct(list_transform(
+                       generate_series(1, LEN(arr) - {_MH_K - 1}),
+                       i -> array_to_string(
+                                list_slice(arr, i, i + {_MH_K - 1}), ' ')))
+           END AS sh
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents)
+    WHERE LEN(arr) > 0
+), hs AS (
+    SELECT id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+    FROM sh, unnest(sh) AS t(s)
+), sig AS (
+    SELECT id,
+           {mins}
+    FROM hs GROUP BY id
+), banded AS (
+{band_rows}
+), cand AS (
+    SELECT DISTINCT n.id AS id_new, h.id AS id_hist
+    FROM banded n JOIN banded h ON n.band = h.band AND n.key = h.key
+    WHERE n.id % 2 = 1 AND h.id % 2 = 0
+), scored AS (
+    SELECT c.id_new, c.id_hist,
+           CAST({agree} AS BIGINT) AS n_agree
+    FROM cand c
+    JOIN sig a ON a.id = c.id_new
+    JOIN sig b ON b.id = c.id_hist
+)
+SELECT id_new, id_hist, n_agree,
+       n_agree / {float(_MH_NUM)} AS est_jaccard
+FROM scored
+WHERE n_agree >= {agree_min}
+ORDER BY id_new, id_hist
+"""
+
+
+# ------------------------------------------- embedding SRP near-dup
+# Integer-quantized signed-random-projection LSH: embeddings are
+# floor-quantized to 1e-6 resolution and the hyperplanes are integer
+# vectors, so every sign decision AND the τ-gate are exact integer
+# comparisons — float rounding can differ between numpy pairwise
+# summation and SQL left-fold summation, and ONE flipped sign on a
+# near-zero dot product would silently change buckets; integers
+# cannot flip. The reported cosine is a single sqrt+divide over
+# exact integers — the identical IEEE op sequence in both engines.
+_EMB_SEED = 7
+_EMB_PLANES, _EMB_BANDS = 32, 8
+_EMB_BAND_BITS = _EMB_PLANES // _EMB_BANDS
+_EMB_SCALE = 1_000_000  # quantization: floor(x * 1e6)
+
+
+@F.pandas_udf(LongType())
+def _int_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Exact int64 dot product of two equal-length array columns —
+    numpy int64 wraps identically to nothing here (|terms| < 2^63 by
+    the 1e6-quantization bound), so it equals BIGINT SQL bit-for-bit."""
+    a = np.stack(va.to_numpy()).astype(np.int64)
+    b = np.stack(vb.to_numpy()).astype(np.int64)
+    return pd.Series((a * b).sum(axis=1))
+
+
+def _emb_planes(dim: int) -> list[list[int]]:
+    rng = np.random.RandomState(_EMB_SEED)
+    return (
+        np.round(rng.standard_normal((_EMB_PLANES, dim)) * 1000)
+        .astype(np.int64)
+        .tolist()
+    )
+
+
+def emb_pairs_parity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine(quantized) >= num/den, via SRP
+    banding + exact integer verify (25·dot² >= 4·|a|²·|b|² in
+    decimal(38) / HUGEINT — overflow-free for 1e6-scaled unit-ish
+    vectors).  Fingerprints come from ONE posexplode + groupBy with
+    one SUM per plane (map-side combinable, fingerprint-sized
+    exchange, zero Python)."""
+    planes = _emb_planes(dim)
+    df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = base.select(
+        "id", F.posexplode("v").alias("i", "x")
+    ).select(
+        "id",
+        "i",
+        F.floor(F.col("x").cast("double") * F.lit(float(_EMB_SCALE)))
+        .cast("long")
+        .alias("q"),
+    )
+    # true array Literals (F.lit(list)), NOT CreateArray of 64 Literal
+    # nodes — CreateArray re-materializes the array per row-evaluation
+    # and measured ~2x slower across the 32 plane lookups
+    plane_arrs = [
+        F.lit([int(w) for w in planes[j]]) for j in range(_EMB_PLANES)
+    ]
+    dots = q.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("q") * F.element_at(plane_arrs[j], F.col("i") + 1)
+            ).alias(f"d{j}")
+            for j in range(_EMB_PLANES)
+        ]
+    )
+    fp_expr = None
+    for j in range(_EMB_PLANES):
+        bit = F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp_expr = bit if fp_expr is None else fp_expr + bit
+    fp = dots.select("id", fp_expr.cast("long").alias("fp"))
+    banded = fp.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("fp", b * _EMB_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _EMB_BAND_BITS) - 1))
+                        .cast("string")
+                        .alias("key"),
+                    )
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cands = _banded_pairs(banded)
+    # per-VECTOR quantized array + norm, computed once (the HOF fold
+    # runs over n vectors); per-PAIR work is only the dot product,
+    # which goes through a vectorized Arrow kernel — the candidate set
+    # is where LSH is least selective on near-uniform synthetic
+    # vectors, and an interpreted 64-element fold per pair measured
+    # ~10x the whole fingerprint stage. int64 numpy == BIGINT SQL
+    # exactly (max |dot| term ~6e14 < 2^63).
+    zero = F.lit(0).cast("long")
+    qn = base.select(
+        "id",
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_EMB_SCALE))
+            ).cast("long"),
+        ).alias("qa"),
+    ).select(
+        "id",
+        "qa",
+        F.aggregate(
+            F.transform("qa", lambda a: a * a), zero, lambda acc, x: acc + x
+        ).alias("nq"),
+    )
+
+    va = cands.join(
+        qn.select(
+            F.col("id").alias("id_a"),
+            F.col("qa").alias("va"),
+            F.col("nq").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        qn.select(
+            F.col("id").alias("id_b"),
+            F.col("qa").alias("vb"),
+            F.col("nq").alias("nb"),
+        ),
+        "id_b",
+    )
+    scored = va.select(
+        "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    gate = (F.col("dq") > 0) & (
+        F.lit(threshold_den * threshold_den) * dec("dq") * dec("dq")
+        >= F.lit(threshold_num * threshold_num) * dec("na") * dec("nb")
+    )
+    return (
+        scored.filter(gate)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("dq")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def emb_pairs_parity_sql(
+    dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
+) -> str:
+    planes = _emb_planes(dim)
+
+    def arr(ws: list[int]) -> str:
+        return "[" + ", ".join(str(w) for w in ws) + "]"
+
+    dots = ",\n           ".join(
+        f"SUM(q * ({arr(planes[j])})[i]) AS d{j}"
+        for j in range(_EMB_PLANES)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_EMB_PLANES)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT id, {b} AS band, "
+        f"CAST((fp >> {b * _EMB_BAND_BITS}) & "
+        f"{(1 << _EMB_BAND_BITS) - 1} AS VARCHAR) AS key FROM fp"
+        for b in range(_EMB_BANDS)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id AS id, embedding AS v FROM embeddings
+    WHERE LEN(embedding) = {dim}
+), q AS (
+    SELECT id, i,
+           CAST(FLOOR(CAST(v[i] AS DOUBLE) * {_EMB_SCALE}) AS BIGINT) AS q
+    FROM base, unnest(generate_series(1, {dim})) AS s(i)
+), dots AS (
+    SELECT id,
+           {dots}
+    FROM q GROUP BY id
+), fp AS (
+    SELECT id, CAST({fp} AS BIGINT) AS fp FROM dots
+), banded AS (
+{band_rows}
+), capped AS (
+    SELECT band, key, id FROM (
+        SELECT band, key, id,
+               ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) AS rn
+        FROM banded
+    ) WHERE rn <= {_CAP}
+), cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), qarr AS (
+    SELECT id,
+           list_transform(v, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * {_EMB_SCALE}) AS BIGINT)) AS qa
+    FROM base
+), scored AS (
+    SELECT c.id_a, c.id_b,
+           list_sum(list_transform(generate_series(1, {dim}),
+                    i -> a.qa[i] * b.qa[i])) AS dq,
+           list_sum(list_transform(a.qa, x -> x * x)) AS na,
+           list_sum(list_transform(b.qa, x -> x * x)) AS nb
+    FROM cands c
+    JOIN qarr a ON a.id = c.id_a
+    JOIN qarr b ON b.id = c.id_b
+)
+SELECT id_a, id_b,
+       dq / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+FROM scored
+WHERE dq > 0
+  AND {threshold_den * threshold_den} * dq::HUGEINT * dq::HUGEINT
+      >= {threshold_num * threshold_num} * na::HUGEINT * nb::HUGEINT
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_pairs_parity_sql() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SH_BITS)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT id, {b} AS band, "
+        f"CAST((fp >> {b * _SH_BAND_BITS}) & {(1 << _SH_BAND_BITS) - 1} "
+        f"AS VARCHAR) AS key FROM fp"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id AS id, t
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents), unnest(arr) AS u(t)
+), th AS (
+    SELECT id, ('0x' || substr(md5(t), 1, {_SH_BITS // 4}))::BIGINT AS h
+    FROM tok
+), votes AS (
+    SELECT id,
+           {votes}
+    FROM th GROUP BY id
+), fp AS (
+    SELECT id, CAST({fp} AS BIGINT) AS fp FROM votes
+), banded AS (
+{band_rows}
+), capped AS (
+    SELECT band, key, id FROM (
+        SELECT band, key, id,
+               ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) AS rn
+        FROM banded
+    ) WHERE rn <= {_CAP}
+), cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS hamming
+FROM cands c
+JOIN fp fa ON fa.id = c.id_a
+JOIN fp fb ON fb.id = c.id_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= {_SH_MAXHAM}
+ORDER BY id_a, id_b
+"""

@@ -140,20 +140,20 @@ GROUP BY source
 """
 
 
-# L2e — INCREMENTAL near-dedup (rows-only: signature-agreement Jaccard
-# estimation has no SQL mirror; the estimator is unit-tested). The
-# history leg of production near-dedup: new-batch band keys probe the
-# historical (id, sig) store — historical TEXT is never read.
+# L2e — INCREMENTAL near-dedup. The history leg of production
+# near-dedup: new-batch band keys probe the historical (id, sig)
+# store — historical TEXT is never read; matches are scored by
+# signature agreement (the Jaccard estimator), not exact verify.
+# Round 8: oracle-parity formulation (dedup/parity.py) — with the
+# md5-prefix signature the estimator IS the oracle's arithmetic, so
+# the previously "no SQL mirror" estimation is now a full replica
+# (an integer agreement count / 32). The FNV signature-store path
+# stays in dedup/incremental.py with its unit tests.
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..dedup import incremental
+    from ..dedup import parity
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    history = docs.filter(F.col("doc_id") % 2 == 0)
-    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
-    store = incremental.minhash_store(history)
-    return incremental.incremental_minhash(
-        new_batch, store, jaccard_threshold=0.5
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    return parity.incremental_minhash_parity(docs, "doc_id", "text")
 
 
 # L4e — compression-ratio quality signal (rows-only: zlib has no SQL
@@ -242,18 +242,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# L2 — MinHash-LSH near-dedup (rows-only; recall tested vs exact Jaccard).
+# L2 — MinHash-LSH near-dedup. Round 8: the registry entry runs the
+# ORACLE-PARITY formulation (dedup/parity.py — md5-prefix base hashes,
+# 30-bit affine minhash maps, row_number-mirrored bucket cap) so the
+# driver's hash-equality gate certifies the full pair output instead
+# of a rows-only run. Same operator contract as rounds 2-7 (k=3
+# shingles, 32 hashes, 8 bands, exact-verified Jaccard >= 0.4); only
+# the seeded hash family changed — which pairs get LSH candidates may
+# shift at the recall margin, and the FNV kernel path remains exercised
+# via dedup_incremental_minhash + dedup/minhash.py's unit/recall tests.
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash.candidate_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=32, bands=8, jaccard_threshold=0.4
-    )
+    return parity.minhash_pairs_parity(docs, "doc_id", "text")
 
 
-# L2b — SimHash near-dedup (rows-only).
+# L2b — SimHash near-dedup. Round 8: oracle-parity formulation
+# (32-bit md5-prefix token hashes, frequency-weighted bit votes, 4x8
+# bands). Banding at max_hamming=3 < 4 bands is pigeonhole-EXHAUSTIVE,
+# so the output is exactly the Hamming<=3 pair set and the oracle is a
+# full replica. The 64-bit FNV kernel path stays in dedup/simhash.py.
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash.candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+    return parity.simhash_pairs_parity(docs, "doc_id", "text")
+
+
+from ..dedup.parity import (  # noqa: E402
+    emb_pairs_parity_sql,
+    incremental_minhash_parity_sql,
+    minhash_pairs_parity_sql,
+    simhash_pairs_parity_sql,
+)
+
+_DEDUP_MINHASH_SQL = minhash_pairs_parity_sql()
+_DEDUP_SIMHASH_SQL = simhash_pairs_parity_sql()
+_EMB_NEAR_DUP_SQL = emb_pairs_parity_sql(dim=64)
+_DEDUP_INC_MINHASH_SQL = incremental_minhash_parity_sql()
 
 
 # L2c — exact n-gram Jaccard within source partitions (rows-only: the
@@ -304,12 +331,16 @@ WHERE LEN(a.sh) > 0 AND LEN(b.sh) > 0
 # the row count is deterministic run-to-run. Production corpora with
 # real duplicates run the same operator at 0.9+ — the planted-pair
 # recall test (tests/test_dedup.py) covers that regime.
+# Round 8: oracle-parity formulation (dedup/parity.py) — embeddings
+# floor-quantized to 1e-6, integer hyperplanes, exact-integer τ-gate —
+# so sign decisions cannot diverge between numpy and SQL float
+# summation orders and the driver's hash gate certifies the pairs.
+# The float-SRP kernel path stays in dedup/embedding.py (recall tests).
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
     embs = load_table(spark, sf_dir, "embeddings")
-    return emb_dedup.near_dup_pairs(
-        embs, "vec_id", "embedding", dim=64, n_planes=32, bands=8,
-        cosine_threshold=0.40,
-    )
+    return parity.emb_pairs_parity(embs, "vec_id", "embedding", dim=64)
 
 
 # L3 — brute-force cosine top-k against a query vector (the baseline ANN
@@ -2325,8 +2356,10 @@ QUERIES: dict[str, QuerySpec] = {
         doc="zlib compression-ratio quality signal, zero-shuffle",
     ),
     "dedup_incremental_minhash": QuerySpec(
-        dedup_incremental_minhash, None, tags=("L2", "T6"),
-        doc="new-batch near-dup vs historical signature store (no text)",
+        dedup_incremental_minhash, _DEDUP_INC_MINHASH_SQL,
+        tags=("L2", "T6"),
+        doc="new-batch near-dup vs historical signature store (no "
+        "text), oracle-parity signature-agreement estimator",
     ),
     "text_stats": QuerySpec(text_stats, TEXT_STATS_SQL, tags=("L4",), bench=True),
     "text_tokens_bpe": QuerySpec(
@@ -2338,13 +2371,25 @@ QUERIES: dict[str, QuerySpec] = {
         doc="stopword-vote language ID, value-checked vs list_filter argmax oracle",
     ),
     "doc_fingerprint": QuerySpec(doc_fingerprint, None, tags=("L4",)),
-    "dedup_minhash": QuerySpec(dedup_minhash, None, tags=("L2",), bench=True),
-    "dedup_simhash": QuerySpec(dedup_simhash, None, tags=("L2",)),
+    "dedup_minhash": QuerySpec(
+        dedup_minhash, _DEDUP_MINHASH_SQL, tags=("L2",), bench=True,
+        doc="MinHash-LSH near-dedup, oracle-parity formulation: full "
+        "signature/band/cap/verify pipeline replicated in the oracle",
+    ),
+    "dedup_simhash": QuerySpec(
+        dedup_simhash, _DEDUP_SIMHASH_SQL, tags=("L2",),
+        doc="SimHash near-dedup, pigeonhole-exhaustive 4x8-bit bands: "
+        "output = exact Hamming<=3 pair set, full-replica oracle",
+    ),
     "dedup_ngram_jaccard": QuerySpec(
         dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, tags=("L2",),
         doc="exact k-shingle Jaccard pairs, value-checked vs list_intersect oracle",
     ),
-    "emb_near_dup": QuerySpec(emb_near_dup, None, tags=("L2", "L3")),
+    "emb_near_dup": QuerySpec(
+        emb_near_dup, _EMB_NEAR_DUP_SQL, tags=("L2", "L3"),
+        doc="embedding SRP near-dup, oracle-parity: integer-quantized "
+        "planes + exact-integer cosine gate, full-replica oracle",
+    ),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_knn_join": QuerySpec(
         sim_knn_join, SIM_KNN_JOIN_SQL, tags=("L3", "J2"), bench=True,

@@ -569,6 +569,107 @@ def test_span_screen_soundness_randomized(spark):
         )
 
 
+# ------------------------------------ oracle-parity minhash / simhash
+def _parity_tokens(text: str) -> list[str]:
+    import re
+
+    return re.findall(r"[a-zA-Z]+", text.lower())
+
+
+def _parity_shingles(text: str, k: int = 3) -> set[str]:
+    toks = _parity_tokens(text)
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_parity_minhash_containment_and_recall(spark):
+    """The oracle-parity MinHash-LSH pipeline: every reported pair must
+    pass the exact-Jaccard >= 0.4 gate (containment — no LSH false
+    positive survives the verify), identical docs MUST be reported
+    (identical shingle sets -> identical signatures -> shared band,
+    recall 1 at j=1.0), and the planted high-Jaccard pair must be
+    found with the pinned constants (recall floor)."""
+    from outreach_etl_tool_spark.dedup.parity import minhash_pairs_parity
+
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_pairs_parity(docs, "doc_id", "text").collect()
+    }
+    texts = {1: BASE, 2: NEAR, 3: FAR, 4: BASE}
+    sh = {d: _parity_shingles(t) for d, t in texts.items()}
+    exact = {}
+    for a in texts:
+        for b in texts:
+            if a < b and sh[a] and sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.4:
+                    exact[(a, b)] = j
+    # containment: reported <= exact (and the jaccard values agree)
+    for pair, j in got.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-12, (pair, j)
+    # guaranteed recall at j=1.0: the identical pair is in
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    # pinned-constant recall floor: the planted near-pair is found
+    assert (1, 2) in got
+
+
+def test_parity_simhash_equals_bruteforce_hamming_ball(spark):
+    """SimHash parity is pigeonhole-EXHAUSTIVE: the reported pair set
+    must EQUAL the brute-force Hamming<=3 ball over the 60-bit
+    frequency-weighted md5-prefix fingerprints — an independent
+    Python replica (hashlib, dict votes, no Spark/SQL)."""
+    import hashlib
+
+    from outreach_etl_tool_spark.dedup.parity import (
+        _SH_BITS,
+        _SH_MAXHAM,
+        simhash_pairs_parity,
+    )
+
+    texts = {
+        1: BASE,
+        2: NEAR,
+        3: FAR,
+        4: BASE,
+        5: BASE.replace("the", "a"),
+        6: "tiny text here",
+    }
+
+    def fingerprint(text: str) -> int:
+        votes = [0] * _SH_BITS
+        for t in _parity_tokens(text):
+            h = int(
+                hashlib.md5(t.encode()).hexdigest()[: _SH_BITS // 4], 16
+            )
+            for j in range(_SH_BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(_SH_BITS) if votes[j] > 0)
+
+    fps = {d: fingerprint(t) for d, t in texts.items() if _parity_tokens(t)}
+    expect = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= _SH_MAXHAM
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_parity(docs, "doc_id", "text").collect()
+    }
+    assert got == expect
+    assert (1, 4) in got and got[(1, 4)] == 0  # identical docs
+
+
 # ------------------------------------------------- winnowing fingerprints
 def test_winnowing_guarantee_detects_long_shared_substring(spark, tmp_path):
     """Schleimer et al. guarantee: two docs sharing a substring of
