@@ -594,6 +594,136 @@ SELECT doc_id, tok, tf, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# BM25 RETRIEVAL — query-set → top-k documents (search / retrieval /
+# decontamination-by-retrieval building block, the ranking-aware
+# completion of tfidf_keywords)
+# ---------------------------------------------------------------------------
+# Okapi BM25 with k1 = 6/5, b = 3/4 — the rational parameter choice is
+# what makes the whole score INTEGER-EXACT in both engines.  Per term:
+#
+#   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)       with avgdl = L/N
+#     = 44·L·tf / (20·L·tf + 6·L + 18·N·dl)           (× 20·L, exact)
+#
+# idf is the scaled integer (N·1000) div df, the tf fraction is scaled
+# by 10^5 and floor-divided, and the per-term contribution is one more
+# integer multiply + div — so the document score is a SUM OF BIGINTS,
+# which is exact and summation-ORDER-FREE in every engine (a float
+# BM25 would hash-diverge on the oracle because SUM order differs).
+# Integer division: Spark `div` and DuckDB `//` both truncate, and all
+# operands here are positive, so they agree exactly.
+#
+# Plan shape: the (doc, tok) tf relation is the same one shuffle as
+# tfidf_keywords; query terms and the vocabulary-sized df table
+# BROADCAST onto it; doc lengths join on doc_id AFTER the query-term
+# filter has cut tf to query-term postings only; one window ranks
+# per query.  Nothing is O(docs²), nothing collects.
+#
+# Width contract (documented, fail-visible): 44·L·tf·10^5 must fit a
+# signed 64-bit integer → L·tf ≲ 2·10^12, comfortable for the bench
+# scales and any single-tenant corpus shard; a 100 TB corpus runs the
+# same plan with the scale constants reduced (or the score in double,
+# giving up oracle-grade bit equality, not correctness).
+_BM25_K = 10
+_BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "join", "strategy"]),
+    (2, ["window", "aggregation", "stream"]),
+    (3, ["columnar", "scan", "filter"]),
+    (4, ["sort", "merge", "shuffle", "skew"]),
+]
+_BM25_CONTRIB = (
+    "(((n_docs * 1000) div df) * "
+    "(((44 * l_tot) * tf * 100000) div "
+    "(((20 * l_tot) * tf + 6 * l_tot) + (18 * n_docs) * dl))) div 100000"
+)
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("l_tot"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, tok string",
+    )
+    dfreq = tf.join(F.broadcast(qterms.select("tok").distinct()), "tok").groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(_BM25_CONTRIB))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score_scaled")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_scaled")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ",\n           ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    contrib = _BM25_CONTRIB.replace(" div ", " // ")
+    return f"""
+WITH qterms(query_id, tok) AS (
+    VALUES {qvals}
+), tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS tok
+    FROM documents
+), tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), doclen AS (
+    SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS l_tot, COUNT(DISTINCT doc_id) AS n_docs FROM tok
+), dfreq AS (
+    SELECT tok, COUNT(*) AS df FROM tf
+    WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+    GROUP BY tok
+), scored AS (
+    SELECT q.query_id, t.doc_id,
+           {contrib} AS contrib
+    FROM tf t
+    JOIN qterms q USING (tok)
+    JOIN dfreq USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+), agg AS (
+    SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_scaled
+    FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score_scaled DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score_scaled
+FROM agg
+QUALIFY rank <= {_BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+BM25_RETRIEVAL_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
 # STRATIFIED SAMPLE — exact-count per-stratum deterministic sample
 # ---------------------------------------------------------------------------
 # Exactly n docs per source (df.sampleBy gives only *expected*
@@ -1068,6 +1198,12 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "bm25_retrieval": QuerySpec(
+        bm25_retrieval, BM25_RETRIEVAL_SQL, tags=("L4", "J2", "W1"),
+        doc="Okapi BM25 query-set retrieval: all-integer scaled "
+        "scoring (k1=6/5, b=3/4), broadcast query terms + df, "
+        "order-free bigint score sum, exact-oracled top-k",
     ),
     "tfidf_keywords": QuerySpec(
         tfidf_keywords, TFIDF_KEYWORDS_SQL, tags=("L4", "W1", "J2"),

@@ -545,3 +545,29 @@ def test_decontaminate_flags_overlap(spark, monkeypatch):
     assert set(got) == {1}
     assert got[1]["n_shared_grams"] == 1
     assert got[1]["n_eval_docs"] == 1
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, monkeypatch):
+    """BM25 contract on a crafted corpus: the doc where query-1 terms
+    ('hash join strategy') are dense and the doc is short must outrank
+    a long doc that mentions them once; a doc with no query terms must
+    not appear. Also pins the integer-scaling invariant: scores are
+    exact BIGINTs (order-free sums), so repeated runs are identical."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join strategy hash join strategy hash join"),
+            (2, "hash join strategy " + "padding word filler " * 40),
+            (3, "completely unrelated text about nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    rows = P.bm25_retrieval(spark, "unused").collect()
+    q1 = [(r["rank"], r["doc_id"], r["score_scaled"]) for r in rows
+          if r["query_id"] == 1]
+    assert [d for _, d, _ in sorted(q1)] == [1, 2]  # doc 3 absent
+    assert q1[0][2] > q1[1][2] > 0
+    rows2 = P.bm25_retrieval(spark, "unused").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

@@ -181,6 +181,11 @@ SHUFFLE_BUDGETS = {
     "pricing_summary": 2,
     "agg_engagement_counters": 2,
     "evt_tumbling": 1,
+    # round-8 noise-vs-regression pinning (the r7 +8% drift hit these
+    # sub-second queries): a plan regression now fails here instead of
+    # hiding inside bench noise
+    "sim_topk": 0,                    # TakeOrdered over the scan, no exchange
+    "join_asof": 1,                   # one keyed exchange shared by the window
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
     "text_stats": 1,
