@@ -724,6 +724,131 @@ BM25_RETRIEVAL_SQL = _bm25_sql()
 
 
 # ---------------------------------------------------------------------------
+# BM25 DECONTAMINATION — retrieval-based eval-overlap screening
+# ---------------------------------------------------------------------------
+# The retrieval completion of `decontaminate` (exact 4-gram overlap):
+# n-gram decontamination misses paraphrased leakage, so production
+# pipelines ALSO retrieve the top-k training docs for each eval doc
+# and audit them. Eval set = doc_id ≡ 0 (mod 97), the same convention
+# as `decontaminate`; each eval doc queries with its _BMD_Q RAREST
+# distinct tokens (global df ascending, token ascending — the
+# prefix-filter insight again: rare terms are the discriminative ones
+# AND they bound the posting fan-out, so a stopword-heavy eval doc
+# cannot explode the join). Scoring is the same all-integer BM25 as
+# bm25_retrieval over the TRAIN corpus (idf from train df), top
+# _BMD_K per eval doc.
+#
+# Scale shape: train tf is the one corpus shuffle; the eval-query
+# relation is (n_eval × Q) rows and BROADCASTS; df joins broadcast;
+# one ranking window. Integer scores -> order-free sums -> exact
+# oracle, like bm25_retrieval.
+_BMD_Q, _BMD_K = 8, 5
+
+
+def bm25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    is_eval = F.col("doc_id") % 97 == 0
+    train = docs.filter(~is_eval)
+    evald = docs.filter(is_eval)
+    tok = train.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("l_tot"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    dfreq_all = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    etok = evald.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(F.array_distinct(TXT.tokens("text"))).alias("tok"),
+    )
+    wq = Window.partitionBy("eval_doc_id").orderBy(
+        F.asc("df"), F.asc("tok")
+    )
+    qterms = (
+        etok.join(dfreq_all, "tok")  # eval tokens absent from train drop
+        .withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= _BMD_Q)
+        .select("eval_doc_id", "tok", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(_BM25_CONTRIB))
+    )
+    agg = scored.groupBy("eval_doc_id", "doc_id").agg(
+        F.sum("contrib").alias("score_scaled")
+    )
+    w = Window.partitionBy("eval_doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BMD_K)
+        .select("eval_doc_id", "rank", "doc_id", "score_scaled")
+        .orderBy("eval_doc_id", "rank")
+    )
+
+
+def _bm25_decontaminate_sql() -> str:
+    contrib = _BM25_CONTRIB.replace(" div ", " // ")
+    return f"""
+WITH train AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+), evald AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+), tok AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS tok
+    FROM train
+), tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), doclen AS (
+    SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS l_tot, COUNT(DISTINCT doc_id) AS n_docs FROM tok
+), dfreq AS (
+    SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), etok AS (
+    SELECT doc_id AS eval_doc_id,
+           UNNEST(list_distinct(
+               regexp_extract_all(LOWER(text), '[a-zA-Z]+'))) AS tok
+    FROM evald
+), qterms AS (
+    SELECT eval_doc_id, tok, df FROM (
+        SELECT e.eval_doc_id, e.tok, d.df,
+               ROW_NUMBER() OVER (PARTITION BY e.eval_doc_id
+                                  ORDER BY d.df ASC, e.tok ASC) AS qrn
+        FROM etok e JOIN dfreq d USING (tok)
+    ) WHERE qrn <= {_BMD_Q}
+), scored AS (
+    SELECT q.eval_doc_id, t.doc_id,
+           {contrib} AS contrib
+    FROM tf t
+    JOIN qterms q USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+), agg AS (
+    SELECT eval_doc_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score_scaled
+    FROM scored GROUP BY eval_doc_id, doc_id
+)
+SELECT eval_doc_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY eval_doc_id
+           ORDER BY score_scaled DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score_scaled
+FROM agg
+QUALIFY rank <= {_BMD_K}
+ORDER BY eval_doc_id, rank
+"""
+
+
+BM25_DECONTAMINATE_SQL = _bm25_decontaminate_sql()
+
+
+# ---------------------------------------------------------------------------
 # STRATIFIED SAMPLE — exact-count per-stratum deterministic sample
 # ---------------------------------------------------------------------------
 # Exactly n docs per source (df.sampleBy gives only *expected*
@@ -1198,6 +1323,14 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "bm25_decontaminate": QuerySpec(
+        bm25_decontaminate, BM25_DECONTAMINATE_SQL,
+        tags=("L4", "L1", "J2", "W1"),
+        doc="retrieval-based decontamination: each eval doc queries "
+        "with its rarest tokens, top-5 train docs per eval doc by "
+        "all-integer BM25 — the paraphrase-leakage audit companion "
+        "to exact n-gram decontaminate",
     ),
     "bm25_retrieval": QuerySpec(
         bm25_retrieval, BM25_RETRIEVAL_SQL, tags=("L4", "J2", "W1"),

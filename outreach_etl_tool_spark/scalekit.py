@@ -1,55 +1,89 @@
 """Scaling-evidence toolkit: synthetic scale slices + timing helpers.
 
-The driver ships sf0.001/sf0.01/sf0.1; sub-linearity claims need a
-third point above the largest shipped scale. ``build_documents_slice``
-manufactures one deterministically from the sf0.1 documents table:
-N replicas, each offsetting doc_id by a stride and perturbing the text
-with a length-preserving transform (identity / reverse /
-vowel-translate). Within a replica the duplicate-pair structure of
-the original corpus is preserved exactly. Across replicas the
-transforms are fixed-point-free for natural-language grams — but not
-universally: a vowel-free gram (digit/consonant/separator runs) is a
-fixed point of the translate, and a palindromic gram (single-char
-runs) of the reverse, so such grams DO collide across replicas. On
-the shipped prose-like corpus these are negligible and the duplicate
-graph grows ~linearly (N×) — the regime where super-linear operator
-cost has nowhere to hide; for corpora dominated by separator art or
-numeric tables the slice would overstate duplication, and a salt
-inserted per replica would be the fix.
+The driver ships sf0.001/sf0.01/sf0.1; sub-linearity claims need
+points above the largest shipped scale. ``build_documents_slice``
+manufactures an N× slice deterministically from the sf0.1 documents
+table: N replicas, each offsetting doc_id by a stride and perturbing
+the text with a length-preserving Caesar rotation of the letters
+(replica i rotates by i). Within a replica the duplicate-pair
+structure of the original corpus is preserved exactly (rotation is a
+bijection on grams). Across replicas, two different rotations differ
+by a non-zero rotation, which is fixed-point-free for every gram
+containing at least one letter — only letter-free grams (digit /
+separator runs) collide across replicas. On the shipped prose-like
+corpus these are negligible and the duplicate graph grows ~linearly
+(N×) — the regime where super-linear operator cost has nowhere to
+hide; for corpora dominated by separator art or numeric tables the
+slice would overstate duplication.
+
+``build_embeddings_slice`` is the companion for the similarity
+family: replica i offsets vec_id and ROLLS the embedding array by i
+positions — norm-preserving and within-replica-cosine-preserving, so
+each replica carries the original corpus's neighborhood structure
+while cross-replica cosines stay near-uniform.
 
 Shared by tests/test_scaling.py (assertion form) and
 tools/gen_scaling.py (committed SCALING.md table form) so both read
-the same slice definition.
+the same slice definition.  SLICE_VERSION is part of the canonical
+cache path — bump it whenever slice construction changes, or stale
+cached slices keep serving the old construction.
 """
 
 from __future__ import annotations
 
+import string
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# replica perturbations: each preserves length and in-replica duplicate
-# structure while making cross-replica 64-char grams distinct
-REPLICA_PERTURB = (
-    lambda c: c,  # replica 0: identity
-    F.reverse,
-    lambda c: F.translate(c, "aeiou", "01234"),
-)
+SLICE_VERSION = 2  # v2: Caesar-rotation replicas (was reverse/translate)
+
+_LOWER = string.ascii_lowercase
+_UPPER = string.ascii_uppercase
+
+
+def slice_dest(label: str) -> Path:
+    """Canonical cache dir for a slice, version-keyed."""
+    import tempfile
+
+    return (
+        Path(tempfile.gettempdir())
+        / "outreach_etl_spark_scale"
+        / f"{label}_v{SLICE_VERSION}"
+    )
+
+
+def _rotate(col, i: int):
+    """Caesar-rotate letters by i (length-preserving bijection)."""
+    if i % 26 == 0:
+        return col
+    k = i % 26
+    return F.translate(
+        col,
+        _LOWER + _UPPER,
+        _LOWER[k:] + _LOWER[:k] + _UPPER[k:] + _UPPER[:k],
+    )
 
 
 def build_documents_slice(
-    spark: SparkSession, src_dir: str, dest: str | Path
+    spark: SparkSession,
+    src_dir: str,
+    dest: str | Path,
+    replicas: int = 3,
 ) -> str:
-    """Materialize the 3× documents slice under ``dest`` (idempotent
-    AND concurrency-safe: built into a tmp dir, published by atomic
-    rename via :func:`queries.fixtures.atomic_fixture` — concurrent
-    pytest and tools/gen_scaling.py runs sharing a slice dir can
-    never observe a half-written slice or race the overwrite).
-    Returns the slice dir usable as an sf_dir for documents-only
-    queries."""
+    """Materialize the ``replicas``× documents slice under ``dest``
+    (idempotent AND concurrency-safe: built into a tmp dir, published
+    by atomic rename via :func:`queries.fixtures.atomic_fixture` —
+    concurrent pytest and tools/gen_scaling.py runs sharing a slice
+    dir can never observe a half-written slice or race the
+    overwrite). Returns the slice dir usable as an sf_dir for
+    documents-only queries."""
     from .catalog import load_table
     from .queries.fixtures import atomic_fixture
+
+    if not 1 <= replicas <= 26:
+        raise ValueError("replicas must be in 1..26 (rotation distinctness)")
 
     def build(tmp: Path) -> None:
         docs = load_table(spark, src_dir, "documents")
@@ -57,16 +91,59 @@ def build_documents_slice(
         reps: list[DataFrame] = [
             docs.select(
                 (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
-                perturb(F.col("text")).alias("text"),
+                _rotate(F.col("text"), i).alias("text"),
                 "lang",
                 "source",
-                "n_chars",  # reverse/translate preserve length
+                "n_chars",  # rotation preserves length
             )
-            for i, perturb in enumerate(REPLICA_PERTURB)
+            for i in range(replicas)
         ]
         out = reps[0]
         for r in reps[1:]:
             out = out.unionByName(r)
         out.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    return str(atomic_fixture(Path(dest), build))
+
+
+def build_embeddings_slice(
+    spark: SparkSession,
+    src_dir: str,
+    dest: str | Path,
+    replicas: int = 10,
+) -> str:
+    """Materialize the ``replicas``× embeddings slice under ``dest``
+    (same atomic-fixture discipline). Replica i rolls each embedding
+    array left by i positions — a norm- and within-replica-cosine-
+    preserving bijection, so neighborhood structure replicates
+    linearly while cross-replica cosines stay near-uniform."""
+    from .catalog import load_table
+    from .queries.fixtures import atomic_fixture
+
+    def build(tmp: Path) -> None:
+        embs = load_table(spark, src_dir, "embeddings")
+        stride = embs.agg(F.max("vec_id")).first()[0] + 1
+        dim = F.size("embedding")
+        reps: list[DataFrame] = []
+        for i in range(replicas):
+            rolled = (
+                F.col("embedding")
+                if i == 0
+                else F.concat(
+                    F.slice(F.col("embedding"), i + 1, dim - i),
+                    F.slice(F.col("embedding"), 1, i),
+                )
+            )
+            reps.append(
+                embs.select(
+                    (F.col("vec_id") + F.lit(i * stride)).alias("vec_id"),
+                    rolled.alias("embedding"),
+                    "label",
+                )
+            )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
 
     return str(atomic_fixture(Path(dest), build))

@@ -156,3 +156,28 @@ def test_generated_catalogs_are_fresh():
     assert sum(1 for ln in cat.splitlines() if ln.startswith("| ")) >= len(
         REGISTRY
     )
+
+
+def test_plan_audit_is_fresh():
+    """PLAN_AUDIT.md is committed generator output
+    (outreach_etl_tool_spark.plans.report); its row set must match the
+    live bench query set, so adding/renaming a headliner without
+    regenerating the audit fails here instead of shipping a stale
+    judge-facing plan table. (Shuffle-count drift within an unchanged
+    query set is caught by tests/test_plans.py's budgets.)"""
+    import re
+    from pathlib import Path
+
+    from outreach_etl_tool_spark.queries import REGISTRY
+
+    bench = {n for n, s in REGISTRY.items() if s.bench}
+    rows = set()
+    for ln in Path("PLAN_AUDIT.md").read_text().splitlines():
+        m = re.match(r"\| (\w+) \| \d", ln)
+        if m:
+            rows.add(m.group(1))
+    assert rows == bench, (
+        f"PLAN_AUDIT.md stale: missing={sorted(bench - rows)} "
+        f"extra={sorted(rows - bench)} — rerun "
+        "`python -m outreach_etl_tool_spark.plans.report`"
+    )

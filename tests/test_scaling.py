@@ -55,22 +55,22 @@ def test_ten_x_data_costs_well_under_ten_x_time(spark, name):
 # --------------------------------------------------- third point: sf0.3
 # A generated 3× slice of the sf0.1 documents table gives the dedup
 # family a third scaling point beyond the driver-shipped sfs. Each
-# replica offsets doc_id and perturbs the text with a shingle-set
-# bijection (reverse) / near-bijection (vowel translate): within a
-# replica the duplicate-pair structure of the original corpus is
-# preserved, and across replicas no near-dups are introduced — so the
-# duplicate graph grows ~linearly (3×), which is exactly the regime
-# where super-linear operator cost has nowhere to hide.
+# replica offsets doc_id and Caesar-rotates the letters (a gram
+# bijection): within a replica the duplicate-pair structure of the
+# original corpus is preserved, and across replicas no near-dups are
+# introduced — so the duplicate graph grows ~linearly (3×), which is
+# exactly the regime where super-linear operator cost has nowhere to
+# hide. (See scalekit's module docstring for the letter-free-gram
+# caveat.)
 
 @pytest.fixture(scope="module")
 def sf03_dir(spark):
-    import tempfile
-    from pathlib import Path
+    from outreach_etl_tool_spark.scalekit import (
+        build_documents_slice,
+        slice_dest,
+    )
 
-    from outreach_etl_tool_spark.scalekit import build_documents_slice
-
-    dest = Path(tempfile.gettempdir()) / "outreach_etl_spark_scale" / "sf03_v1"
-    return build_documents_slice(spark, SF_BIG, dest)
+    return build_documents_slice(spark, SF_BIG, slice_dest("sf03"))
 
 
 @pytest.mark.slow

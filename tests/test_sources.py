@@ -208,3 +208,57 @@ def test_csv_quoted_header_is_skipped(spark, tmp_path):
     clean, quarantine = split_corrupt(read_documents_csv(spark, str(p)))
     assert [r["doc_id"] for r in clean.collect()] == [1]
     assert quarantine.count() == 0
+
+
+def test_stream_tail_midbatch_failure_never_advances_offset(tmp_path):
+    """Streaming-tail failure contract (no Spark needed — the
+    SimpleDataSourceStreamReader is driven directly): when the
+    transport dies mid-batch (day 2 of a 2-day catch-up), read(start)
+    must PROPAGATE the failure without yielding a partial offset —
+    Spark then retries the batch from the same offset, and the retry
+    returns the complete row set with the advanced offset. A reader
+    that swallowed the error or advanced next_day past the failed day
+    would silently drop a day of data."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from outreach_etl_tool_spark.sources.restapi import (
+        DayWindow,
+        _StreamReader,
+    )
+
+    schema_file, api_dir = write_fixture(tmp_path)
+    schema = StructType([StructField(n, StringType(), True) for n in SCHEMA])
+    reader = _StreamReader(
+        schema,
+        {
+            "endpoint": "prospects",
+            "schema_file": schema_file,
+            "dir_url": api_dir,
+            "start": "2024-03-01",
+            "end": "2024-03-03",
+        },
+    )
+    inner_read = reader.inner.read
+    fails = {"n": 0}
+
+    def flaky(window: DayWindow):
+        if window.lo == "2024-03-02" and fails["n"] == 0:
+            fails["n"] += 1
+            raise RuntimeError("GET …: retries exhausted")
+        yield from inner_read(window)
+
+    reader.inner.read = flaky
+    start = reader.initialOffset()
+    assert start == {"next_day": "2024-03-01"}
+    # read() materializes eagerly (list, not generator) — the failure
+    # surfaces from read() itself, before any offset is produced
+    with pytest.raises(RuntimeError, match="retries exhausted"):
+        reader.read(start)
+    # retry from the SAME offset: full batch, offset advanced to end
+    rows, nxt = reader.read(start)
+    ids = sorted(r[0] for r in rows)
+    assert ids == ["1", "2", "3", "4"]  # both days, nothing dropped
+    assert nxt == {"next_day": "2024-03-03"}
+    # caught up: offset stays put, no rows
+    rows2, same = reader.read(nxt)
+    assert list(rows2) == [] and same == nxt

@@ -1,10 +1,12 @@
 """Regenerate SCALING.md — committed scaling evidence for the dedup /
 similarity / pipeline families.
 
-Times each family query at three scales — sf0.01, sf0.1 (driver-shipped)
-and a generated 3× documents slice (see scalekit.build_documents_slice)
-— and writes the wall-times plus scale ratios as a table. Sub-linear
-claims in SCALE.md point at this file instead of prose.
+Times each family query at up to four scales — sf0.01, sf0.1
+(driver-shipped), a generated 3× documents slice, and (for the top
+headliners) a generated 10× slice (documents, or embeddings for the
+similarity family — see scalekit) — and writes the wall-times plus
+scale ratios as a table. Sub-linear claims in SCALE.md point at this
+file instead of prose.
 
 Methodology mirrors bench.py: one untimed warm pass per (query, sf)
 for JIT/page-cache, then best-of-2 timed passes materialized with the
@@ -29,14 +31,18 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from outreach_etl_tool_spark.queries import REGISTRY  # noqa: E402
-from outreach_etl_tool_spark.scalekit import build_documents_slice  # noqa: E402
+from outreach_etl_tool_spark.scalekit import (  # noqa: E402
+    build_documents_slice,
+    build_embeddings_slice,
+    slice_dest,
+)
 from outreach_etl_tool_spark.session import get_spark  # noqa: E402
 
 SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 
-# documents-only queries run at all three points; the rest (need every
-# table) run at the two driver-shipped scales
+# documents-only queries run at the three document points; the rest
+# (need every table) run at the two driver-shipped scales
 FAMILIES: dict[str, bool] = {  # name -> documents_only
     "dedup_exact": True,
     "dedup_minhash": True,
@@ -52,8 +58,45 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "dedup_span_runs": True,
     "pipeline_pretrain_prep": True,
     "lm_quality_score": True,
-    "sim_knn_join": False,  # embeddings table
+    "sim_knn_join": False,  # embeddings table (sf1.0 slice has it)
+    "sim_ann_ivf": False,   # embeddings table; the ANN contrast tier
     "pipeline_clean_corpus": True,
+}
+
+# per-query footnotes rendered under the table — scaling shapes that
+# are EXPECTED and would otherwise read as regressions
+NOTES: dict[str, str] = {
+    "sim_knn_join": (
+        "EXACT all-pairs kNN join: work is n² cosine comparisons by "
+        "definition, so 10× vectors ≈ 100× work — the measured ratio "
+        "is the expected quadratic (slightly under, from fixed-cost "
+        "amortization), not a plan defect. This is the small-index "
+        "exact tier (registry-documented ≲10⁶ vectors); past that the "
+        "IVF/PQ tiers below carry the workload."
+    ),
+    "sim_ann_ivf": (
+        "IVF single-query top-k (train k=8 coarse cells, probe 3): "
+        "the ANN tier's cost is dominated by the probed cells' scan — "
+        "the sub-linear contrast to the exact all-pairs tier above."
+    ),
+    "dedup_setsim_join": (
+        "Output-bound: the qualifying-pair OUTPUT grows ~linearly "
+        "with replicas on the slice (each replica contributes its own "
+        "pair set) but the sf0.01→sf0.1 jump grows it ~107× (cluster "
+        "sizes), so wall-clock tracks output size, not input size."
+    ),
+}
+
+# 10× point (sf1.0 slice) — the top headliners only: the 100× design
+# claims should not rest on a 3× slice alone. sim_knn_join runs on the
+# 10× EMBEDDINGS slice; the others on the 10× documents slice.
+TOP10X = {
+    "dedup_span_exact_extents",
+    "dedup_setsim_join",
+    "dedup_minhash",
+    "dedup_cluster",
+    "sim_knn_join",
+    "sim_ann_ivf",
 }
 
 
@@ -99,9 +142,12 @@ def _calibration(spark) -> float:
 def main() -> None:
     spark = get_spark(app_name="gen_scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    sf03 = build_documents_slice(
-        spark, SF01, Path("/tmp/outreach_etl_spark_scale/sf03_v1")
+    sf03 = build_documents_slice(spark, SF01, slice_dest("sf03"))
+    sf10 = build_documents_slice(
+        spark, SF01, slice_dest("sf10"), replicas=10
     )
+    build_embeddings_slice(spark, SF01, slice_dest("sf10e"), replicas=10)
+    sf10e = str(slice_dest("sf10e"))
 
     # python-worker pool spawn, untimed
     spark.range(64).repartition(32).mapInPandas(
@@ -111,8 +157,19 @@ def main() -> None:
     rows = []
     for name, docs_only in FAMILIES.items():
         points: dict[str, float | None] = {}
-        for label, sf_dir in (("sf0.01", SF001), ("sf0.1", SF01), ("sf0.3", sf03)):
+        big_dir = (
+            sf10e if name in ("sim_knn_join", "sim_ann_ivf") else sf10
+        )
+        for label, sf_dir in (
+            ("sf0.01", SF001),
+            ("sf0.1", SF01),
+            ("sf0.3", sf03),
+            ("sf1.0", big_dir),
+        ):
             if label == "sf0.3" and not docs_only:
+                points[label] = None
+                continue
+            if label == "sf1.0" and name not in TOP10X:
                 points[label] = None
                 continue
             _run(spark, name, sf_dir)  # warm
@@ -125,8 +182,15 @@ def main() -> None:
             round(points["sf0.3"] / points["sf0.1"], 1)
             if points.get("sf0.3") and points["sf0.1"] else None
         )
-        rows.append((name, points, r10, r3))
-        print(f"{name}: {points} 10x={r10} 3x={r3}", file=sys.stderr)
+        r10s = (
+            round(points["sf1.0"] / points["sf0.1"], 1)
+            if points.get("sf1.0") and points["sf0.1"] else None
+        )
+        rows.append((name, points, r10, r3, r10s))
+        print(
+            f"{name}: {points} 10x={r10} 3x={r3} 10xslice={r10s}",
+            file=sys.stderr,
+        )
 
     calib = _calibration(spark)
     commit = subprocess.run(
@@ -143,30 +207,43 @@ def main() -> None:
         f"Commit `{commit}`, {_dt.date.today().isoformat()}, local[32], "
         "noop sink, best-of-2 after one warm pass per point.",
         "",
-        "Scales: sf0.01 and sf0.1 are the driver-shipped parquet; sf0.3 "
-        "is the deterministic 3× documents slice from "
-        "`scalekit.build_documents_slice` (duplicate graph grows "
-        "linearly by construction — see that module's docstring). "
-        "Queries needing non-documents tables have no sf0.3 point.",
+        "Scales: sf0.01 and sf0.1 are the driver-shipped parquet; "
+        "sf0.3 and sf1.0 are the deterministic 3× and 10× slices from "
+        "`scalekit.build_documents_slice` / `build_embeddings_slice` "
+        "(duplicate graph / neighborhood structure grows linearly by "
+        "construction — see that module's docstring). The sf1.0 point "
+        "is measured for the top headliners; sim_knn_join's sf1.0 is "
+        "the 10× embeddings slice.",
         "",
-        "Reading the ratios: sf0.01→sf0.1 is 10× rows, sf0.1→sf0.3 is "
-        "3× rows. Distributed plans carry fixed overhead (scheduling, "
-        "python workers), so sub-linear ratios (≪10× / ≪3×) are the "
-        "healthy signature; a ratio NEAR OR ABOVE the data ratio flags "
-        "a driver-side loop or quadratic expansion. "
+        "Reading the ratios: sf0.01→sf0.1 is 10× rows; sf0.1→sf0.3 is "
+        "3×; sf0.1→sf1.0 is 10×. Distributed plans carry fixed "
+        "overhead (scheduling, python workers), so sub-linear ratios "
+        "are the healthy signature; a ratio NEAR OR ABOVE the data "
+        "ratio flags a driver-side loop or quadratic expansion (or an "
+        "output-bound query — setsim's pair output is itself "
+        "quadratic in cluster size). "
         f"Host calibration (fixed 20M-row agg+sort): **{calib:.2f} s** — "
         "divide by this before comparing across rounds.",
         "",
-        "| query | sf0.01 s | sf0.1 s | sf0.3 s | 10× data | 3× data |",
-        "|---|---|---|---|---|---|",
+        "| query | sf0.01 s | sf0.1 s | sf0.3 s | sf1.0 s "
+        "| 10× data | 3× slice | 10× slice |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for name, points, r10, r3 in rows:
+    for name, points, r10, r3, r10s in rows:
         lines.append(
             f"| {name} | {fmt(points['sf0.01'])} | {fmt(points['sf0.1'])} "
             f"| {fmt(points.get('sf0.3'))} "
+            f"| {fmt(points.get('sf1.0'))} "
             f"| {str(r10) + '×' if r10 is not None else '—'} "
-            f"| {str(r3) + '×' if r3 is not None else '—'} |"
+            f"| {str(r3) + '×' if r3 is not None else '—'} "
+            f"| {str(r10s) + '×' if r10s is not None else '—'} |"
         )
+    noted = [n for n, _, _, _, _ in rows if n in NOTES]
+    if noted:
+        lines.append("")
+        lines.append("Notes:")
+        for n in noted:
+            lines.append(f"- **{n}** — {NOTES[n]}")
     lines.append("")
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print(json.dumps({"calibration_sec": round(calib, 3),
