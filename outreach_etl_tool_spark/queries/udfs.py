@@ -100,6 +100,22 @@ def udf_grouped_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").applyInPandas(_norm_group, _NORM_SCHEMA)
 
 
+# Oracle parity (round 8): every step is a SINGLE IEEE double op —
+# (x − lo), (hi − lo), one division — and pandas min/max are exact
+# comparisons, so the window-function mirror matches bit-for-bit.
+# The `span or 1.0` constant-group guard maps to the CASE.
+UDF_GROUPED_NORM_SQL = """
+SELECT c_custkey, c_nationkey,
+       (c_acctbal - MIN(c_acctbal) OVER w)
+       / (CASE WHEN MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w = 0
+               THEN 1.0
+               ELSE MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w
+          END) AS bal_norm
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey)
+"""
+
+
 # UDTF analog (mapInPandas): batch iterator in, differently-shaped batch
 # iterator out — here a token-explode returning multiple rows per doc.
 _TOKENS_SCHEMA = "doc_id long, token string"
@@ -624,8 +640,9 @@ QUERIES: dict[str, QuerySpec] = {
         doc="scalar pandas_udf demo (global z-score, oracle-paired)",
     ),
     "udf_grouped_norm": QuerySpec(
-        udf_grouped_norm, None, tags=("UDAF",),
-        doc="applyInPandas grouped-map demo (per-nation min-max)",
+        udf_grouped_norm, UDF_GROUPED_NORM_SQL, tags=("UDAF",),
+        doc="applyInPandas grouped-map demo (per-nation min-max), "
+        "single-op float parity oracle",
     ),
     "udf_map_tokens": QuerySpec(
         udf_map_tokens, None, tags=("UDTF",),
