@@ -849,6 +849,121 @@ BM25_DECONTAMINATE_SQL = _bm25_decontaminate_sql()
 
 
 # ---------------------------------------------------------------------------
+# SOURCE OVERLAP — exact corpus-level Jaccard between sources
+# ---------------------------------------------------------------------------
+# The corpus-analytics companion of per-document dedup: "how much of
+# source A's content also lives in source B" drives crawl dedup
+# priorities and mixture weights. Exact, not sketched: per-shingle we
+# collect the SORTED source set (bounded by the source count, a
+# corpus constant — never doc-count-sized), expand its pairs, and
+# count — one shuffle on the shingle hash with map-side distinct,
+# pair fan-out ≤ C(n_sources, 2) per shingle. Jaccard is one division
+# of exact integers. At 100 TB with thousands of sources the same
+# shape runs per source-bucket, or swaps the exact set for the
+# parity minhash signature (dedup/parity.py) — the estimator is then
+# the oracle-able n_agree/H.
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.minhash import shingles
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select("source", F.explode(shingles("text", k=3)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    srcsets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = srcsets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ss"), i + 2, F.size("ss")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_sh").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_sh").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_JACCARD_SQL = """
+WITH sh AS (
+    SELECT DISTINCT source, s AS sh
+    FROM (
+        SELECT source, UNNEST(
+            CASE WHEN LEN(arr) < 3 THEN [array_to_string(arr, ' ')]
+                 ELSE list_distinct(list_transform(
+                        generate_series(1, LEN(arr) - 2),
+                        i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+            END) AS s
+        FROM (SELECT source,
+                     regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+              FROM documents)
+        WHERE LEN(arr) > 0
+    )
+), sizes AS (
+    SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_inter,
+       sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+       CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # STRATIFIED SAMPLE — exact-count per-stratum deterministic sample
 # ---------------------------------------------------------------------------
 # Exactly n docs per source (df.sampleBy gives only *expected*
@@ -1323,6 +1438,13 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "source_overlap_jaccard": QuerySpec(
+        source_overlap_jaccard, SOURCE_OVERLAP_JACCARD_SQL,
+        tags=("L1", "L2", "A2"),
+        doc="exact corpus-level shingle Jaccard between sources — "
+        "crawl-overlap analytics; per-shingle source sets are "
+        "source-count-bounded, one shuffle",
     ),
     "bm25_decontaminate": QuerySpec(
         bm25_decontaminate, BM25_DECONTAMINATE_SQL,
