@@ -620,9 +620,15 @@ def emb_pairs_parity(
     )
 
 
-def emb_pairs_parity_sql(
+def emb_parity_ctes(
     dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
 ) -> str:
+    """CTE body (no WITH keyword, no final SELECT) ending in
+    ``emb_pairs(id_a, id_b, dq, na, nb)`` — the τ-gated verified pair
+    set — plus ``base(id, v)``, the dim-filtered node universe.
+    Composable: ``emb_pairs_parity_sql`` wraps it with the cosine
+    projection; the semdedup oracle appends a recursive
+    connected-components CTE over the same pairs."""
     planes = _emb_planes(dim)
 
     def arr(ws: list[int]) -> str:
@@ -642,8 +648,7 @@ def emb_pairs_parity_sql(
         f"{(1 << _EMB_BAND_BITS) - 1} AS VARCHAR) AS key FROM fp"
         for b in range(_EMB_BANDS)
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
     SELECT vec_id AS id, embedding AS v FROM embeddings
     WHERE LEN(embedding) = {dim}
 ), q AS (
@@ -682,13 +687,23 @@ WITH base AS (
     FROM cands c
     JOIN qarr a ON a.id = c.id_a
     JOIN qarr b ON b.id = c.id_b
-)
+), emb_pairs AS (
+    SELECT id_a, id_b, dq, na, nb
+    FROM scored
+    WHERE dq > 0
+      AND {threshold_den * threshold_den} * dq::HUGEINT * dq::HUGEINT
+          >= {threshold_num * threshold_num} * na::HUGEINT * nb::HUGEINT
+)"""
+
+
+def emb_pairs_parity_sql(
+    dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
+) -> str:
+    return f"""
+WITH {emb_parity_ctes(dim, threshold_num, threshold_den)}
 SELECT id_a, id_b,
        dq / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
-FROM scored
-WHERE dq > 0
-  AND {threshold_den * threshold_den} * dq::HUGEINT * dq::HUGEINT
-      >= {threshold_num * threshold_num} * na::HUGEINT * nb::HUGEINT
+FROM emb_pairs
 ORDER BY id_a, id_b
 """
 

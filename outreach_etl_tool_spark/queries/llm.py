@@ -343,6 +343,56 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parity.emb_pairs_parity(embs, "vec_id", "embedding", dim=64)
 
 
+# L2/L3 — SemDeDup-style semantic prune (Abbas et al. 2023 shape): the
+# embedding near-dup pair set (SRP bands + exact-integer cosine gate,
+# emb_near_dup above) is only HALF the operator — semantic dedup keeps
+# ONE representative per group of mutually-similar vectors, and
+# similarity is transitive in practice (A~B, B~C → same meaning), so
+# the keeper decision needs connected components, exactly like text
+# dedup_cluster. Composition: parity pairs → min-label components
+# (dedup/cluster.py — bounded driver union-find fast path, distributed
+# propagation beyond it) → keep the minimum vec_id per component.
+# Every stage is banded/bounded (no all-pairs), and the oracle is a
+# FULL replica: the same parity CTE body emb_near_dup certifies,
+# extended with a recursive-CTE transitive closure.
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import cluster, parity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    pairs = parity.emb_pairs_parity(
+        embs, "vec_id", "embedding", dim=64
+    ).select("id_a", "id_b")
+    nodes = embs.filter(F.size("embedding") == 64).select("vec_id")
+    comps = cluster.connected_components(pairs, nodes, id_col="vec_id")
+    return comps.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_keep"),
+    )
+
+
+def _semdedup_prune_sql() -> str:
+    from ..dedup.parity import emb_parity_ctes
+
+    return f"""
+WITH RECURSIVE {emb_parity_ctes(dim=64)},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM emb_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM emb_pairs
+), reach(a, b) AS (
+    SELECT id, id FROM base
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, MIN(b) AS cluster_id, a = MIN(b) AS is_keep
+FROM reach GROUP BY a
+"""
+
+
+_SEMDEDUP_PRUNE_SQL = _semdedup_prune_sql()
+
+
 # L3 — brute-force cosine top-k against a query vector (the baseline ANN
 # tier). The query vector is a plan-time literal (vec_id 0's embedding);
 # oracle mirrors the exact arithmetic: double-cast elements, left-fold
@@ -2389,6 +2439,11 @@ QUERIES: dict[str, QuerySpec] = {
         emb_near_dup, _EMB_NEAR_DUP_SQL, tags=("L2", "L3"),
         doc="embedding SRP near-dup, oracle-parity: integer-quantized "
         "planes + exact-integer cosine gate, full-replica oracle",
+    ),
+    "semdedup_prune": QuerySpec(
+        semdedup_prune, _SEMDEDUP_PRUNE_SQL, tags=("L2", "L3", "L1"),
+        doc="SemDeDup: SRP near-dup pairs -> connected components -> "
+        "keep min-id representative; recursive-CTE full-replica oracle",
     ),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_knn_join": QuerySpec(

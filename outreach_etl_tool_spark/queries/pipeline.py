@@ -964,6 +964,187 @@ ORDER BY source_a, source_b
 
 
 # ---------------------------------------------------------------------------
+# SOURCE TOKEN DIVERGENCE — exact total-variation distance per source pair
+# ---------------------------------------------------------------------------
+# Drift/mixture analytics companion of source_overlap_jaccard: TV
+# distance between per-source unigram distributions,
+# TV(a,b) = ½ Σ_t |c_a(t)/N_a − c_b(t)/N_b|. Computed EXACTLY in
+# integers via cross-multiplication — Σ|c_a·N_b − c_b·N_a| — split as
+# (tokens in both) + (mass exclusive to each side), where the
+# exclusive mass needs NO per-token pass: Σ_{t∈a only} c_a = N_a − S_a,
+# S_a = Σ_{t∈both} c_a. So only tokens appearing in ≥2 sources expand
+# into pairs (sorted source-count structs per token, fan-out ≤
+# C(s_t,2) with s_t = #sources containing t — bounded by the source
+# count, a corpus constant, never doc-count-sized). One count shuffle,
+# one token-group shuffle, broadcast size joins, pair-sized output.
+# At thousands of sources, run per source-bucket. Float discipline:
+# all sums are BIGINT (|c·N| ≤ N_a·N_b < 2^52 at any per-bucket scale
+# we shard to); the single double division is the identical IEEE op
+# in both engines.
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    sizes = cnt.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    srcsets = (
+        cnt.groupBy("t")
+        .agg(F.sort_array(F.collect_list(F.struct("source", "c"))).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = srcsets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda y: F.struct(
+                            x["source"].alias("source_a"),
+                            x["c"].alias("c_a"),
+                            y["source"].alias("source_b"),
+                            y["c"].alias("c_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.c_a", "p.source_b", "p.c_b")
+    sized = pairs.join(
+        F.broadcast(
+            sizes.select(F.col("source").alias("source_a"), F.col("n_tok").alias("na"))
+        ),
+        "source_a",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col("source").alias("source_b"), F.col("n_tok").alias("nb"))
+        ),
+        "source_b",
+    )
+    both = sized.groupBy("source_a", "source_b", "na", "nb").agg(
+        F.sum(F.abs(F.col("c_a") * F.col("nb") - F.col("c_b") * F.col("na"))).alias(
+            "num_both"
+        ),
+        F.sum("c_a").alias("s_a"),
+        F.sum("c_b").alias("s_b"),
+    )
+    num = (
+        F.col("num_both")
+        + (F.col("na") - F.col("s_a")) * F.col("nb")
+        + (F.col("nb") - F.col("s_b")) * F.col("na")
+    )
+    return (
+        both.select(
+            "source_a",
+            "source_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (num / (F.lit(2.0) * F.col("na") * F.col("nb"))).alias("tv_distance"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_TOKEN_DIVERGENCE_SQL = """
+WITH tok AS (
+    SELECT source, t
+    FROM (SELECT source,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents), unnest(arr) AS u(t)
+), cnt AS (
+    SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t
+), sizes AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok FROM cnt GROUP BY source
+), shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           sa.n_tok AS na, sb.n_tok AS nb,
+           CAST(SUM(ABS(a.c * sb.n_tok - b.c * sa.n_tok)) AS BIGINT)
+               AS num_both,
+           CAST(SUM(a.c) AS BIGINT) AS s_a,
+           CAST(SUM(b.c) AS BIGINT) AS s_b
+    FROM cnt a
+    JOIN cnt b ON a.t = b.t AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b, na AS n_a, nb AS n_b,
+       CAST(num_both + (na - s_a) * nb + (nb - s_b) * na AS DOUBLE)
+           / (2.0 * na * nb) AS tv_distance
+FROM shared
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# NOVELTY SCORE — per-document first-occurrence gram fraction
+# ---------------------------------------------------------------------------
+# Data-curation signal: how much of a document's content is NEW to the
+# corpus (first occurrence by minimum doc_id) vs already contributed by
+# earlier documents — the per-doc complement of span dedup, used to
+# rank crawl snapshots and prioritize ingestion. Distinct 3-grams per
+# doc; first owner via one MIN window keyed on the gram (one hash
+# shuffle — grams never leave their partition again), then a per-doc
+# rollup. No joins, no all-pairs; both shuffles are key-partitioned
+# and map-side combinable at the rollup.
+def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(_grams("text", 3))).alias("g")
+    )
+    owned = g.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("g")))
+        .cast("long")
+        .alias("novel"),
+    )
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NOVELTY_SCORE_SQL = """
+WITH g AS (
+    SELECT doc_id, g
+    FROM (
+        SELECT doc_id,
+               CASE WHEN LEN(arr) >= 3 THEN list_distinct(list_transform(
+                        generate_series(1, LEN(arr) - 2),
+                        i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+                    ELSE CAST([] AS VARCHAR[]) END AS gs
+        FROM (SELECT doc_id,
+                     regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+              FROM documents)
+    ), unnest(gs) AS u(g)
+), owned AS (
+    SELECT doc_id,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY g)
+                THEN 1 ELSE 0 END AS novel
+    FROM g
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       CAST(SUM(novel) AS DOUBLE) / COUNT(*) AS novelty
+FROM owned
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # STRATIFIED SAMPLE — exact-count per-stratum deterministic sample
 # ---------------------------------------------------------------------------
 # Exactly n docs per source (df.sampleBy gives only *expected*
@@ -1445,6 +1626,18 @@ QUERIES: dict[str, QuerySpec] = {
         doc="exact corpus-level shingle Jaccard between sources — "
         "crawl-overlap analytics; per-shingle source sets are "
         "source-count-bounded, one shuffle",
+    ),
+    "source_token_divergence": QuerySpec(
+        source_token_divergence, SOURCE_TOKEN_DIVERGENCE_SQL,
+        tags=("L4", "A2"),
+        doc="exact total-variation distance between per-source unigram "
+        "distributions via integer cross-multiplication — mixture-drift "
+        "analytics; only shared tokens expand into pairs",
+    ),
+    "novelty_score": QuerySpec(
+        novelty_score, NOVELTY_SCORE_SQL, tags=("L4", "L1", "W1"),
+        doc="per-document first-occurrence gram fraction (corpus novelty "
+        "curation signal); one gram-keyed MIN window + per-doc rollup",
     ),
     "bm25_decontaminate": QuerySpec(
         bm25_decontaminate, BM25_DECONTAMINATE_SQL,

@@ -571,3 +571,85 @@ def test_bm25_ranks_term_dense_doc_first(spark, monkeypatch):
     assert q1[0][2] > q1[1][2] > 0
     rows2 = P.bm25_retrieval(spark, "unused").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+# ------------------------------------------------- corpus analytics (r8)
+def test_source_token_divergence_literal(spark, monkeypatch):
+    """Hand-computed TV distances. src_a={a:2,b:1}, src_b={a:1,b:2}
+    (N=3 each): TV = 0.5*(1/3 + 1/3) = 1/3 exactly (the integer
+    cross-multiplication makes this bit-exact, not approximate).
+    src_c shares no token with src_a/src_b -> NO row (the operator's
+    contract: only pairs sharing >=1 token appear; a fully-disjoint
+    pair would be TV=1 but is indistinguishable from 'never compared'
+    downstream, and materializing all C(S,2) pairs defeats the
+    shared-token-only fan-out bound)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb", "src_a"),
+            (2, "aa bb bb", "src_b"),
+            (3, "cc cc cc", "src_c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    rows = {(r["source_a"], r["source_b"]): r for r in
+            P.source_token_divergence(spark, "unused").collect()}
+    assert set(rows) == {("src_a", "src_b")}
+    r = rows[("src_a", "src_b")]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["tv_distance"] == pytest.approx(1.0 / 3.0, abs=0)
+
+
+def test_source_token_divergence_identical_is_zero(spark, monkeypatch):
+    docs = spark.createDataFrame(
+        [(1, "x y z x", "a"), (2, "x y z x", "b")],
+        "doc_id long, text string, source string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    [r] = P.source_token_divergence(spark, "unused").collect()
+    assert r["tv_distance"] == 0.0
+
+
+def test_novelty_score_first_owner_wins(spark, monkeypatch):
+    """doc 1 owns all its grams (novelty 1.0); doc 2 repeats doc 1
+    verbatim (novelty 0.0); doc 3 shares one of its two grams."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # grams: a-b-g, b-g-d
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma epsilon"),  # a-b-g (seen), b-g-e (new)
+        ],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in P.novelty_score(spark, "unused").collect()}
+    assert got == {1: (2, 2, 1.0), 2: (2, 0, 0.0), 3: (2, 1, 0.5)}
+
+
+def test_semdedup_prune_keeps_min_id_per_clique(spark, monkeypatch):
+    """Two identical vectors (cosine 1 -> same cluster, min id kept)
+    plus one vector far below the tau=0.4 gate (negated) -> singleton.
+    Exercises the full composition: parity pairs -> connected
+    components -> keeper flags."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    v = rng.standard_normal(64).tolist()
+    w = [-x for x in v]
+    embs = spark.createDataFrame(
+        [(10, v, 0), (11, v, 0), (12, w, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import outreach_etl_tool_spark.queries.llm as L
+
+    monkeypatch.setattr(L, "load_table", lambda *a: embs)
+    got = {r["vec_id"]: (r["cluster_id"], r["is_keep"])
+           for r in L.semdedup_prune(spark, "unused").collect()}
+    assert got == {10: (10, True), 11: (10, False), 12: (12, True)}
