@@ -866,9 +866,13 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.minhash import shingles
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # sh feeds both the size rollup and the per-shingle source sets —
+    # checkpoint so the corpus shingling + distinct shuffle runs once
+    # (setsim discipline; the relation is distinct-shingle-sized).
     sh = (
         docs.select("source", F.explode(shingles("text", k=3)).alias("sh"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     srcsets = (
@@ -984,8 +988,17 @@ ORDER BY source_a, source_b
 def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(TXT.tokens("text")).alias("t"))
-    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
-    sizes = cnt.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    # cnt feeds three consumers (srcsets + both broadcast size legs);
+    # checkpoint once (setsim discipline) so the corpus tokenization +
+    # count shuffle runs once, not three times. The checkpointed
+    # relation is vocab x sources-sized — the operator's working set,
+    # not the corpus.
+    cnt = (
+        tok.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    sizes = cnt.groupBy("source").agg(F.sum("c").alias("n_tok")).localCheckpoint()
     srcsets = (
         cnt.groupBy("t")
         .agg(F.sort_array(F.collect_list(F.struct("source", "c"))).alias("ss"))
