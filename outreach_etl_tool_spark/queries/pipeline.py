@@ -1089,6 +1089,73 @@ ORDER BY source_a, source_b
 
 
 # ---------------------------------------------------------------------------
+# CORPUS SHUFFLE SHARDS — deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+# The step between curation and tokenization: a 100 TB corpus must be
+# globally shuffled (so each training shard is an unbiased sample) and
+# written as N shard files with stable ordering and token offsets.
+# rand() is wrong at this layer — re-runs and retried tasks must agree
+# — so the shuffle key is a salted md5 of the doc id: shard = first
+# hex byte mod N (uniform), order within shard = full digest. One hash
+# exchange on the shard key; the per-shard window is exactly the
+# sortWithinPartitions a shard writer performs anyway, and the running
+# token offset gives each doc its position in the tokenized stream
+# (what an index/manifest records). Skew-free by md5 uniformity: E[docs
+# per shard] = n/N with binomial concentration.
+_N_SHARDS = 16
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        key.alias("k"),
+        (
+            F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % _N_SHARDS
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("token_offset"),
+            "n_tokens",
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS n_tokens,
+           MD5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+           CAST(('0x' || SUBSTR(MD5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                    ::BIGINT % {_N_SHARDS} AS INTEGER) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS pos,
+       CAST(COALESCE(SUM(n_tokens) OVER
+                (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS token_offset,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM keyed
+WINDOW w AS (PARTITION BY shard ORDER BY k, doc_id)
+ORDER BY shard, pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # NOVELTY SCORE — per-document first-occurrence gram fraction
 # ---------------------------------------------------------------------------
 # Data-curation signal: how much of a document's content is NEW to the
@@ -1651,6 +1718,13 @@ QUERIES: dict[str, QuerySpec] = {
         novelty_score, NOVELTY_SCORE_SQL, tags=("L4", "L1", "W1"),
         doc="per-document first-occurrence gram fraction (corpus novelty "
         "curation signal); one gram-keyed MIN window + per-doc rollup",
+    ),
+    "corpus_shuffle_shards": QuerySpec(
+        corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL,
+        tags=("L4", "W1", "W3"),
+        doc="deterministic global corpus shuffle into N training shards "
+        "with per-shard positions and running token offsets; one hash "
+        "exchange + the shard writer's own within-shard sort",
     ),
     "bm25_decontaminate": QuerySpec(
         bm25_decontaminate, BM25_DECONTAMINATE_SQL,

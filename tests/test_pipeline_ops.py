@@ -653,3 +653,31 @@ def test_semdedup_prune_keeps_min_id_per_clique(spark, monkeypatch):
     got = {r["vec_id"]: (r["cluster_id"], r["is_keep"])
            for r in L.semdedup_prune(spark, "unused").collect()}
     assert got == {10: (10, True), 11: (10, False), 12: (12, True)}
+
+
+def test_corpus_shuffle_shards_contract(spark, monkeypatch):
+    """Shard assignment is total and deterministic; positions are
+    1..n_shard dense; token_offset is the exclusive running sum of
+    n_tokens in shard order (doc k starts where doc k-1 ended)."""
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    rows = P.corpus_shuffle_shards(spark, "unused").collect()
+    assert len(rows) == 40
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # md5 spreads 40 docs over >1 of 16 shards
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        off = 0
+        for r in rs:
+            assert r["token_offset"] == off
+            off += r["n_tokens"]
+    rows2 = P.corpus_shuffle_shards(spark, "unused").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
