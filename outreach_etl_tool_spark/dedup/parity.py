@@ -501,6 +501,7 @@ def emb_pairs_parity(
     dim: int = 64,
     threshold_num: int = 2,
     threshold_den: int = 5,
+    ordered: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine(quantized) >= num/den, via SRP
     banding + exact integer verify (25·dot² >= 4·|a|²·|b|² in
@@ -604,20 +605,20 @@ def emb_pairs_parity(
         F.lit(threshold_den * threshold_den) * dec("dq") * dec("dq")
         >= F.lit(threshold_num * threshold_num) * dec("na") * dec("nb")
     )
-    return (
-        scored.filter(gate)
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("dq")
-                / F.sqrt(
-                    F.col("na").cast("double") * F.col("nb").cast("double")
-                )
-            ).alias("cosine"),
-        )
-        .orderBy("id_a", "id_b")
+    out = scored.filter(gate).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("dq")
+            / F.sqrt(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        ).alias("cosine"),
     )
+    # ordered=False for composition consumers (e.g. the semdedup
+    # component stage) that immediately re-shuffle — the global sort
+    # is presentation-only
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def emb_parity_ctes(

@@ -359,9 +359,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import cluster, parity
 
     embs = load_table(spark, sf_dir, "embeddings")
-    pairs = parity.emb_pairs_parity(
-        embs, "vec_id", "embedding", dim=64
-    ).select("id_a", "id_b")
+    # connected_components symmetrizes the edge list (pairs UNION
+    # swapped pairs) — checkpoint so the banded-LSH pair derivation
+    # runs once, not once per union leg (setsim discipline; the
+    # relation is pair-sized).
+    pairs = (
+        parity.emb_pairs_parity(embs, "vec_id", "embedding", dim=64, ordered=False)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     nodes = embs.filter(F.size("embedding") == 64).select("vec_id")
     comps = cluster.connected_components(pairs, nodes, id_col="vec_id")
     return comps.select(
