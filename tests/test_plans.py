@@ -292,7 +292,6 @@ SHUFFLE_BUDGETS = {
     # self-join both sides + distinct + two verify joins + result sort
     "dedup_setsim_join": 7,
     "dedup_span_exact_excise": 9,
-    "dedup_span_excise": 9,
     "quality_mad_outliers": 3,        # mad agg + final agg + result sort
     "udtf_lateral_tokens": 1,         # lateral fan-out + result sort
     # stats agg + result sort; pair/canon joins broadcast at gate
@@ -313,6 +312,16 @@ SHUFFLE_BUDGETS = {
     # hash rank window + doc islands ×2 + gap/segment joins + rebuild
     # agg + sort; all per-doc after the one hash shuffle, no Python
     "dedup_span_excise": 7,
+    # round-8 corpus-analytics family (post-checkpoint segments; the
+    # size joins are HINTED broadcasts, so they never demote — pinned
+    # at the observed count, no slack)
+    "source_overlap_jaccard": 5,      # sizes agg + srcsets agg + inter agg + 2 sorts
+    "source_token_divergence": 3,     # srcsets agg + pair rollup + result sort
+    "novelty_score": 3,               # gram window + doc rollup + result sort
+    "corpus_shuffle_shards": 2,       # shard-key window exchange + result sort
+    # CC fast path collapses the component loop at pin scale; one slot
+    # for the keeper projection + result shuffle past the edge threshold
+    "semdedup_prune": 2,
 }
 
 

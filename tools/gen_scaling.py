@@ -61,6 +61,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "sim_knn_join": False,  # embeddings table (sf1.0 slice has it)
     "sim_ann_ivf": False,   # embeddings table; the ANN contrast tier
     "pipeline_clean_corpus": True,
+    "semdedup_prune": False,  # embeddings table (sf1.0 slice has it)
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
@@ -85,6 +86,12 @@ NOTES: dict[str, str] = {
         "pair set) but the sf0.01→sf0.1 jump grows it ~107× (cluster "
         "sizes), so wall-clock tracks output size, not input size."
     ),
+    "semdedup_prune": (
+        "SRP-banded pairs → connected components → min-id keeper: "
+        "banded candidate generation is linear in vectors; the "
+        "component stage is pair-bound (driver union-find under the "
+        "1M-edge threshold, distributed propagation past it)."
+    ),
 }
 
 # 10× point (sf1.0 slice) — the top headliners only: the 100× design
@@ -97,6 +104,7 @@ TOP10X = {
     "dedup_cluster",
     "sim_knn_join",
     "sim_ann_ivf",
+    "semdedup_prune",
 }
 
 
@@ -158,7 +166,9 @@ def main() -> None:
     for name, docs_only in FAMILIES.items():
         points: dict[str, float | None] = {}
         big_dir = (
-            sf10e if name in ("sim_knn_join", "sim_ann_ivf") else sf10
+            sf10e
+            if name in ("sim_knn_join", "sim_ann_ivf", "semdedup_prune")
+            else sf10
         )
         for label, sf_dir in (
             ("sf0.01", SF001),
@@ -212,7 +222,8 @@ def main() -> None:
         "`scalekit.build_documents_slice` / `build_embeddings_slice` "
         "(duplicate graph / neighborhood structure grows linearly by "
         "construction — see that module's docstring). The sf1.0 point "
-        "is measured for the top headliners; sim_knn_join's sf1.0 is "
+        "is measured for the top headliners; the similarity-family "
+        "sf1.0 points (sim_knn_join, sim_ann_ivf, semdedup_prune) use "
         "the 10× embeddings slice.",
         "",
         "Reading the ratios: sf0.01→sf0.1 is 10× rows; sf0.1→sf0.3 is "
