@@ -352,9 +352,15 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_cluster. Composition: parity pairs → min-label components
 # (dedup/cluster.py — bounded driver union-find fast path, distributed
 # propagation beyond it) → keep the minimum vec_id per component.
-# Every stage is banded/bounded (no all-pairs), and the oracle is a
+# Every stage is banded/bounded (no all-pairs; degenerate SRP buckets
+# are capped at 1024 ids, mirrored in the oracle), and the oracle is a
 # FULL replica: the same parity CTE body emb_near_dup certifies,
-# extended with a recursive-CTE transitive closure.
+# extended with a recursive-CTE transitive closure. Tiering at scale:
+# 4-bit SRP bands have a 16-key space, so bucket occupancy grows with
+# n (SCALING.md documents the resulting 10×→17.8× point) — past the
+# small-corpus tier, candidate generation swaps to IVF-cell blocking
+# (similarity/kmeans.py) with the same exact-integer verify and the
+# same component/keeper stages.
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import cluster, parity
 

@@ -87,10 +87,18 @@ NOTES: dict[str, str] = {
         "sizes), so wall-clock tracks output size, not input size."
     ),
     "semdedup_prune": (
-        "SRP-banded pairs → connected components → min-id keeper: "
-        "banded candidate generation is linear in vectors; the "
-        "component stage is pair-bound (driver union-find under the "
-        "1M-edge threshold, distributed propagation past it)."
+        "SRP-banded pairs → connected components → min-id keeper. "
+        "The 10× ratio is bucket-saturation, not a plan defect: the "
+        "oracle-parity SRP uses 8 bands of 4 bits (16 keys/band — "
+        "wider bands would collapse recall at τ=0.4, where per-plane "
+        "agreement is only ~0.64), so bucket occupancy grows ~n/16 "
+        "and candidate pairs ~n²/64 until the mirrored 1024-id bucket "
+        "cap bounds them. This is the oracle-able SMALL-CORPUS tier; "
+        "at scale candidate generation hands off to IVF-cell blocking "
+        "(similarity/kmeans.py + sim_ann_ivf's sub-linear curve "
+        "above) with the same exact-integer verify — the component "
+        "stage stays pair-bound either way (driver union-find under "
+        "the 1M-edge threshold, distributed propagation past it)."
     ),
 }
 
