@@ -2453,7 +2453,7 @@ QUERIES: dict[str, QuerySpec] = {
         "planes + exact-integer cosine gate, full-replica oracle",
     ),
     "semdedup_prune": QuerySpec(
-        semdedup_prune, _SEMDEDUP_PRUNE_SQL, tags=("L2", "L3", "L1"),
+        semdedup_prune, _SEMDEDUP_PRUNE_SQL, tags=("L2", "L3", "L1"), bench=True,
         doc="SemDeDup: SRP near-dup pairs -> connected components -> "
         "keep min-id representative; recursive-CTE full-replica oracle",
     ),

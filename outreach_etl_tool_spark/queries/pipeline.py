@@ -1709,7 +1709,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "source_token_divergence": QuerySpec(
         source_token_divergence, SOURCE_TOKEN_DIVERGENCE_SQL,
-        tags=("L4", "A2"),
+        tags=("L4", "A2"), bench=True,
         doc="exact total-variation distance between per-source unigram "
         "distributions via integer cross-multiplication — mixture-drift "
         "analytics; only shared tokens expand into pairs",
