@@ -405,6 +405,93 @@ FROM reach GROUP BY a
 _SEMDEDUP_PRUNE_SQL = _semdedup_prune_sql()
 
 
+# The scale tier of semantic dedup (the IVF handoff SCALING.md's
+# semdedup note promises): candidate pairs come from k-means cell
+# co-membership (SemDeDup's actual formulation — Abbas et al. 2023
+# compare within k-means clusters), not SRP buckets, so candidate
+# volume is Σ_cells C(|cell|,2) with k chosen ~n/target_cell_size —
+# bucket saturation never happens because the quantizer's resolution
+# GROWS with the corpus, unlike a fixed band-key space. Verify reuses
+# the parity tier's exact-integer cosine gate (identical τ semantics),
+# then the same component/keeper stages. Rows-only by nature: Lloyd
+# iterations are float-iterative (no SQL mirror); the gate, component,
+# and keeper logic are each oracled elsewhere (emb_near_dup,
+# semdedup_prune), and the planted-duplicate recall contract is
+# pytest-pinned (exact duplicates share an argmax cell by
+# construction, so exact-dup recall is 1.0).
+def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import cluster
+    from ..dedup.parity import _EMB_SCALE, _int_dot
+    from ..similarity import ann, kmeans
+
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    cents = kmeans.kmeans_centroids(embs, k=16, iters=3)
+    zero = F.lit(0).cast("long")
+    qn = (
+        ann.assign_cells(embs, cents)
+        .select(
+            F.col("vec_id").alias("id"),
+            "cell",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(_EMB_SCALE))
+                ).cast("long"),
+            ).alias("qa"),
+        )
+        .select(
+            "id",
+            "cell",
+            "qa",
+            F.aggregate(
+                F.transform("qa", lambda a: a * a),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("nq"),
+        )
+        .localCheckpoint()  # feeds both sides of the cell self-join
+    )
+    cands = (
+        qn.alias("a")
+        .join(
+            qn.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.qa").alias("va"),
+            F.col("b.qa").alias("vb"),
+            F.col("a.nq").alias("na"),
+            F.col("b.nq").alias("nb"),
+        )
+    )
+    scored = cands.select(
+        "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    # same τ = 2/5 gate as the parity tier: 25·dq² >= 4·na·nb, dq > 0
+    pairs = (
+        scored.filter(
+            (F.col("dq") > 0)
+            & (F.lit(25) * dec("dq") * dec("dq") >= F.lit(4) * dec("na") * dec("nb"))
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    comps = cluster.connected_components(
+        pairs, qn.select(F.col("id").alias("vec_id")), id_col="vec_id"
+    )
+    return comps.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_keep"),
+    )
+
+
 # L3 — brute-force cosine top-k against a query vector (the baseline ANN
 # tier). The query vector is a plan-time literal (vec_id 0's embedding);
 # oracle mirrors the exact arithmetic: double-cast elements, left-fold
@@ -2456,6 +2543,13 @@ QUERIES: dict[str, QuerySpec] = {
         semdedup_prune, _SEMDEDUP_PRUNE_SQL, tags=("L2", "L3", "L1"), bench=True,
         doc="SemDeDup: SRP near-dup pairs -> connected components -> "
         "keep min-id representative; recursive-CTE full-replica oracle",
+    ),
+    "semdedup_ivf": QuerySpec(
+        semdedup_ivf, None, tags=("L2", "L3", "L1"),
+        doc="SemDeDup scale tier: k-means cell co-membership candidates "
+        "(quantizer resolution grows with the corpus) + the parity "
+        "tier's exact-integer cosine gate + component keeper; rows-only "
+        "(Lloyd is float-iterative), planted-dup recall pytest-pinned",
     ),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_knn_join": QuerySpec(

@@ -681,3 +681,35 @@ def test_corpus_shuffle_shards_contract(spark, monkeypatch):
             off += r["n_tokens"]
     rows2 = P.corpus_shuffle_shards(spark, "unused").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_semdedup_ivf_planted_exact_dups(spark, monkeypatch):
+    """Exact duplicates share an argmax cell by construction, so the
+    IVF tier's exact-dup recall is 1.0: every planted duplicate pair
+    must land in one component with the min id kept; the unrelated
+    orthogonal vector stays a singleton. Also pins determinism."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(8):
+        v = rng.standard_normal(64).tolist()
+        rows.append((2 * i, v, 0))
+        rows.append((2 * i + 1, v, 0))     # exact duplicate
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import outreach_etl_tool_spark.queries.llm as L
+
+    monkeypatch.setattr(L, "load_table", lambda *a: embs)
+    got = {r["vec_id"]: (r["cluster_id"], r["is_keep"])
+           for r in L.semdedup_ivf(spark, "unused").collect()}
+    assert len(got) == 16
+    for i in range(8):
+        assert got[2 * i + 1][0] == got[2 * i][0]  # pair clustered together
+        assert got[2 * i][1] or got[2 * i][0] < 2 * i  # min id of its comp kept
+    kept = [v for v, (c, k) in got.items() if k]
+    assert len(kept) <= 8  # at most one keeper per planted pair group
+    got2 = {r["vec_id"]: (r["cluster_id"], r["is_keep"])
+            for r in L.semdedup_ivf(spark, "unused").collect()}
+    assert got == got2
