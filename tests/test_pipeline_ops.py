@@ -713,3 +713,81 @@ def test_semdedup_ivf_planted_exact_dups(spark, monkeypatch):
     got2 = {r["vec_id"]: (r["cluster_id"], r["is_keep"])
             for r in L.semdedup_ivf(spark, "unused").collect()}
     assert got == got2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_source_token_divergence_matches_bruteforce(spark, monkeypatch, seed):
+    """Randomized corpora vs an independent pure-python computation:
+    same integer numerator, same single double division — the operator
+    must agree bit-for-bit, including which pairs appear (shared-token
+    pairs only)."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(seed)
+    words = ["".join(chr(97 + int(c)) for c in str(i)) or "a"
+             for i in range(12)]  # letter-only tokens (TOKEN_RE = [a-zA-Z]+)
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 15))),
+         f"s{rng.randint(0, 3)}")
+        for i in range(30)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {(r["source_a"], r["source_b"]):
+           (r["n_a"], r["n_b"], r["tv_distance"])
+           for r in P.source_token_divergence(spark, "unused").collect()}
+
+    counts: dict[str, Counter] = {}
+    for _, text, src in docs:
+        counts.setdefault(src, Counter()).update(
+            re.findall("[a-zA-Z]+", text.lower())
+        )
+    expected = {}
+    srcs = sorted(counts)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            ca, cb = counts[a], counts[b]
+            if not set(ca) & set(cb):
+                continue
+            na, nb = sum(ca.values()), sum(cb.values())
+            num = sum(abs(ca[t] * nb - cb[t] * na) for t in set(ca) | set(cb))
+            expected[(a, b)] = (na, nb, num / (2.0 * na * nb))
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_novelty_score_matches_bruteforce(spark, monkeypatch, seed):
+    import random
+    import re
+
+    rng = random.Random(seed)
+    words = ["".join(chr(110 + int(c)) for c in str(i)) for i in range(6)]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randint(0, 12))))
+        for i in range(25)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in P.novelty_score(spark, "unused").collect()}
+
+    owner: dict[str, int] = {}
+    grams_of: dict[int, set] = {}
+    for i, text in docs:
+        toks = re.findall("[a-zA-Z]+", text.lower())
+        gs = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        grams_of[i] = gs
+        for g in gs:
+            owner[g] = min(owner.get(g, i), i)
+    expected = {
+        i: (len(gs), sum(1 for g in gs if owner[g] == i),
+            sum(1 for g in gs if owner[g] == i) / len(gs))
+        for i, gs in grams_of.items() if gs
+    }
+    assert got == expected
