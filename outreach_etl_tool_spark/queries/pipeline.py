@@ -1089,6 +1089,130 @@ ORDER BY source_a, source_b
 
 
 # ---------------------------------------------------------------------------
+# GOPHER QUALITY FILTER — the published rule set as exact keep/drop flags
+# ---------------------------------------------------------------------------
+# The Gopher curation rules (Rae et al. 2021 §A1.1, the same family
+# MassiveText/RefinedWeb/Dolma apply): word-count bounds, mean word
+# length band, symbol-to-word ratio, bullet/ellipsis line ratios,
+# minimum stopword evidence. quality_signals reports SIGNALS; this
+# operator makes the DECISIONS — one boolean per rule plus the
+# composite keep — so a pipeline can both filter and audit which rule
+# fired. Every ratio test is an integer cross-multiplication (mean
+# word length 3..10 → 3·n ≤ letters ≤ 10·n, symbol ratio ≤ 0.1 →
+# 10·symbols ≤ n), so both engines decide identically with zero float
+# ops. Single projection pass over the scan — no shuffle except the
+# result sort.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = TXT.tokens("text")
+    lines = F.split("text", "\n")
+    n_words = F.size(toks).cast("long")
+    n_letters = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nh = (F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    ne = F.floor(
+        (F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.ltrim(l), F.lit("-"))
+            | F.startswith(F.ltrim(l), F.lit("*")),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    r_word_count = (n_words >= 50) & (n_words <= 100000)
+    r_mean_word_len = (n_words > 0) & (
+        (F.lit(3) * n_words <= n_letters) & (n_letters <= F.lit(10) * n_words)
+    )
+    r_symbol_ratio = (n_words > 0) & (F.lit(10) * (nh + ne) <= n_words)
+    r_bullet = F.lit(10) * n_bullet <= F.lit(9) * n_lines
+    r_ellipsis = F.lit(10) * n_ellipsis <= F.lit(3) * n_lines
+    r_stopwords = n_stop >= 2
+    keep = (
+        r_word_count
+        & r_mean_word_len
+        & r_symbol_ratio
+        & r_bullet
+        & r_ellipsis
+        & r_stopwords
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_stopwords.alias("r_stopwords"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_QUALITY_FILTER_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS toks,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(toks, t -> LEN(t))), 0)
+                AS BIGINT) AS n_letters,
+           CAST(LEN(text) - LEN(REPLACE(text, '#', '')) AS BIGINT) AS nh,
+           CAST((LEN(text) - LEN(REPLACE(text, '...', ''))) // 3
+                AS BIGINT) AS ne,
+           CAST(LEN(lines) AS BIGINT) AS n_lines,
+           CAST(LEN(list_filter(lines, l ->
+                starts_with(LTRIM(l), '-') OR starts_with(LTRIM(l), '*')))
+                AS BIGINT) AS n_bullet,
+           CAST(LEN(list_filter(lines, l -> ends_with(RTRIM(l), '...')))
+                AS BIGINT) AS n_ellipsis,
+           CAST(LEN(list_intersect(list_distinct(toks),
+                {list(_GOPHER_STOPWORDS)})) AS BIGINT) AS n_stop
+    FROM base
+)
+SELECT doc_id, n_words, n_lines,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (n_words > 0 AND 3 * n_words <= n_letters
+            AND n_letters <= 10 * n_words) AS r_mean_word_len,
+       (n_words > 0 AND 10 * (nh + ne) <= n_words) AS r_symbol_ratio,
+       (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+       (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
+       (n_stop >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (n_words > 0 AND 3 * n_words <= n_letters
+             AND n_letters <= 10 * n_words)
+        AND (n_words > 0 AND 10 * (nh + ne) <= n_words)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ellipsis <= 3 * n_lines)
+        AND (n_stop >= 2)) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # CORPUS SHUFFLE SHARDS — deterministic global shuffle into training shards
 # ---------------------------------------------------------------------------
 # The step between curation and tokenization: a 100 TB corpus must be
@@ -1718,6 +1842,13 @@ QUERIES: dict[str, QuerySpec] = {
         novelty_score, NOVELTY_SCORE_SQL, tags=("L4", "L1", "W1"),
         doc="per-document first-occurrence gram fraction (corpus novelty "
         "curation signal); one gram-keyed MIN window + per-doc rollup",
+    ),
+    "gopher_quality_filter": QuerySpec(
+        gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL,
+        tags=("L4", "P5", "F1"),
+        doc="Gopher curation rules (Rae et al. 2021) as per-rule boolean "
+        "flags + composite keep; every ratio test is an integer "
+        "cross-multiplication, zero float ops, single projection pass",
     ),
     "corpus_shuffle_shards": QuerySpec(
         corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL,

@@ -791,3 +791,39 @@ def test_novelty_score_matches_bruteforce(spark, monkeypatch, seed):
         for i, gs in grams_of.items() if gs
     }
     assert got == expected
+
+
+def test_gopher_quality_filter_rule_boundaries(spark, monkeypatch):
+    """One doc per rule violation plus a clean doc at the word-count
+    boundary (exactly 50 words passes). Integer cross-multiplication
+    means boundaries are exact, not float-fuzzy."""
+    clean = " ".join(["the", "have"] + ["world"] * 48)          # 50 words
+    short = "the have world"                                     # < 50
+    tiny_words = " ".join(["the", "have"] + ["a"] * 48)          # mean len < 3
+    symbols = " ".join(["the", "have"] + ["world"] * 48) + " " + "#" * 10
+    bullets = "\n".join(["- " + w for w in ["the", "have"] + ["world"] * 48])
+    ellipsis = "\n".join(
+        [" ".join(["the", "have"] + ["world"] * 18) + "..."] * 3
+    )
+    no_stop = " ".join(["world"] * 50)
+    docs = spark.createDataFrame(
+        [
+            (1, clean), (2, short), (3, tiny_words), (4, symbols),
+            (5, bullets), (6, ellipsis), (7, no_stop),
+        ],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    rows = {r["doc_id"]: r for r in
+            P.gopher_quality_filter(spark, "unused").collect()}
+    assert rows[1]["keep"]
+    assert not rows[2]["r_word_count"] and not rows[2]["keep"]
+    assert not rows[3]["r_mean_word_len"] and not rows[3]["keep"]
+    assert not rows[4]["r_symbol_ratio"] and not rows[4]["keep"]
+    assert not rows[5]["r_bullet"] and not rows[5]["keep"]
+    assert not rows[6]["r_ellipsis"] and not rows[6]["keep"]
+    assert not rows[7]["r_stopwords"] and not rows[7]["keep"]
+    # non-violated rules stay green on the violating docs
+    assert rows[5]["r_word_count"] and rows[5]["r_stopwords"]

@@ -62,6 +62,11 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "sim_ann_ivf": False,   # embeddings table; the ANN contrast tier
     "pipeline_clean_corpus": True,
     "semdedup_prune": False,  # embeddings table (sf1.0 slice has it)
+    # round-8 corpus-analytics family (documents-only → 3× point)
+    "source_overlap_jaccard": True,
+    "source_token_divergence": True,
+    "novelty_score": True,
+    "corpus_shuffle_shards": True,
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
