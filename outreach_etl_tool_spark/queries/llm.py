@@ -1066,50 +1066,11 @@ _SCR_K, _SCR_W = 32, 33
 assert _SCR_K + _SCR_W - 1 <= _LDS_L
 
 
-def _winnow_screen_ids(eligible: DataFrame) -> DataFrame:
-    """Sound document screen for the exact (stride-1) span-dedup tier.
-
-    Returns a DataFrame[doc_id] that is a SUPERSET of the documents
-    containing any duplicated substring of length ≥ _LDS_L, computed
-    WITHOUT the stride-1 fan-out exchange.  Soundness proof:
-
-      * Winnowing guarantee (Schleimer–Wilkerson–Aiken 2003, thm 2):
-        for any two matching substrings of length ≥ t = K + W − 1,
-        at least one k-gram is fingerprinted in BOTH occurrences.
-        With K=32, W=33, t = 64 ≤ L = 64, so every duplicated
-        ≥L-substring pair shares a fingerprint hash VALUE.
-      * The two occurrences start at different positions a ≠ b, and
-        the shared fingerprint sits at the same relative offset o in
-        both (ties inside a window are broken by position, and tied
-        hashes have identical relative order in matching windows),
-        so it yields two DISTINCT (doc_id, pos) fingerprint rows
-        a+o ≠ b+o — within-doc and overlapping duplicates included.
-      * Hence every doc the exact pass would flag contains a
-        fingerprint hash with global occurrence count ≥ 2, and —
-        conversely — every occurrence of a duplicated L-gram lives in
-        a screened doc, so computing the exact pass's dup-hash set
-        over screened docs ONLY is identical to computing it over the
-        full corpus.  (Pinned by test_span_screen_* in
-        tests/test_dedup.py: gated output ≡ ungated output.)
-
-    The screen hashes with a polynomial rolling hash, not md5: a
-    collision can only make two DIFFERENT grams look equal, i.e. ADD
-    a flagged doc — never remove one — and matching regions have
-    identical hash sequences under any content-determined hash, so
-    the common-fingerprint argument above is hash-function-agnostic.
-
-    Implementation note: this is the span family's one Arrow kernel
-    (minhash.py discipline).  The pure-expression alternative
-    (transform/slice/array_min over per-position structs) is
-    CodegenFallback — Spark interprets higher-order-function lambdas
-    per element, ~W boxed comparisons per character — measured 2-5×
-    slower than the whole stride-1 pass it is meant to screen.  The
-    kernel is O(n) vectorized numpy (Horner rolling hash + a
-    sliding-window argmin), runs inside the scan stage with ZERO
-    shuffle, and emits only the ~2/(W+1) ≈ 6%-density fingerprints;
-    the one exchange downstream carries 24 B per fingerprint vs the
-    stride-1 tier's 32 B × every corpus character.
-    """
+def _winnow_fps(eligible: DataFrame) -> DataFrame:
+    """(doc_id, h) winnowing fingerprints of every eligible document —
+    the Arrow kernel shared by `_winnow_screen_ids` (within-corpus
+    screen) and `decontaminate_extents` (cross-set screen). See the
+    screen's docstring for the soundness proof and kernel notes."""
     import numpy as np
     import pandas as pd
 
@@ -1164,11 +1125,58 @@ def _winnow_screen_ids(eligible: DataFrame) -> DataFrame:
                 }
             )
 
-    from pyspark.sql.window import Window
-
-    fps = eligible.select("doc_id", "text").mapInPandas(
+    return eligible.select("doc_id", "text").mapInPandas(
         kernel, "doc_id long, h long"
     )
+
+
+def _winnow_screen_ids(eligible: DataFrame) -> DataFrame:
+    """Sound document screen for the exact (stride-1) span-dedup tier.
+
+    Returns a DataFrame[doc_id] that is a SUPERSET of the documents
+    containing any duplicated substring of length ≥ _LDS_L, computed
+    WITHOUT the stride-1 fan-out exchange.  Soundness proof:
+
+      * Winnowing guarantee (Schleimer–Wilkerson–Aiken 2003, thm 2):
+        for any two matching substrings of length ≥ t = K + W − 1,
+        at least one k-gram is fingerprinted in BOTH occurrences.
+        With K=32, W=33, t = 64 ≤ L = 64, so every duplicated
+        ≥L-substring pair shares a fingerprint hash VALUE.
+      * The two occurrences start at different positions a ≠ b, and
+        the shared fingerprint sits at the same relative offset o in
+        both (ties inside a window are broken by position, and tied
+        hashes have identical relative order in matching windows),
+        so it yields two DISTINCT (doc_id, pos) fingerprint rows
+        a+o ≠ b+o — within-doc and overlapping duplicates included.
+      * Hence every doc the exact pass would flag contains a
+        fingerprint hash with global occurrence count ≥ 2, and —
+        conversely — every occurrence of a duplicated L-gram lives in
+        a screened doc, so computing the exact pass's dup-hash set
+        over screened docs ONLY is identical to computing it over the
+        full corpus.  (Pinned by test_span_screen_* in
+        tests/test_dedup.py: gated output ≡ ungated output.)
+
+    The screen hashes with a polynomial rolling hash, not md5: a
+    collision can only make two DIFFERENT grams look equal, i.e. ADD
+    a flagged doc — never remove one — and matching regions have
+    identical hash sequences under any content-determined hash, so
+    the common-fingerprint argument above is hash-function-agnostic.
+
+    Implementation note: this is the span family's one Arrow kernel
+    (minhash.py discipline).  The pure-expression alternative
+    (transform/slice/array_min over per-position structs) is
+    CodegenFallback — Spark interprets higher-order-function lambdas
+    per element, ~W boxed comparisons per character — measured 2-5×
+    slower than the whole stride-1 pass it is meant to screen.  The
+    kernel is O(n) vectorized numpy (Horner rolling hash + a
+    sliding-window argmin), runs inside the scan stage with ZERO
+    shuffle, and emits only the ~2/(W+1) ≈ 6%-density fingerprints;
+    the one exchange downstream carries 24 B per fingerprint vs the
+    stride-1 tier's 32 B × every corpus character.
+    """
+    from pyspark.sql.window import Window
+
+    fps = _winnow_fps(eligible)
     # one pass over the fingerprints: a hash shared by >= 2 (doc, pos)
     # fingerprint rows marks every doc it appears in (window, not a
     # groupBy + re-join — the kernel must not run twice)
@@ -1248,6 +1256,148 @@ def dedup_span_exact_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ext_start", "ext_len", "n_grams")
         .orderBy("doc_id", "ext_start")
     )
+
+
+# L2h-cross — SPAN-LEVEL DECONTAMINATION: the character extents of
+# eval-set text inside train documents. `decontaminate` (pipeline.py)
+# reports WHICH train docs overlap the eval set and by how many
+# token-grams; this reports WHERE — the exact [start, len) character
+# extents a cleaning pass would excise, plus how many distinct eval
+# docs each extent hits. Same machinery as dedup_span_exact_extents
+# (stride-1 L=64 char grams → islands), but the dup condition is
+# cross-set (train gram ∈ eval gram set) and the screen is the
+# CROSS-set winnowing variant: a fingerprint hash must occur in both
+# an eval doc and a train doc — sound by the same w+k-1 = 64 = L
+# covering theorem (_winnow_screen_ids), since any shared ≥L substring
+# between a train and an eval doc yields the shared fingerprint in
+# both docs. Only screened docs (both sides) pay the stride-1 fan-out.
+# Eval split: doc_id % 7 == 0 (denser than decontaminate's % 97, so
+# the operator exercises multi-extent output at test scale).
+_DCE_MOD = 7
+
+
+def decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    eligible = docs.filter(F.length("text") >= _LDS_L)
+    side = (F.col("doc_id") % _DCE_MOD == 0).cast("int")
+    wh = Window.partitionBy("h")
+    flagged = (
+        _winnow_fps(eligible)
+        .withColumn("is_eval", side)
+        .withColumn("has_eval", F.max("is_eval").over(wh))
+        .withColumn("has_train", F.max(1 - F.col("is_eval")).over(wh))
+        .filter((F.col("has_eval") == 1) & (F.col("has_train") == 1))
+        .select("doc_id")
+        .distinct()
+    )
+    gated = eligible.join(flagged, "doc_id", "left_semi").localCheckpoint()
+    last = (F.length("text") - _LDS_L).cast("bigint")
+    occ = gated.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("k"),
+    ).select(
+        "doc_id",
+        (F.col("k") + 1).alias("pos"),
+        F.unhex(
+            F.md5(
+                F.col("text").substr((F.col("k") + 1).cast("int"), F.lit(_LDS_L))
+            )
+        ).alias("gram_hash"),
+    )
+    eval_hash = (
+        occ.filter(F.col("doc_id") % _DCE_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "gram_hash")
+        .distinct()
+    )
+    hits = (
+        occ.filter(F.col("doc_id") % _DCE_MOD != 0)
+        .join(eval_hash.select("gram_hash").distinct(), "gram_hash")
+        .select("doc_id", "pos", "gram_hash")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn(
+            "is_new",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > _LDS_L),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "ext_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .localCheckpoint()  # feeds both the extent agg and the eval-doc rollup
+    )
+    ext = runs.groupBy("doc_id", "ext_id").agg(
+        F.min("pos").alias("ext_start"),
+        (F.max("pos") - F.min("pos") + _LDS_L).alias("ext_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    ev = (
+        runs.join(eval_hash, "gram_hash")
+        .groupBy("doc_id", "ext_id")
+        .agg(F.countDistinct("eval_id").alias("n_eval_docs"))
+    )
+    return (
+        ext.join(ev, ["doc_id", "ext_id"])
+        .select("doc_id", "ext_start", "ext_len", "n_grams", "n_eval_docs")
+        .orderBy("doc_id", "ext_start")
+    )
+
+
+DECONTAMINATE_EXTENTS_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - {_LDS_L} AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_LDS_L}
+), occ AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_LDS_L})) AS gram_hash
+    FROM fanout
+), eval_hash AS (
+    SELECT DISTINCT doc_id AS eval_id, gram_hash
+    FROM occ WHERE doc_id % {_DCE_MOD} = 0
+), hits AS (
+    SELECT o.doc_id, o.pos, o.gram_hash
+    FROM occ o
+    WHERE o.doc_id % {_DCE_MOD} <> 0
+      AND EXISTS (SELECT 1 FROM eval_hash e
+                  WHERE e.gram_hash = o.gram_hash)
+), marked AS (
+    SELECT doc_id, pos, gram_hash,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > {_LDS_L} THEN 1
+                ELSE 0 END AS is_new
+    FROM hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos, gram_hash,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext_id
+    FROM marked
+), ext AS (
+    SELECT doc_id, ext_id,
+           MIN(pos) AS ext_start,
+           MAX(pos) - MIN(pos) + {_LDS_L} AS ext_len,
+           COUNT(*) AS n_grams
+    FROM numbered GROUP BY doc_id, ext_id
+), ev AS (
+    SELECT n.doc_id, n.ext_id,
+           COUNT(DISTINCT e.eval_id) AS n_eval_docs
+    FROM numbered n JOIN eval_hash e USING (gram_hash)
+    GROUP BY n.doc_id, n.ext_id
+)
+SELECT ext.doc_id, ext_start, ext_len, n_grams, n_eval_docs
+FROM ext JOIN ev USING (doc_id, ext_id)
+ORDER BY doc_id, ext_start
+"""
 
 
 DEDUP_SPAN_EXACT_EXTENTS_SQL = f"""
@@ -2438,6 +2588,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="exact Lee-et-al variable-length duplicated extents: "
         "stride-1 L-gram fingerprints reproduce the suffix-array "
         "answer; gap>L islands = interval union",
+    ),
+    "decontaminate_extents": QuerySpec(
+        decontaminate_extents, DECONTAMINATE_EXTENTS_SQL,
+        tags=("L2", "L1", "L4", "W3"),
+        doc="span-level decontamination: exact character extents of "
+        "eval-set text inside train docs (+ distinct eval docs hit), "
+        "cross-set winnowing screen gates the stride-1 fan-out",
     ),
     "dedup_span_exact_excise": QuerySpec(
         dedup_span_exact_excise, DEDUP_SPAN_EXACT_EXCISE_SQL,

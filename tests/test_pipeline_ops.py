@@ -827,3 +827,33 @@ def test_gopher_quality_filter_rule_boundaries(spark, monkeypatch):
     assert not rows[7]["r_stopwords"] and not rows[7]["keep"]
     # non-violated rules stay green on the violating docs
     assert rows[5]["r_word_count"] and rows[5]["r_stopwords"]
+
+
+def test_decontaminate_extents_exact_coordinates(spark, monkeypatch):
+    """A 70-char eval passage planted at a known (misaligned) offset
+    inside one train doc must come back as exactly one extent with
+    1-based start = offset+1, len = 70, n_grams = 70-64+1 = 7, and
+    n_eval_docs = 1; clean train docs must produce nothing."""
+    import random
+    import string
+
+    rng = random.Random(5)
+
+    def rand_text(n):
+        return "".join(rng.choices(string.ascii_lowercase + " ", k=n))
+
+    secret = rand_text(70)
+    docs = spark.createDataFrame(
+        [
+            (0, secret),                                   # eval (0 % 7 == 0)
+            (1, rand_text(80)),
+            (3, rand_text(13) + secret + rand_text(20)),   # contaminated
+            (5, rand_text(90)),
+        ],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.llm as L
+
+    monkeypatch.setattr(L, "load_table", lambda *a: docs)
+    rows = L.decontaminate_extents(spark, "unused").collect()
+    assert [tuple(r) for r in rows] == [(3, 14, 70, 7, 1)]
