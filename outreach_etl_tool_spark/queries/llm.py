@@ -1276,10 +1276,14 @@ def dedup_span_exact_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DCE_MOD = 7
 
 
-def decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decon_runs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared derivation for the two decontamination queries: returns
+    (runs, eval_hash) where runs = island-numbered contaminated train
+    positions (doc_id, pos, gram_hash, ext_id), checkpointed (it feeds
+    two aggregates in extents and the interval pass in excise), and
+    eval_hash = the distinct (eval_id, gram_hash) eval gram set."""
     from pyspark.sql.window import Window
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     eligible = docs.filter(F.length("text") >= _LDS_L)
     side = (F.col("doc_id") % _DCE_MOD == 0).cast("int")
     wh = Window.partitionBy("h")
@@ -1311,6 +1315,7 @@ def decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ.filter(F.col("doc_id") % _DCE_MOD == 0)
         .select(F.col("doc_id").alias("eval_id"), "gram_hash")
         .distinct()
+        .localCheckpoint()  # small (eval side); feeds hits + the ev rollup
     )
     hits = (
         occ.filter(F.col("doc_id") % _DCE_MOD != 0)
@@ -1333,6 +1338,12 @@ def decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds both the extent agg and the eval-doc rollup
     )
+    return runs, eval_hash
+
+
+def decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    runs, eval_hash = _decon_runs(docs)
     ext = runs.groupBy("doc_id", "ext_id").agg(
         F.min("pos").alias("ext_start"),
         (F.max("pos") - F.min("pos") + _LDS_L).alias("ext_len"),
@@ -1348,6 +1359,24 @@ def decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ext_start", "ext_len", "n_grams", "n_eval_docs")
         .orderBy("doc_id", "ext_start")
     )
+
+
+# The cleaning pass: cut EVERY contaminated extent out of the train
+# corpus and rebuild the text byte-exactly (md5-verified). Unlike the
+# dedup excision there is no canonical-keeper subtlety — eval text
+# must go wherever it appears — so the intervals are exactly the
+# extents above; extents are ≥ L+1 apart by the island rule, hence
+# non-overlapping, which is _excise_rebuild's contract. Output is one
+# row per TRAIN doc (untouched docs pass through with kept = n_chars).
+def decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    runs, _ = _decon_runs(docs)
+    ivls = runs.groupBy("doc_id", "ext_id").agg(
+        F.min("pos").alias("ivl_start"),
+        (F.max("pos") + _LDS_L).alias("ivl_end"),
+    )
+    train = docs.filter(F.col("doc_id") % _DCE_MOD != 0)
+    return _excise_rebuild(train, ivls)
 
 
 DECONTAMINATE_EXTENTS_SQL = f"""
@@ -1397,6 +1426,70 @@ WITH fanout AS (
 SELECT ext.doc_id, ext_start, ext_len, n_grams, n_eval_docs
 FROM ext JOIN ev USING (doc_id, ext_id)
 ORDER BY doc_id, ext_start
+"""
+
+
+DECONTAMINATE_EXCISE_SQL = f"""
+WITH fanout AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CAST(LENGTH(text) - {_LDS_L} AS BIGINT))) AS k
+    FROM documents
+    WHERE LENGTH(text) >= {_LDS_L}
+), occ AS (
+    SELECT doc_id, k + 1 AS pos,
+           md5(substr(text, CAST(k + 1 AS INTEGER), {_LDS_L})) AS gram_hash
+    FROM fanout
+), eval_hash AS (
+    SELECT DISTINCT gram_hash FROM occ WHERE doc_id % {_DCE_MOD} = 0
+), hits AS (
+    SELECT o.doc_id, o.pos
+    FROM occ o
+    WHERE o.doc_id % {_DCE_MOD} <> 0
+      AND EXISTS (SELECT 1 FROM eval_hash e
+                  WHERE e.gram_hash = o.gram_hash)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                  OR pos - LAG(pos) OVER w > {_LDS_L} THEN 1
+                ELSE 0 END AS is_new
+    FROM hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ivl_id
+    FROM marked
+), ivls AS (
+    SELECT doc_id, MIN(pos) AS ivl_start, MAX(pos) + {_LDS_L} AS ivl_end
+    FROM numbered GROUP BY doc_id, ivl_id
+), train AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {_DCE_MOD} <> 0
+), gaps AS (
+    SELECT doc_id,
+           COALESCE(LAG(ivl_end) OVER (PARTITION BY doc_id
+                                       ORDER BY ivl_start), 1) AS gs,
+           ivl_start AS ge
+    FROM ivls
+    UNION ALL
+    SELECT doc_id, MAX(ivl_end) AS gs, NULL AS ge
+    FROM ivls GROUP BY doc_id
+), segs AS (
+    SELECT g.doc_id, g.gs,
+           substr(d.text, CAST(g.gs AS INTEGER),
+                  CAST(COALESCE(g.ge, LENGTH(d.text) + 1) - g.gs AS INTEGER))
+               AS seg
+    FROM gaps g JOIN train d USING (doc_id)
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, '' ORDER BY gs) AS cleaned
+    FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(d.text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(COALESCE(r.cleaned, d.text)) AS BIGINT) AS kept_chars,
+       md5(COALESCE(r.cleaned, d.text)) AS cleaned_md5
+FROM train d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -2595,6 +2688,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="span-level decontamination: exact character extents of "
         "eval-set text inside train docs (+ distinct eval docs hit), "
         "cross-set winnowing screen gates the stride-1 fan-out",
+    ),
+    "decontaminate_excise": QuerySpec(
+        decontaminate_excise, DECONTAMINATE_EXCISE_SQL,
+        tags=("L2", "L1", "L4", "F1"),
+        doc="span-level decontamination cleaning pass: every eval "
+        "extent cut from the train corpus, text rebuilt byte-exactly "
+        "(md5-verified); untouched train docs pass through",
     ),
     "dedup_span_exact_excise": QuerySpec(
         dedup_span_exact_excise, DEDUP_SPAN_EXACT_EXCISE_SQL,

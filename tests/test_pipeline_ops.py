@@ -857,3 +857,36 @@ def test_decontaminate_extents_exact_coordinates(spark, monkeypatch):
     monkeypatch.setattr(L, "load_table", lambda *a: docs)
     rows = L.decontaminate_extents(spark, "unused").collect()
     assert [tuple(r) for r in rows] == [(3, 14, 70, 7, 1)]
+
+
+def test_decontaminate_excise_removes_planted_secret(spark, monkeypatch):
+    """The cleaned train doc must equal prefix+suffix exactly (md5 and
+    length pinned); untouched train docs pass through with
+    kept_chars == n_chars; eval docs are absent from the output."""
+    import hashlib
+    import random
+    import string
+
+    rng = random.Random(9)
+
+    def rand_text(n):
+        return "".join(rng.choices(string.ascii_lowercase + " ", k=n))
+
+    secret = rand_text(70)
+    pre, post = rand_text(13), rand_text(20)
+    clean_doc = rand_text(80)
+    docs = spark.createDataFrame(
+        [(0, secret), (1, clean_doc), (3, pre + secret + post)],
+        "doc_id long, text string",
+    )
+    import outreach_etl_tool_spark.queries.llm as L
+
+    monkeypatch.setattr(L, "load_table", lambda *a: docs)
+    rows = {r["doc_id"]: r for r in
+            L.decontaminate_excise(spark, "unused").collect()}
+    assert set(rows) == {1, 3}  # eval doc 0 excluded
+    assert rows[1]["kept_chars"] == rows[1]["n_chars"] == 80
+    expected = pre + post
+    assert rows[3]["n_chars"] == 103
+    assert rows[3]["kept_chars"] == len(expected)
+    assert rows[3]["cleaned_md5"] == hashlib.md5(expected.encode()).hexdigest()
