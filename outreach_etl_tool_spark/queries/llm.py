@@ -2684,7 +2684,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "decontaminate_extents": QuerySpec(
         decontaminate_extents, DECONTAMINATE_EXTENTS_SQL,
-        tags=("L2", "L1", "L4", "W3"),
+        tags=("L2", "L1", "L4", "W3"), bench=True,
         doc="span-level decontamination: exact character extents of "
         "eval-set text inside train docs (+ distinct eval docs hit), "
         "cross-set winnowing screen gates the stride-1 fan-out",
