@@ -483,6 +483,71 @@ def dedup_ingest_sink(
     )
 
 
+def decontaminate_ingest_sink(
+    docs: DataFrame,
+    table_path: str,
+    eval_grams_path: str,
+    checkpoint_path: str,
+    eval_mod: int = 97,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming decontamination at ingest: every arriving train doc
+    is probed against a FIXED eval-set k-token-gram store (parquet,
+    broadcast-joined — eval sets are tiny, so the probe never
+    shuffles the batch) and lands in the manifest table ANNOTATED
+    with its leakage counts rather than silently dropped — downstream
+    decides drop vs audit. Replayed batches (checkpoint recovery
+    after a committed append) are anti-joined against the table's own
+    ids, so recovery never double-ingests. The annotation is a pure
+    function of (doc text, eval store), so the retained table is
+    batch-structure-invariant — which is what the exact oracle
+    certifies."""
+    from pyspark.sql import functions as SF
+
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from ..queries.pipeline import _grams
+
+        spark = batch.sparkSession
+        train = batch.filter(SF.col(id_col) % eval_mod != 0)
+        if table.exists():
+            train = train.join(
+                table.read(spark).select(id_col), id_col, "left_anti"
+            )
+        ev = spark.read.parquet(eval_grams_path)
+        grams = train.select(
+            id_col,
+            SF.explode(SF.array_distinct(_grams(text_col, k))).alias("gram"),
+        )
+        hits = (
+            grams.join(SF.broadcast(ev), "gram")
+            .groupBy(id_col)
+            .agg(
+                SF.countDistinct("gram").alias("n_shared_grams"),
+                SF.countDistinct("eval_id").alias("n_eval_docs"),
+            )
+        )
+        out = (
+            train.select(id_col)
+            .join(hits, id_col, "left")
+            .fillna(0, subset=["n_shared_grams", "n_eval_docs"])
+        )
+        if out.isEmpty():
+            return
+        table.append(out)
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
 def manifest_upsert_sink(
     events: DataFrame,
     table_path: str,

@@ -854,3 +854,80 @@ def test_span_ingest_sink_annotates_extents_per_batch(spark, tmp_path):
     n_store = store_df.count()
     assert n_store == store_df.distinct().count()
     assert n_store > 0
+
+
+def test_decontaminate_ingest_annotates_and_survives_replay(spark, tmp_path):
+    """Streaming decontamination at ingest: the leaky train doc is
+    annotated with its shared-gram count, the clean doc with zeros,
+    the eval doc never lands in the table — and a full re-run over the
+    same table with a FRESH checkpoint (worst-case replay of every
+    batch) leaves the table unchanged (sink-side anti-join)."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from outreach_etl_tool_spark.queries.pipeline import _grams
+    from outreach_etl_tool_spark.sinks import ManifestTable
+    from outreach_etl_tool_spark.streaming.streams import (
+        decontaminate_ingest_sink,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    leaky = "intro words alpha beta gamma delta more trailing words"
+    clean = "completely different content with no overlap whatsoever here"
+
+    ev_path = str(tmp_path / "evalgrams")
+    spark.createDataFrame(
+        [(0, eval_text)], "doc_id long, text string"
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(F.array_distinct(_grams("text", 4))).alias("gram"),
+    ).write.parquet(ev_path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def doc(did, text):
+        return {"doc_id": did, "source": "web", "lang": "en",
+                "text": text, "n_chars": len(text)}
+
+    (src / "b1.json").write_text("\n".join(
+        _json.dumps(r) for r in [doc(0, eval_text), doc(1, leaky)]
+    ))
+    os.utime(src / "b1.json", (1_000_100_000, 1_000_100_000))
+    (src / "b2.json").write_text(_json.dumps(doc(2, clean)))
+    os.utime(src / "b2.json", (1_000_100_060, 1_000_100_060))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    table = str(tmp_path / "table")
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src / "*.json"))
+        )
+        q = (
+            decontaminate_ingest_sink(
+                stream, table, ev_path, str(tmp_path / ckpt_name),
+                eval_mod=97, k=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run("ckpt1")
+    rows = {r["doc_id"]: r for r in ManifestTable(table).read(spark).collect()}
+    assert set(rows) == {1, 2}  # eval doc 0 never ingested
+    # leaky doc shares the 3 distinct 4-grams of the planted phrase
+    assert rows[1]["n_shared_grams"] == 1 and rows[1]["n_eval_docs"] == 1
+    assert rows[2]["n_shared_grams"] == 0 and rows[2]["n_eval_docs"] == 0
+
+    run("ckpt2")  # fresh checkpoint: every batch replays
+    rows2 = {r["doc_id"]: r
+             for r in ManifestTable(table).read(spark).collect()}
+    assert {d: (r["n_shared_grams"], r["n_eval_docs"])
+            for d, r in rows2.items()} == {1: (1, 1), 2: (0, 0)}
