@@ -322,6 +322,15 @@ SHUFFLE_BUDGETS = {
     # CC fast path collapses the component loop at pin scale; one slot
     # for the keeper projection + result shuffle past the edge threshold
     "semdedup_prune": 2,
+    # winnow kernel rides the scan (zero-shuffle fingerprints); the
+    # three exchanges are the shared-hash window + per-doc rollup +
+    # result sort
+    "winnow_fingerprints": 3,
+    # decontamination family (post-checkpoint segments): gram window +
+    # two rollups + result sort; excise adds the rebuild gap pass
+    "decontaminate_extents": 4,
+    "decontaminate_excise": 5,
+    "gopher_quality_filter": 1,       # pure projection + result sort
 }
 
 
