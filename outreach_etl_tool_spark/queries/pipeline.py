@@ -1105,8 +1105,9 @@ ORDER BY source_a, source_b
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule flags + composite keep (shared by the
+    filter query and the curation funnel)."""
     toks = TXT.tokens("text")
     lines = F.split("text", "\n")
     n_words = F.size(toks).cast("long")
@@ -1165,15 +1166,38 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_ellipsis.alias("r_ellipsis"),
         r_stopwords.alias("r_stopwords"),
         keep.alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
-GOPHER_QUALITY_FILTER_SQL = f"""
-WITH base AS (
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _gopher_flags(docs).orderBy("doc_id")
+
+
+# rule predicates over the measure CTE `m` — single source of truth
+# for the filter query's SELECT and the curation funnel's keep gate
+_GOPHER_RULES_SQL = {
+    "r_word_count": "(n_words >= 50 AND n_words <= 100000)",
+    "r_mean_word_len": "(n_words > 0 AND 3 * n_words <= n_letters"
+                       " AND n_letters <= 10 * n_words)",
+    "r_symbol_ratio": "(n_words > 0 AND 10 * (nh + ne) <= n_words)",
+    "r_bullet": "(10 * n_bullet <= 9 * n_lines)",
+    "r_ellipsis": "(10 * n_ellipsis <= 3 * n_lines)",
+    "r_stopwords": "(n_stop >= 2)",
+}
+_GOPHER_KEEP_SQL = " AND ".join(_GOPHER_RULES_SQL.values())
+
+
+def _gopher_sql_ctes(doc_filter: str = "") -> str:
+    """CTE body (no WITH, no final SELECT) ending in
+    ``m(doc_id, n_words, n_letters, nh, ne, n_lines, n_bullet,
+    n_ellipsis, n_stop)`` — composable by the filter oracle and the
+    curation-funnel oracle (which adds a WHERE on the doc universe)."""
+    return f"""gbase AS (
     SELECT doc_id, text,
            regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS toks,
            string_split(text, chr(10)) AS lines
-    FROM documents
+    FROM documents {doc_filter}
 ), m AS (
     SELECT doc_id,
            CAST(LEN(toks) AS BIGINT) AS n_words,
@@ -1190,25 +1214,134 @@ WITH base AS (
                 AS BIGINT) AS n_ellipsis,
            CAST(LEN(list_intersect(list_distinct(toks),
                 {list(_GOPHER_STOPWORDS)})) AS BIGINT) AS n_stop
-    FROM base
-)
+    FROM gbase
+)"""
+
+
+GOPHER_QUALITY_FILTER_SQL = f"""
+WITH {_gopher_sql_ctes()}
 SELECT doc_id, n_words, n_lines,
-       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-       (n_words > 0 AND 3 * n_words <= n_letters
-            AND n_letters <= 10 * n_words) AS r_mean_word_len,
-       (n_words > 0 AND 10 * (nh + ne) <= n_words) AS r_symbol_ratio,
-       (10 * n_bullet <= 9 * n_lines) AS r_bullet,
-       (10 * n_ellipsis <= 3 * n_lines) AS r_ellipsis,
-       (n_stop >= 2) AS r_stopwords,
-       ((n_words >= 50 AND n_words <= 100000)
-        AND (n_words > 0 AND 3 * n_words <= n_letters
-             AND n_letters <= 10 * n_words)
-        AND (n_words > 0 AND 10 * (nh + ne) <= n_words)
-        AND (10 * n_bullet <= 9 * n_lines)
-        AND (10 * n_ellipsis <= 3 * n_lines)
-        AND (n_stop >= 2)) AS keep
+       {_GOPHER_RULES_SQL["r_word_count"]} AS r_word_count,
+       {_GOPHER_RULES_SQL["r_mean_word_len"]} AS r_mean_word_len,
+       {_GOPHER_RULES_SQL["r_symbol_ratio"]} AS r_symbol_ratio,
+       {_GOPHER_RULES_SQL["r_bullet"]} AS r_bullet,
+       {_GOPHER_RULES_SQL["r_ellipsis"]} AS r_ellipsis,
+       {_GOPHER_RULES_SQL["r_stopwords"]} AS r_stopwords,
+       ({_GOPHER_KEEP_SQL}) AS keep
 FROM m
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CURATION FUNNEL — per-source survival through quality → dedup → decon
+# ---------------------------------------------------------------------------
+# The dashboard every curation run produces: how many documents (and
+# how many tokens) each source contributes after each sequential
+# stage — Gopher quality gate, exact dedup among the survivors
+# (canonical = min doc_id per distinct text WITHIN the
+# quality-passing set, matching a real pipeline's stage order), and
+# eval-set decontamination (the same k-gram/eval-split contract as
+# `decontaminate`). All stage decisions are exact (integer rules,
+# sha-equality, gram joins), so the funnel is bit-reproducible and
+# fully oracled. Plan: the gopher flags ride the scan; dedup is one
+# 32-byte-key window over quality docs only; the eval gram set is
+# broadcast; one final per-source rollup.
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    flags = _gopher_flags(train).select("doc_id", "keep")
+    base = train.select("doc_id", "source", "text").join(flags, "doc_id")
+    wq = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    canon = (
+        base.filter("keep")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("is_canon"))
+    )
+    grams_all = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams("text", _DECON_K))).alias("gram"),
+    )
+    eval_grams = (
+        grams_all.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    leaky = (
+        grams_all.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id", F.lit(True).alias("is_leaky"))
+        .distinct()
+    )
+    q = F.col("keep")
+    d = q & F.coalesce("is_canon", F.lit(False))
+    c = d & ~F.coalesce("is_leaky", F.lit(False))
+    return (
+        base.join(canon, "doc_id", "left")
+        .join(leaky, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(q.cast("long")).alias("n_quality"),
+            F.sum(d.cast("long")).alias("n_dedup"),
+            F.sum(c.cast("long")).alias("n_clean"),
+            F.sum(
+                F.when(c, TXT.token_count("text")).otherwise(0).cast("long")
+            ).alias("tokens_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_CURATION_FUNNEL_SQL = f"""
+WITH {_gopher_sql_ctes(f"WHERE doc_id % {_EVAL_MOD} <> 0")},
+q AS (
+    SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}
+), canon AS (
+    SELECT doc_id FROM (
+        SELECT d.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY sha256(d.text)
+                                  ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN q USING (doc_id)
+    ) WHERE rn = 1
+), grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(arr, i, i + {_DECON_K - 1}), ' ') AS gram
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents),
+         UNNEST(generate_series(1, LEN(arr) - {_DECON_K - 1})) AS t(i)
+), ev AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+), leaky AS (
+    SELECT DISTINCT g.doc_id
+    FROM grams g JOIN ev USING (gram)
+    WHERE g.doc_id % {_EVAL_MOD} <> 0
+), staged AS (
+    SELECT d.source, d.text,
+           (d.doc_id IN (SELECT doc_id FROM q)) AS q,
+           (d.doc_id IN (SELECT doc_id FROM q)
+            AND d.doc_id IN (SELECT doc_id FROM canon)) AS dd,
+           (d.doc_id IN (SELECT doc_id FROM q)
+            AND d.doc_id IN (SELECT doc_id FROM canon)
+            AND d.doc_id NOT IN (SELECT doc_id FROM leaky)) AS c
+    FROM documents d
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN dd THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN c
+                THEN LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+'))
+                ELSE 0 END) AS BIGINT) AS tokens_clean
+FROM staged
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -1842,6 +1975,13 @@ QUERIES: dict[str, QuerySpec] = {
         novelty_score, NOVELTY_SCORE_SQL, tags=("L4", "L1", "W1"),
         doc="per-document first-occurrence gram fraction (corpus novelty "
         "curation signal); one gram-keyed MIN window + per-doc rollup",
+    ),
+    "pipeline_curation_funnel": QuerySpec(
+        pipeline_curation_funnel, PIPELINE_CURATION_FUNNEL_SQL,
+        tags=("L4", "L1", "A2", "W1"),
+        doc="per-source curation funnel: docs/tokens surviving the "
+        "sequential quality -> exact-dedup -> decontamination stages; "
+        "all decisions exact, fully oracled",
     ),
     "gopher_quality_filter": QuerySpec(
         gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL,

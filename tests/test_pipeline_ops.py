@@ -890,3 +890,32 @@ def test_decontaminate_excise_removes_planted_secret(spark, monkeypatch):
     assert rows[3]["n_chars"] == 103
     assert rows[3]["kept_chars"] == len(expected)
     assert rows[3]["cleaned_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_pipeline_curation_funnel_stages(spark, monkeypatch):
+    """Hand-built funnel: 4 train docs in srcA — one clean keeper, an
+    exact duplicate of it (drops at dedup), a too-short doc (drops at
+    quality), and a quality-passing doc leaking an eval 4-gram (drops
+    at decon). Counts must be 4 -> 3 -> 2 -> 1 with tokens_clean =
+    the keeper's 50 words; the eval-only source never appears."""
+    good = "the have " + "world " * 47 + "world"          # 50 words, passes
+    leak = "the have " + "world " * 46 + "alpha beta gamma delta"  # 52 words
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "srcB"),  # eval
+            (1, good, "srcA"),
+            (2, good, "srcA"),           # exact duplicate
+            (3, "too short", "srcA"),
+            (4, leak, "srcA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    rows = {r["source"]: r
+            for r in P.pipeline_curation_funnel(spark, "unused").collect()}
+    assert set(rows) == {"srcA"}
+    r = rows["srcA"]
+    assert (r["n_docs"], r["n_quality"], r["n_dedup"], r["n_clean"]) == (4, 3, 2, 1)
+    assert r["tokens_clean"] == 50
