@@ -331,6 +331,10 @@ SHUFFLE_BUDGETS = {
     "decontaminate_extents": 4,
     "decontaminate_excise": 5,
     "gopher_quality_filter": 1,       # pure projection + result sort
+    # three-stage composite: dedup window over quality docs + leaky
+    # distinct + stage joins (AQE picks SMJ/BHJ per scale) + source
+    # rollup + result sort
+    "pipeline_curation_funnel": 7,
 }
 
 
