@@ -257,7 +257,90 @@ ORDER BY pagerank DESC, node"""
 GRAPH_PAGERANK_SQL = _pr_sql()
 
 
+# ---------------------------------------------------------------------------
+# GRAPH K-CORE — iterative peel to the maximal subgraph of min-degree k.
+# The classic cohesion primitive (dense-community extraction, spam/hub
+# filtering before PageRank). Hybrid execution mirrors
+# dedup/cluster.py: a bounded driver peel (O(E) bucket queue) under
+# the edge threshold — peeling is many cheap rounds, exactly the shape
+# where scheduler round-trips dominate — and a distributed
+# degree-filter loop past it (one groupBy + two anti-joins per round,
+# localCheckpoint per round so lineage doesn't double; rounds ≤
+# max-degree, in practice ~a dozen). Rows-only by nature: the peel's
+# fixpoint is iterative deletion, which recursive-CTE UNION semantics
+# cannot express (aggregates are not allowed in the recursive term) —
+# correctness is pinned by pytest against an independent pure-python
+# peel plus hand-built graphs, the cluster.py pattern.
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 200,
+    driver_fast_path_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Nodes of the k-core of the undirected graph `edges(u, v)` with
+    their within-core degree. Returns DataFrame[node, core_degree]."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("peer"))
+        .unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+        )
+        .localCheckpoint()
+    )
+    n_edges = sym.count() // 2
+    if 0 < n_edges <= driver_fast_path_max_edges:
+        import collections
+
+        adj: dict[int, set] = collections.defaultdict(set)
+        for r in sym.collect():
+            adj[r["node"]].add(r["peer"])
+        queue = [n for n, ps in adj.items() if len(ps) < k]
+        while queue:
+            n = queue.pop()
+            if n not in adj:
+                continue
+            for p in adj.pop(n):
+                ps = adj.get(p)
+                if ps is not None:
+                    ps.discard(n)
+                    if len(ps) < k:
+                        queue.append(p)
+        rows = [(n, len(ps)) for n, ps in adj.items()]
+        return spark.createDataFrame(rows, "node long, core_degree long")
+
+    for _ in range(max_iter):
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        weak = deg.filter(F.col("d") < k).select("node").localCheckpoint()
+        if weak.isEmpty():
+            break
+        sym = (
+            sym.join(weak, "node", "left_anti")
+            .join(weak.withColumnRenamed("node", "peer"), "peer", "left_anti")
+            .localCheckpoint()
+        )
+    else:  # pragma: no cover
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_iter} rounds"
+        )
+    return sym.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    return kcore_nodes(e, _KCORE_K).orderBy("node")
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "graph_kcore": QuerySpec(
+        graph_kcore, None, tags=("J1", "A2"),
+        doc=f"{_KCORE_K}-core of the co-purchase graph (iterative peel, "
+        "hybrid driver/distributed); rows-only — iterative deletion has "
+        "no recursive-CTE mirror; pytest-pinned vs independent peel",
+    ),
     "graph_triangles": QuerySpec(
         graph_triangles, GRAPH_TRIANGLES_SQL, tags=("J1", "A2", "L1"),
         doc="per-node triangle counts; degree orientation kills the "

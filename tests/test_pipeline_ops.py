@@ -919,3 +919,56 @@ def test_pipeline_curation_funnel_stages(spark, monkeypatch):
     r = rows["srcA"]
     assert (r["n_docs"], r["n_quality"], r["n_dedup"], r["n_clean"]) == (4, 3, 2, 1)
     assert r["tokens_clean"] == 50
+
+
+# ------------------------------------------------------------- k-core
+def _py_kcore(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for p in adj.pop(n):
+                    adj[p].discard(n)
+                changed = True
+    return {n: len(ps) for n, ps in adj.items()}
+
+
+@pytest.mark.parametrize("fast_path", [10**6, 0])
+def test_kcore_triangle_with_tail(spark, fast_path):
+    """Triangle + pendant tail: the 2-core is exactly the triangle
+    (tail peels, which lowers nothing below 2); the 3-core is empty.
+    Runs both the driver peel and the distributed loop."""
+    from outreach_etl_tool_spark.queries.graph import kcore_nodes
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    got2 = {r["node"]: r["core_degree"]
+            for r in kcore_nodes(e, 2, driver_fast_path_max_edges=fast_path).collect()}
+    assert got2 == {1: 2, 2: 2, 3: 2}
+    assert kcore_nodes(e, 3, driver_fast_path_max_edges=fast_path).count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kcore_matches_python_peel(spark, seed):
+    """Random graph vs the independent python peel — both execution
+    paths must agree with it exactly (node set AND core degrees)."""
+    import random
+
+    from outreach_etl_tool_spark.queries.graph import kcore_nodes
+
+    rng = random.Random(seed)
+    edges = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(60)})
+    expected = _py_kcore(edges, 3)
+    e = spark.createDataFrame(edges, "u long, v long")
+    for fp in (10**6, 0):
+        got = {r["node"]: r["core_degree"]
+               for r in kcore_nodes(e, 3, driver_fast_path_max_edges=fp).collect()}
+        assert got == expected
