@@ -321,8 +321,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle CASE mirrors dedup.minhash.shingles: <3 tokens → one whole-doc
 # shingle (never fires on this corpus — min 10 tokens — but keeps the
 # oracle faithful to the operator, not to the dataset).
-DEDUP_CLUSTER_SQL = """
-WITH RECURSIVE sh AS (
+_DEDUP_CLUSTER_CTES = """sh AS (
     SELECT doc_id, source,
            CASE WHEN LEN(arr) = 0 THEN CAST([] AS VARCHAR[])
                 WHEN LEN(arr) < 3 THEN [array_to_string(arr, ' ')]
@@ -348,9 +347,48 @@ WITH RECURSIVE sh AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
+)"""
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_DEDUP_CLUSTER_CTES}
 SELECT a AS doc_id, MIN(b) AS cluster_id, a = MIN(b) AS is_keep
 FROM reach GROUP BY a
+"""
+
+
+# The duplication-mass metric a curation run reports: how many
+# clusters of each size exist and how many documents they absorb —
+# "X% of the corpus lives in duplicate clusters of size ≥ s" is read
+# straight off the cumulative tail. Composes dedup_cluster's
+# components (shared derivation, shared oracle CTE body) with two
+# tiny rollups; the histogram is cluster-count-sized, never
+# doc-count-sized.
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = dedup_cluster(spark, sf_dir)
+    sizes = comps.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {_DEDUP_CLUSTER_CTES},
+comp AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+), cs AS (
+    SELECT cluster_id, COUNT(*) AS size FROM comp GROUP BY cluster_id
+)
+SELECT size, COUNT(*) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY size ORDER BY size
 """
 
 
@@ -1936,6 +1974,11 @@ QUERIES: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(
         decontaminate, DECONTAMINATE_SQL, tags=("L2", "L4", "J2"),
         doc="eval-set n-gram decontamination, broadcast eval grams",
+    ),
+    "dedup_cluster_sizes": QuerySpec(
+        dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL, tags=("L1", "L2", "A2"),
+        doc="duplicate-cluster size histogram (duplication-mass "
+        "report); composes dedup_cluster, cluster-count-sized output",
     ),
     "dedup_cluster": QuerySpec(
         dedup_cluster, DEDUP_CLUSTER_SQL, tags=("L1", "L2"), bench=True,
