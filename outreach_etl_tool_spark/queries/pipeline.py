@@ -1490,6 +1490,85 @@ def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The decay curve over ingest order: average first-occurrence fraction
+# per doc_id-range decile — the "diminishing returns of more crawl
+# data" report (novelty of decile 10 vs decile 1 tells you whether the
+# next crawl is worth tokenizing). Deciles are doc_id-RANGE buckets
+# (ingest-order proxy), not NTILE — a count-balanced NTILE needs a
+# global sort window, the textbook scale anti-pattern; range buckets
+# need only the min/max scalar (broadcast). The per-decile novelty is
+# Σ n_novel / Σ n_grams — one exact integer pair, one double division.
+def novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nov = novelty_score(spark, sf_dir)
+    lo, hi = nov.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = hi - lo + 1
+    # FLOOR, not a bare int cast: DuckDB CAST(double AS INTEGER)
+    # rounds while Spark truncates — floor agrees in both engines
+    dec = F.least(
+        F.lit(9),
+        F.floor(F.lit(10) * (F.col("doc_id") - F.lit(lo)) / F.lit(span)).cast("int"),
+    ) + 1
+    return (
+        nov.groupBy(dec.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _novelty_trend_sql() -> str:
+    # shares novelty_score's derivation; bounds come from the same
+    # scalar aggregate the Spark side broadcasts
+    return """
+WITH g AS (
+    SELECT doc_id, g
+    FROM (
+        SELECT doc_id,
+               CASE WHEN LEN(arr) >= 3 THEN list_distinct(list_transform(
+                        generate_series(1, LEN(arr) - 2),
+                        i -> array_to_string(list_slice(arr, i, i + 2), ' ')))
+                    ELSE CAST([] AS VARCHAR[]) END AS gs
+        FROM (SELECT doc_id,
+                     regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+              FROM documents)
+    ), unnest(gs) AS u(g)
+), owned AS (
+    SELECT doc_id,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY g)
+                THEN 1 ELSE 0 END AS novel
+    FROM g
+), per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel
+    FROM owned GROUP BY doc_id
+), bounds AS (
+    SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
+    FROM per_doc
+)
+SELECT LEAST(9, CAST(FLOOR(10 * (doc_id - lo) / span) AS INTEGER)) + 1 AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams) AS novelty
+FROM per_doc, bounds
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+NOVELTY_TREND_SQL = _novelty_trend_sql()
+
+
 NOVELTY_SCORE_SQL = """
 WITH g AS (
     SELECT doc_id, g
@@ -2018,6 +2097,11 @@ QUERIES: dict[str, QuerySpec] = {
         novelty_score, NOVELTY_SCORE_SQL, tags=("L4", "L1", "W1"),
         doc="per-document first-occurrence gram fraction (corpus novelty "
         "curation signal); one gram-keyed MIN window + per-doc rollup",
+    ),
+    "novelty_trend": QuerySpec(
+        novelty_trend, NOVELTY_TREND_SQL, tags=("L4", "L1", "A2"),
+        doc="novelty-decay curve by ingest decile (doc_id-range buckets, "
+        "no global sort) — the diminishing-returns-of-more-data report",
     ),
     "pipeline_curation_funnel": QuerySpec(
         pipeline_curation_funnel, PIPELINE_CURATION_FUNNEL_SQL,
