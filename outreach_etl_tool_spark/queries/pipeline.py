@@ -1272,6 +1272,323 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# GOPHER REPETITION — top-n-gram char mass and dup-n-gram char coverage
+# ---------------------------------------------------------------------------
+# The other half of the Gopher curation table (Rae et al. 2021,
+# Table A1): the quality rules above catch degenerate *form*; the
+# repetition rules catch degenerate *content*. Two signals per
+# document, both defined over the char mass of word n-grams (char mass
+# of one gram occurrence = sum of its token lengths = length of the
+# space-joined gram minus n-1 separators; total = sum of all token
+# lengths — separator-free, so every quantity is an exact integer):
+#
+#   * top-n-gram char fraction (n = 2, 3, 4): char mass of the single
+#     most frequent n-gram (count x gram chars) over total chars;
+#     keep thresholds 20 / 18 / 16 %. Ties resolve to the
+#     lexicographically smallest gram in BOTH engines (sorted-run scan
+#     here; ORDER BY cnt DESC, g ASC in the oracle).
+#   * duplicated-n-gram char coverage (n = 5..10): char mass of token
+#     positions covered by ANY n-gram occurring >= 2x within the
+#     document — overlapping occurrences counted once (interval
+#     union); keep thresholds 15 / 14 / 13 / 12 / 11 / 10 %.
+#
+# Shape at scale: both are single projections with no shuffle except
+# the presentation sort — the whole per-document computation is
+# higher-order-function array code (sort +
+# run-length for the mode; sort-by-(gram,pos) + sorted-neighbor
+# equality + constant-width sliding OR for coverage), O(L log L) per
+# document with no explode and no groupBy, n <= 10 a constant. The
+# keep decisions are integer cross-multiplications
+# (100*mass <= thr*total), so both engines decide identically with
+# zero float ops; the reported fraction is one division of two exact
+# BIGINTs (bit-identical doubles).
+_TOPGRAM_THRESHOLDS: tuple[tuple[int, int], ...] = ((2, 20), (3, 18), (4, 16))
+_DUPGRAM_THRESHOLDS: tuple[tuple[int, int], ...] = (
+    (5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10),
+)
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Non-distinct space-joined n-grams from a BOUND token array
+    (unlike _grams, which tokenizes from text itself — here one token
+    array feeds all 3 (or 6) n values)."""
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1)))
+    g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(size >= n, g).otherwise(F.array().cast("array<string>"))
+
+
+def _token_chars(toks: Column) -> Column:
+    """Total char mass: sum of token lengths (no separators)."""
+    return F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+
+
+def _mode_run(sorted_grams: Column) -> Column:
+    """struct(best, best_run): most frequent element of a SORTED array
+    (ties -> lexicographically smallest, because runs arrive in sorted
+    order and only a STRICTLY longer run displaces the best), one
+    aggregate pass over run lengths. Empty array -> ('', 0)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("best_run"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["best_run"].alias("best_run")
+        ),
+    )
+
+
+def _topgram_row(toks: Column, total: Column, n: int, thr: int) -> Column:
+    def build(t: Column) -> Column:
+        gram_chars = (F.length(t["best"]) - F.lit(n - 1)).cast("long")
+        mass = F.when(t["best_run"] > 0, t["best_run"] * gram_chars).otherwise(
+            F.lit(0).cast("long")
+        )
+
+        def row(m: Column) -> Column:
+            frac = F.when(
+                total > 0, m.cast("double") / total.cast("double")
+            ).otherwise(F.lit(0.0))
+            return F.struct(
+                F.lit(n).cast("int").alias("n"),
+                t["best"].alias("top_gram"),
+                t["best_run"].alias("top_count"),
+                m.alias("top_chars"),
+                total.alias("total_chars"),
+                frac.alias("top_gram_char_frac"),
+                (F.lit(100).cast("long") * m <= F.lit(thr).cast("long") * total).alias(
+                    "keep"
+                ),
+            )
+
+        return bind_once(mass, row)
+
+    return bind_once(_mode_run(F.array_sort(_ngram_array(toks, n))), build)
+
+
+def gopher_topgram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def build(toks: Column) -> Column:
+        return bind_once(
+            _token_chars(toks),
+            lambda total: F.array(
+                *[_topgram_row(toks, total, n, thr) for n, thr in _TOPGRAM_THRESHOLDS]
+            ),
+        )
+
+    return docs.select(
+        "doc_id", F.inline(bind_once(TXT.tokens("text"), build))
+    ).orderBy("doc_id", "n")
+
+
+def _dup_start_flags(grams: Column) -> Column:
+    """array<boolean>: flag[i] = the n-gram starting at 1-based token
+    position i occurs >= 2x in this document. Sort (gram, pos) pairs,
+    mark sorted neighbors with equal grams, scatter back to position
+    order via a second sort — O(m log m) per doc, no explode. F.get is
+    0-based and returns NULL out of bounds, so the run edges compare
+    via eqNullSafe (gram strings are never null -> edge compares are
+    false, not null)."""
+
+    def build(g: Column) -> Column:
+        m = F.size(g)
+        idx = F.sequence(F.lit(1), F.greatest(m, F.lit(1)))
+        pairs = F.array_sort(
+            F.transform(idx, lambda i: F.struct(F.get(g, i - 1).alias("g"), i.alias("p")))
+        )
+
+        def mark(s: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
+                lambda j: F.struct(
+                    F.get(s, j - 1)["p"].alias("p"),
+                    (
+                        F.get(s, j - 1)["g"].eqNullSafe(F.get(s, j - 2)["g"])
+                        | F.get(s, j - 1)["g"].eqNullSafe(F.get(s, j)["g"])
+                    ).alias("f"),
+                ),
+            )
+
+        flags = F.transform(F.array_sort(bind_once(pairs, mark)), lambda x: x["f"])
+        return F.when(m >= 1, flags).otherwise(F.array().cast("array<boolean>"))
+
+    return bind_once(grams, build)
+
+
+def _dupcov_row(toks: Column, total: Column, n: int, thr: int) -> Column:
+    def build(flags: Column) -> Column:
+        m = F.size(flags)  # = L - n + 1 when L >= n, else 0
+        length = F.size(toks)
+
+        def cov(p: Column) -> Column:
+            # token position p is covered iff some dup gram starts in
+            # [p-n+1, p] (clamped to [1, m]) — a width-<=n slice, so the
+            # whole coverage pass is O(n*L) with n a constant.
+            start = F.greatest(p - F.lit(n - 1), F.lit(1))
+            width = F.least(p, m) - start + F.lit(1)
+            return F.exists(F.slice(flags, start, width), lambda x: x)
+
+        covered_expr = F.when(
+            m >= 1,
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+                    lambda p: F.when(
+                        cov(p), F.length(F.get(toks, p - 1)).cast("long")
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+        def row(covered: Column) -> Column:
+            frac = F.when(
+                total > 0, covered.cast("double") / total.cast("double")
+            ).otherwise(F.lit(0.0))
+            return F.struct(
+                F.lit(n).cast("int").alias("n"),
+                covered.alias("covered_chars"),
+                total.alias("total_chars"),
+                frac.alias("dup_char_frac"),
+                (
+                    F.lit(100).cast("long") * covered
+                    <= F.lit(thr).cast("long") * total
+                ).alias("keep"),
+            )
+
+        return bind_once(covered_expr, row)
+
+    return bind_once(_dup_start_flags(_ngram_array(toks, n)), build)
+
+
+def gopher_dupgram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def build(toks: Column) -> Column:
+        return bind_once(
+            _token_chars(toks),
+            lambda total: F.array(
+                *[_dupcov_row(toks, total, n, thr) for n, thr in _DUPGRAM_THRESHOLDS]
+            ),
+        )
+
+    return docs.select(
+        "doc_id", F.inline(bind_once(TXT.tokens("text"), build))
+    ).orderBy("doc_id", "n")
+
+
+_REP_BASE_SQL = """base AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), tot AS (
+    SELECT doc_id, CAST(COALESCE(list_sum(list_transform(arr, t -> LEN(t))), 0)
+                        AS BIGINT) AS total_chars
+    FROM base
+)"""
+
+
+GOPHER_TOPGRAM_FRAC_SQL = f"""
+WITH {_REP_BASE_SQL},
+ns (n, thr) AS (VALUES (2, 20), (3, 18), (4, 16)),
+grams AS (
+    SELECT doc_id, ns.n,
+           array_to_string(list_slice(arr, i, i + ns.n - 1), ' ') AS g
+    FROM base, ns, UNNEST(generate_series(1, LEN(arr) - ns.n + 1)) AS t(i)
+    WHERE LEN(arr) >= ns.n
+), gc AS (
+    SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, g
+), top AS (
+    SELECT doc_id, n, g, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM gc
+)
+SELECT b.doc_id,
+       CAST(ns.n AS INTEGER) AS n,
+       COALESCE(t.g, '') AS top_gram,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS top_count,
+       CAST(COALESCE(t.cnt * (LEN(t.g) - (ns.n - 1)), 0) AS BIGINT) AS top_chars,
+       tot.total_chars,
+       CASE WHEN tot.total_chars > 0
+            THEN CAST(COALESCE(t.cnt * (LEN(t.g) - (ns.n - 1)), 0) AS DOUBLE)
+                 / CAST(tot.total_chars AS DOUBLE)
+            ELSE 0.0 END AS top_gram_char_frac,
+       100 * COALESCE(t.cnt * (LEN(t.g) - (ns.n - 1)), 0)
+           <= ns.thr * tot.total_chars AS keep
+FROM base b
+CROSS JOIN ns
+JOIN tot ON tot.doc_id = b.doc_id
+LEFT JOIN top t ON t.doc_id = b.doc_id AND t.n = ns.n AND t.rn = 1
+ORDER BY b.doc_id, ns.n
+"""
+
+
+GOPHER_DUPGRAM_COVERAGE_SQL = f"""
+WITH {_REP_BASE_SQL},
+ns (n, thr) AS (VALUES (5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)),
+grams AS (
+    SELECT doc_id, ns.n, i,
+           array_to_string(list_slice(arr, i, i + ns.n - 1), ' ') AS g
+    FROM base, ns, UNNEST(generate_series(1, LEN(arr) - ns.n + 1)) AS t(i)
+    WHERE LEN(arr) >= ns.n
+), dupstart AS (
+    SELECT doc_id, n, i FROM (
+        SELECT doc_id, n, i, COUNT(*) OVER (PARTITION BY doc_id, n, g) AS c
+        FROM grams
+    ) WHERE c >= 2
+), pos AS (
+    SELECT doc_id, p, CAST(LEN(arr[p]) AS BIGINT) AS wlen
+    FROM base, UNNEST(generate_series(1, LEN(arr))) AS t(p)
+), cov AS (
+    SELECT DISTINCT pos.doc_id, d.n, pos.p, pos.wlen
+    FROM pos JOIN dupstart d
+      ON d.doc_id = pos.doc_id AND d.i BETWEEN pos.p - d.n + 1 AND pos.p
+), covagg AS (
+    SELECT doc_id, n, SUM(wlen) AS covered FROM cov GROUP BY doc_id, n
+)
+SELECT b.doc_id,
+       CAST(ns.n AS INTEGER) AS n,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars,
+       tot.total_chars,
+       CASE WHEN tot.total_chars > 0
+            THEN CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                 / CAST(tot.total_chars AS DOUBLE)
+            ELSE 0.0 END AS dup_char_frac,
+       100 * COALESCE(c.covered, 0) <= ns.thr * tot.total_chars AS keep
+FROM base b
+CROSS JOIN ns
+JOIN tot ON tot.doc_id = b.doc_id
+LEFT JOIN covagg c ON c.doc_id = b.doc_id AND c.n = ns.n
+ORDER BY b.doc_id, ns.n
+"""
+
+
+# ---------------------------------------------------------------------------
 # CURATION FUNNEL — per-source survival through quality → dedup → decon
 # ---------------------------------------------------------------------------
 # The dashboard every curation run produces: how many documents (and
@@ -2116,6 +2433,20 @@ QUERIES: dict[str, QuerySpec] = {
         doc="Gopher curation rules (Rae et al. 2021) as per-rule boolean "
         "flags + composite keep; every ratio test is an integer "
         "cross-multiplication, zero float ops, single projection pass",
+    ),
+    "gopher_topgram_frac": QuerySpec(
+        gopher_topgram_frac, GOPHER_TOPGRAM_FRAC_SQL,
+        tags=("L4", "F6"),
+        doc="Gopher repetition rule: top-n-gram char fraction (n=2,3,4) "
+        "via zero-shuffle sorted-run mode per document; integer "
+        "cross-multiplied keep thresholds 20/18/16%",
+    ),
+    "gopher_dupgram_coverage": QuerySpec(
+        gopher_dupgram_coverage, GOPHER_DUPGRAM_COVERAGE_SQL,
+        tags=("L4", "F6"),
+        doc="Gopher repetition rule: duplicated-n-gram char coverage "
+        "(n=5..10, interval union over dup-gram starts) — zero-shuffle "
+        "HOF sort/scatter per document; thresholds 15..10%",
     ),
     "corpus_shuffle_shards": QuerySpec(
         corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL,

@@ -972,3 +972,55 @@ def test_kcore_matches_python_peel(spark, seed):
         got = {r["node"]: r["core_degree"]
                for r in kcore_nodes(e, 3, driver_fast_path_max_edges=fp).collect()}
         assert got == expected
+
+
+def test_gopher_repetition_hand_computed(spark, monkeypatch):
+    """Hand-built docs with known n-gram structure: exact counts, char
+    masses, interval-union coverage, and the lexicographic tie-break.
+    doc 1: 'a b c a b c a b d' -> top 2-gram 'a b' x3; every 3-gram
+           and 4-gram count ties at 2 -> smallest wins.
+    doc 2: an 11-token doc whose 5-gram at positions 1 and 6 repeats
+           -> covered positions 1..10 of 11 (overlap union, not sum).
+    doc 3: one token -> no grams anywhere; zero mass, all keeps true.
+    """
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b d"),
+            (2, "x y z w v x y z w v q"),
+            (3, "lonely"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+
+    top = {(r["doc_id"], r["n"]): r
+           for r in P.gopher_topgram_frac(spark, "unused").collect()}
+    # doc 1: total chars = 9 (nine 1-char tokens)
+    r = top[(1, 2)]
+    assert (r["top_gram"], r["top_count"], r["top_chars"]) == ("a b", 3, 6)
+    assert r["total_chars"] == 9 and r["top_gram_char_frac"] == 6 / 9
+    assert not r["keep"]  # 600 > 20*9
+    # ties at count 2 -> lexicographically smallest gram
+    assert top[(1, 3)]["top_gram"] == "a b c" and top[(1, 3)]["top_count"] == 2
+    assert top[(1, 4)]["top_gram"] == "a b c a" and top[(1, 4)]["top_chars"] == 8
+    # doc 3: no grams at all
+    r = top[(3, 2)]
+    assert (r["top_gram"], r["top_count"], r["top_chars"]) == ("", 0, 0)
+    assert r["total_chars"] == 6 and r["keep"]
+
+    cov = {(r["doc_id"], r["n"]): r
+           for r in P.gopher_dupgram_coverage(spark, "unused").collect()}
+    # doc 2: dup 5-gram starts at 1 and 6 -> union [1..5] u [6..10] = 10
+    r = cov[(2, 5)]
+    assert r["covered_chars"] == 10 and r["total_chars"] == 11
+    assert r["dup_char_frac"] == 10 / 11 and not r["keep"]  # 1000 > 15*11
+    for n in range(6, 11):  # no duplicated longer grams
+        assert cov[(2, n)]["covered_chars"] == 0 and cov[(2, n)]["keep"]
+    # doc 1: dup 5-gram 'a b c a b' at 1 and 4 -> union [1..5] u [4..8] = 8
+    r = cov[(1, 5)]
+    assert r["covered_chars"] == 8 and not r["keep"]
+    # doc 3: too short for every n
+    for n in range(5, 11):
+        assert cov[(3, n)]["covered_chars"] == 0 and cov[(3, n)]["keep"]

@@ -331,6 +331,9 @@ SHUFFLE_BUDGETS = {
     "decontaminate_extents": 4,
     "decontaminate_excise": 5,
     "gopher_quality_filter": 1,       # pure projection + result sort
+    # repetition rules are per-doc HOF array code: projection + sort
+    "gopher_topgram_frac": 1,
+    "gopher_dupgram_coverage": 1,
     # three-stage composite: dedup window over quality docs + leaky
     # distinct + stage joins (AQE picks SMJ/BHJ per scale) + source
     # rollup + result sort
