@@ -69,18 +69,21 @@ e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
 # per-node rollup. Every join is equi-keyed; nothing is quadratic in
 # any node's popularity.
 # ---------------------------------------------------------------------------
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint (same discipline as dedup/cluster.py): the edge
-    # and oriented-edge frames each feed 2-3 consumers; without lineage
-    # truncation Catalyst re-plans the whole derivation per consumer
-    # (audited: 63 exchanges instead of 8)
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    deg = (
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(a, b, c) triangle instances via degree orientation: orient each
+    edge low-degree -> high-degree (id tie-break), enumerate wedges at
+    the oriented source (out-deg <= ~sqrt(E), so no last-reducer hub),
+    close against the oriented edge list. Shared by the per-node
+    triangle counts and the edge-Jaccard similarity."""
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     lower_first = (F.col("du") < F.col("dv")) | (
@@ -99,9 +102,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = o.select(F.col("s"), F.col("t").alias("c"))
     wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))
     closer = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closer, ["b", "c"]).select(
-        F.col("s").alias("a"), "b", "c"
-    )
+    return wedges.join(closer, ["b", "c"]).select(F.col("s").alias("a"), "b", "c")
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint (same discipline as dedup/cluster.py): the edge
+    # and oriented-edge frames each feed 2-3 consumers; without lineage
+    # truncation Catalyst re-plans the whole derivation per consumer
+    # (audited: 63 exchanges instead of 8)
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    tri = _oriented_triangles(e, _degrees(e))
     # explode, not a 3-way self-union: Catalyst does not dedupe common
     # subplans, so a union would run the wedge join three times
     corners = tri.select(
@@ -132,6 +142,109 @@ FROM (SELECT a AS node FROM tri UNION ALL
       SELECT c FROM tri)
 GROUP BY node
 ORDER BY n_triangles DESC, node
+"""
+
+
+# ---------------------------------------------------------------------------
+# GRAPH T3 — edge-level structural similarity (SCAN-family, Jaccard
+# form): for every EDGE (u, v), the Jaccard of the endpoints' neighbor
+# sets — |N(u) ∩ N(v)| / |N(u) ∪ N(v)| = common / (d_u + d_v − common).
+# This is the similarity that graph sparsifiers and SCAN-style
+# community detection weight edges with; edges above the threshold are
+# the "strong ties" retained.
+#
+# Scale shape — the candidate set is the EDGE LIST, never node pairs:
+# the common-neighbor count of an edge is exactly its triangle count,
+# so the whole computation reuses the degree-oriented triangle
+# derivation (wedge fan-out bounded by oriented out-degree ≤ ~sqrt(E);
+# no per-hub quadratic blowup, unlike all-pairs neighbor Jaccard whose
+# wedge fan-out is Σ d_s²). One explode of triangle edge-sides + one
+# rollup keyed like the edge list; degrees ride the existing join.
+# Jaccard divides two exact BIGINTs and the τ = 1/20 retention gate is
+# an integer cross-multiplication, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_EDGE_JACCARD_NUM, _EDGE_JACCARD_DEN = 1, 20
+
+
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(e)
+    tri = _oriented_triangles(e, deg)
+    # each triangle contributes one common neighbor to each of its 3
+    # sides; normalize sides to (u < v) to match the edge list key
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+            )
+        ).alias("s")
+    ).select("s.u", "s.v")
+    common = sides.groupBy("u", "v").agg(F.count(F.lit(1)).alias("common"))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
+    j = (
+        e.join(common, ["u", "v"], "left")
+        .withColumn("common", F.coalesce("common", F.lit(0).cast("long")))
+        .join(du, "u")
+        .join(dv, "v")
+        .withColumn("union_size", F.col("deg_u") + F.col("deg_v") - F.col("common"))
+    )
+    return (
+        j.filter(
+            F.lit(_EDGE_JACCARD_DEN) * F.col("common")
+            >= F.lit(_EDGE_JACCARD_NUM) * F.col("union_size")
+        )
+        .select(
+            "u",
+            "v",
+            "common",
+            "deg_u",
+            "deg_v",
+            (F.col("common").cast("double") / F.col("union_size").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+    )
+
+
+GRAPH_EDGE_JACCARD_SQL = f"""
+WITH {_EDGES_SQL},
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS t
+      FROM e JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
+tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+        JOIN o w3 ON w3.s = w1.t AND w3.t = w2.t),
+sides AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri
+          UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+          UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri),
+common AS (SELECT u, v, COUNT(*) AS common FROM sides GROUP BY u, v),
+j AS (SELECT e.u, e.v,
+             CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+             du.d AS deg_u, dv.d AS deg_v,
+             du.d + dv.d - COALESCE(c.common, 0) AS union_size
+      FROM e
+      LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+      JOIN deg du ON e.u = du.n
+      JOIN deg dv ON e.v = dv.n)
+SELECT u, v, common, deg_u, deg_v,
+       CAST(common AS DOUBLE) / CAST(union_size AS DOUBLE) AS jaccard
+FROM j
+WHERE {_EDGE_JACCARD_DEN} * common >= {_EDGE_JACCARD_NUM} * union_size
+ORDER BY jaccard DESC, u, v
 """
 
 
@@ -345,6 +458,12 @@ QUERIES: dict[str, QuerySpec] = {
         graph_triangles, GRAPH_TRIANGLES_SQL, tags=("J1", "A2", "L1"),
         doc="per-node triangle counts; degree orientation kills the "
         "last-reducer hub problem",
+    ),
+    "graph_edge_jaccard": QuerySpec(
+        graph_edge_jaccard, GRAPH_EDGE_JACCARD_SQL, tags=("J1", "A2", "L3"),
+        doc="edge-level neighbor-set Jaccard (SCAN-style structural "
+        "similarity for sparsification); candidates are the edge list, "
+        "common counts reuse the degree-oriented triangle derivation",
     ),
     "graph_pagerank": QuerySpec(
         graph_pagerank, GRAPH_PAGERANK_SQL, tags=("J1", "A2", "W3"),

@@ -8,10 +8,11 @@ tests against exact baselines in tests/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.expr import bind_once
 from ..dedup import embedding as emb_dedup
 from ..dedup import exact as exact_dedup
 from ..dedup import minhash, ngram, simhash
@@ -240,6 +241,115 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", TXT.fingerprint("text").alias("fp"), TXT.quality_score("text").alias("quality")
     )
+
+
+# L4d (oracled tier) — PORTABLE rolling fingerprint: Horner fold
+# acc = (acc*B + h(token)) mod M over the token stream, with
+# M = 2^31 - 1 (so acc*B stays far inside signed-64 range), B = 1000003
+# and h = 28-bit md5-prefix token hash (the parity.py idiom, bit-equal
+# in both engines). Same op family as doc_fingerprint (order-sensitive
+# hash chaining for shard-level bookkeeping); that one stays on
+# xxhash64 — the fastest JVM-native path — while this tier trades a
+# few cycles for a fingerprint ANY engine can recompute and verify
+# (DuckDB replays the identical fold via list_reduce). Zero shuffle
+# beyond the presentation sort.
+_FP_B, _FP_M = 1000003, (1 << 31) - 1
+
+
+def doc_fingerprint_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def build(toks: Column) -> Column:
+        hs = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+        )
+        fp = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(_FP_B).cast("long") + x)
+            % F.lit(_FP_M).cast("long"),
+        )
+        return F.struct(
+            fp.alias("fp"), F.size(toks).cast("long").alias("n_tokens")
+        )
+
+    return docs.select(
+        "doc_id", F.inline(F.array(bind_once(TXT.tokens("text"), build)))
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_POLY_SQL = f"""
+WITH arrs AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(arr,
+                   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+           (acc, x) -> (acc * {_FP_B} + x) % {_FP_M}) AS fp,
+       CAST(LEN(arr) AS BIGINT) AS n_tokens
+FROM arrs
+ORDER BY doc_id
+"""
+
+
+# L4e — tokenizer fertility by source/lang: BPE pieces per whitespace
+# word, the budget number a pipeline checks before committing to a
+# tokenizer (fertility >> 1 flags scripts/domains the vocab serves
+# badly). Per-doc counts are the text_tokens_bpe projections; the
+# rollup sums exact integers, so the final ratio is one double
+# division — engine-identical. One small shuffle (source x lang).
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "source",
+        "lang",
+        TXT.ws_token_count("text").cast("long").alias("n_ws"),
+        TXT.bpe_token_count("text").cast("long").alias("n_bpe"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH per AS (
+    SELECT source, lang,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_ws,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL_LIT}')) AS BIGINT)
+             AS n_bpe
+    FROM documents
+), agg AS (
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM per GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_words, n_bpe_tokens,
+       CASE WHEN n_words > 0
+            THEN CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS fertility
+FROM agg
+ORDER BY source, lang
+"""
 
 
 # L2 — MinHash-LSH near-dedup. Round 8: the registry entry runs the
@@ -2777,6 +2887,18 @@ QUERIES: dict[str, QuerySpec] = {
         doc="stopword-vote language ID, value-checked vs list_filter argmax oracle",
     ),
     "doc_fingerprint": QuerySpec(doc_fingerprint, None, tags=("L4",)),
+    "doc_fingerprint_poly": QuerySpec(
+        doc_fingerprint_poly, DOC_FINGERPRINT_POLY_SQL, tags=("L4", "F3"),
+        doc="portable rolling fingerprint: Horner fold mod 2^31-1 over "
+        "md5-prefix token hashes — cross-engine verifiable (DuckDB "
+        "replays the identical fold via list_reduce); the xxhash64 "
+        "chain stays as the fast JVM-native tier",
+    ),
+    "tokenizer_fertility": QuerySpec(
+        tokenizer_fertility, TOKENIZER_FERTILITY_SQL, tags=("L4", "A2"),
+        doc="BPE pieces per whitespace word by source x lang (tokenizer "
+        "budget analytics); exact integer sums, one double division",
+    ),
     "dedup_minhash": QuerySpec(
         dedup_minhash, _DEDUP_MINHASH_SQL, tags=("L2",), bench=True,
         doc="MinHash-LSH near-dedup, oracle-parity formulation: full "

@@ -388,6 +388,58 @@ GROUP BY o.doc_id
 
 
 # ---------------------------------------------------------------------------
+# CCNET QUALITY BUCKETS — the CCNet head/middle/tail split: per
+# source, rank documents by the LM quality score and cut into three
+# equal buckets (1 = head/best). Downstream pipelines train on head,
+# sample middle, drop tail. Composes lm_quality_score (the shared
+# derivation above — one source of truth for both engines); the score
+# doubles are bit-identical cross-engine, so the ntile ordering (score
+# DESC, doc_id tie-break) agrees exactly. Docs with < 2 tokens have no
+# bigram score and are excluded (documented contract). Per-bucket
+# output: doc count + exact min/max score — no order-dependent float
+# aggregation.
+# ---------------------------------------------------------------------------
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = lm_quality_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_bigram_prob"), F.asc("doc_id")
+    )
+    b = docs.join(scored, "doc_id").withColumn("bucket", F.ntile(3).over(w))
+    return (
+        b.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_bigram_prob").alias("min_score"),
+            F.max("avg_bigram_prob").alias("max_score"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+CCNET_QUALITY_BUCKETS_SQL = f"""
+WITH scored AS (
+    SELECT * FROM ({LM_QUALITY_SCORE_SQL})
+), b AS (
+    SELECT d.source, s.doc_id, s.avg_bigram_prob,
+           CAST(NTILE(3) OVER (PARTITION BY d.source
+                               ORDER BY s.avg_bigram_prob DESC, s.doc_id)
+                AS INTEGER) AS bucket
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(avg_bigram_prob) AS min_score,
+       MAX(avg_bigram_prob) AS max_score
+FROM b
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCHEMA EVOLUTION READ — the drift case every long-lived dataset
 # hits: files written before a column existed sit next to files that
 # carry it. Fixture: even-key orders written with the v1 two-column
@@ -868,6 +920,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("A1", "A2", "A3", "J6", "U1"),
         doc="deequ-shape data-quality report: uniqueness/null/range/FK "
         "checks, one multi-aggregate pass per table",
+    ),
+    "ccnet_quality_buckets": QuerySpec(
+        ccnet_quality_buckets, CCNET_QUALITY_BUCKETS_SQL,
+        tags=("L4", "A2", "W1"),
+        doc="CCNet head/middle/tail split per source over the LM "
+        "quality score (shared lm_quality_score derivation); exact "
+        "ntile cut, min/max-only float aggregation",
     ),
     "lm_quality_score": QuerySpec(
         lm_quality_score, LM_QUALITY_SCORE_SQL, tags=("L4", "A2", "W3", "J1"),

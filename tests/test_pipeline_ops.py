@@ -1024,3 +1024,57 @@ def test_gopher_repetition_hand_computed(spark, monkeypatch):
     # doc 3: too short for every n
     for n in range(5, 11):
         assert cov[(3, n)]["covered_chars"] == 0 and cov[(3, n)]["keep"]
+
+
+def test_graph_edge_jaccard_hand_graph(spark, monkeypatch):
+    """K4 plus a pendant: every clique edge's common-neighbor count is
+    its triangle support; the pendant edge (no common neighbors) falls
+    below the tau=1/20 gate and is dropped."""
+    import outreach_etl_tool_spark.queries.graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "u long, v long",
+    )
+    monkeypatch.setattr(G, "_copurchase_edges", lambda *a: e)
+    rows = {(r["u"], r["v"]): r
+            for r in G.graph_edge_jaccard(spark, "unused").collect()}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    # inner K4 edges between degree-3 nodes: 2 common / (3+3-2) = 0.5
+    assert rows[(1, 2)]["common"] == 2 and rows[(1, 2)]["jaccard"] == 0.5
+    # edges touching node 4 (degree 4 via the pendant): 2 / (3+4-2)
+    assert rows[(1, 4)]["deg_u"] == 3 and rows[(1, 4)]["deg_v"] == 4
+    assert rows[(1, 4)]["jaccard"] == 2 / 5
+
+
+def test_doc_fingerprint_poly_matches_independent_fold(spark, monkeypatch):
+    """The portable fingerprint must equal an independent hashlib
+    replay of the same Horner fold (md5-prefix token hash, B=1000003,
+    M=2^31-1) — and the empty-token doc folds to 0."""
+    import hashlib
+    import re
+
+    import outreach_etl_tool_spark.queries.llm as L
+
+    docs = spark.createDataFrame(
+        [(1, "Key Agg Row scan SLOW"), (2, "...!!!"), (3, "spark")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(L, "load_table", lambda *a: docs)
+    got = {r["doc_id"]: (r["fp"], r["n_tokens"])
+           for r in L.doc_fingerprint_poly(spark, "unused").collect()}
+
+    B, M = 1000003, (1 << 31) - 1
+
+    def fold(text):
+        toks = re.findall("[a-zA-Z]+", text.lower())
+        acc = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            acc = (acc * B + h) % M
+        return acc, len(toks)
+
+    assert got == {1: fold("Key Agg Row scan SLOW"),
+                   2: (0, 0), 3: fold("spark")}
+    # order sensitivity: same tokens, different order -> different fp
+    assert fold("key agg")[0] != fold("agg key")[0]

@@ -334,6 +334,14 @@ SHUFFLE_BUDGETS = {
     # repetition rules are per-doc HOF array code: projection + sort
     "gopher_topgram_frac": 1,
     "gopher_dupgram_coverage": 1,
+    # edge list + degrees + orient + wedge/close + side rollup + final
+    # degree joins + result sort (triangle machinery reused)
+    "graph_edge_jaccard": 11,
+    "doc_fingerprint_poly": 1,        # HOF fold + result sort
+    "tokenizer_fertility": 2,         # source x lang rollup + sort
+    # lm_quality_score derivation (count groupBy + prev window + doc
+    # rollup) + per-source ntile + bucket rollup
+    "ccnet_quality_buckets": 5,
     # three-stage composite: dedup window over quality docs + leaky
     # distinct + stage joins (AQE picks SMJ/BHJ per scale) + source
     # rollup + result sort
