@@ -647,6 +647,107 @@ LIMIT {_TOPK}
 """
 
 
+# L3g — RANGE SEARCH (radius retrieval): for a small query set, ALL
+# corpus vectors with cosine >= τ — the "give me everything similar
+# enough" retrieval next to top-k's "give me the k best". Scale shape:
+# the query side is tiny (an eval set, a probe batch), so it
+# BROADCASTS — the 100 TB corpus is scanned once with no shuffle
+# except the result sort; per (vector, query) work is one Arrow int64
+# dot product. Correctness shape: embeddings are 1e-6 floor-quantized
+# (the dedup/parity.py discipline) and the τ-gate is the exact integer
+# cross-multiplication den²·dq² >= num²·|a|²·|b|² with dq > 0, so both
+# engines admit exactly the same pair set; the reported cosine is one
+# float expression over identical integers. For corpus-x-corpus range
+# search use the banded-LSH tier (emb_near_dup); for big query sets,
+# IVF (sim_ann_ivf).
+_RANGE_NUM, _RANGE_DEN = 1, 10
+_RANGE_QUERY_MOD = 101
+_RANGE_SCALE = 1_000_000
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.parity import _int_dot
+
+    embs = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64
+    )
+    zero = F.lit(0).cast("long")
+    qn = embs.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(_RANGE_SCALE))).cast(
+                "long"
+            ),
+        ).alias("qa"),
+    ).select(
+        "id",
+        "qa",
+        F.aggregate(
+            F.transform("qa", lambda a: a * a), zero, lambda acc, x: acc + x
+        ).alias("nq"),
+    )
+    qry = qn.filter(F.col("id") % _RANGE_QUERY_MOD == 0).select(
+        F.col("id").alias("query_id"),
+        F.col("qa").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = qn.join(F.broadcast(qry), F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        _int_dot("qa", "qb").alias("dq"),
+        F.col("nq").alias("na"),
+        "nb",
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    gate = (F.col("dq") > 0) & (
+        F.lit(_RANGE_DEN * _RANGE_DEN) * dec("dq") * dec("dq")
+        >= F.lit(_RANGE_NUM * _RANGE_NUM) * dec("na") * dec("nb")
+    )
+    return (
+        scored.filter(gate)
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.col("dq")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""
+WITH qarr AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * {_RANGE_SCALE}) AS BIGINT)) AS qa
+    FROM embeddings WHERE LEN(embedding) = 64
+), n AS (
+    SELECT id, qa, list_sum(list_transform(qa, x -> x * x)) AS nq FROM qarr
+), qry AS (
+    SELECT id AS query_id, qa AS qb, nq AS nb FROM n
+    WHERE id % {_RANGE_QUERY_MOD} = 0
+), scored AS (
+    SELECT qry.query_id, c.id AS vec_id,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> c.qa[i] * qry.qb[i])) AS dq,
+           c.nq AS na, qry.nb AS nb
+    FROM n c JOIN qry ON c.id <> qry.query_id
+)
+SELECT query_id, vec_id,
+       CAST(dq AS DOUBLE)
+           / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+FROM scored
+WHERE dq > 0
+  AND {_RANGE_DEN * _RANGE_DEN} * dq::HUGEINT * dq::HUGEINT
+      >= {_RANGE_NUM * _RANGE_NUM} * na::HUGEINT * nb::HUGEINT
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
 # L3c — all-pairs kNN join: every vector's top-k neighbors. Distributed
 # block nested-loop (hash-blocked index, replicated probes, cogroup
 # local top-k, window merge — similarity/ann.py knn_join_blocked): EXACT
@@ -2931,6 +3032,11 @@ QUERIES: dict[str, QuerySpec] = {
         "(Lloyd is float-iterative), planted-dup recall pytest-pinned",
     ),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
+    "sim_range_search": QuerySpec(
+        sim_range_search, SIM_RANGE_SEARCH_SQL, tags=("L3",),
+        doc="cosine radius retrieval: broadcast query set, one corpus "
+        "scan, exact integer tau-gate on 1e-6-quantized vectors",
+    ),
     "sim_knn_join": QuerySpec(
         sim_knn_join, SIM_KNN_JOIN_SQL, tags=("L3", "J2"), bench=True,
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",

@@ -1078,3 +1078,34 @@ def test_doc_fingerprint_poly_matches_independent_fold(spark, monkeypatch):
                    2: (0, 0), 3: fold("spark")}
     # order sensitivity: same tokens, different order -> different fp
     assert fold("key agg")[0] != fold("agg key")[0]
+
+
+def test_sim_range_search_planted_vectors(spark, monkeypatch):
+    """Planted 64-dim vectors against query id 0 (= e1): a duplicate
+    passes at cosine 1, the 45-degree mix passes at ~0.707, the
+    orthogonal vector (dot 0) and the antipode (dot < 0) are excluded
+    by the dq > 0 side of the exact integer gate."""
+    import math
+
+    import outreach_etl_tool_spark.queries.llm as L
+
+    def vec(*pairs):
+        v = [0.0] * 64
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),            # query: e1
+        (1, vec((0, 1.0))),            # duplicate -> cosine 1.0
+        (2, vec((1, 1.0))),            # orthogonal -> dq = 0, excluded
+        (3, vec((0, -1.0))),           # antipode -> dq < 0, excluded
+        (4, vec((0, 1.0), (1, 1.0))),  # 45 degrees -> ~0.7071
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(L, "load_table", lambda *a: embs)
+    got = {r["vec_id"]: r["cosine"]
+           for r in L.sim_range_search(spark, "unused").collect()}
+    assert set(got) == {1, 4}
+    assert got[1] == 1.0
+    assert abs(got[4] - 1 / math.sqrt(2)) < 1e-12

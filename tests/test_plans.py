@@ -338,6 +338,8 @@ SHUFFLE_BUDGETS = {
     # degree joins + result sort (triangle machinery reused)
     "graph_edge_jaccard": 11,
     "doc_fingerprint_poly": 1,        # HOF fold + result sort
+    # broadcast-nested-loop over the tiny query set: scan + result sort
+    "sim_range_search": 1,
     "tokenizer_fertility": 2,         # source x lang rollup + sort
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup
