@@ -356,7 +356,73 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T10 — event-type Markov transition matrix: P(next_type | type) from
+# per-user time-ordered event streams — the behavioral bigram model a
+# product pipeline builds for journey analysis / next-event baselines
+# (and the events-table twin of the text bigram LM in lm_quality_score).
+# Order is made total with the (ts, event_id) tie-break so both engines
+# pick identical successors. Scale shape: ONE user-keyed window pass
+# (lead), then counts collapse to |event_types|² rows — tiny — so the
+# denominator window and the probability division run on a frame
+# thousands of times smaller than the corpus; the only corpus-sized
+# exchange is the user partitioning.
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = t.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn("n_from", F.sum("n_trans").over(wp))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "n_from",
+            (F.col("n_trans").cast("double") / F.col("n_from").cast("double")).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVT_MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), counts AS (
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       CAST(n_trans AS DOUBLE)
+           / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+           AS p_next
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "evt_markov_transitions": QuerySpec(
+        evt_markov_transitions, EVT_MARKOV_TRANSITIONS_SQL,
+        tags=("W2", "A2"),
+        doc="event-type Markov transition matrix P(next|prev) from "
+        "per-user time-ordered streams; one user-keyed lead window, "
+        "counts collapse to |types|^2 before the probability pass",
+    ),
     "evt_ohlc_resample": QuerySpec(
         evt_ohlc_resample, EVT_OHLC_RESAMPLE_SQL, tags=("T1", "W1", "A2"),
         doc="OHLC downsample per (user, 6h epoch bucket): first/last by "

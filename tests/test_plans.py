@@ -340,6 +340,8 @@ SHUFFLE_BUDGETS = {
     "doc_fingerprint_poly": 1,        # HOF fold + result sort
     # broadcast-nested-loop over the tiny query set: scan + result sort
     "sim_range_search": 1,
+    # user window + pair rollup + prev-type window + result sort
+    "evt_markov_transitions": 4,
     "tokenizer_fertility": 2,         # source x lang rollup + sort
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup

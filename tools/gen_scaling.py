@@ -67,6 +67,14 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "source_token_divergence": True,
     "novelty_score": True,
     "corpus_shuffle_shards": True,
+    # round-8b curation/analytics additions (documents-only → 3× point)
+    "gopher_topgram_frac": True,
+    "gopher_dupgram_coverage": True,
+    "doc_fingerprint_poly": True,
+    "tokenizer_fertility": True,
+    "ccnet_quality_buckets": True,
+    "graph_edge_jaccard": False,   # lineitem-derived graph
+    "sim_range_search": False,     # embeddings table
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
