@@ -98,9 +98,18 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # The wedge pair must NOT be pre-ordered by vertex id: the closing
+    # edge is oriented by DEGREE priority, and when priority order
+    # disagrees with id order an id-ordered pair (b < c) can never
+    # match the oriented (c -> b) edge — triangles silently vanish
+    # (found by a randomized brute-force test; the id-ordered form
+    # missed every triangle whose two higher-priority corners sort the
+    # other way by id). Emitting both (b, c) arrangements and letting
+    # the oriented-closer equi-join pick one keeps each triangle
+    # exactly once.
     w1 = o.select(F.col("s"), F.col("t").alias("b"))
     w2 = o.select(F.col("s"), F.col("t").alias("c"))
-    wedges = w1.join(w2, "s").filter(F.col("b") < F.col("c"))
+    wedges = w1.join(w2, "s").filter(F.col("b") != F.col("c"))
     closer = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
     return wedges.join(closer, ["b", "c"]).select(F.col("s").alias("a"), "b", "c")
 
@@ -134,7 +143,7 @@ o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
                   THEN v ELSE u END AS t
       FROM e JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
 tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
-        FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+        FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t <> w2.t
         JOIN o w3 ON w3.s = w1.t AND w3.t = w2.t)
 SELECT node, COUNT(*) AS n_triangles
 FROM (SELECT a AS node FROM tri UNION ALL
@@ -226,7 +235,7 @@ o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
                   THEN v ELSE u END AS t
       FROM e JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
 tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
-        FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+        FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t <> w2.t
         JOIN o w3 ON w3.s = w1.t AND w3.t = w2.t),
 sides AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri
           UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri

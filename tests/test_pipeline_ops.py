@@ -1109,3 +1109,106 @@ def test_sim_range_search_planted_vectors(spark, monkeypatch):
     assert set(got) == {1, 4}
     assert got[1] == 1.0
     assert abs(got[4] - 1 / math.sqrt(2)) < 1e-12
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_gopher_dupgram_coverage_matches_bruteforce(spark, monkeypatch, seed):
+    """Randomized small-vocab docs (heavy repetition by construction)
+    vs an independent python interval-union replica, all n in 5..10."""
+    import random
+    import re
+    from collections import Counter
+
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    rng = random.Random(seed)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(12)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {(r["doc_id"], r["n"]): (r["covered_chars"], r["total_chars"])
+           for r in P.gopher_dupgram_coverage(spark, "unused").collect()}
+
+    for i, text in docs:
+        toks = re.findall("[a-zA-Z]+", text.lower())
+        total = sum(len(t) for t in toks)
+        for n in range(5, 11):
+            grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            cnt = Counter(grams)
+            covered = set()
+            for j, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(j, j + n))
+            cc = sum(len(toks[p]) for p in covered)
+            assert got[(i, n)] == (cc, total), (i, n)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_graph_edge_jaccard_matches_bruteforce(spark, monkeypatch, seed):
+    """Random graphs vs an independent adjacency-set replica: the full
+    tau-gated (edge, common, jaccard) set must agree exactly."""
+    import random
+
+    import outreach_etl_tool_spark.queries.graph as G
+
+    rng = random.Random(seed)
+    edges = sorted({tuple(sorted(rng.sample(range(25), 2))) for _ in range(70)})
+    e = spark.createDataFrame(edges, "u long, v long")
+    monkeypatch.setattr(G, "_copurchase_edges", lambda *a: e)
+    got = {(r["u"], r["v"]): (r["common"], r["jaccard"])
+           for r in G.graph_edge_jaccard(spark, "unused").collect()}
+
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = {}
+    for u, v in edges:
+        common = len(adj[u] & adj[v])
+        union = len(adj[u]) + len(adj[v]) - common
+        if 20 * common >= union:
+            expected[(u, v)] = (common, common / union)
+    assert got == expected
+
+
+def test_graph_triangles_priority_vs_id_order(spark, monkeypatch):
+    """Regression: a triangle whose two higher-priority corners sort
+    the other way by id (pendants on node 2 make priority 1 < 3 < 2)
+    was silently dropped by the id-ordered wedge pair."""
+    import outreach_etl_tool_spark.queries.graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (2, 5)], "u long, v long"
+    )
+    monkeypatch.setattr(G, "_copurchase_edges", lambda *a: e)
+    got = {r["node"]: r["n_triangles"]
+           for r in G.graph_triangles(spark, "unused").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_graph_triangles_matches_bruteforce(spark, monkeypatch, seed):
+    """Random graphs vs an independent O(n^3) corner count."""
+    import itertools
+    import random
+
+    import outreach_etl_tool_spark.queries.graph as G
+
+    rng = random.Random(seed)
+    edges = sorted({tuple(sorted(rng.sample(range(20), 2))) for _ in range(55)})
+    eset = set(edges)
+    e = spark.createDataFrame(edges, "u long, v long")
+    monkeypatch.setattr(G, "_copurchase_edges", lambda *a: e)
+    got = {r["node"]: r["n_triangles"]
+           for r in G.graph_triangles(spark, "unused").collect()}
+
+    expected: dict[int, int] = {}
+    nodes = sorted({n for ed in edges for n in ed})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    assert got == expected
