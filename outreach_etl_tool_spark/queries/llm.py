@@ -2369,6 +2369,126 @@ ORDER BY id_a, id_b
 """
 
 
+# L2o — CONTAINMENT join (asymmetric): ordered pairs where at least
+# τ = 1/2 of the SOURCE doc's distinct 3-token shingles appear in the
+# destination — the quote/subset detector Jaccard misses when lengths
+# differ (a short doc quoted inside a long one has high containment
+# but low Jaccard). Candidate generation is the containment form of
+# the prefix filter: if containment(A→B) ≥ τ and B misses ALL of A's
+# first p = n − ceil(τn) + 1 shingles, then inter ≤ ceil(τn) − 1 < τn
+# — contradiction, so B shares ≥ 1 prefix shingle. Soundness is
+# ORDER-independent; ordering the prefix rarest-df-first is the
+# optimization that keeps the probe fan-out Σ df(prefix) small. The
+# destination side probes the FULL inverted index (one equi-join on
+# the shingle — linear in corpus size); |B| ≥ τ·|A| prunes before the
+# exact array_intersect verify. The oracle is the O(n²) DEFINITIONAL
+# form (list_intersect over all ordered pairs), deliberately NOT a
+# translation of this derivation — independent evidence, not shared-
+# shape agreement.
+_CONT_NUM, _CONT_DEN, _CONT_K = 1, 2, 3
+
+
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def sh(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (_CONT_K - 1), F.lit(1)))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _CONT_K)))
+        return F.when(n >= _CONT_K, F.array_distinct(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    sets = docs.select(
+        "doc_id", bind_once(TXT.tokens("text"), sh).alias("s")
+    ).filter(F.size("s") > 0)
+    sized = sets.select("doc_id", F.size("s").cast("bigint").alias("n"), "s")
+    # full inverted index; localCheckpoint: it feeds the df agg, the
+    # prefix derivation AND the probe side — without truncation the
+    # shingle explode re-runs three times (setsim discipline)
+    tok = sized.select("doc_id", "n", F.explode("s").alias("g")).localCheckpoint()
+    df_g = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # prefix length n − ceil(τn) + 1 with ceil(n/2) = (n+1) div 2
+    prefix = (
+        tok.join(df_g, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({_CONT_NUM}*n + {_CONT_DEN - 1}) div {_CONT_DEN}")
+            + 1
+        )
+        .select(
+            F.col("doc_id").alias("src_id"), F.col("n").alias("n_src"), "g"
+        )
+    )
+    cands = (
+        prefix.join(
+            tok.select(
+                F.col("doc_id").alias("dst_id"), F.col("n").alias("n_dst"), "g"
+            ),
+            "g",
+        )
+        .filter(
+            (F.col("src_id") != F.col("dst_id"))
+            # |B| ≥ ceil(τ|A|): fewer dst shingles cannot cover τ of src
+            & (_CONT_DEN * F.col("n_dst") >= _CONT_NUM * F.col("n_src"))
+        )
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    va = cands.join(
+        sets.select(F.col("doc_id").alias("src_id"), F.col("s").alias("sa")),
+        "src_id",
+    )
+    vb = va.join(
+        sets.select(F.col("doc_id").alias("dst_id"), F.col("s").alias("sb")),
+        "dst_id",
+    )
+    scored = vb.select(
+        "src_id",
+        "dst_id",
+        F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_inter"),
+        F.size("sa").cast("bigint").alias("n_src"),
+        F.size("sb").cast("bigint").alias("n_dst"),
+    )
+    return (
+        scored.filter(_CONT_DEN * F.col("n_inter") >= _CONT_NUM * F.col("n_src"))
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.col("n_src").cast("double"),
+        )
+        .orderBy("src_id", "dst_id")
+    )
+
+
+DEDUP_CONTAINMENT_JOIN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(list_slice(arr, i, i + {_CONT_K - 1}), ' ')
+                          for i in generate_series(1, LEN(arr) - {_CONT_K - 1})]) AS s
+    FROM toks WHERE LEN(arr) >= {_CONT_K}
+), pairs AS (
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           CAST(LEN(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+           CAST(LEN(a.s) AS BIGINT) AS n_src,
+           CAST(LEN(b.s) AS BIGINT) AS n_dst
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+)
+SELECT src_id, dst_id, n_inter, n_src, n_dst,
+       CAST(n_inter AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+FROM pairs
+WHERE {_CONT_DEN} * n_inter >= {_CONT_NUM} * n_src
+ORDER BY src_id, dst_id
+"""
+
+
 # L2g — per-source duplicated-character fraction: the headline metric
 # a span-dedup pass reports ("N% of source X is boilerplate"). Runs
 # from dedup_span_runs can OVERLAP char-wise (two runs whose window
@@ -2932,6 +3052,14 @@ QUERIES: dict[str, QuerySpec] = {
         doc="incremental span dedup: new-batch extents flagged against "
         "a historical gram-hash store (history text never re-read) "
         "plus in-batch repeats",
+    ),
+    "dedup_containment_join": QuerySpec(
+        dedup_containment_join, DEDUP_CONTAINMENT_JOIN_SQL,
+        tags=("L2", "J1", "W1"),
+        doc="asymmetric shingle-containment join (quote/subset "
+        "detection): rarest-first prefix candidates vs the full "
+        "inverted index, exact verify; O(n^2) DEFINITIONAL oracle "
+        "(independent of the derivation, not a translation)",
     ),
     "dedup_setsim_join": QuerySpec(
         dedup_setsim_join, DEDUP_SETSIM_JOIN_SQL,

@@ -1212,3 +1212,73 @@ def test_graph_triangles_matches_bruteforce(spark, monkeypatch, seed):
             for n in (a, b, c):
                 expected[n] = expected.get(n, 0) + 1
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_graph_pagerank_matches_independent_replica(spark, monkeypatch, seed):
+    """Random graphs vs an independent python replay of the defined
+    semantics (degree-priority orientation, dangling mass dropped,
+    floor(r/outd) contributions, 3 damped iterations). Structural bugs
+    (orientation wiring, dangling handling, join keys) shift ranks by
+    whole contribution units; rounding-mode corners shift the 1e9-
+    scaled integers by at most 1, so the tolerance is 2 units = 2e-9."""
+    import math
+    import random
+
+    import outreach_etl_tool_spark.queries.graph as G
+
+    rng = random.Random(seed)
+    edges = sorted({tuple(sorted(rng.sample(range(18), 2))) for _ in range(40)})
+    e = spark.createDataFrame(edges, "u long, v long")
+    monkeypatch.setattr(G, "_copurchase_edges", lambda *a: e)
+    got = {r["node"]: r["pagerank"]
+           for r in G.graph_pagerank(spark, "unused").collect()}
+
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    oriented = [
+        (u, v) if (deg[u], u) < (deg[v], v) else (v, u) for u, v in edges
+    ]
+    nodes = sorted({n for ed in oriented for n in ed})
+    outd: dict[int, int] = {}
+    for s, _ in oriented:
+        outd[s] = outd.get(s, 0) + 1
+    scale = 1_000_000_000
+    r = {n: scale for n in nodes}
+    for _ in range(3):
+        sc = {n: 0 for n in nodes}
+        for s, d in oriented:
+            sc[d] += math.floor(r[s] / outd[s])
+        r = {n: math.floor(0.15 * scale + 0.85 * sc[n] + 0.5) for n in nodes}
+    expected = {n: rv / scale for n, rv in r.items()}
+
+    assert set(got) == set(expected)
+    for n in expected:
+        assert abs(got[n] - expected[n]) <= 2 / scale, (n, got[n], expected[n])
+
+
+def test_containment_join_detects_quotes_asymmetrically(spark, monkeypatch):
+    """A short passage fully contained in a long doc: containment
+    short->long is 1.0 (reported) while long->short is 2/8 (excluded)
+    — the asymmetry Jaccard cannot express. Partial overlap below
+    tau=1/2 stays out."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 8 shingles
+            (2, "c d e f"),               # 2 shingles, both inside doc 1
+            (3, "a b c x y z"),           # 4 shingles, only 'a b c' shared
+            (4, "q r s t"),               # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(L, "load_table", lambda *a: docs)
+    got = {(r["src_id"], r["dst_id"]): r
+           for r in L.dedup_containment_join(spark, "unused").collect()}
+    assert set(got) == {(2, 1)}
+    r = got[(2, 1)]
+    assert (r["n_inter"], r["n_src"], r["n_dst"]) == (2, 2, 8)
+    assert r["containment"] == 1.0

@@ -342,6 +342,8 @@ SHUFFLE_BUDGETS = {
     "sim_range_search": 1,
     # user window + pair rollup + prev-type window + result sort
     "evt_markov_transitions": 4,
+    # post-checkpoint: df agg + prefix window + probe join/verify
+    "dedup_containment_join": 3,
     "tokenizer_fertility": 2,         # source x lang rollup + sort
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup
