@@ -356,6 +356,72 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T11 — LAST-TOUCH ATTRIBUTION: attribute each purchase's revenue to
+# the campaign of the most recent preceding click/view by the same
+# user ('organic' when none) — the marketing-attribution report shape.
+# Campaign = props.k mod 5 from the touch event's JSON. No as-of JOIN
+# is needed: a single per-user window with last(ignorenulls) carries
+# the latest touch forward along the (ts, event_id) total order, so
+# the corpus is shuffled ONCE on user_id; the rollup sums revenue
+# through the exact scaled-integer sum (order-independent, both
+# engines bit-equal).
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(F.lit("c"), (k % 5).cast("string")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value", touch.alias("touch")
+    ).withColumn(
+        "campaign",
+        F.coalesce(F.last("touch", ignorenulls=True).over(w), F.lit("organic")),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            exact_sum("value").alias("revenue"),
+        )
+        .orderBy("campaign")
+    )
+
+
+EVT_ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN 'c' || CAST(CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) % 5 AS VARCHAR)
+           END AS touch
+    FROM events
+), attributed AS (
+    SELECT event_type, value,
+           COALESCE(LAST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               'organic') AS campaign
+    FROM tagged
+)
+SELECT campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sum_sql('value')} AS revenue
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY campaign
+ORDER BY campaign
+"""
+
+
 # T10 — event-type Markov transition matrix: P(next_type | type) from
 # per-user time-ordered event streams — the behavioral bigram model a
 # product pipeline builds for journey analysis / next-event baselines
@@ -416,6 +482,13 @@ ORDER BY prev_type, next_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "evt_attribution_last_touch": QuerySpec(
+        evt_attribution_last_touch, EVT_ATTRIBUTION_LAST_TOUCH_SQL,
+        tags=("W2", "A2", "F7"),
+        doc="last-touch revenue attribution: per-user carry-forward "
+        "window (no as-of join), campaign from touch JSON, exact "
+        "scaled-integer revenue sums",
+    ),
     "evt_markov_transitions": QuerySpec(
         evt_markov_transitions, EVT_MARKOV_TRANSITIONS_SQL,
         tags=("W2", "A2"),

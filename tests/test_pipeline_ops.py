@@ -1282,3 +1282,39 @@ def test_containment_join_detects_quotes_asymmetrically(spark, monkeypatch):
     r = got[(2, 1)]
     assert (r["n_inter"], r["n_src"], r["n_dst"]) == (2, 2, 8)
     assert r["containment"] == 1.0
+
+
+def test_evt_attribution_last_touch_hand_built(spark, monkeypatch):
+    """Latest touch wins (not the first), purchases with no preceding
+    touch fall to 'organic', a same-timestamp touch counts when its
+    event_id sorts earlier, and non-touch types never attribute."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: click(c2) then view(c0) then purchase -> c0
+        (1, s(0), 1, "click", 0.0, '{"k": 7}'),
+        (2, s(1), 1, "view", 0.0, '{"k": 10}'),
+        (3, s(2), 1, "purchase", 10.0, '{"k": 1}'),
+        # user 2: purchase with no touch -> organic
+        (4, s(0), 2, "purchase", 5.0, '{"k": 2}'),
+        # user 3: click at the SAME ts as the purchase, smaller id -> c3
+        (5, s(0), 3, "click", 0.0, '{"k": 3}'),
+        (6, s(0), 3, "purchase", 2.5, '{"k": 9}'),
+        # user 4: error/signup are not touches -> organic
+        (7, s(0), 4, "error", 0.0, '{"k": 4}'),
+        (8, s(1), 4, "signup", 0.0, '{"k": 4}'),
+        (9, s(2), 4, "purchase", 1.25, '{"k": 4}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda *a: ev)
+    got = {r["campaign"]: (r["n_purchases"], r["revenue"])
+           for r in E.evt_attribution_last_touch(spark, "unused").collect()}
+    assert got == {"c0": (1, 10.0), "organic": (2, 6.25), "c3": (1, 2.5)}

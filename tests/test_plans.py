@@ -344,6 +344,8 @@ SHUFFLE_BUDGETS = {
     "evt_markov_transitions": 4,
     # post-checkpoint: df agg + prefix window + probe join/verify
     "dedup_containment_join": 3,
+    # user carry-forward window + campaign rollup + result sort
+    "evt_attribution_last_touch": 3,
     "tokenizer_fertility": 2,         # source x lang rollup + sort
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup
