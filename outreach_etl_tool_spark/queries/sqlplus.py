@@ -388,6 +388,65 @@ GROUP BY o.doc_id
 
 
 # ---------------------------------------------------------------------------
+# DQ VOLUME ANOMALY — pipeline freshness/volume monitoring: daily event
+# counts vs the trailing 7-day median; a day deviating more than ±20%
+# is flagged. Median over an odd trailing window is VALUE-PICKING
+# (sorted element 4 of 7) and the deviation test is an integer
+# cross-multiplication (|n − med|·10 > 2·med), so every decision is
+# exact in both engines; days without a full trailing week are
+# excluded (warm-up is not a verdict — and a nullable boolean would
+# also hash differently across pandas bridges). Scale note: the
+# window is over DAY-grain
+# rows — calendar-bounded (decades ≈ 10⁴ rows), so the unpartitioned
+# ordered window is deliberate and trivially single-task; the only
+# corpus-sized work is the one groupBy(day) scan.
+# ---------------------------------------------------------------------------
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.withColumn(
+        "w", F.array_sort(F.collect_list("n_events").over(w))
+    )
+    med = F.element_at("w", 4).cast("long")
+    return (
+        win.filter(F.size("w") == 7)
+        .select(
+            "day",
+            "n_events",
+            med.alias("med7"),
+            (F.abs(F.col("n_events") - med) * 10 > F.lit(2) * med).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+DQ_VOLUME_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+), win AS (
+    SELECT day, n_events,
+           list_sort(list(n_events) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+    FROM daily
+)
+SELECT day, n_events,
+       CAST(w[4] AS BIGINT) AS med7,
+       ABS(n_events - w[4]) * 10 > 2 * w[4] AS is_anomaly
+FROM win
+WHERE LEN(w) = 7
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNET QUALITY BUCKETS — the CCNet head/middle/tail split: per
 # source, rank documents by the LM quality score and cut into three
 # equal buckets (1 = head/best). Downstream pipelines train on head,
@@ -920,6 +979,12 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("A1", "A2", "A3", "J6", "U1"),
         doc="deequ-shape data-quality report: uniqueness/null/range/FK "
         "checks, one multi-aggregate pass per table",
+    ),
+    "dq_volume_anomaly": QuerySpec(
+        dq_volume_anomaly, DQ_VOLUME_ANOMALY_SQL, tags=("A2", "W3", "F2"),
+        doc="daily-volume anomaly monitor: trailing 7-day value-picked "
+        "median + integer cross-multiplied deviation gate; NULL during "
+        "warm-up; day-grain window is calendar-bounded by design",
     ),
     "ccnet_quality_buckets": QuerySpec(
         ccnet_quality_buckets, CCNET_QUALITY_BUCKETS_SQL,

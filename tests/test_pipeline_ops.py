@@ -1318,3 +1318,34 @@ def test_evt_attribution_last_touch_hand_built(spark, monkeypatch):
     got = {r["campaign"]: (r["n_purchases"], r["revenue"])
            for r in E.evt_attribution_last_touch(spark, "unused").collect()}
     assert got == {"c0": (1, 10.0), "organic": (2, 6.25), "c3": (1, 2.5)}
+
+
+def test_dq_volume_anomaly_planted_spike(spark, monkeypatch):
+    """14 steady days at 100 events, day 15 spikes to 200: exactly day
+    15 flags (|200-100|*10 > 2*100); warm-up days 1-6 are excluded;
+    steady days stay quiet. Exercises the value-picked median."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.sqlplus as S
+
+    rows = []
+    eid = 0
+    for d in range(1, 16):
+        n = 200 if d == 15 else 100
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, d, i % 24), 1, "view", 0.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(S, "load_table", lambda *a: ev)
+    got = {str(r["day"]): (r["n_events"], r["med7"], r["is_anomaly"])
+           for r in S.dq_volume_anomaly(spark, "unused").collect()}
+    assert len(got) == 9  # days 7..15
+    assert got["2024-03-15"] == (200, 100, True)
+    for d in range(7, 15):
+        assert got[f"2024-03-{d:02d}"] == (100, 100, False)

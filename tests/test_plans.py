@@ -346,6 +346,9 @@ SHUFFLE_BUDGETS = {
     "dedup_containment_join": 3,
     # user carry-forward window + campaign rollup + result sort
     "evt_attribution_last_touch": 3,
+    # day rollup + single-partition day-grain window/sort (calendar-
+    # bounded by design — see the query docstring)
+    "dq_volume_anomaly": 2,
     "tokenizer_fertility": 2,         # source x lang rollup + sort
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup
