@@ -257,6 +257,88 @@ WHERE p.event_type = 'purchase'
 """
 
 
+# J8b/J8c — forward and nearest as-of directions (pandas merge_asof
+# parity), same one-shuffle union-sort-window operator. Oracles are
+# DEFINITIONAL correlated aggregates (MIN over at-or-after / the
+# closer of the two extremes with ties backward), independent of the
+# window derivation.
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+        how="left",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", F.col("click_ts").alias("next_click_ts"))
+
+
+JOIN_ASOF_FORWARD_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MIN(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts) AS next_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+        how="left",
+        direction="nearest",
+    ).select(
+        "event_id", "user_id", "ts", F.col("click_ts").alias("nearest_click_ts")
+    )
+
+
+JOIN_ASOF_NEAREST_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), b AS (
+    SELECT p.event_id, MAX(c.ts) AS bts
+    FROM p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    GROUP BY p.event_id
+), f AS (
+    SELECT p.event_id, MIN(c.ts) AS fts
+    FROM p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts
+    GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(p.ts))
+            THEN b.bts ELSE f.fts END AS nearest_click_ts
+FROM p
+JOIN b ON b.event_id = p.event_id
+JOIN f ON f.event_id = p.event_id
+"""
+
+
 # J9 — interval self-join on time: pairs of events by the same user within
 # a 10-minute window. Equi-join on user bounds the blow-up; the range
 # predicate is applied post-join (Catalyst folds it into the join cond).
@@ -561,6 +643,17 @@ QUERIES: dict[str, QuerySpec] = {
         join_range_bands, JOIN_RANGE_BANDS_SQL, tags=("J7",)
     ),
     "join_asof": QuerySpec(join_asof, JOIN_ASOF_SQL, tags=("J8",), bench=True),
+    "join_asof_forward": QuerySpec(
+        join_asof_forward, JOIN_ASOF_FORWARD_SQL, tags=("J8",),
+        doc="forward as-of direction (earliest right at-or-after), same "
+        "one-shuffle union-sort-window operator; definitional oracle",
+    ),
+    "join_asof_nearest": QuerySpec(
+        join_asof_nearest, JOIN_ASOF_NEAREST_SQL, tags=("J8",),
+        doc="nearest as-of direction (closer of backward/forward, ties "
+        "backward) — both fills over one sorted partition, one shuffle; "
+        "definitional oracle",
+    ),
     "join_self_interval": QuerySpec(
         join_self_interval, JOIN_SELF_INTERVAL_SQL, tags=("J9",)
     ),

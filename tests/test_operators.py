@@ -300,3 +300,41 @@ def test_scan_file_lineage_matches_listing(spark):
         spark, sf, "events"
     ).count()
     assert all(r["day_lo"] == r["day_hi"] for r in rows)
+
+
+def test_asof_forward_direction(spark):
+    """Forward picks the EARLIEST right row at-or-after each left ts;
+    an equal-ts right row stays eligible (inclusive), and rows after
+    every right row get null."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "m1"), (1, ts("2024-01-01T11:00"), "m2"),
+         (1, ts("2024-01-01T13:00"), "m3")],
+        "key int, lts timestamp_ntz, mid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "s-same"), (1, ts("2024-01-01T12:00"), "s-late")],
+        "key int, rts timestamp_ntz, state string",
+    )
+    out = asof_join(left, right, on="key", left_ts="lts", right_ts="rts",
+                    payload=["state"], direction="forward")
+    got = {r["mid"]: r["state"] for r in out.collect()}
+    assert got == {"m1": "s-same", "m2": "s-late", "m3": None}
+
+
+def test_asof_nearest_direction_and_tie(spark):
+    """Nearest picks the closer side; an exact distance tie resolves
+    BACKWARD; one-sided rows fall to whichever side exists."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "tie"),      # 09:00 vs 11:00 -> backward
+         (1, ts("2024-01-01T10:50"), "closer-fw"),  # 11:00 nearer than 09:00
+         (1, ts("2024-01-01T08:00"), "only-fw")],   # nothing before
+        "key int, lts timestamp_ntz, mid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00"), "s-early"), (1, ts("2024-01-01T11:00"), "s-late")],
+        "key int, rts timestamp_ntz, state string",
+    )
+    out = asof_join(left, right, on="key", left_ts="lts", right_ts="rts",
+                    payload=["state"], direction="nearest")
+    got = {r["mid"]: r["state"] for r in out.collect()}
+    assert got == {"tie": "s-early", "closer-fw": "s-late", "only-fw": "s-early"}
