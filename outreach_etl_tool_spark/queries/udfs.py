@@ -139,6 +139,15 @@ def udf_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the python kernel is whitespace-split + head(20): both are exactly
+# SQL-expressible, so the mapInPandas demo carries a full oracle
+UDF_MAP_TOKENS_SQL = r"""
+SELECT doc_id,
+       UNNEST(list_slice(regexp_extract_all(text, '\S+'), 1, 20)) AS token
+FROM documents
+"""
+
+
 # L5 — multimodal decode over a synthesized binary payload (documents
 # text re-encoded; the testdata ships no real media). Plumbing is real:
 # Arrow batches, histogram kernel, typed feature arrays.
@@ -645,8 +654,9 @@ QUERIES: dict[str, QuerySpec] = {
         "single-op float parity oracle",
     ),
     "udf_map_tokens": QuerySpec(
-        udf_map_tokens, None, tags=("UDTF",),
-        doc="mapInPandas fan-out demo (token explode)",
+        udf_map_tokens, UDF_MAP_TOKENS_SQL, tags=("UDTF",),
+        doc="mapInPandas fan-out demo (token explode); the whitespace-"
+        "split + head(20) kernel mirrors exactly into SQL",
     ),
     "multimodal_decode": QuerySpec(
         multimodal_decode, None, tags=("L5",),
