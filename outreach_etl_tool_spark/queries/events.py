@@ -356,6 +356,65 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T12 — TOP JOURNEY PATHS: the k most common opening event-type
+# sequences (first 5 events per user in (ts, event_id) order, joined
+# as a path string) — the product-analytics "user journey" report and
+# the sequence-level complement of the Markov matrix below. Scale
+# shape: the rn <= 5 prune rides the user window BEFORE any
+# aggregation, the per-user rollup reuses the window's partitioning
+# (no second user exchange), paths collapse to |types|^5 distinct
+# strings at most, and the top-k is TakeOrdered (no global sort).
+# sort_array over (rn, type) structs makes the collect deterministic.
+_PATH_LEN, _PATH_TOPK = 5, 20
+
+
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    seq = first_n.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rn", "event_type"))
+        ).alias("s")
+    )
+    path = F.concat_ws(
+        ">", F.transform("s", lambda x: x["event_type"])
+    ).alias("path")
+    return (
+        seq.select(path)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+EVT_TOP_PATHS_SQL = f"""
+WITH ranked AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), seq AS (
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY rn), '>') AS path
+    FROM ranked WHERE rn <= {_PATH_LEN}
+    GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM seq
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
 # T11 — LAST-TOUCH ATTRIBUTION: attribute each purchase's revenue to
 # the campaign of the most recent preceding click/view by the same
 # user ('organic' when none) — the marketing-attribution report shape.
@@ -482,6 +541,12 @@ ORDER BY prev_type, next_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "evt_top_paths": QuerySpec(
+        evt_top_paths, EVT_TOP_PATHS_SQL, tags=("W1", "A2", "O3"),
+        doc="top-k opening user-journey paths (first 5 event types per "
+        "user, deterministic order); rn prune before aggregation, "
+        "TakeOrdered top-k",
+    ),
     "evt_attribution_last_touch": QuerySpec(
         evt_attribution_last_touch, EVT_ATTRIBUTION_LAST_TOUCH_SQL,
         tags=("W2", "A2", "F7"),

@@ -1349,3 +1349,35 @@ def test_dq_volume_anomaly_planted_spike(spark, monkeypatch):
     assert got["2024-03-15"] == (200, 100, True)
     for d in range(7, 15):
         assert got[f"2024-03-{d:02d}"] == (100, 100, False)
+
+
+def test_evt_top_paths_order_and_truncation(spark, monkeypatch):
+    """Paths use the first 5 events in (ts, event_id) order — a 6th
+    event never appears; same-timestamp events order by event_id; the
+    top-k tiebreak is (count desc, path asc)."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # two users with the identical 6-event stream: path = first 5 only
+    for u in (1, 2):
+        for i, et in enumerate(["view", "click", "view", "signup",
+                                "purchase", "error"]):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, et, 0.0, "{}"))
+    # user 3: two events at the SAME ts -> event_id breaks the tie
+    rows.append((100, t0, 3, "click", 0.0, "{}"))
+    rows.append((101, t0, 3, "view", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda *a: ev)
+    got = [(r["path"], r["n_users"])
+           for r in E.evt_top_paths(spark, "unused").collect()]
+    assert got == [("view>click>view>signup>purchase", 2),
+                   ("click>view", 1)]

@@ -187,6 +187,9 @@ SHUFFLE_BUDGETS = {
     "sim_topk": 0,                    # TakeOrdered over the scan, no exchange
     "join_asof": 1,                   # one keyed exchange shared by the window
     "join_asof_forward": 1,           # same single-shuffle design
+    # user window (rollup reuses its partitioning) + path rollup;
+    # top-k is TakeOrdered, no sort exchange
+    "evt_top_paths": 2,
     "join_asof_nearest": 1,           # both fills over one sorted partition
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
