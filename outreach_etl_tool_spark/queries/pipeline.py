@@ -1651,6 +1651,75 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DATASET CARD — the per-source summary table a released dataset ships
+# with: volume (docs, tokens, mean chars), language share, quality
+# keep rate (the Gopher gate, measured marginally on the raw corpus —
+# the funnel above measures the SEQUENTIAL survival instead), and
+# exact-duplicate rate (row_number > 1 over sha256(text), global).
+# Every rate divides two exact integers, so the card is bit-exact.
+# Plan: gopher flags ride the scan, one 32-byte sha window, one
+# source rollup.
+# ---------------------------------------------------------------------------
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    flags = _gopher_flags(docs).select("doc_id", F.col("n_words").alias("n_toks"), "keep")
+    wd = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    per = (
+        docs.select("doc_id", "source", "lang", "n_chars", "text")
+        .withColumn("rn", F.row_number().over(wd))
+        .join(flags, "doc_id")
+    )
+    n = F.count(F.lit(1))
+    return (
+        per.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+            (
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+                / n
+            ).alias("en_share"),
+            (F.sum(F.col("keep").cast("int")).cast("double") / n).alias(
+                "quality_keep_rate"
+            ),
+            (
+                F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("double") / n
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_DATASET_CARD_SQL = f"""
+WITH {_gopher_sql_ctes()},
+ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(m.n_words) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS en_share,
+       CAST(SUM(CASE WHEN {_GOPHER_KEEP_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS quality_keep_rate,
+       CAST(SUM(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_rate
+FROM documents d
+JOIN m ON m.doc_id = d.doc_id
+JOIN ranked r ON r.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 PIPELINE_CURATION_FUNNEL_SQL = f"""
 WITH {_gopher_sql_ctes(f"WHERE doc_id % {_EVAL_MOD} <> 0")},
 q AS (
@@ -2419,6 +2488,13 @@ QUERIES: dict[str, QuerySpec] = {
         novelty_trend, NOVELTY_TREND_SQL, tags=("L4", "L1", "A2"),
         doc="novelty-decay curve by ingest decile (doc_id-range buckets, "
         "no global sort) — the diminishing-returns-of-more-data report",
+    ),
+    "pipeline_dataset_card": QuerySpec(
+        pipeline_dataset_card, PIPELINE_DATASET_CARD_SQL,
+        tags=("L4", "L1", "A2", "W1"),
+        doc="per-source dataset card: volume, token counts, language "
+        "share, marginal Gopher keep rate, exact-dup rate; every rate "
+        "divides exact integers",
     ),
     "pipeline_curation_funnel": QuerySpec(
         pipeline_curation_funnel, PIPELINE_CURATION_FUNNEL_SQL,

@@ -190,6 +190,8 @@ SHUFFLE_BUDGETS = {
     # user window (rollup reuses its partitioning) + path rollup;
     # top-k is TakeOrdered, no sort exchange
     "evt_top_paths": 2,
+    # sha window + source rollup + result sort (gopher flags ride scan)
+    "pipeline_dataset_card": 3,
     "join_asof_nearest": 1,           # both fills over one sorted partition
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
