@@ -356,6 +356,105 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T13 — PEAK CONCURRENCY (interval sweep-line): for each day, the
+# maximum number of simultaneously-open sessions and the first instant
+# it is reached — the capacity-planning number. Sessions come from the
+# shared gap-sessionizer; each [start, end] interval is exploded
+# across the DAYS it touches with the start clipped to day-open and
+# the −1 emitted only on the end day (a session spanning onward simply
+# never decrements inside this day) — so concurrency within each day
+# is exact INCLUDING sessions that started earlier, and the sweep
+# partitions by day (no global ordered window over the corpus; per-day
+# work is session-count-bounded). At equal timestamps +1 sorts before
+# −1, making touching intervals count as concurrent (inclusive [st,
+# en]; deterministic by construction — rows with identical (ts, delta)
+# are interchangeable for both MAX(running) and MIN(ts at peak)).
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        sessionize(ev, key="user_id", ts="ts", gap_seconds=_GAP_S,
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    touched = spans.select(
+        "st",
+        "en",
+        F.explode(F.sequence(F.to_date("st"), F.to_date("en"))).alias("day"),
+    )
+    starts = touched.select(
+        "day",
+        F.greatest("st", F.col("day").cast("timestamp_ntz")).alias("ts"),
+        F.lit(1).alias("delta"),
+    )
+    ends = touched.filter(F.to_date("en") == F.col("day")).select(
+        "day", F.col("en").alias("ts"), F.lit(-1).alias("delta")
+    )
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("ts"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionAll(ends).withColumn(
+        "running", F.sum("delta").over(wrun)
+    )
+    peaked = run.withColumn(
+        "peak", F.max("running").over(Window.partitionBy("day"))
+    )
+    return (
+        peaked.filter(F.col("running") == F.col("peak"))
+        .groupBy("day", F.col("peak").cast("long").alias("peak_concurrency"))
+        .agg(F.min("ts").alias("peak_first_ts"))
+        .select("day", "peak_concurrency", "peak_first_ts")
+        .orderBy("day")
+    )
+
+
+EVT_PEAK_CONCURRENCY_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {_GAP_S} THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), spans AS (
+  SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+  FROM numbered GROUP BY user_id, session_id
+), touched AS (
+  SELECT st, en, CAST(d AS DATE) AS day
+  FROM spans, UNNEST(generate_series(CAST(CAST(st AS DATE) AS TIMESTAMP),
+                                     CAST(CAST(en AS DATE) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS t(d)
+), deltas AS (
+  SELECT day, GREATEST(st, CAST(day AS TIMESTAMP)) AS ts, 1 AS delta
+  FROM touched
+  UNION ALL
+  SELECT day, en, -1 FROM touched WHERE CAST(en AS DATE) = day
+), run AS (
+  SELECT day, ts, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM deltas
+), peaks AS (
+  SELECT day, ts, running, MAX(running) OVER (PARTITION BY day) AS peak
+  FROM run
+)
+SELECT day, CAST(peak AS BIGINT) AS peak_concurrency,
+       MIN(ts) AS peak_first_ts
+FROM peaks WHERE running = peak
+GROUP BY day, peak
+ORDER BY day
+"""
+
+
 # T12 — TOP JOURNEY PATHS: the k most common opening event-type
 # sequences (first 5 events per user in (ts, event_id) order, joined
 # as a path string) — the product-analytics "user journey" report and
@@ -541,6 +640,13 @@ ORDER BY prev_type, next_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "evt_peak_concurrency": QuerySpec(
+        evt_peak_concurrency, EVT_PEAK_CONCURRENCY_SQL,
+        tags=("T3", "W3", "A2"),
+        doc="per-day peak concurrent sessions (interval sweep-line): "
+        "day-clipped explode keeps the sweep partitioned by day, "
+        "spanning sessions never decrement mid-day; inclusive overlap",
+    ),
     "evt_top_paths": QuerySpec(
         evt_top_paths, EVT_TOP_PATHS_SQL, tags=("W1", "A2", "O3"),
         doc="top-k opening user-journey paths (first 5 event types per "

@@ -1381,3 +1381,40 @@ def test_evt_top_paths_order_and_truncation(spark, monkeypatch):
            for r in E.evt_top_paths(spark, "unused").collect()]
     assert got == [("view>click>view>signup>purchase", 2),
                    ("click>view", 1)]
+
+
+def test_evt_peak_concurrency_hand_built(spark, monkeypatch):
+    """Three overlapping sessions + a midnight-spanning session: day 1
+    peaks at 3 (the spanning session still open when two more start);
+    day 2 starts with the spanning session already active (baseline 1
+    via the day-clipped +1 at 00:00); touching intervals (end == next
+    start) count as concurrent."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.events as E
+
+    def mk(eid, day, h, m, u):
+        return (eid, dt.datetime(2024, 5, day, h, m), u, "view", 0.0, "{}")
+
+    rows = [
+        # user 1: 23:00 day1 -> 00:40 day2 (one session, gap < 30 min)
+        mk(1, 1, 23, 0, 1), mk(2, 1, 23, 25, 1), mk(3, 1, 23, 50, 1),
+        mk(4, 2, 0, 15, 1), mk(5, 2, 0, 40, 1),
+        # user 2: 23:10 -> 23:30 day1
+        mk(6, 1, 23, 10, 2), mk(7, 1, 23, 30, 2),
+        # user 3: starts exactly when user 2 ends (touching -> concurrent)
+        mk(8, 1, 23, 30, 3), mk(9, 1, 23, 45, 3),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda *a: ev)
+    got = {str(r["day"]): (r["peak_concurrency"], r["peak_first_ts"])
+           for r in E.evt_peak_concurrency(spark, "unused").collect()}
+    # day 1: u1 active 23:00-, u2 23:10-23:30, u3 23:30-23:45 -> peak 3
+    # first reached at 23:30 (u3 start coincides with u2 end, inclusive)
+    assert got["2024-05-01"] == (3, dt.datetime(2024, 5, 1, 23, 30))
+    # day 2: only the spanning u1 session, active from midnight
+    assert got["2024-05-02"] == (1, dt.datetime(2024, 5, 2, 0, 0))

@@ -192,6 +192,9 @@ SHUFFLE_BUDGETS = {
     "evt_top_paths": 2,
     # sha window + source rollup + result sort (gopher flags ride scan)
     "pipeline_dataset_card": 3,
+    # user session window + span rollup + day sweep window + result
+    # sort (sessionize's two windows share one exchange)
+    "evt_peak_concurrency": 4,
     "join_asof_nearest": 1,           # both fills over one sorted partition
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
