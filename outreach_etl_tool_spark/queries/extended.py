@@ -869,6 +869,89 @@ ORDER BY order_month, o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# MARKET-BASKET PAIR LIFT — association analytics over co-purchase
+# baskets: for every part pair co-occurring in >= minsup orders, the
+# support, and the lift N*c(a,b) / (c(a)*c(b)) that says whether the
+# pair co-occurs MORE than independence predicts (lift > 1). The
+# top-k by lift is the "frequently bought together" list. Scale shape:
+# the pair expansion is confined to order groups (bounded by order
+# width, never by part popularity — the same bound as the co-purchase
+# graph), the minsup filter runs BEFORE the item-count joins, the
+# 1-row basket total rides a broadcast cross join (no collect), and
+# every metric is integer products with one final IEEE division.
+# ---------------------------------------------------------------------------
+_BASKET_MINSUP, _BASKET_TOPK = 3, 50
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # the basket relation feeds the total, the item counts AND both
+    # sides of the pair join — checkpoint so the distinct runs once
+    pl = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    nb = pl.select(F.countDistinct("l_orderkey").alias("nb"))
+    item = pl.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MINSUP)
+    )
+    out = (
+        pair.join(item.select(F.col("p").alias("u"), F.col("c").alias("n_u")), "u")
+        .join(item.select(F.col("p").alias("v"), F.col("c").alias("n_v")), "v")
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        out.select(
+            "u",
+            "v",
+            "n_both",
+            "n_u",
+            "n_v",
+            (F.col("n_both").cast("double") / F.col("nb")).alias("support"),
+            (
+                (F.col("nb") * F.col("n_both")).cast("double")
+                / (F.col("n_u") * F.col("n_v")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "u", "v")
+        .limit(_BASKET_TOPK)
+    )
+
+
+BASKET_PAIR_LIFT_SQL = f"""
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM pl),
+item AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c
+         FROM pl GROUP BY 1),
+pair AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM pl a JOIN pl b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_BASKET_MINSUP}
+)
+SELECT pair.u, pair.v, pair.n_both,
+       iu.c AS n_u, iv.c AS n_v,
+       CAST(pair.n_both AS DOUBLE) / n.nb AS support,
+       CAST(n.nb * pair.n_both AS DOUBLE)
+           / CAST(iu.c * iv.c AS DOUBLE) AS lift
+FROM pair
+JOIN item iu ON iu.p = pair.u
+JOIN item iv ON iv.p = pair.v
+CROSS JOIN n
+ORDER BY lift DESC, pair.u, pair.v
+LIMIT {_BASKET_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mv_incremental_refresh": QuerySpec(
         mv_incremental_refresh, MV_INCREMENTAL_REFRESH_SQL,
@@ -938,6 +1021,12 @@ QUERIES: dict[str, QuerySpec] = {
     "bigram_lm_topk": QuerySpec(
         bigram_lm_topk, BIGRAM_LM_TOPK_SQL, tags=("L4", "A2", "W3", "O3"),
         doc="corpus bigram LM counts + conditional probabilities, top-k",
+    ),
+    "basket_pair_lift": QuerySpec(
+        basket_pair_lift, BASKET_PAIR_LIFT_SQL, tags=("J1", "A2", "O3"),
+        doc="market-basket pair lift (frequently-bought-together): "
+        "order-group-bounded pair expansion, minsup before the count "
+        "joins, broadcast basket total, integer-exact metrics",
     ),
     "evt_gap_fill": QuerySpec(
         evt_gap_fill, EVT_GAP_FILL_SQL, tags=("T6", "W3", "F2"),

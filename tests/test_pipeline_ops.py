@@ -1418,3 +1418,25 @@ def test_evt_peak_concurrency_hand_built(spark, monkeypatch):
     assert got["2024-05-01"] == (3, dt.datetime(2024, 5, 1, 23, 30))
     # day 2: only the spanning u1 session, active from midnight
     assert got["2024-05-02"] == (1, dt.datetime(2024, 5, 2, 0, 0))
+
+
+def test_basket_pair_lift_hand_built(spark, monkeypatch):
+    """4 baskets: pair (1,2) co-occurs in 3 of 4 baskets with
+    c(1)=c(2)=3 -> lift = 4*3/9; pair (1,3) co-occurs twice and is cut
+    by minsup=3; duplicate line items inside one order count once."""
+    import outreach_etl_tool_spark.queries.extended as X
+
+    rows = [
+        (10, 1), (10, 1), (10, 2), (10, 3),   # dup (10,1) collapses
+        (20, 1), (20, 2),
+        (30, 1), (30, 2), (30, 3),
+        (40, 4),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(X, "load_table", lambda *a: li)
+    got = {(r["u"], r["v"]): r for r in
+           X.basket_pair_lift(spark, "unused").collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r["n_both"], r["n_u"], r["n_v"]) == (3, 3, 3)
+    assert r["support"] == 3 / 4 and r["lift"] == 12 / 9

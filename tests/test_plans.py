@@ -195,6 +195,9 @@ SHUFFLE_BUDGETS = {
     # user session window + span rollup + day sweep window + result
     # sort (sessionize's two windows share one exchange)
     "evt_peak_concurrency": 4,
+    # post-checkpoint: basket total + item counts + pair rollup +
+    # metric joins; top-k is TakeOrdered
+    "basket_pair_lift": 5,
     "join_asof_nearest": 1,           # both fills over one sorted partition
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
