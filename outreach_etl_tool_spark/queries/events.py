@@ -356,6 +356,69 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T14 — POINT-IN-TIME SCD2 JOIN: enrich each purchase with the
+# dimension VERSION valid at purchase time — the warehouse temporal
+# join every versioned dim serves. The dim is the change-compressed
+# SCD2 of non-purchase activity per user (operators/scd2.py, the same
+# build evt_scd2_history oracles); the join is user-equi +
+# [valid_from, valid_to) interval containment, so fan-out is bounded
+# by per-user version count and the open-ended current row matches
+# everything after its start. Zero-width versions (two observations at
+# one instant; the id-tiebreak loser) match nothing by construction.
+# Oracle is DEFINITIONAL — "type of the last non-purchase observation
+# at or before the purchase" via a correlated rank, independent of the
+# interval derivation (compression provably cannot change the
+# point-in-time answer, and the oracle proves it every run).
+def evt_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import build_scd2
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    dim = build_scd2(
+        obs, key="user_id", ts="ts", tracked=["event_type"],
+        tiebreak=["event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (facts.user_id == dim.d_user)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to))
+    )
+    return (
+        facts.join(dim, cond, "left")
+        .select("event_id", "user_id", "ts", "state")
+        .orderBy("event_id")
+    )
+
+
+EVT_POINTINTIME_JOIN_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), obs AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type <> 'purchase'
+), ranked AS (
+    SELECT p.event_id, p.user_id, p.ts, o.event_type,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id
+                              ORDER BY o.ts DESC, o.event_id DESC) AS rn
+    FROM p LEFT JOIN obs o
+      ON o.user_id = p.user_id AND o.ts <= p.ts
+)
+SELECT event_id, user_id, ts, event_type AS state
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 # T13 — PEAK CONCURRENCY (interval sweep-line): for each day, the
 # maximum number of simultaneously-open sessions and the first instant
 # it is reached — the capacity-planning number. Sessions come from the
@@ -640,6 +703,14 @@ ORDER BY prev_type, next_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "evt_pointintime_join": QuerySpec(
+        evt_pointintime_join, EVT_POINTINTIME_JOIN_SQL,
+        tags=("T6", "J7", "W2"),
+        doc="point-in-time SCD2 enrichment: user-equi + interval "
+        "containment against the compressed version table; oracle is "
+        "the definitional last-observation rank (derivation-"
+        "independent)",
+    ),
     "evt_peak_concurrency": QuerySpec(
         evt_peak_concurrency, EVT_PEAK_CONCURRENCY_SQL,
         tags=("T3", "W3", "A2"),

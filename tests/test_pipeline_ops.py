@@ -1440,3 +1440,33 @@ def test_basket_pair_lift_hand_built(spark, monkeypatch):
     r = got[(1, 2)]
     assert (r["n_both"], r["n_u"], r["n_v"]) == (3, 3, 3)
     assert r["support"] == 3 / 4 and r["lift"] == 12 / 9
+
+
+def test_evt_pointintime_join_compression_invariance(spark, monkeypatch):
+    """Repeated same-type observations compress to one version, but the
+    point-in-time answer is unchanged; a purchase at the exact instant
+    of a state change picks the NEW version (valid_from inclusive);
+    purchases before any observation get null state."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.events as E
+
+    t = lambda m: dt.datetime(2024, 6, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "view", 0.0, "{}"),
+        (2, t(5), 7, "view", 0.0, "{}"),      # compresses into version 1
+        (3, t(7), 7, "purchase", 1.0, "{}"),  # inside the view regime
+        (4, t(10), 7, "click", 0.0, "{}"),    # state change
+        (5, t(10), 7, "purchase", 1.0, "{}"), # same instant -> click
+        (6, t(20), 7, "purchase", 1.0, "{}"), # after -> click
+        (7, t(0), 8, "purchase", 1.0, "{}"),  # user 8: no obs -> null
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda *a: ev)
+    got = {r["event_id"]: r["state"]
+           for r in E.evt_pointintime_join(spark, "unused").collect()}
+    assert got == {3: "view", 5: "click", 6: "click", 7: None}

@@ -198,6 +198,8 @@ SHUFFLE_BUDGETS = {
     # post-checkpoint: basket total + item counts + pair rollup +
     # metric joins; top-k is TakeOrdered
     "basket_pair_lift": 5,
+    # scd2 build window + interval join + result sort
+    "evt_pointintime_join": 2,
     "join_asof_nearest": 1,           # both fills over one sorted partition
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
