@@ -300,6 +300,25 @@ SELECT DISTINCT o_custkey AS c_custkey FROM orders
 """
 
 
+# U2b — INTERSECT ALL (bag semantics): per key the MIN of the two
+# multiplicities survives — the multiset intersection distinct-based
+# intersect() cannot express (a customer with 3 H1 orders and 2 H2
+# orders contributes 2 rows, not 1). Engine-internal shape: count
+# aggregation per side + generator, one shuffle per side.
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(F.month("o_orderdate") <= 6).select("o_custkey")
+    h2 = orders.filter(F.month("o_orderdate") > 6).select("o_custkey")
+    return h1.intersectAll(h2)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE MONTH(o_orderdate) <= 6
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE MONTH(o_orderdate) > 6
+"""
+
+
 # ---------------------------------------------------------------------------
 # U3 — dedup after union (the reference's boundary double-fetch requires
 # dropDuplicates, SURVEY.md §2.12 bug 4 → correct semantics here).
@@ -747,6 +766,11 @@ QUERIES: dict[str, QuerySpec] = {
     "union_by_name": QuerySpec(union_by_name, UNION_BY_NAME_SQL, tags=("U1",)),
     "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL, tags=("U2",)),
     "set_except": QuerySpec(set_except, SET_EXCEPT_SQL, tags=("U2",)),
+    "set_intersect_all": QuerySpec(
+        set_intersect_all, SET_INTERSECT_ALL_SQL, tags=("U2",),
+        doc="INTERSECT ALL bag semantics: min multiplicity per key "
+        "survives (the multiset form distinct-intersect cannot express)",
+    ),
     "distinct_pairs": QuerySpec(distinct_pairs, DISTINCT_PAIRS_SQL, tags=("U3",)),
     "scalar_strings": QuerySpec(scalar_strings, SCALAR_STRINGS_SQL, tags=("F1",)),
     "scalar_dates": QuerySpec(scalar_dates, SCALAR_DATES_SQL, tags=("F2",)),

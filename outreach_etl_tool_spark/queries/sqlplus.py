@@ -388,6 +388,107 @@ GROUP BY o.doc_id
 
 
 # ---------------------------------------------------------------------------
+# RFM SEGMENTATION — the classic customer-mart cube: per customer,
+# Recency (days since last order, against the corpus max date so the
+# anchor is data-derived, not wall-clock), Frequency (order count) and
+# Monetary (exact scaled-integer revenue sum); each dimension scores
+# 1..5 against its own broadcast QUINTILE THRESHOLDS (score = 1 + the
+# number of thresholds strictly exceeded; equal values share a score),
+# and the output is the segment cube: customers and exact revenue per
+# (r, f, m) cell. Deliberately NOT a global ntile — customers scale
+# with the corpus, and an unpartitioned ntile window is a single-task
+# sort over all of them; the threshold form is one 1-row percentile
+# agg broadcast back, fully distributed. F.percentile here equals
+# DuckDB QUANTILE_CONT on these exact integer / exact 2-decimal inputs
+# (the agg_percentiles-proven pattern), and recency scores on the
+# NEGATED value so 5 = most recent with the same strict-greater rule.
+# ---------------------------------------------------------------------------
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            exact_sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(
+            F.broadcast(orders.select(F.max("o_orderdate").alias("anchor")))
+        )
+        .withColumn(
+            "neg_recency", -F.datediff("anchor", "last_order").cast("long")
+        )
+        # feeds BOTH the threshold agg and the scoring pass — checkpoint
+        # so the custkey rollup runs once (setsim discipline; 7 -> 4
+        # exchanges audited)
+        .localCheckpoint()
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thresholds = per_cust.agg(
+        *[F.percentile("neg_recency", q).alias(f"r{i}") for i, q in enumerate(qs)],
+        *[F.percentile("frequency", q).alias(f"f{i}") for i, q in enumerate(qs)],
+        *[F.percentile("monetary", q).alias(f"m{i}") for i, q in enumerate(qs)],
+    )
+
+    def score(col: str, pre: str) -> Column:
+        s = F.lit(1)
+        for i in range(4):
+            s = s + F.when(F.col(col) > F.col(f"{pre}{i}"), 1).otherwise(0)
+        return s.cast("int")
+
+    scored = per_cust.crossJoin(F.broadcast(thresholds)).select(
+        score("neg_recency", "r").alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("monetary").alias("revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_score_sql(col: str, pre: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col} > t.{pre}{i} THEN 1 ELSE 0 END)" for i in range(4)
+    )
+    return f"CAST(1 + {terms} AS INTEGER)"
+
+
+ORDERS_RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           -DATEDIFF('day', MAX(o_orderdate),
+                     (SELECT MAX(o_orderdate) FROM orders)) AS neg_recency,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           {sum_sql('o_totalprice')} AS monetary
+    FROM orders GROUP BY o_custkey
+), t AS (
+    SELECT {', '.join(f"QUANTILE_CONT(neg_recency, {q}) AS r{i}" for i, q in enumerate([0.2, 0.4, 0.6, 0.8]))},
+           {', '.join(f"QUANTILE_CONT(frequency, {q}) AS f{i}" for i, q in enumerate([0.2, 0.4, 0.6, 0.8]))},
+           {', '.join(f"QUANTILE_CONT(monetary, {q}) AS m{i}" for i, q in enumerate([0.2, 0.4, 0.6, 0.8]))}
+    FROM per_cust
+), scored AS (
+    SELECT {_rfm_score_sql('neg_recency', 'r')} AS r_score,
+           {_rfm_score_sql('frequency', 'f')} AS f_score,
+           {_rfm_score_sql('monetary', 'm')} AS m_score,
+           monetary
+    FROM per_cust CROSS JOIN t
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sum_sql('monetary')} AS revenue
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# ---------------------------------------------------------------------------
 # DQ VOLUME ANOMALY — pipeline freshness/volume monitoring: daily event
 # counts vs the trailing 7-day median; a day deviating more than ±20%
 # is flagged. Median over an odd trailing window is VALUE-PICKING
@@ -979,6 +1080,13 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("A1", "A2", "A3", "J6", "U1"),
         doc="deequ-shape data-quality report: uniqueness/null/range/FK "
         "checks, one multi-aggregate pass per table",
+    ),
+    "orders_rfm_segments": QuerySpec(
+        orders_rfm_segments, ORDERS_RFM_SEGMENTS_SQL,
+        tags=("A2", "W1", "F2"),
+        doc="RFM customer segmentation cube: data-derived recency "
+        "anchor, deterministic quintile cuts, exact scaled-integer "
+        "revenue at both levels",
     ),
     "dq_volume_anomaly": QuerySpec(
         dq_volume_anomaly, DQ_VOLUME_ANOMALY_SQL, tags=("A2", "W3", "F2"),

@@ -200,6 +200,10 @@ SHUFFLE_BUDGETS = {
     "basket_pair_lift": 5,
     # scd2 build window + interval join + result sort
     "evt_pointintime_join": 2,
+    "set_intersect_all": 1,           # per-side counts share one exchange
+    # post-checkpoint: 1-row percentile agg (broadcast back) + cube
+    # rollup + result sort — no global ntile window
+    "orders_rfm_segments": 3,
     "join_asof_nearest": 1,           # both fills over one sorted partition
     "win_latest_per_key": 1,
     "top_k_orders": 0,  # TakeOrderedAndProject needs no full shuffle
