@@ -952,6 +952,137 @@ LIMIT {_BASKET_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# SUPPLIER PARETO BY NATION — concentration analytics: per nation, how
+# many suppliers cover 80% of revenue (the "how concentrated is my
+# supply base" number) plus the top supplier's share. The cumulative
+# sum runs over SCALED-INTEGER revenue longs (exact in any order;
+# doubles would drift), the window partitions by nation (never a
+# global single-task sort), and the 80% test is the integer
+# cross-multiplication 5*(cum - rev) < 4*total — a supplier is needed
+# iff the suppliers before it haven't reached the threshold.
+# ---------------------------------------------------------------------------
+def supplier_pareto_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_scaled = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+        ).cast("long")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(rev_scaled.alias("rs"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("n_name", "l_suppkey", "rs")
+    )
+    wn = Window.partitionBy("n_name")
+    wcum = wn.orderBy(F.desc("rs"), F.asc("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_supp.select(
+        "n_name",
+        "rs",
+        F.sum("rs").over(wcum).alias("cum"),
+        F.sum("rs").over(wn).alias("total"),
+        F.max("rs").over(wn).alias("top_rs"),
+    )
+    needed = F.when(
+        F.lit(5) * (F.col("cum") - F.col("rs")) < F.lit(4) * F.col("total"), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(needed).cast("long").alias("n_top80"),
+            (F.max("top_rs").cast("double") / F.max("total").cast("double")).alias(
+                "top_share"
+            ),
+            (F.max("total").cast("double") / F.lit(1e6)).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_PARETO_BY_NATION_SQL = """
+WITH per_supp AS (
+    SELECT n.n_name, l.l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS rs
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, l.l_suppkey
+), ranked AS (
+    SELECT n_name, rs,
+           SUM(rs) OVER (PARTITION BY n_name ORDER BY rs DESC, l_suppkey
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(rs) OVER (PARTITION BY n_name) AS total,
+           MAX(rs) OVER (PARTITION BY n_name) AS top_rs
+    FROM per_supp
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN 5 * (cum - rs) < 4 * total THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top80,
+       CAST(MAX(top_rs) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_share,
+       CAST(MAX(total) AS DOUBLE) / 1000000 AS revenue
+FROM ranked
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# COHORT LTV MATRIX — acquisition-quarter x order-quarter revenue
+# triangle: each customer joins the cohort of their FIRST order's
+# quarter, and every later order's revenue accrues to the (cohort,
+# order-quarter) cell — the lifetime-value curve finance reads off the
+# diagonal. All-exact: integer counts, countDistinct customers, and
+# scaled-integer revenue sums. Scale shape: one custkey rollup for the
+# cohort map, one join back keyed the same way, one cell rollup
+# (cells are calendar x calendar — tiny).
+# ---------------------------------------------------------------------------
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("quarter", F.min("o_orderdate")).alias("cohort_q")
+    )
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_q",
+            F.date_trunc("quarter", "o_orderdate").alias("order_q"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("cohort_q", "order_q")
+    )
+
+
+ORDERS_COHORT_LTV_SQL = f"""
+WITH first AS (
+    SELECT o_custkey, DATE_TRUNC('quarter', MIN(o_orderdate)) AS cohort_q
+    FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_q,
+       DATE_TRUNC('quarter', o.o_orderdate) AS order_q,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sum_sql('o_totalprice')} AS revenue
+FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+GROUP BY f.cohort_q, order_q
+ORDER BY f.cohort_q, order_q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mv_incremental_refresh": QuerySpec(
         mv_incremental_refresh, MV_INCREMENTAL_REFRESH_SQL,
@@ -1021,6 +1152,17 @@ QUERIES: dict[str, QuerySpec] = {
     "bigram_lm_topk": QuerySpec(
         bigram_lm_topk, BIGRAM_LM_TOPK_SQL, tags=("L4", "A2", "W3", "O3"),
         doc="corpus bigram LM counts + conditional probabilities, top-k",
+    ),
+    "supplier_pareto_by_nation": QuerySpec(
+        supplier_pareto_by_nation, SUPPLIER_PARETO_BY_NATION_SQL,
+        tags=("A2", "W3", "J2"),
+        doc="revenue-concentration Pareto per nation: scaled-integer "
+        "cumulative sums, nation-partitioned window, integer 80% gate",
+    ),
+    "orders_cohort_ltv": QuerySpec(
+        orders_cohort_ltv, ORDERS_COHORT_LTV_SQL, tags=("A2", "A3", "F2"),
+        doc="acquisition-quarter x order-quarter LTV revenue triangle; "
+        "all-exact counts and scaled-integer revenue",
     ),
     "basket_pair_lift": QuerySpec(
         basket_pair_lift, BASKET_PAIR_LIFT_SQL, tags=("J1", "A2", "O3"),

@@ -201,6 +201,10 @@ SHUFFLE_BUDGETS = {
     # scd2 build window + interval join + result sort
     "evt_pointintime_join": 2,
     "set_intersect_all": 1,           # per-side counts share one exchange
+    # supplier rollup + nation window + nation rollup (+ sort reuses)
+    "supplier_pareto_by_nation": 3,
+    # cohort map + join + distinct-count expand + cell rollup + sort
+    "orders_cohort_ltv": 4,
     # post-checkpoint: 1-row percentile agg (broadcast back) + cube
     # rollup + result sort — no global ntile window
     "orders_rfm_segments": 3,
