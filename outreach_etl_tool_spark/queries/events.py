@@ -356,6 +356,62 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T15 — ACTIVITY STREAKS (gaps-and-islands over calendar days): runs
+# of CONSECUTIVE active days per user via the classic day_number −
+# row_number grouping constant (consecutive days share it; any gap
+# shifts it), then the corpus-wide streak-length histogram plus the
+# longest streak and its owner count. Everything is integer
+# arithmetic on date ordinals — bit-exact. Scale shape: one distinct
+# (user, day) rollup, one user-keyed window, one streak rollup, one
+# tiny histogram rollup; nothing global.
+def evt_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.select(
+        "user_id",
+        (F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(w)).alias(
+            "grp"
+        ),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("streak_len")
+    )
+
+
+EVT_ACTIVE_STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grouped AS (
+    SELECT user_id,
+           DATEDIFF('day', DATE '1970-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM days
+), streaks AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+    FROM grouped GROUP BY user_id, grp
+)
+SELECT streak_len,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM streaks
+GROUP BY streak_len
+ORDER BY streak_len
+"""
+
+
 # T14 — POINT-IN-TIME SCD2 JOIN: enrich each purchase with the
 # dimension VERSION valid at purchase time — the warehouse temporal
 # join every versioned dim serves. The dim is the change-compressed
@@ -703,6 +759,12 @@ ORDER BY prev_type, next_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "evt_active_streaks": QuerySpec(
+        evt_active_streaks, EVT_ACTIVE_STREAKS_SQL, tags=("W1", "A2", "A3"),
+        doc="consecutive-active-day streak histogram (gaps-and-islands "
+        "via the day-ordinal minus row_number constant); all integer, "
+        "user-partitioned",
+    ),
     "evt_pointintime_join": QuerySpec(
         evt_pointintime_join, EVT_POINTINTIME_JOIN_SQL,
         tags=("T6", "J7", "W2"),

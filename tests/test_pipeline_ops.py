@@ -1470,3 +1470,30 @@ def test_evt_pointintime_join_compression_invariance(spark, monkeypatch):
     got = {r["event_id"]: r["state"]
            for r in E.evt_pointintime_join(spark, "unused").collect()}
     assert got == {3: "view", 5: "click", 6: "click", 7: None}
+
+
+def test_evt_active_streaks_hand_built(spark, monkeypatch):
+    """User 1 is active days 1-3 and 5 (streaks 3 and 1, multiple
+    events on one day count once); user 2 is active days 1-2 (streak
+    2); histogram: len 1 x1, len 2 x1, len 3 x1."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.events as E
+
+    rows = []
+    eid = 0
+    for u, day, n in [(1, 1, 2), (1, 2, 1), (1, 3, 1), (1, 5, 1),
+                      (2, 1, 1), (2, 2, 3)]:
+        for i in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 7, day, 8 + i), u,
+                         "view", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda *a: ev)
+    got = {r["streak_len"]: (r["n_streaks"], r["n_users"])
+           for r in E.evt_active_streaks(spark, "unused").collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}

@@ -203,6 +203,8 @@ SHUFFLE_BUDGETS = {
     "set_intersect_all": 1,           # per-side counts share one exchange
     # supplier rollup + nation window + nation rollup (+ sort reuses)
     "supplier_pareto_by_nation": 3,
+    # (user, day) distinct + user window + streak rollup + histogram
+    "evt_active_streaks": 4,
     # cohort map + join + distinct-count expand + cell rollup + sort
     "orders_cohort_ltv": 4,
     # post-checkpoint: 1-row percentile agg (broadcast back) + cube
