@@ -338,3 +338,56 @@ def test_asof_nearest_direction_and_tie(spark):
                     payload=["state"], direction="nearest")
     got = {r["mid"]: r["state"] for r in out.collect()}
     assert got == {"tie": "s-early", "closer-fw": "s-late", "only-fw": "s-early"}
+
+
+def test_asof_all_directions_match_python_replica(spark):
+    """Randomized key/ts streams (dense ts range to force ties) vs an
+    independent python replica of all three direction contracts:
+    backward = latest right <= l, forward = earliest right >= l,
+    nearest = closer of the two with ties backward."""
+    import random
+
+    rng = random.Random(42)
+    L = [(rng.randint(0, 3), ts(f"2024-01-01T00:{rng.randint(0, 59):02d}"), f"l{i}")
+         for i in range(40)]
+    R = [(rng.randint(0, 3), ts(f"2024-01-01T00:{rng.randint(0, 59):02d}"), f"r{i}")
+         for i in range(40)]
+    left = spark.createDataFrame(L, "key int, lts timestamp_ntz, mid string")
+    right = spark.createDataFrame(R, "key int, rts timestamp_ntz, state string")
+
+    def expect(direction):
+        out = {}
+        for k, lt, mid in L:
+            cands = [(rt, s) for rk, rt, s in R if rk == k]
+            bw = max(((rt, s) for rt, s in cands if rt <= lt), default=None)
+            fw = min(((rt, s) for rt, s in cands if rt >= lt), default=None)
+            if direction == "backward":
+                pick = bw
+            elif direction == "forward":
+                pick = fw
+            else:
+                if bw is None:
+                    pick = fw
+                elif fw is None:
+                    pick = bw
+                else:
+                    pick = bw if (lt - bw[0]) <= (fw[0] - lt) else fw
+            out[mid] = pick[1] if pick else None
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {r["mid"]: r["state"]
+               for r in asof_join(left, right, on="key", left_ts="lts",
+                                  right_ts="rts", payload=["state"],
+                                  direction=direction).collect()}
+        # multiple right rows can share one ts; the engine picks ONE of
+        # them deterministically — compare on the matched TIMESTAMP
+        # (the contract), not the arbitrary payload among ts-ties
+        ts_of = {s: rt for _, rt, s in R}
+        want = expect(direction)
+        assert set(got) == set(want)
+        for mid in want:
+            g, w = got[mid], want[mid]
+            assert (g is None) == (w is None), (direction, mid)
+            if g is not None:
+                assert ts_of[g] == ts_of[w], (direction, mid, g, w)
