@@ -843,6 +843,87 @@ GROUP BY label, i
 """
 
 
+# L3h — EMBEDDING DRIFT MONITOR: per label, the cosine between the
+# centroid of the REFERENCE cohort (vec_id even — yesterday's batch
+# stand-in) and the CURRENT cohort (odd) — the dashboard number that
+# catches an upstream encoder swap or feature rot before retrieval
+# quality dies. Correctness shape: centroid means come from exact
+# decimal(23,6) sums (the emb_centroids discipline), are floor-
+# quantized to 1e-6 integers, and the dot/norms are then ORDER-FREE
+# BIGINT sums over (label, pos) rows — no array folds whose float
+# summation order could differ between engines; the cosine is one
+# float expression over identical integers. Fully relational: explode
+# → (label, cohort, pos) rollup → pos-equi self-join → label rollup.
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    cells = embs.select(
+        "label",
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    dec = F.col("val").cast("double").cast("decimal(23,6)")
+    cent = cells.groupBy("label", "cohort", "pos").agg(
+        F.floor(
+            (F.sum(dec).cast("double") / F.count("val")) * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ref = cent.filter(F.col("cohort") == 0).select(
+        "label", "pos", F.col("q").alias("qr"), F.col("n").alias("nr")
+    )
+    cur = cent.filter(F.col("cohort") == 1).select(
+        "label", "pos", F.col("q").alias("qc"), F.col("n").alias("nc")
+    )
+    j = ref.join(cur, ["label", "pos"])
+    agg = j.groupBy("label").agg(
+        F.max("nr").alias("n_ref"),
+        F.max("nc").alias("n_cur"),
+        F.sum(F.col("qr") * F.col("qc")).alias("dq"),
+        F.sum(F.col("qr") * F.col("qr")).alias("na"),
+        F.sum(F.col("qc") * F.col("qc")).alias("nb"),
+    )
+    return agg.select(
+        "label",
+        "n_ref",
+        "n_cur",
+        (
+            F.col("dq")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("centroid_cosine"),
+    ).orderBy("label")
+
+
+EMB_DRIFT_MONITOR_SQL = """
+WITH cells AS (
+    SELECT label, vec_id % 2 AS cohort, i - 1 AS pos,
+           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(23,6)) AS dec
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+), cent AS (
+    SELECT label, cohort, pos,
+           CAST(FLOOR((CAST(SUM(dec) AS DOUBLE) / COUNT(dec)) * 1000000.0)
+                AS BIGINT) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cells GROUP BY label, cohort, pos
+), j AS (
+    SELECT r.label, r.q AS qr, c.q AS qc, r.n AS nr, c.n AS nc
+    FROM cent r JOIN cent c
+      ON r.label = c.label AND r.pos = c.pos
+     AND r.cohort = 0 AND c.cohort = 1
+)
+SELECT label,
+       CAST(MAX(nr) AS BIGINT) AS n_ref,
+       CAST(MAX(nc) AS BIGINT) AS n_cur,
+       CAST(SUM(qr * qc) AS DOUBLE)
+           / SQRT(CAST(SUM(qr * qr) AS DOUBLE) * CAST(SUM(qc * qc) AS DOUBLE))
+           AS centroid_cosine
+FROM j
+GROUP BY label
+ORDER BY label
+"""
+
+
 # L5 — multimodal metadata plumbing: opaque binary payload + typed
 # metadata. Text stands in for the decoded-bytes column (the container
 # has no image/audio libs — multimodal/ holds the stubbed decoders); the
@@ -3190,5 +3271,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="product-quantized ANN: per-subspace codebooks + ADC top-k",
     ),
     "emb_centroids": QuerySpec(emb_centroids, EMB_CENTROIDS_SQL, tags=("L5", "F6")),
+    "emb_drift_monitor": QuerySpec(
+        emb_drift_monitor, EMB_DRIFT_MONITOR_SQL, tags=("L3", "A2", "F3"),
+        doc="per-label cohort centroid cosine (embedding drift "
+        "dashboard): exact decimal centroid sums, 1e-6 quantization, "
+        "order-free integer dot/norms — fully relational, no array "
+        "folds",
+    ),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL, tags=("L5",)),
 }

@@ -1497,3 +1497,31 @@ def test_evt_active_streaks_hand_built(spark, monkeypatch):
     got = {r["streak_len"]: (r["n_streaks"], r["n_users"])
            for r in E.evt_active_streaks(spark, "unused").collect()}
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_emb_drift_monitor_identical_and_orthogonal(spark, monkeypatch):
+    """Label 0: both cohorts centered on e1 -> cosine 1.0. Label 1:
+    reference on e1, current on e2 -> cosine 0.0. Pins the cohort
+    split (even=reference) and the quantized-integer cosine."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    def vec(i, x=1.0):
+        v = [0.0] * 64
+        v[i] = x
+        return v
+
+    rows = [
+        (0, vec(0), 0), (2, vec(0, 0.5), 0),   # ref cohort, label 0
+        (1, vec(0, 2.0), 0), (3, vec(0), 0),   # cur cohort, label 0
+        (10, vec(0), 1), (12, vec(0), 1),      # ref cohort, label 1
+        (11, vec(1), 1), (13, vec(1), 1),      # cur cohort, label 1
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(L, "load_table", lambda *a: embs)
+    got = {r["label"]: r for r in
+           L.emb_drift_monitor(spark, "unused").collect()}
+    assert got[0]["centroid_cosine"] == 1.0
+    assert got[1]["centroid_cosine"] == 0.0
+    assert (got[0]["n_ref"], got[0]["n_cur"]) == (2, 2)

@@ -205,6 +205,8 @@ SHUFFLE_BUDGETS = {
     "supplier_pareto_by_nation": 3,
     # (user, day) distinct + user window + streak rollup + histogram
     "evt_active_streaks": 4,
+    # (label, cohort, pos) rollup + pos self-join + label rollup + sort
+    "emb_drift_monitor": 4,
     # cohort map + join + distinct-count expand + cell rollup + sort
     "orders_cohort_ltv": 4,
     # post-checkpoint: 1-row percentile agg (broadcast back) + cube
