@@ -217,6 +217,81 @@ ORDER BY l_returnflag
 """
 
 
+# A12 — BOOTSTRAP CONFIDENCE INTERVAL, deterministic and exact: the
+# random-weight bootstrap (each replica reweights every order by a
+# hash-derived uniform{0..3} integer — mean-preserving resampling in
+# the Poisson-bootstrap family, but reproducible and engine-portable
+# because the weights are md5 bits, not an RNG). Per replica the
+# statistic is a ratio of exact integers (scaled-cent weighted sum /
+# weight sum); the 95% band is the percentile over the 32 replica
+# means (the proven F.percentile <-> QUANTILE_CONT pattern). Scale
+# shape: the 32x explode fans out AT THE SCAN and collapses into 32
+# groups via map-side partial aggregation — the shuffle carries ~32
+# rows per task, not 32x the corpus.
+_BOOT_B = 32
+
+
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rep = orders.select(
+        cents.alias("cents"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    ).select(
+        "r",
+        "cents",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", "o_orderkey", "r")), 1, 7), 16, 10
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(3))
+        .alias("w"),
+    )
+    means = rep.groupBy("r").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / (F.lit(100.0) * F.sum("w"))
+        ).alias("m")
+    )
+    point = orders.agg(
+        (F.sum(cents).cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias(
+            "mean_order_value"
+        )
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.percentile("m", 0.025).alias("ci_lo"),
+        F.percentile("m", 0.975).alias("ci_hi"),
+    )
+    return point.crossJoin(ci).select(
+        "mean_order_value", "ci_lo", "ci_hi", "n_replicas"
+    )
+
+
+AGG_BOOTSTRAP_CI_SQL = f"""
+WITH rep AS (
+    SELECT r,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                               || CAST(r AS VARCHAR)), 1, 7))::BIGINT & 3 AS w
+    FROM orders, UNNEST(generate_series(0, {_BOOT_B - 1})) AS t(r)
+), means AS (
+    SELECT r, CAST(SUM(w * cents) AS DOUBLE) / (100.0 * SUM(w)) AS m
+    FROM rep GROUP BY r
+), point AS (
+    SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * COUNT(*)) AS mean_order_value
+    FROM orders
+)
+SELECT point.mean_order_value,
+       (SELECT QUANTILE_CONT(m, 0.025) FROM means) AS ci_lo,
+       (SELECT QUANTILE_CONT(m, 0.975) FROM means) AS ci_hi,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM means) AS n_replicas
+FROM point
+"""
+
+
 # A4-family at real scale: mergeable Datasketches HLL. Per-day sketches
 # roll up to an exact-shape global estimate WITHOUT re-scanning — the
 # pattern that makes distinct-count dashboards possible at 100 TB
@@ -438,6 +513,13 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_approx_percentiles": QuerySpec(
         agg_approx_percentiles, None, tags=("A4",),
         doc="GK-sketch approx percentiles; rank-error bound test-pinned",
+    ),
+    "agg_bootstrap_ci": QuerySpec(
+        agg_bootstrap_ci, AGG_BOOTSTRAP_CI_SQL, tags=("A2", "A7", "F3"),
+        doc="deterministic random-weight bootstrap CI: hash-derived "
+        "uniform{0..3} replica weights, exact integer ratios per "
+        "replica, percentile band over 32 means; map-side combine "
+        "collapses the fan-out",
     ),
     "agg_percentiles": QuerySpec(
         agg_percentiles, AGG_PERCENTILES_SQL, tags=("A2",)

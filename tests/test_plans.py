@@ -207,6 +207,8 @@ SHUFFLE_BUDGETS = {
     "evt_active_streaks": 4,
     # (label, cohort, pos) rollup + pos self-join + label rollup + sort
     "emb_drift_monitor": 4,
+    # replica rollup (map-side combined) + point agg + CI agg
+    "agg_bootstrap_ci": 3,
     # cohort map + join + distinct-count expand + cell rollup + sort
     "orders_cohort_ltv": 4,
     # post-checkpoint: 1-row percentile agg (broadcast back) + cube
