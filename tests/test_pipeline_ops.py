@@ -1525,3 +1525,128 @@ def test_emb_drift_monitor_identical_and_orthogonal(spark, monkeypatch):
     assert got[0]["centroid_cosine"] == 1.0
     assert got[1]["centroid_cosine"] == 0.0
     assert (got[0]["n_ref"], got[0]["n_cur"]) == (2, 2)
+
+
+def _py_tokens(text):
+    import re
+    return re.findall("[a-zA-Z]+", text.lower())
+
+
+def test_bm25_retrieval_matches_python_replica(spark, monkeypatch):
+    """Independent python replay of the exact integer BM25 math
+    (floor divisions on positives == Spark div == DuckDB //) over a
+    randomized small-vocab corpus — catches formula-translation bugs
+    the shared-shape oracle cannot."""
+    import random
+    from collections import Counter
+
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    rng = random.Random(17)
+    vocab = ["hash", "join", "strategy", "window", "aggregation",
+             "stream", "columnar", "scan", "filter", "noise", "other"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))))
+            for i in range(25)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score_scaled"])
+           for r in P.bm25_retrieval(spark, "unused").collect()}
+
+    toks = {i: _py_tokens(t) for i, t in docs}
+    tf = {i: Counter(ts) for i, ts in toks.items()}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    l_tot = sum(dl.values())
+    n_docs = sum(1 for ts in toks.values() if ts)
+    qset = {t for _, terms in P._BM25_QUERIES for t in terms}
+    dfreq = Counter(t for i in tf for t in tf[i] if t in qset)
+
+    expected = {}
+    for qid, terms in P._BM25_QUERIES:
+        scores = {}
+        for i in tf:
+            s = 0
+            for t in terms:
+                if tf[i].get(t):
+                    f = tf[i][t]
+                    contrib = (
+                        ((n_docs * 1000) // dfreq[t])
+                        * (((44 * l_tot) * f * 100000)
+                           // (((20 * l_tot) * f + 6 * l_tot)
+                              + (18 * n_docs) * dl[i]))
+                    ) // 100000
+                    s += contrib
+            if s:
+                scores[i] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (i, s) in enumerate(ranked[:10], 1):
+            expected[(qid, rank)] = (i, s)
+    assert got == expected
+
+
+def test_tfidf_keywords_matches_python_replica(spark, monkeypatch):
+    """Independent replay of the integer-scaled tf-idf score and the
+    (score desc, token asc) top-5 cut."""
+    import random
+    from collections import Counter
+
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+            for i in range(20)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {(r["doc_id"], r["tok"]): (r["tf"], r["score"])
+           for r in P.tfidf_keywords(spark, "unused").collect()}
+
+    tf = {i: Counter(_py_tokens(t)) for i, t in docs}
+    dfreq = Counter(t for i in tf for t in tf[i])
+    n_total = len(docs)
+    expected = {}
+    for i in tf:
+        scored = [(t, f, (f * n_total) / dfreq[t]) for t, f in tf[i].items()]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for t, f, s in scored[:5]:
+            expected[(i, t)] = (f, s)
+    assert got == expected
+
+
+def test_lm_quality_score_matches_python_replica(spark, monkeypatch):
+    """Independent replay of the rational bigram-LM score: corpus
+    bigram conditionals scaled to 1e9 integers (HALF_UP on the
+    shortest-repr double, matching both engines' ROUND), summed
+    order-free, one final division."""
+    import random
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    import outreach_etl_tool_spark.queries.sqlplus as S
+
+    rng = random.Random(31)
+    vocab = ["red", "green", "blue", "cyan"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for i in range(15)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(S, "load_table", lambda *a: sdf)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_bigram_prob"])
+           for r in S.lm_quality_score(spark, "unused").collect()}
+
+    occ = {i: list(zip(ts, ts[1:]))
+           for i, t in docs for ts in [_py_tokens(t)]}
+    counts = Counter(p for ps in occ.values() for p in ps)
+    prev_tot = Counter()
+    for (a, _), c in counts.items():
+        prev_tot[a] += c
+
+    def scaled(pair):
+        x = 1e9 * (counts[pair] / prev_tot[pair[0]])
+        return int(Decimal(repr(x)).quantize(0, ROUND_HALF_UP))
+
+    expected = {}
+    for i, ps in occ.items():
+        if not ps:
+            continue
+        expected[i] = (len(ps),
+                       sum(scaled(p) for p in ps) / (1e9 * len(ps)))
+    assert got == expected
