@@ -1650,3 +1650,71 @@ def test_lm_quality_score_matches_python_replica(spark, monkeypatch):
         expected[i] = (len(ps),
                        sum(scaled(p) for p in ps) / (1e9 * len(ps)))
     assert got == expected
+
+
+def test_source_overlap_jaccard_matches_python_replica(spark, monkeypatch):
+    """Independent replay over a randomized corpus: per-source distinct
+    3-token shingle sets (short docs floor to one whole-doc shingle),
+    pairwise intersections and Jaccard."""
+    import random
+
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    rng = random.Random(41)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(1, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     f"s{rng.randint(0, 3)}"))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {(r["source_a"], r["source_b"]): (r["n_inter"], r["jaccard"])
+           for r in P.source_overlap_jaccard(spark, "unused").collect()}
+
+    sets: dict[str, set] = {}
+    for _, text, src in docs:
+        toks = _py_tokens(text)
+        sh = ({" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+              if len(toks) >= 3 else ({" ".join(toks)} if toks else set()))
+        sets.setdefault(src, set()).update(sh)
+    expected = {}
+    srcs = sorted(sets)
+    for ai in range(len(srcs)):
+        for bi in range(ai + 1, len(srcs)):
+            a, b = srcs[ai], srcs[bi]
+            inter = len(sets[a] & sets[b])
+            if inter:
+                expected[(a, b)] = (
+                    inter, inter / len(sets[a] | sets[b])
+                )
+    assert got == expected
+
+
+def test_corpus_shuffle_shards_matches_python_replica(spark, monkeypatch):
+    """Independent replay of the deterministic shuffle: md5 shuffle
+    key, hex-byte shard bucket, per-shard (key, id) order, positions
+    and running token offsets."""
+    import hashlib
+
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    docs = [(i, "w " * (i % 5 + 1)) for i in range(64)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(P, "load_table", lambda *a: sdf)
+    got = {r["doc_id"]: (r["shard"], r["pos"], r["token_offset"], r["n_tokens"])
+           for r in P.corpus_shuffle_shards(spark, "unused").collect()}
+
+    rows = []
+    for i, text in docs:
+        k = hashlib.md5(f"shuf:{i}".encode()).hexdigest()
+        rows.append((int(k[:2], 16) % 16, k, i, len(_py_tokens(text))))
+    expected = {}
+    for shard in sorted({r[0] for r in rows}):
+        members = sorted((r for r in rows if r[0] == shard),
+                         key=lambda r: (r[1], r[2]))
+        off = 0
+        for pos, (sh, k, i, nt) in enumerate(members, 1):
+            expected[i] = (sh, pos, off, nt)
+            off += nt
+    assert got == expected
