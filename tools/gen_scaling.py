@@ -75,6 +75,15 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "ccnet_quality_buckets": True,
     "graph_edge_jaccard": False,   # lineitem-derived graph
     "sim_range_search": False,     # embeddings table
+    # round-8 continuation: events/orders/embeddings analytics (driver
+    # scales only → sf0.01/sf0.1 10x point)
+    "evt_attribution_last_touch": False,
+    "evt_peak_concurrency": False,
+    "evt_pointintime_join": False,
+    "basket_pair_lift": False,
+    "emb_drift_monitor": False,
+    "orders_rfm_segments": False,
+    "dedup_containment_join": True,   # documents table → 3x point
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
@@ -98,6 +107,14 @@ NOTES: dict[str, str] = {
         "with replicas on the slice (each replica contributes its own "
         "pair set) but the sf0.01→sf0.1 jump grows it ~107× (cluster "
         "sizes), so wall-clock tracks output size, not input size."
+    ),
+    "dedup_containment_join": (
+        "Output-bound like setsim: ordered containment pairs grow "
+        "with duplicate-cluster sizes across the sf0.01→sf0.1 jump "
+        "(each cluster of c near-identical docs yields ~c² ordered "
+        "pairs), so the 10× wall ratio tracks pair output; the 3× "
+        "documents slice (replicas add no cross-replica pairs) is "
+        "flat at 1.1×."
     ),
     "semdedup_prune": (
         "SRP-banded pairs → connected components → min-id keeper. "
