@@ -356,6 +356,82 @@ ORDER BY user_id, bucket_start
 """
 
 
+# T16 — WINDOWED CONVERSION: the time-bounded funnel metric product
+# teams actually report — of the users whose FIRST view happened on
+# day D, how many purchased within 24 hours of that first view. The
+# unconstrained funnel (evt_funnel_steps) only orders steps; the
+# window bound changes both the join predicate (purchase ts in
+# [first_view, first_view + 24h]) and the cohort attribution (to the
+# first-view day). Exact: timestamps compare directly, counts are
+# integers, the rate is one division. Scale shape: one user rollup
+# for first views, a user-equi semi-join-shaped probe for in-window
+# purchases, one day rollup.
+_CONV_WINDOW_H = 24
+
+
+def evt_windowed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    converted = (
+        fv.join(purchases, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("first_view"))
+            & (
+                F.col("pts")
+                <= F.col("first_view") + F.expr(f"INTERVAL {_CONV_WINDOW_H} HOURS")
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        fv.join(converted, "user_id", "left")
+        .groupBy(F.to_date("first_view").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("long").alias(
+                "n_converted"
+            ),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.col("n_converted").cast("double") / F.col("n_users"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+EVT_WINDOWED_CONVERSION_SQL = f"""
+WITH fv AS (
+    SELECT user_id, MIN(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+    SELECT DISTINCT fv.user_id
+    FROM fv JOIN events p
+      ON p.user_id = fv.user_id AND p.event_type = 'purchase'
+     AND p.ts >= fv.first_view
+     AND p.ts <= fv.first_view + INTERVAL {_CONV_WINDOW_H} HOUR
+)
+SELECT CAST(first_view AS DATE) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS conversion_rate
+FROM fv LEFT JOIN conv ON conv.user_id = fv.user_id
+GROUP BY cohort_day
+ORDER BY cohort_day
+"""
+
+
 # T15 — ACTIVITY STREAKS (gaps-and-islands over calendar days): runs
 # of CONSECUTIVE active days per user via the classic day_number −
 # row_number grouping constant (consecutive days share it; any gap
@@ -759,6 +835,13 @@ ORDER BY prev_type, next_type
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "evt_windowed_conversion": QuerySpec(
+        evt_windowed_conversion, EVT_WINDOWED_CONVERSION_SQL,
+        tags=("A2", "J5", "F2"),
+        doc="time-bounded funnel: purchase within 24h of first view, "
+        "attributed to the first-view day cohort; exact timestamps and "
+        "integer counts",
+    ),
     "evt_active_streaks": QuerySpec(
         evt_active_streaks, EVT_ACTIVE_STREAKS_SQL, tags=("W1", "A2", "A3"),
         doc="consecutive-active-day streak histogram (gaps-and-islands "

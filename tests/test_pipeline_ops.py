@@ -1718,3 +1718,33 @@ def test_corpus_shuffle_shards_matches_python_replica(spark, monkeypatch):
             expected[i] = (sh, pos, off, nt)
             off += nt
     assert got == expected
+
+
+def test_evt_windowed_conversion_boundary(spark, monkeypatch):
+    """Purchase exactly AT the 24h boundary converts (inclusive);
+    one second past does not; a purchase BEFORE the first view never
+    converts; users with no view form no cohort."""
+    import datetime as dt
+
+    import outreach_etl_tool_spark.queries.events as E
+
+    t0 = dt.datetime(2024, 8, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=24), 1, "purchase", 1.0, "{}"),   # at bound
+        (3, t0, 2, "view", 0.0, "{}"),
+        (4, t0 + dt.timedelta(hours=24, seconds=1), 2, "purchase", 1.0, "{}"),
+        (5, t0, 3, "view", 0.0, "{}"),
+        (6, t0 - dt.timedelta(hours=1), 3, "purchase", 1.0, "{}"),    # before
+        (7, t0, 4, "purchase", 1.0, "{}"),                            # no view
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(E, "load_table", lambda *a: ev)
+    [r] = E.evt_windowed_conversion(spark, "unused").collect()
+    assert str(r["cohort_day"]) == "2024-08-01"
+    assert (r["n_users"], r["n_converted"]) == (3, 1)
+    assert r["conversion_rate"] == 1 / 3

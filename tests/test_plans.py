@@ -209,6 +209,8 @@ SHUFFLE_BUDGETS = {
     "emb_drift_monitor": 4,
     # replica rollup (map-side combined) + point agg + CI agg
     "agg_bootstrap_ci": 3,
+    # first-view rollup + purchase probe join + cohort rollup + sort
+    "evt_windowed_conversion": 4,
     # cohort map + join + distinct-count expand + cell rollup + sort
     "orders_cohort_ltv": 4,
     # post-checkpoint: 1-row percentile agg (broadcast back) + cube
