@@ -121,9 +121,13 @@ def main() -> None:
     # effective speed moves between rounds (measured: the SAME commit
     # re-benched +19% across one round boundary while calibration
     # moved equally). Compare value/calibration across rounds, not
-    # raw value. Best-of-2 after the warm passes above.
-    calib = None
-    for _ in range(2):
+    # raw value. MEDIAN-of-5: the whole round's normalized delta
+    # divides by this one number, so it gets the most samples of any
+    # probe and a rank statistic — one descheduled run cannot drag it
+    # the way min-of-2 let a slow host inflate the r8 −35% headline
+    # (calibration moved 0.31→0.52 s between those rounds).
+    samples = []
+    for _ in range(5):
         t0 = time.perf_counter()
         (
             spark.range(20_000_000)
@@ -138,8 +142,8 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
-        dt = round(time.perf_counter() - t0, 3)
-        calib = dt if calib is None else min(calib, dt)
+        samples.append(round(time.perf_counter() - t0, 3))
+    calib = sorted(samples)[2]
 
     ratios = {
         n: round(timings[n] / duck_timings[n], 2)

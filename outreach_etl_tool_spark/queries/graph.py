@@ -470,6 +470,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_edge_jaccard": QuerySpec(
         graph_edge_jaccard, GRAPH_EDGE_JACCARD_SQL, tags=("J1", "A2", "L3"),
+        bench=True,
         doc="edge-level neighbor-set Jaccard (SCAN-style structural "
         "similarity for sparsification); candidates are the edge list, "
         "common counts reuse the degree-oriented triangle derivation",

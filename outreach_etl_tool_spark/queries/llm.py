@@ -521,15 +521,25 @@ _SEMDEDUP_PRUNE_SQL = _semdedup_prune_sql()
 # compare within k-means clusters), not SRP buckets, so candidate
 # volume is Σ_cells C(|cell|,2) with k chosen ~n/target_cell_size —
 # bucket saturation never happens because the quantizer's resolution
-# GROWS with the corpus, unlike a fixed band-key space. Verify reuses
-# the parity tier's exact-integer cosine gate (identical τ semantics),
-# then the same component/keeper stages. Rows-only by nature: Lloyd
-# iterations are float-iterative (no SQL mirror); the gate, component,
-# and keeper logic are each oracled elsewhere (emb_near_dup,
-# semdedup_prune), and the planted-duplicate recall contract is
-# pytest-pinned (exact duplicates share an argmax cell by
-# construction, so exact-dup recall is 1.0).
+# GROWS with the corpus, unlike a fixed band-key space. k comes from
+# the parquet footer (catalog.table_rows — a driver-side KB read, no
+# count() job) at one cell per _IVF_CELL_TARGET vectors, so the
+# expected per-cell occupancy — hence Σ C(|cell|,2) / n, the
+# candidate-pair rate per vector — is constant as the corpus grows:
+# the measured SCALING.md 10× point is the committed evidence.
+# Verify reuses the parity tier's exact-integer cosine gate
+# (identical τ semantics), then the same component/keeper stages.
+# Rows-only by nature: Lloyd iterations are float-iterative (no SQL
+# mirror); the gate, component, and keeper logic are each oracled
+# elsewhere (emb_near_dup, semdedup_prune), and the
+# planted-duplicate recall contract is pytest-pinned (exact
+# duplicates share an argmax cell by construction, so exact-dup
+# recall is 1.0).
+_IVF_CELL_TARGET = 125  # vectors per coarse cell (k = n / this)
+
+
 def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_rows
     from ..dedup import cluster
     from ..dedup.parity import _EMB_SCALE, _int_dot
     from ..similarity import ann, kmeans
@@ -537,7 +547,8 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == 64
     )
-    cents = kmeans.kmeans_centroids(embs, k=16, iters=3)
+    k = max(16, table_rows(sf_dir, "embeddings") // _IVF_CELL_TARGET)
+    cents = kmeans.kmeans_centroids(embs, k=k, iters=3)
     zero = F.lit(0).cast("long")
     qn = (
         ann.assign_cells(embs, cents)
@@ -3230,15 +3241,24 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "semdedup_prune": QuerySpec(
         semdedup_prune, _SEMDEDUP_PRUNE_SQL, tags=("L2", "L3", "L1"), bench=True,
-        doc="SemDeDup: SRP near-dup pairs -> connected components -> "
-        "keep min-id representative; recursive-CTE full-replica oracle",
+        doc="SemDeDup oracle-able SMALL-CORPUS tier (bounded ~10^5 "
+        "vectors: the 8x4-bit SRP band space is fixed at 16 keys/band, "
+        "so bucket occupancy grows ~n/16 and candidate volume "
+        "quadratically until the mirrored 1024-id cap trades recall — "
+        "SCALING.md measures 19.5x wall at 10x; past the bound "
+        "semdedup_ivf carries the workload): SRP near-dup pairs -> "
+        "connected components -> keep min-id representative; "
+        "recursive-CTE full-replica oracle",
     ),
     "semdedup_ivf": QuerySpec(
-        semdedup_ivf, None, tags=("L2", "L3", "L1"),
+        semdedup_ivf, None, tags=("L2", "L3", "L1"), bench=True,
         doc="SemDeDup scale tier: k-means cell co-membership candidates "
-        "(quantizer resolution grows with the corpus) + the parity "
-        "tier's exact-integer cosine gate + component keeper; rows-only "
-        "(Lloyd is float-iterative), planted-dup recall pytest-pinned",
+        "(quantizer resolution grows with the corpus — k = n/125 from "
+        "parquet footer metadata, constant expected cell occupancy) + "
+        "the parity tier's exact-integer cosine gate + component "
+        "keeper; rows-only (Lloyd is float-iterative), planted-dup "
+        "recall pytest-pinned; SCALING.md carries its sub-linear 10x "
+        "point vs the prune tier's saturation",
     ),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_range_search": QuerySpec(

@@ -2519,7 +2519,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "gopher_dupgram_coverage": QuerySpec(
         gopher_dupgram_coverage, GOPHER_DUPGRAM_COVERAGE_SQL,
-        tags=("L4", "F6"),
+        tags=("L4", "F6"), bench=True,
         doc="Gopher repetition rule: duplicated-n-gram char coverage "
         "(n=5..10, interval union over dup-gram starts) — zero-shuffle "
         "HOF sort/scatter per document; thresholds 15..10%",

@@ -353,6 +353,9 @@ SHUFFLE_BUDGETS = {
     # CC fast path collapses the component loop at pin scale; one slot
     # for the keeper projection + result shuffle past the edge threshold
     "semdedup_prune": 2,
+    # scale tier, same post-checkpoint discipline: cell self-join both
+    # sides live behind the qn checkpoint, CC fast path at pin scale
+    "semdedup_ivf": 2,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort

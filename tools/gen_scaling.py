@@ -62,6 +62,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "sim_ann_ivf": False,   # embeddings table; the ANN contrast tier
     "pipeline_clean_corpus": True,
     "semdedup_prune": False,  # embeddings table (sf1.0 slice has it)
+    "semdedup_ivf": False,    # embeddings table; the scale-tier handoff
     # round-8 corpus-analytics family (documents-only → 3× point)
     "source_overlap_jaccard": True,
     "source_token_divergence": True,
@@ -116,6 +117,17 @@ NOTES: dict[str, str] = {
         "documents slice (replicas add no cross-replica pairs) is "
         "flat at 1.1×."
     ),
+    "semdedup_ivf": (
+        "The semdedup SCALE tier: k-means cell co-membership candidate "
+        "generation with k = n/125 read from the parquet footer, so "
+        "the quantizer's resolution grows with the corpus and expected "
+        "per-cell occupancy — hence the candidate-pair rate per vector "
+        "— stays constant. The 10× embeddings point (k 16→160) is the "
+        "committed contrast to semdedup_prune's band-space saturation "
+        "directly below: identical τ-gate, identical component/keeper "
+        "stages, sub-linear-in-candidates wall where the fixed band "
+        "space goes quadratic."
+    ),
     "semdedup_prune": (
         "SRP-banded pairs → connected components → min-id keeper. "
         "The 10× ratio is bucket-saturation, not a plan defect: the "
@@ -143,6 +155,7 @@ TOP10X = {
     "sim_knn_join",
     "sim_ann_ivf",
     "semdedup_prune",
+    "semdedup_ivf",
 }
 
 
@@ -164,8 +177,10 @@ def _timed(spark, name: str, sf_dir: str) -> float:
 
 
 def _calibration(spark) -> float:
-    best = None
-    for _ in range(2):
+    # median-of-5, same rationale as bench.py: every cross-round
+    # comparison divides by this one number
+    samples = []
+    for _ in range(5):
         t0 = time.perf_counter()
         (
             spark.range(20_000_000)
@@ -180,9 +195,8 @@ def _calibration(spark) -> float:
             .mode("overwrite")
             .save()
         )
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[2]
 
 
 def main() -> None:
@@ -205,7 +219,8 @@ def main() -> None:
         points: dict[str, float | None] = {}
         big_dir = (
             sf10e
-            if name in ("sim_knn_join", "sim_ann_ivf", "semdedup_prune")
+            if name
+            in ("sim_knn_join", "sim_ann_ivf", "semdedup_prune", "semdedup_ivf")
             else sf10
         )
         for label, sf_dir in (
