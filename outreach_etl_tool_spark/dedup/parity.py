@@ -169,22 +169,28 @@ def minhash_pairs_parity(
     )
 
 
-def _banded_pairs(banded: DataFrame) -> DataFrame:
-    """Distinct (id_a < id_b) sharing a (band, key) bucket, after the
-    deterministic cap: only the first _CAP ids (ascending) of each
-    bucket participate — `row_number() <= cap` ≡ the sorted-slice cap
-    of dedup/minhash.bucket_pairs, and the exact shape the oracle
+def _capped_buckets(banded: DataFrame) -> DataFrame:
+    """The deterministic degenerate-bucket cap: only the first _CAP
+    ids (ascending) of each (band, key) bucket participate —
+    `row_number() <= cap` ≡ the sorted-slice cap of
+    dedup/minhash.bucket_pairs, and the exact shape the oracle
     mirrors.  localCheckpoint: the relation feeds both sides of the
-    self-join (setsim discipline — one evaluation, not two)."""
+    bucket join (setsim discipline — one evaluation, not two)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "key").orderBy("id")
-    capped = (
+    return (
         banded.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _CAP)
         .select("band", "key", "id")
         .localCheckpoint()
     )
+
+
+def _banded_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) sharing a (band, key) bucket, after the
+    deterministic cap."""
+    capped = _capped_buckets(banded)
     return (
         capped.alias("a")
         .join(
@@ -494,24 +500,15 @@ def _emb_planes(dim: int) -> list[list[int]]:
     )
 
 
-def emb_pairs_parity(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    threshold_num: int = 2,
-    threshold_den: int = 5,
-    ordered: bool = True,
-) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine(quantized) >= num/den, via SRP
-    banding + exact integer verify (25·dot² >= 4·|a|²·|b|² in
-    decimal(38) / HUGEINT — overflow-free for 1e6-scaled unit-ish
-    vectors).  Fingerprints come from ONE posexplode + groupBy with
-    one SUM per plane (map-side combinable, fingerprint-sized
-    exchange, zero Python)."""
+def _emb_banded_qn(
+    base: DataFrame, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, qn) from ``base(id, v)``: the SRP band keys and the
+    1e-6-quantized integer array + squared norm per vector.
+    Fingerprints come from ONE posexplode + groupBy with one SUM per
+    plane (map-side combinable, fingerprint-sized exchange, zero
+    Python); qn is a per-vector HOF pass over n rows."""
     planes = _emb_planes(dim)
-    df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     q = base.select(
         "id", F.posexplode("v").alias("i", "x")
     ).select(
@@ -557,7 +554,6 @@ def emb_pairs_parity(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    cands = _banded_pairs(banded)
     # per-VECTOR quantized array + norm, computed once (the HOF fold
     # runs over n vectors); per-PAIR work is only the dot product,
     # which goes through a vectorized Arrow kernel — the candidate set
@@ -581,7 +577,26 @@ def emb_pairs_parity(
             F.transform("qa", lambda a: a * a), zero, lambda acc, x: acc + x
         ).alias("nq"),
     )
+    return banded, qn
 
+
+def emb_pairs_parity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    ordered: bool = True,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine(quantized) >= num/den, via SRP
+    banding + exact integer verify (25·dot² >= 4·|a|²·|b|² in
+    decimal(38) / HUGEINT — overflow-free for 1e6-scaled unit-ish
+    vectors)."""
+    df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded, qn = _emb_banded_qn(base, dim)
+    cands = _banded_pairs(banded)
     va = cands.join(
         qn.select(
             F.col("id").alias("id_a"),
@@ -621,15 +636,12 @@ def emb_pairs_parity(
     return out.orderBy("id_a", "id_b") if ordered else out
 
 
-def emb_parity_ctes(
-    dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
-) -> str:
-    """CTE body (no WITH keyword, no final SELECT) ending in
-    ``emb_pairs(id_a, id_b, dq, na, nb)`` — the τ-gated verified pair
-    set — plus ``base(id, v)``, the dim-filtered node universe.
-    Composable: ``emb_pairs_parity_sql`` wraps it with the cosine
-    projection; the semdedup oracle appends a recursive
-    connected-components CTE over the same pairs."""
+def _emb_prefix_ctes(dim: int) -> str:
+    """The shared SRP prefix (no WITH): ``base`` → quantize → plane
+    dots → fingerprint → ``banded`` → ``capped`` bucket rows, plus
+    ``qarr(id, qa)``, the per-vector quantized integer arrays. Both
+    the self-pair (emb_parity_ctes) and the cross-set decon
+    (emb_cross_decon_sql) oracles append their own candidate CTEs."""
     planes = _emb_planes(dim)
 
     def arr(ws: list[int]) -> str:
@@ -670,15 +682,27 @@ def emb_parity_ctes(
                ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY id) AS rn
         FROM banded
     ) WHERE rn <= {_CAP}
-), cands AS (
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM capped a JOIN capped b
-      ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ), qarr AS (
     SELECT id,
            list_transform(v, x ->
                CAST(FLOOR(CAST(x AS DOUBLE) * {_EMB_SCALE}) AS BIGINT)) AS qa
     FROM base
+)"""
+
+
+def emb_parity_ctes(
+    dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
+) -> str:
+    """CTE body (no WITH keyword, no final SELECT) ending in
+    ``emb_pairs(id_a, id_b, dq, na, nb)`` — the τ-gated verified pair
+    set — plus ``base(id, v)``, the dim-filtered node universe.
+    Composable: ``emb_pairs_parity_sql`` wraps it with the cosine
+    projection; the semdedup oracle appends a recursive
+    connected-components CTE over the same pairs."""
+    return f"""{_emb_prefix_ctes(dim)}, cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ), scored AS (
     SELECT c.id_a, c.id_b,
            list_sum(list_transform(generate_series(1, {dim}),
@@ -695,6 +719,144 @@ def emb_parity_ctes(
       AND {threshold_den * threshold_den} * dq::HUGEINT * dq::HUGEINT
           >= {threshold_num * threshold_num} * na::HUGEINT * nb::HUGEINT
 )"""
+
+
+# ------------------------------------------ semantic decontamination
+# Eval split: vec_id % 7 == 0 plays the held-out benchmark set, the
+# remaining 6/7 the training corpus — the same density convention as
+# the n-gram tier (queries/llm.py decontaminate_extents). Denser than
+# a real eval set so the toy corpora yield a non-trivial flag set.
+_DECON_EVAL_MOD = 7
+
+
+def emb_cross_decon_parity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Semantic (embedding-level) decontamination, oracle-reproducible:
+    each TRAIN vector whose cosine to some eval vector clears τ =
+    num/den is returned annotated with its CLOSEST eval neighbor.
+
+    The SRP fingerprint/band/cap pipeline is the one emb_pairs_parity
+    certifies; the only new stage is the candidate shape — eval bucket
+    rows probe train bucket rows ACROSS the split (no within-set
+    pairs), then the identical exact-integer τ-gate. The closest-eval
+    choice ranks by the reported cosine (one IEEE sqrt+divide over
+    exact integers — bit-identical in both engines) descending, eval
+    id ascending, so the argmax is deterministic and the oracle is a
+    full replica. Scale shape: one fingerprint pass over the union
+    corpus, the banded join is keyed and capped exactly like the
+    self-pair form, and the final argmax is one row_number window over
+    the gated pairs."""
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded, qn = _emb_banded_qn(base, dim)
+    capped = _capped_buckets(banded)
+    ev = capped.filter(F.col("id") % _DECON_EVAL_MOD == 0)
+    tr = capped.filter(F.col("id") % _DECON_EVAL_MOD != 0)
+    cands = (
+        ev.alias("e")
+        .join(
+            tr.alias("t"),
+            (F.col("e.band") == F.col("t.band"))
+            & (F.col("e.key") == F.col("t.key")),
+        )
+        .select(
+            F.col("t.id").alias("id_train"), F.col("e.id").alias("id_eval")
+        )
+        .distinct()
+    )
+    va = cands.join(
+        qn.select(
+            F.col("id").alias("id_train"),
+            F.col("qa").alias("va"),
+            F.col("nq").alias("na"),
+        ),
+        "id_train",
+    ).join(
+        qn.select(
+            F.col("id").alias("id_eval"),
+            F.col("qa").alias("vb"),
+            F.col("nq").alias("nb"),
+        ),
+        "id_eval",
+    )
+    scored = va.select(
+        "id_train", "id_eval", _int_dot("va", "vb").alias("dq"), "na", "nb"
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    gate = (F.col("dq") > 0) & (
+        F.lit(threshold_den * threshold_den) * dec("dq") * dec("dq")
+        >= F.lit(threshold_num * threshold_num) * dec("na") * dec("nb")
+    )
+    gated = scored.filter(gate).select(
+        "id_train",
+        "id_eval",
+        (
+            F.col("dq")
+            / F.sqrt(
+                F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("id_train").orderBy(
+        F.desc("cosine"), F.asc("id_eval")
+    )
+    return (
+        gated.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_train").alias("vec_id"),
+            F.col("id_eval").alias("closest_eval_id"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def emb_cross_decon_sql(
+    dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
+) -> str:
+    return f"""
+WITH {_emb_prefix_ctes(dim)}, cands AS (
+    SELECT DISTINCT t.id AS id_train, e.id AS id_eval
+    FROM capped e JOIN capped t
+      ON e.band = t.band AND e.key = t.key
+    WHERE e.id % {_DECON_EVAL_MOD} = 0 AND t.id % {_DECON_EVAL_MOD} <> 0
+), scored AS (
+    SELECT c.id_train, c.id_eval,
+           list_sum(list_transform(generate_series(1, {dim}),
+                    i -> a.qa[i] * b.qa[i])) AS dq,
+           list_sum(list_transform(a.qa, x -> x * x)) AS na,
+           list_sum(list_transform(b.qa, x -> x * x)) AS nb
+    FROM cands c
+    JOIN qarr a ON a.id = c.id_train
+    JOIN qarr b ON b.id = c.id_eval
+), gated AS (
+    SELECT id_train, id_eval,
+           dq / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+    FROM scored
+    WHERE dq > 0
+      AND {threshold_den * threshold_den} * dq::HUGEINT * dq::HUGEINT
+          >= {threshold_num * threshold_num} * na::HUGEINT * nb::HUGEINT
+)
+SELECT id_train AS vec_id, id_eval AS closest_eval_id, cosine
+FROM (
+    SELECT id_train, id_eval, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY id_train
+               ORDER BY cosine DESC, id_eval ASC) AS rk
+    FROM gated
+)
+WHERE rk = 1
+ORDER BY vec_id
+"""
 
 
 def emb_pairs_parity_sql(

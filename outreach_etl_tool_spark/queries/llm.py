@@ -381,6 +381,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..dedup.parity import (  # noqa: E402
+    emb_cross_decon_sql,
     emb_pairs_parity_sql,
     incremental_minhash_parity_sql,
     minhash_pairs_parity_sql,
@@ -391,6 +392,7 @@ _DEDUP_MINHASH_SQL = minhash_pairs_parity_sql()
 _DEDUP_SIMHASH_SQL = simhash_pairs_parity_sql()
 _EMB_NEAR_DUP_SQL = emb_pairs_parity_sql(dim=64)
 _DEDUP_INC_MINHASH_SQL = incremental_minhash_parity_sql()
+_DECONTAMINATE_SEMANTIC_SQL = emb_cross_decon_sql(dim=64)
 
 
 # L2c — exact n-gram Jaccard within source partitions (rows-only: the
@@ -451,6 +453,27 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = load_table(spark, sf_dir, "embeddings")
     return parity.emb_pairs_parity(embs, "vec_id", "embedding", dim=64)
+
+
+# L2 — SEMANTIC DECONTAMINATION: the embedding tier of the decon
+# family. The n-gram tier (decontaminate_extents/_excise) catches
+# verbatim leakage and the lexical tier (bm25_decontaminate) catches
+# shared-vocabulary leakage; neither sees a PARAPHRASE whose surface
+# form differs but whose embedding sits on top of an eval item. This
+# completes the family: eval vectors (vec_id % 7 == 0) probe train
+# vectors through the SAME oracle-parity SRP pipeline emb_near_dup
+# certifies — band keys joined ACROSS the split only, exact-integer
+# τ-gate, then each contaminated train vector annotated with its
+# closest eval neighbor (cosine-desc, eval-id-asc argmax). In a real
+# pipeline the output joins back to documents as the drop/audit list.
+# Full-replica oracle (dedup/parity.py emb_cross_decon_sql); the
+# planted-paraphrase recall contract is pytest-pinned
+# (tests/test_dedup.py).
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    return parity.emb_cross_decon_parity(embs, "vec_id", "embedding", dim=64)
 
 
 # L2/L3 — SemDeDup-style semantic prune (Abbas et al. 2023 shape): the
@@ -3118,6 +3141,15 @@ QUERIES: dict[str, QuerySpec] = {
         doc="span-level decontamination cleaning pass: every eval "
         "extent cut from the train corpus, text rebuilt byte-exactly "
         "(md5-verified); untouched train docs pass through",
+    ),
+    "decontaminate_semantic": QuerySpec(
+        decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL,
+        tags=("L2", "L3", "W1"),
+        doc="embedding tier of the decon family (catches paraphrased "
+        "leakage the n-gram and BM25 tiers miss): eval vectors "
+        "(vec_id%7==0) probe train vectors through the oracle-parity "
+        "SRP bands, exact-integer tau-gate, closest-eval argmax per "
+        "contaminated train vector; full-replica oracle",
     ),
     "dedup_span_exact_excise": QuerySpec(
         dedup_span_exact_excise, DEDUP_SPAN_EXACT_EXCISE_SQL,

@@ -335,6 +335,52 @@ def test_emb_near_dup_registry_query_nonempty(spark):
     assert n > 0
 
 
+def test_decontaminate_semantic_planted_paraphrases(spark):
+    """Semantic decon finds planted 'paraphrases': train vectors
+    (id % 7 != 0) built as small perturbations of eval vectors
+    (id % 7 == 0) must be flagged with THAT eval id as closest — the
+    planted cosine (~0.999) dominates any legitimate background pair
+    (max random cosine ~0.5), so the argmax is unambiguous. Soundness:
+    every flagged pair genuinely clears the 0.40 gate under exact
+    float32 numpy arithmetic, and the split orientation is respected
+    (flagged ids are train-side, closest ids eval-side)."""
+    from outreach_etl_tool_spark.dedup import parity
+
+    rng = np.random.RandomState(11)
+    rows, truth = [], {}
+    tid = 1001  # 1001 % 7 != 0; bumped past multiples as we go
+    for i in range(1, 13):
+        e = 7 * i
+        base = rng.standard_normal(64)
+        near = base + rng.standard_normal(64) * 0.05
+        if tid % 7 == 0:
+            tid += 1
+        rows.append((e, [float(x) for x in base]))
+        rows.append((tid, [float(x) for x in near]))
+        truth[tid] = e
+        tid += 1
+    for _ in range(40):  # clean train background
+        if tid % 7 == 0:
+            tid += 1
+        rows.append((tid, [float(x) for x in rng.standard_normal(64)]))
+        tid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = parity.emb_cross_decon_parity(df).collect()
+    got = {r["vec_id"]: r["closest_eval_id"] for r in res}
+    found = sum(1 for t, e in truth.items() if got.get(t) == e)
+    assert found >= 10, f"planted recall {found}/12: {got}"
+    vecs = {
+        vid: np.asarray(v, dtype=np.float32).astype(float) for vid, v in rows
+    }
+    for r in res:
+        assert r["vec_id"] % 7 != 0 and r["closest_eval_id"] % 7 == 0, r
+        a, b = vecs[r["vec_id"]], vecs[r["closest_eval_id"]]
+        exact_cos = float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+        assert exact_cos >= 0.40 - 1e-5, (r, exact_cos)
+
+
 # ---------------------------------------- exact variable-length extents
 def test_span_exact_extents_matches_bruteforce_suffix_semantics(spark, tmp_path):
     """Pin the suffix-array equivalence on a crafted corpus: the

@@ -356,6 +356,10 @@ SHUFFLE_BUDGETS = {
     # scale tier, same post-checkpoint discipline: cell self-join both
     # sides live behind the qn checkpoint, CC fast path at pin scale
     "semdedup_ivf": 2,
+    # cross-set bucket join (post-cap-checkpoint) + candidate distinct
+    # + closest-eval window + result sort; qn joins broadcast at pin
+    # scale — one slot for their demotion
+    "decontaminate_semantic": 4,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort
