@@ -2020,6 +2020,171 @@ QUALIFY rn <= {_STRAT_N}
 
 
 # ---------------------------------------------------------------------------
+# DSIR IMPORTANCE RESAMPLING — target-distribution data selection
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): weight
+# every raw document by how target-like its hashed-n-gram distribution
+# is, then resample with probability proportional to the weight. This
+# completes the curation toolbox — quality (gopher), dedup, decon and
+# domain MIXING exist; importance WEIGHTING toward a target
+# distribution did not. Target here = the corpus's English documents
+# (the paper's "formal text" target, stated over the lang column);
+# raw = the full pool.
+#
+# Exactness discipline: the per-feature log-ratio is
+#   log2( (k_t(b)+1)/(N_t+B) / ((k_r(b)+1)/(N_r+B)) )
+# computed with functions/intlog.ilog2_64 — an integer shift-and-
+# square fixed-point log2 (1/64-bit resolution) that is bit-identical
+# in Spark, DuckDB and python, so per-doc weights are ORDER-FREE
+# integer sums (`ln` would differ in the last ulp between libms and
+# break the hash gate; see the module docstring). The resampling
+# decision is the same algebra: accept iff
+#   weight >= ilog2_64(u) - 64*30,   u = md5-uniform in [1, 2^30]
+# i.e. P(accept) = min(1, 2^(weight/64)) — a Bernoulli thinning with
+# the exact importance weight, derandomized by a content-independent
+# hash (the agg_bootstrap_ci trick), no float in the decision.
+#
+# Scale shape: one corpus fan-out pass (unigrams + bigrams, ~2L rows
+# per doc); bucket counts collapse to B=256 rows via ONE map-side-
+# combinable groupBy (target and raw counted in the same pass);
+# the score table is 256 rows and BROADCASTS back onto the occurrence
+# stream; the per-doc rollup is the only other corpus-keyed exchange.
+# The baroque ilog2 expression runs on 256+n_docs rows, never on
+# occurrences.
+_DSIR_B = 256  # hashed feature buckets
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.intlog import spark_expr as _L
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def _feats(toks: Column) -> Column:
+        n = F.size(toks)
+        bi = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.get(toks, i - 1), F.get(toks, i)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bi)
+
+    # explode_outer keeps zero-feature docs as one (doc_id, b=null)
+    # row, so the per-doc rollup below covers EVERY doc and no second
+    # docs scan / doc-keyed join is needed (count(b) skips the null)
+    occ = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            F.explode_outer(bind_once(TXT.tokens("text"), _feats)).alias("f"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (
+                F.conv(F.substring(F.md5("f"), 1, 7), 16, 10)
+                .cast("long") % _DSIR_B
+            ).alias("b"),
+        )
+        .persist()
+    )
+    cnt = occ.filter(F.col("b").isNotNull()).groupBy("b").agg(
+        F.count(F.lit(1)).alias("k_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("k_t"),
+    )
+    tot = cnt.agg(
+        F.sum("k_r").alias("n_r"), F.sum("k_t").alias("n_t")
+    )
+    scores = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            (F.expr(_L("k_t + 1")) + F.expr(_L(f"n_r + {_DSIR_B}")))
+            - (F.expr(_L("k_r + 1")) + F.expr(_L(f"n_t + {_DSIR_B}")))
+        ).alias("s"),
+    )
+    u = (
+        "(CAST(conv(substring(md5(concat('dsir#', "
+        f"CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        f"% {1 << 30} + 1)"
+    )
+    return (
+        occ.join(F.broadcast(scores), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("b").alias("n_features"),
+            F.coalesce(F.sum("s"), F.lit(0)).alias("weight_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "weight_scaled",
+            (F.expr(_L(u)) - F.lit(64 * 30)).alias("log_u_scaled"),
+        )
+        .withColumn(
+            "accepted", F.col("weight_scaled") >= F.col("log_u_scaled")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql() -> str:
+    from ..functions.intlog import duck_expr as _L
+
+    return f"""
+WITH arrs AS (
+    SELECT doc_id, lang = 'en' AS is_t,
+           regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), feats AS (
+    SELECT doc_id, is_t, t AS f FROM arrs, unnest(arr) AS un(t)
+    UNION ALL
+    SELECT doc_id, is_t, arr[i] || ' ' || arr[i + 1] AS f
+    FROM arrs, unnest(generate_series(1, LEN(arr) - 1)) AS s(i)
+    WHERE LEN(arr) >= 2
+), occ AS (
+    SELECT doc_id, is_t,
+           ('0x' || substr(md5(f), 1, 7))::BIGINT % {_DSIR_B} AS b
+    FROM feats
+), cnt AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS k_r,
+           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS k_t
+    FROM occ GROUP BY b
+), tot AS (
+    SELECT CAST(SUM(k_r) AS BIGINT) AS n_r,
+           CAST(SUM(k_t) AS BIGINT) AS n_t
+    FROM cnt
+), scores AS (
+    SELECT b,
+           ({_L("k_t + 1")} + {_L(f"n_r + {_DSIR_B}")})
+         - ({_L("k_r + 1")} + {_L(f"n_t + {_DSIR_B}")}) AS s
+    FROM cnt, tot
+), w AS (
+    SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(s) AS BIGINT) AS weight_scaled
+    FROM occ o JOIN scores USING (b) GROUP BY o.doc_id
+), uni AS (
+    SELECT d.doc_id,
+           ('0x' || substr(md5('dsir#' || CAST(d.doc_id AS VARCHAR)),
+                           1, 8))::BIGINT % {1 << 30} + 1 AS u,
+           COALESCE(w.n_features, 0) AS n_features,
+           COALESCE(w.weight_scaled, 0) AS weight_scaled
+    FROM documents d LEFT JOIN w USING (doc_id)
+)
+SELECT doc_id, n_features, weight_scaled,
+       {_L("u")} - {64 * 30} AS log_u_scaled,
+       weight_scaled >= {_L("u")} - {64 * 30} AS accepted
+FROM uni
+ORDER BY doc_id
+"""
+
+
+DSIR_IMPORTANCE_SAMPLE_SQL = _dsir_sql()
+
+
+# ---------------------------------------------------------------------------
 # BOILERPLATE COMMONALITY — cross-document repeated-content filter
 # ---------------------------------------------------------------------------
 # The cross-doc complement of quality_signals' intra-doc repetition
@@ -2464,6 +2629,17 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "dsir_importance_sample": QuerySpec(
+        dsir_importance_sample, DSIR_IMPORTANCE_SAMPLE_SQL,
+        tags=("L4", "A2", "J2"),
+        doc="DSIR importance resampling (Xie et al. 2023): hashed "
+        "unigram+bigram bucket counts, per-doc weight = sum of "
+        "integer fixed-point log2 probability ratios "
+        "(functions/intlog — engine-identical shift-and-square, no "
+        "libm ln), Bernoulli thinning accept iff weight >= "
+        "ilog2(md5-uniform) - 1920, i.e. P = min(1, 2^(w/64)); "
+        "256-row score table broadcasts onto the occurrence stream",
     ),
     "source_overlap_jaccard": QuerySpec(
         source_overlap_jaccard, SOURCE_OVERLAP_JACCARD_SQL,

@@ -390,3 +390,45 @@ def test_bpe_encode_memo_cap_keeps_counts_exact(spark):
         for r in encode_corpus_tokens(docs, rules, memo_cap=2).collect()
     }
     assert uncapped == capped and len(uncapped) == 20
+
+
+# ------------------------------------------------------------- intlog
+def test_ilog2_spark_matches_python_reference(spark):
+    """The Spark SQL rendering of the shift-and-square fixed-point
+    log2 is bit-identical to the pure-python pin across magnitudes
+    (the DuckDB rendering is certified by the DSIR oracle hash gate
+    end-to-end; this pins the third leg)."""
+    from outreach_etl_tool_spark.functions import intlog
+
+    vals = [1, 2, 3, 5, 7, 100, 1023, 1024, 65537, 123456789,
+            (1 << 30) - 1, 1 << 30, (1 << 45) + 12345, (1 << 61) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = [
+        r[0]
+        for r in df.select(F.expr(intlog.spark_expr("x"))).collect()
+    ]
+    assert got == [intlog.ilog2_py(v) for v in vals]
+
+
+def test_ilog2_duckdb_matches_python_reference():
+    import duckdb
+
+    from outreach_etl_tool_spark.functions import intlog
+
+    vals = [1, 2, 3, 5, 7, 100, 1023, 1024, 65537, 123456789,
+            (1 << 30) - 1, 1 << 30, (1 << 45) + 12345, (1 << 61) - 1]
+    con = duckdb.connect()
+    got = [
+        con.execute(f"SELECT {intlog.duck_expr(str(v))}").fetchone()[0]
+        for v in vals
+    ]
+    assert got == [intlog.ilog2_py(v) for v in vals]
+
+
+def test_ilog2_tracks_true_log_within_one_unit():
+    """floor-biased: true 64*log2(x) - 1 < ilog2_64(x) <= 64*log2(x)."""
+    from outreach_etl_tool_spark.functions.intlog import ilog2_py
+
+    for x in list(range(1, 2000)) + [10**6, 10**9, 10**12, 2**45 + 7]:
+        true = 64 * math.log2(x)
+        assert true - 1 < ilog2_py(x) <= true + 1e-9, (x, ilog2_py(x), true)

@@ -360,6 +360,10 @@ SHUFFLE_BUDGETS = {
     # + closest-eval window + result sort; qn joins broadcast at pin
     # scale — one slot for their demotion
     "decontaminate_semantic": 4,
+    # scan repartition + bucket counts (map-side combined to <=256
+    # rows) + 1-row totals + per-doc rollup + result sort; the score
+    # table is a HINTED broadcast and never demotes — no slack
+    "dsir_importance_sample": 5,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort
