@@ -456,12 +456,122 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(e, _KCORE_K).orderBy("node")
 
 
+# ---------------------------------------------------------------------------
+# GRAPH K-CORE CHECK — the oracle-able companion of graph_kcore. The
+# peel's FIXPOINT is iterative deletion (no recursive-CTE mirror: the
+# recursive term cannot aggregate), but the OUTPUT PROPERTY is pure
+# SQL: the k-core is the unique maximal subgraph with min within-set
+# degree >= k, so the check is (a) soundness — every returned node's
+# recomputed within-core degree is >= k and equals its reported
+# core_degree — and (b) maximality — node count and degree mass equal
+# an independently computed fixpoint. The oracle reaches that fixpoint
+# by unrolling the SIMULTANEOUS peel (drop ALL <k nodes each round;
+# same fixpoint as queue-based deletion) a fixed _KCORE_CHECK_ROUNDS
+# times: if the unroll were ever too short, the oracle's own
+# violation count turns nonzero and the gate fails loudly instead of
+# certifying a partial peel.
+#
+# k = 80 sits where the peel genuinely iterates on the co-purchase
+# graph (~5 simultaneous rounds, a proper-subset core — at the
+# operator's registry k=3 the graph is so dense the peel is a no-op,
+# which checks nothing), and comfortably below the random-graph
+# collapse threshold (~85) where the empty core appears. At sf0.1 the
+# edge count (~1.2M) also crosses kcore_nodes' 1M driver-fast-path
+# bound, so the DISTRIBUTED peel loop is what this check certifies
+# there.
+# ---------------------------------------------------------------------------
+_KCORE_CHECK_K = 80
+_KCORE_CHECK_ROUNDS = 40  # ~8x the observed convergence, fail-loud
+
+
+def graph_kcore_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edge build behind a checkpoint (graph-family discipline): it
+    # feeds the peel AND the recomputed within-core degrees below —
+    # without it the returned plan rebuilds pl/e from the scan twice
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    core = kcore_nodes(e, _KCORE_CHECK_K).localCheckpoint()
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    )
+    within = (
+        sym.join(core.select("node"), "node")
+        .join(core.select(F.col("node").alias("peer")), "peer")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dw"))
+    )
+    checked = core.join(within, "node", "left").select(
+        "core_degree", F.coalesce("dw", F.lit(0)).alias("dw")
+    )
+    viol = (F.col("dw") < _KCORE_CHECK_K) | (
+        F.col("dw") != F.col("core_degree")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.sum("core_degree"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_core_degree"),
+        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+
+
+def _kcore_check_sql() -> str:
+    # every CTE is MATERIALIZED: each peel round references the
+    # previous round twice and sym twice — DuckDB's default inlining
+    # would expand the reference tree exponentially across 40 rounds
+    # (observed as hundreds of concurrent parquet re-opens)
+    k, rounds = _KCORE_CHECK_K, _KCORE_CHECK_ROUNDS
+    body = f"""
+WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+     FROM pl a JOIN pl b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS MATERIALIZED (SELECT u AS node, v AS peer FROM e
+        UNION ALL
+        SELECT v AS node, u AS peer FROM e),
+n0 AS MATERIALIZED (SELECT DISTINCT node FROM sym)"""
+    prev = "n0"
+    for i in range(1, rounds + 1):
+        body += f""",
+n{i} AS MATERIALIZED (SELECT s.node FROM sym s
+         JOIN {prev} a ON s.node = a.node
+         JOIN {prev} b ON s.peer = b.node
+         GROUP BY s.node HAVING COUNT(*) >= {k})"""
+        prev = f"n{i}"
+    body += f""",
+core AS (SELECT s.node, COUNT(*) AS dw FROM sym s
+         JOIN {prev} a ON s.node = a.node
+         JOIN {prev} b ON s.peer = b.node
+         GROUP BY s.node)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+       CAST(COALESCE(SUM(dw), 0) AS BIGINT) AS sum_core_degree,
+       CAST(COALESCE(SUM(CASE WHEN dw < {k} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations
+FROM core"""
+    return body
+
+
+GRAPH_KCORE_CHECK_SQL = _kcore_check_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_kcore": QuerySpec(
         graph_kcore, None, tags=("J1", "A2"),
         doc=f"{_KCORE_K}-core of the co-purchase graph (iterative peel, "
         "hybrid driver/distributed); rows-only — iterative deletion has "
-        "no recursive-CTE mirror; pytest-pinned vs independent peel",
+        "no recursive-CTE mirror; pytest-pinned vs independent peel, "
+        "and graph_kcore_check puts the operator's output property "
+        "under the full oracle gate at a peel-nontrivial k",
+    ),
+    "graph_kcore_check": QuerySpec(
+        graph_kcore_check, GRAPH_KCORE_CHECK_SQL, tags=("J1", "A2", "A1"),
+        doc=f"oracle-able k-core companion: runs kcore_nodes at "
+        f"k={_KCORE_CHECK_K} (proper-subset core, ~5 peel rounds; "
+        "distributed-loop path at sf0.1) and reports node count, "
+        "degree mass and soundness violations; the oracle reaches the "
+        "same fixpoint via a fixed-unroll simultaneous peel and would "
+        "fail loudly if the unroll were short",
     ),
     "graph_triangles": QuerySpec(
         graph_triangles, GRAPH_TRIANGLES_SQL, tags=("J1", "A2", "L1"),

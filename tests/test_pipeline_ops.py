@@ -1841,3 +1841,31 @@ def test_dsir_acceptance_rule_is_min_one_two_pow(spark):
     w = -64
     assert w >= ilog2_py(1 << 29) - 64 * 30        # u = 2^29 accepts
     assert not w >= ilog2_py((1 << 29) + (1 << 24)) - 64 * 30
+
+
+def test_kcore_check_matches_independent_peel_on_real_data(spark):
+    """graph_kcore_check's (node count, degree mass, violations) on
+    the real sf0.001 co-purchase graph equals an independent python
+    peel — and its violation count is 0, which is the invariant the
+    driver's oracle gate re-proves every round at sf0.01."""
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.graph import (
+        _KCORE_CHECK_K, graph_kcore_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    edges = con.execute("""
+        WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT DISTINCT a.l_partkey, b.l_partkey FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """).fetchall()
+    core = _py_kcore(edges, _KCORE_CHECK_K)
+    r = graph_kcore_check(spark, sf).collect()[0]
+    assert r["n_violations"] == 0
+    assert r["n_core_nodes"] == len(core)
+    assert r["sum_core_degree"] == sum(core.values())

@@ -364,6 +364,11 @@ SHUFFLE_BUDGETS = {
     # rows) + 1-row totals + per-doc rollup + result sort; the score
     # table is a HINTED broadcast and never demotes — no slack
     "dsir_importance_sample": 5,
+    # post-checkpoint segment (graph-family discipline): sym union +
+    # two core membership SMJs + within-degree rollup + final agg —
+    # core is ~the node set here so AQE rightly picks SMJ, no
+    # broadcast slack needed
+    "graph_kcore_check": 7,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort
