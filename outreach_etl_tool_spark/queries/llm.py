@@ -1602,16 +1602,24 @@ def dedup_span_exact_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DCE_MOD = 7
 
 
-def _decon_runs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _decon_runs(
+    docs: DataFrame, eval_pred: Column | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Shared derivation for the two decontamination queries: returns
     (runs, eval_hash) where runs = island-numbered contaminated train
     positions (doc_id, pos, gram_hash, ext_id), checkpointed (it feeds
     two aggregates in extents and the interval pass in excise), and
-    eval_hash = the distinct (eval_id, gram_hash) eval gram set."""
+    eval_hash = the distinct (eval_id, gram_hash) eval gram set.
+    ``eval_pred`` overrides the registry queries' doc_id % 7 eval
+    split — the materialized curation run (operators/curation.py)
+    passes the funnel's % 97 convention so one eval set governs every
+    decon tier of the composed pipeline."""
     from pyspark.sql.window import Window
 
+    if eval_pred is None:
+        eval_pred = F.col("doc_id") % _DCE_MOD == 0
     eligible = docs.filter(F.length("text") >= _LDS_L)
-    side = (F.col("doc_id") % _DCE_MOD == 0).cast("int")
+    side = eval_pred.cast("int")
     wh = Window.partitionBy("h")
     flagged = (
         _winnow_fps(eligible)
@@ -1638,13 +1646,13 @@ def _decon_runs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).alias("gram_hash"),
     )
     eval_hash = (
-        occ.filter(F.col("doc_id") % _DCE_MOD == 0)
+        occ.filter(eval_pred)
         .select(F.col("doc_id").alias("eval_id"), "gram_hash")
         .distinct()
         .localCheckpoint()  # small (eval side); feeds hits + the ev rollup
     )
     hits = (
-        occ.filter(F.col("doc_id") % _DCE_MOD != 0)
+        occ.filter(~eval_pred)
         .join(eval_hash.select("gram_hash").distinct(), "gram_hash")
         .select("doc_id", "pos", "gram_hash")
     )
@@ -2810,13 +2818,19 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _excise_rebuild(docs, ivls)
 
 
-def _excise_rebuild(docs: DataFrame, ivls: DataFrame) -> DataFrame:
+def _excise_rebuild(
+    docs: DataFrame, ivls: DataFrame, keep_text: bool = False
+) -> DataFrame:
     """Byte-exact text surgery shared by the excision queries: given
     per-doc NON-OVERLAPPING excision intervals (doc_id, ivl_start,
     ivl_end) — 1-based char positions, exclusive end — cut them out
     and rebuild the cleaned string (complement segments concatenated
     in order via sort_array + aggregate, all JVM-side). Docs with no
-    intervals pass through untouched via the left join."""
+    intervals pass through untouched via the left join.
+    ``keep_text=True`` additionally returns the rebuilt text itself
+    (``text_clean``) for consumers that materialize the cleaned
+    corpus (operators/curation.py); the registry queries return only
+    the md5 so the driver hash gate stays row-compact."""
     from pyspark.sql.window import Window
 
     # complement gaps in ONE window pass: each interval emits its
@@ -2870,17 +2884,20 @@ def _excise_rebuild(docs: DataFrame, ivls: DataFrame) -> DataFrame:
             lambda acc, s: F.concat(acc, s),
         ).alias("cleaned")
     )
+    cols = [
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.length(F.coalesce("cleaned", "text")).cast("bigint").alias(
+            "kept_chars"
+        ),
+        F.md5(F.coalesce("cleaned", "text")).alias("cleaned_md5"),
+    ]
+    if keep_text:
+        cols.append(F.coalesce("cleaned", "text").alias("text_clean"))
     return (
         docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"), "text")
         .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.length(F.coalesce("cleaned", "text")).cast("bigint").alias(
-                "kept_chars"
-            ),
-            F.md5(F.coalesce("cleaned", "text")).alias("cleaned_md5"),
-        )
+        .select(*cols)
         .orderBy("doc_id")
     )
 

@@ -1602,10 +1602,18 @@ ORDER BY b.doc_id, ns.n
 # fully oracled. Plan: the gopher flags ride the scan; dedup is one
 # 32-byte-key window over quality docs only; the eval gram set is
 # broadcast; one final per-source rollup.
-def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_funnel_frame(docs: DataFrame) -> DataFrame:
+    """The funnel over an arbitrary (doc_id, source, text) frame —
+    shared by the registry query and the materialized-run parity test
+    (tests/test_sinks.py), which feeds both this and
+    operators/curation.run_curation the same enriched frame. NOTE:
+    the driver's synthetic corpus contains none of Gopher's stopword
+    list beyond 'the', so on raw testdata the published stopword rule
+    (>= 2 distinct) zeroes every downstream stage — faithfully
+    reported, and the reason the composition evidence runs on a
+    stopword-enriched frame."""
     from pyspark.sql.window import Window
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
     flags = _gopher_flags(train).select("doc_id", "keep")
     base = train.select("doc_id", "source", "text").join(flags, "doc_id")
@@ -1648,6 +1656,12 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_clean"),
         )
         .orderBy("source")
+    )
+
+
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel_frame(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -1786,10 +1800,13 @@ ORDER BY source
 _N_SHARDS = 16
 
 
-def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shard_assignments(docs: DataFrame) -> DataFrame:
+    """The shard kernel over any (doc_id, text) frame — shared by the
+    registry query below and the materialized curation run
+    (operators/curation.py): salted-md5 shuffle key, hex-byte shard
+    bucket, per-shard window positions + running token offsets."""
     from pyspark.sql.window import Window
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
     keyed = docs.select(
         "doc_id",
@@ -1812,6 +1829,12 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
         .orderBy("shard", "pos")
+    )
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assignments(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
     )
 
 

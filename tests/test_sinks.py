@@ -562,3 +562,88 @@ def test_manifest_concurrent_append_is_detected_not_lost(spark, tmp_path):
         )
     # B's committed row is still visible — nothing was lost
     assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+
+# ------------------------------------------------- materialized curation run
+def test_curation_run_composes_through_manifest_sinks(spark, tmp_path):
+    """End-to-end composed pipeline on the driver's sf0.01 parquet:
+    quality -> exact dedup -> doc-drop decon -> span excision ->
+    shuffle shards, each stage COMMITTED to a manifest table and read
+    back from the committed snapshot before the next stage. The
+    per-source survivors of the committed tables must equal the
+    funnel's oracled stage contracts (curation_funnel_frame on the
+    SAME frame) — any semantic drift in the composition breaks this
+    parity.
+
+    The frame is the driver corpus with ' the of' appended per doc:
+    the synthetic vocabulary contains none of Gopher's stopword list
+    beyond 'the', so on raw testdata the published >= 2-distinct-
+    stopword rule zeroes every stage and the parity would be vacuous;
+    two appended stopwords make the gate pass its other rules'
+    survivors while adding no universal 4-token gram (the boundary
+    grams are doc-specific)."""
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.functions import text as TXT
+    from outreach_etl_tool_spark.operators.curation import run_curation
+    from outreach_etl_tool_spark.queries.pipeline import (
+        curation_funnel_frame,
+    )
+    from outreach_etl_tool_spark.sinks.manifest import ManifestTable
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text", F.concat("text", F.lit(" the of"))
+    )
+    dest = str(tmp_path / "curation")
+    counts = run_curation(spark, docs, dest)
+    assert counts["stage_quality"] > 0  # the parity below is not vacuous
+    assert counts["stage_clean"] > 0
+
+    funnel = {
+        r["source"]: r for r in curation_funnel_frame(docs).collect()
+    }
+    assert counts["stage_quality"] == sum(
+        r["n_quality"] for r in funnel.values()
+    )
+    assert counts["stage_dedup"] == sum(r["n_dedup"] for r in funnel.values())
+    assert counts["stage_clean"] == sum(r["n_clean"] for r in funnel.values())
+    # excision cuts text, never drops docs; shards cover the survivors
+    assert counts["stage_excised"] == counts["stage_clean"]
+    assert counts["stage_shards"] == counts["stage_clean"]
+
+    # per-source parity of the COMMITTED tables (not just totals)
+    clean = ManifestTable(f"{dest}/stage_clean").read(spark)
+    by_src = {
+        r["source"]: (r["n"], r["toks"])
+        for r in clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(TXT.token_count("text").cast("long")).alias("toks"),
+        )
+        .collect()
+    }
+    for src, r in funnel.items():
+        got_n, got_toks = by_src.get(src, (0, 0))
+        assert got_n == r["n_clean"], src
+        assert got_toks == r["tokens_clean"], src
+
+    # the committed excised table is byte-verified: md5 column matches
+    # the stored text, and no doc grew
+    exc = ManifestTable(f"{dest}/stage_excised").read(spark)
+    bad = exc.filter(
+        (F.md5("text") != F.col("cleaned_md5"))
+        | (F.col("kept_chars") > F.col("n_chars"))
+        | (F.length("text") != F.col("kept_chars"))
+    ).count()
+    assert bad == 0
+    # shard layout: positions are 1..n per shard and offsets are the
+    # running token sums (recheck one shard end-to-end)
+    shards = ManifestTable(f"{dest}/stage_shards").read(spark).collect()
+    one = sorted(
+        (r for r in shards if r["shard"] == shards[0]["shard"]),
+        key=lambda r: r["pos"],
+    )
+    off = 0
+    for i, r in enumerate(one, start=1):
+        assert r["pos"] == i and r["token_offset"] == off
+        off += r["n_tokens"]

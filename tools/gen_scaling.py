@@ -117,6 +117,21 @@ NOTES: dict[str, str] = {
         "documents slice (replicas add no cross-replica pairs) is "
         "flat at 1.1×."
     ),
+    "pipeline_curation_run": (
+        "The composed MATERIALIZED run (quality → exact dedup → "
+        "doc-drop decon → span excision → shuffle shards), each stage "
+        "committed to a manifest table and read back from the "
+        "snapshot before the next stage — wall time includes 5 "
+        "distributed parquet writes + manifest commits + read-backs, "
+        "not just the transformations. Stage parity with the oracled "
+        "funnel contracts is pytest-pinned (tests/test_sinks.py). "
+        "Runs on the stopword-enriched frame (' the of' appended per "
+        "doc): the synthetic vocabulary contains none of Gopher's "
+        "stopword list beyond 'the', so on raw testdata the published "
+        "rule zeroes every stage (faithfully reported by "
+        "pipeline_curation_funnel) and the timing would measure "
+        "empty tables."
+    ),
     "semdedup_ivf": (
         "The semdedup SCALE tier: k-means cell co-membership candidate "
         "generation with k = n/125 read from the parquet footer, so "
@@ -254,6 +269,54 @@ def main() -> None:
             f"{name}: {points} 10x={r10} 3x={r3} 10xslice={r10s}",
             file=sys.stderr,
         )
+
+    # Composed MATERIALIZED curation run (operators/curation.py): not
+    # a registry query — it writes manifest-committed tables and reads
+    # each stage back from its snapshot — so it is timed here
+    # end-to-end (5 stage writes + reads) with the same warm +
+    # best-of-2 methodology at the driver scales and the 10× slice.
+    import shutil
+    import tempfile
+
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.operators.curation import run_curation
+
+    def _run_curation_timed(sf_dir: str) -> float:
+        # ' the of' appended per doc — without it the published Gopher
+        # stopword rule zeroes every stage on the synthetic corpus and
+        # the timing would measure empty tables (see the NOTES entry
+        # and tests/test_sinks.py)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "text", F.concat("text", F.lit(" the of"))
+        )
+        best = None
+        for i in range(3):  # pass 0 is the untimed warm pass
+            dest = tempfile.mkdtemp(prefix="curation_run_")
+            t0 = time.perf_counter()
+            run_curation(spark, docs, dest)
+            dt = time.perf_counter() - t0
+            shutil.rmtree(dest, ignore_errors=True)
+            spark.catalog.clearCache()
+            if i > 0:
+                best = dt if best is None else min(best, dt)
+        return best
+
+    cur_points: dict[str, float | None] = {
+        "sf0.01": _run_curation_timed(SF001),
+        "sf0.1": _run_curation_timed(SF01),
+        "sf0.3": None,
+        "sf1.0": _run_curation_timed(sf10),
+    }
+    rows.append(
+        (
+            "pipeline_curation_run",
+            cur_points,
+            round(cur_points["sf0.1"] / cur_points["sf0.01"], 1),
+            None,
+            round(cur_points["sf1.0"] / cur_points["sf0.1"], 1),
+        )
+    )
+    print(f"pipeline_curation_run: {cur_points}", file=sys.stderr)
 
     calib = _calibration(spark)
     commit = subprocess.run(
