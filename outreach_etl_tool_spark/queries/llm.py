@@ -1053,6 +1053,70 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# L4e-u — unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+# model; rows-only like bpe_train: EM + pruning have no SQL mirror;
+# determinism/pruning/coverage are property-pinned in
+# tests/test_functions.py). Same scale shape as BPE: ONE bounded word
+# aggregation, driver-side training, the pieces table back as the
+# model artifact.
+def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import unigram
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return unigram.unigram_train_pieces(spark, docs, vocab_size=300)
+
+
+# L4s-b — tokenizer fertility on BOTH trained vocabularies: the
+# dataset-engineering comparison a tokenizer decision rests on —
+# pieces per whitespace word by source x lang under the trained BPE
+# rules AND the trained unigram pieces, side by side. Rows-only (two
+# trained float/iterative artifacts drive the encodings); run-to-run
+# determinism comes from both trainers' tie-break contracts and is
+# re-verified by the determinism harness. Plan: two Arrow passes over
+# the scan (one per tokenizer), a doc-keyed join, one rollup.
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import bpe, unigram
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    rules = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe.bpe_train_merges(spark, docs, n_merges=40).collect()
+    ]
+    pieces = [
+        (r["piece"], r["log_prob"])
+        for r in unigram.unigram_train_pieces(
+            spark, docs, vocab_size=300
+        ).collect()
+    ]
+    b = bpe.encode_corpus_tokens(docs, rules)
+    u = unigram.encode_corpus_tokens_unigram(docs, pieces).select(
+        "doc_id", "n_unigram_tokens"
+    )
+    per = b.join(u, "doc_id").join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum("n_unigram_tokens").alias("n_unigram_tokens"),
+    )
+    fert = lambda c: F.when(  # noqa: E731
+        F.col("n_words") > 0,
+        F.col(c).cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_unigram_tokens",
+        fert("n_bpe_tokens").alias("fertility_bpe"),
+        fert("n_unigram_tokens").alias("fertility_unigram"),
+    ).orderBy("source", "lang")
+
+
 def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_index_fixture(spark, sf_dir)
     index = ann.read_ivf_index(spark, path)
@@ -3329,6 +3393,19 @@ QUERIES: dict[str, QuerySpec] = {
         bpe_train, None, tags=("L4", "A2"),
         doc="BPE tokenizer training: one corpus word-count shuffle, "
         "vocabulary-sized driver training (Sennrich)",
+    ),
+    "unigram_train": QuerySpec(
+        unigram_train, None, tags=("L4", "A2"),
+        doc="unigram-LM tokenizer training (Kudo/SentencePiece, "
+        "hard-EM + deterministic pruning): same bounded word-count "
+        "collect as BPE, driver-side EM, pieces table as the model; "
+        "rows-only, property-pinned (determinism/coverage/pruning)",
+    ),
+    "tokenizer_fertility_compare": QuerySpec(
+        tokenizer_fertility_compare, None, tags=("L4", "A2", "UDF"),
+        doc="fertility under BOTH trained vocabularies (BPE merges vs "
+        "unigram pieces) by source x lang — the tokenizer-decision "
+        "comparison; two Arrow encode passes, one rollup; rows-only",
     ),
     "sim_ann_incremental": QuerySpec(
         sim_ann_incremental, None, tags=("L3", "T6"),

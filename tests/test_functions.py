@@ -432,3 +432,87 @@ def test_ilog2_tracks_true_log_within_one_unit():
     for x in list(range(1, 2000)) + [10**6, 10**9, 10**12, 2**45 + 7]:
         true = 64 * math.log2(x)
         assert true - 1 < ilog2_py(x) <= true + 1e-9, (x, ilog2_py(x), true)
+
+
+# ------------------------------------------------------------ unigram LM
+def test_unigram_viterbi_hand_case():
+    """Hand-checked segmentation: with 'ab' much likelier than a+b,
+    Viterbi picks the multi-char piece; with it missing, falls back to
+    chars. Tie-break prefers fewer pieces then lexicographic."""
+    from outreach_etl_tool_spark.functions.unigram import viterbi_segment
+
+    logp = {"a": -3.0, "b": -3.0, "ab": -1.0}
+    assert viterbi_segment("ab", logp, 6) == ["ab"]
+    assert viterbi_segment("aba", logp, 6) == ["ab", "a"]
+    assert viterbi_segment("ab", {"a": -1.0, "b": -1.0}, 6) == ["a", "b"]
+    # exact score tie between (ab) and (a)(b): -2.0 both ways ->
+    # fewer pieces wins
+    logp = {"a": -1.0, "b": -1.0, "ab": -2.0}
+    assert viterbi_segment("ab", logp, 6) == ["ab"]
+
+
+def test_unigram_train_deterministic_and_covering():
+    """Same word table -> byte-identical pieces; every single char
+    survives pruning (coverage invariant) and the vocab respects the
+    target bound."""
+    from outreach_etl_tool_spark.functions.unigram import (
+        train_unigram, viterbi_segment,
+    )
+
+    wf = [("spark", 10), ("sparks", 5), ("park", 8), ("dark", 3),
+          ("a", 2), ("parka", 4)]
+    p1 = train_unigram(wf, vocab_size=12, seed_size=50)
+    p2 = train_unigram(list(wf), vocab_size=12, seed_size=50)
+    assert p1 == p2
+    pieces = {p for p, _, _ in p1}
+    chars = {c for w, _ in wf for c in w}
+    assert chars <= pieces  # singles never pruned
+    assert len(pieces) <= max(12, len(chars))
+    logp = {p: lp for p, lp, _ in p1}
+    for w, _ in wf:  # everything stays encodable
+        assert "".join(viterbi_segment(w, logp, 6)) == w
+
+
+def test_unigram_pruning_monotone():
+    """A tighter vocab target yields a subset-or-equal multi-char
+    budget and never drops coverage."""
+    from outreach_etl_tool_spark.functions.unigram import train_unigram
+
+    wf = [("abcd", 9), ("abce", 7), ("bcde", 5), ("cdef", 3)]
+    big = train_unigram(wf, vocab_size=20, seed_size=100)
+    small = train_unigram(wf, vocab_size=7, seed_size=100)
+    chars = {c for w, _ in wf for c in w}
+    assert {p for p, _, _ in small if len(p) == 1} >= chars
+    assert len(small) <= max(7, len(chars)) and len(small) <= len(big)
+
+
+def test_unigram_encode_matches_driver_segmentation(spark):
+    """The Arrow corpus-encoding kernel agrees with driver-side
+    Viterbi on every distinct word (same tokenization contract)."""
+    import re
+
+    from outreach_etl_tool_spark.functions.unigram import (
+        encode_corpus_tokens_unigram, train_unigram, viterbi_segment,
+    )
+
+    texts = ["spark park dark", "a parka sparks  spark", ""]
+    wf = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    pieces = train_unigram(sorted(wf.items()), vocab_size=10, seed_size=50)
+    logp = {p: lp for p, lp, _ in pieces}
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+        for r in encode_corpus_tokens_unigram(
+            docs, [(p, lp) for p, lp, _ in pieces]
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(r"\s+", t.lower()) if w]
+        exp = sum(len(viterbi_segment(w, logp, 6)) for w in words)
+        assert got[i] == (len(words), exp)
