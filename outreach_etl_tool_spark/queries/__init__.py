@@ -43,10 +43,15 @@ class QuerySpec:
 #
 #   tier 0 — never driver-evidenced (must be proven first);
 #   tier 1 — failed/errored in their most recent driver run;
-#   tier 2 — evidenced, oldest round first (cyclic re-verification,
+#   tier 2 — evidenced ROWS-ONLY but the registry spec now carries an
+#            oracle (oracle-upgrade pending): the existing evidence is
+#            weaker BY KIND than what the query can prove, so it
+#            outranks merely-aged green evidence;
+#   tier 3 — evidenced, oldest round first (cyclic re-verification,
 #            so no query's green status silently goes stale).
 #
-# Ties break alphabetically. The policy is pure LRU scheduling: every
+# Ties break by round then alphabetically. The policy stays purely
+# mechanical (ledger + current spec — no hand-picked window): every
 # query re-enters the window as its evidence ages, and nothing can be
 # parked outside it indefinitely.
 def _rotation_key(name: str) -> tuple[int, int, str]:
@@ -56,7 +61,12 @@ def _rotation_key(name: str) -> tuple[int, int, str]:
     if entry is None:
         return (0, 0, name)
     rnd, status = entry
-    tier = 1 if status == "fail" else 2
+    if status == "fail":
+        tier = 1
+    elif status == "rows" and _REGISTRY_SPECS[name].oracle is not None:
+        tier = 2
+    else:
+        tier = 3
     return (tier, rnd, name)
 
 
@@ -75,7 +85,14 @@ def _build_registry() -> dict[str, QuerySpec]:
             if name in by_module:
                 raise ValueError(f"duplicate query name {name!r}")
             by_module[name] = spec
+    global _REGISTRY_SPECS
+    _REGISTRY_SPECS = by_module
     return {name: by_module[name] for name in sorted(by_module, key=_rotation_key)}
+
+
+# unsorted specs, visible to _rotation_key for the tier-2
+# oracle-upgrade check (set by _build_registry before sorting)
+_REGISTRY_SPECS: dict[str, QuerySpec] = {}
 
 
 REGISTRY: dict[str, QuerySpec] = _build_registry()

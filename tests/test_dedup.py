@@ -933,3 +933,17 @@ def test_setsim_join_threshold_boundary_and_prefix_recall(spark, tmp_path):
             expect[(a, b)] = (inter, union)
     assert got == expect
     assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
+
+
+def test_decontaminate_semantic_registry_query_nonempty(spark):
+    """Non-triviality pin on the driver corpus (the funnel-degeneracy
+    lesson: an oracle-green query can still certify empty output) —
+    the synthetic embeddings contain genuine tau>=0.4 cross-split
+    neighbors, so the flag set must be non-empty and train-side."""
+    from outreach_etl_tool_spark.queries.llm import decontaminate_semantic
+
+    rows = decontaminate_semantic(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(
+        r["vec_id"] % 7 != 0 and r["closest_eval_id"] % 7 == 0 for r in rows
+    )

@@ -27,9 +27,11 @@ def test_registry_shape():
 def test_registry_rotation_policy():
     """Registry order is a least-recently-evidenced rotation against the
     generated ledger: never-evidenced first, then last-run failures,
-    then evidenced entries oldest-round first, alphabetical within a
-    tier. No query can be parked outside the gate's ~50-entry window
-    indefinitely — its evidence ages and it rotates back in."""
+    then oracle-upgrades (evidenced rows-only but the spec now carries
+    an oracle — that evidence is weaker BY KIND, not just by age),
+    then evidenced entries oldest-round first; round then alphabetical
+    within a tier. No query can be parked outside the gate's ~50-entry
+    window indefinitely — its evidence ages and it rotates back in."""
     from outreach_etl_tool_spark.queries import _rotation_key
     from outreach_etl_tool_spark.queries.evidence import LEDGER
 
@@ -39,8 +41,18 @@ def test_registry_rotation_policy():
 
     never = {n for n in names if n not in LEDGER}
     failed = {n for n in names if LEDGER.get(n, (0, ""))[1] == "fail"}
+    upgrades = {
+        n
+        for n in names
+        if LEDGER.get(n, (0, ""))[1] == "rows"
+        and REGISTRY[n].oracle is not None
+    }
     assert set(names[: len(never)]) == never
     assert set(names[len(never) : len(never) + len(failed)]) == failed
+    assert (
+        set(names[len(never) + len(failed) : len(never) + len(failed) + len(upgrades)])
+        == upgrades
+    )
 
 
 def test_evidence_ledger_matches_correctness_files():
