@@ -170,40 +170,104 @@ def main() -> None:
         ),
         key=_round_no,
     )
-    prev_timings: dict[str, float] = {}
-    prev_calib: float | None = None
+    # prev_norm: last round's per-query HOST-NORMALIZED times
+    # (t_prev / calib_prev); prev_raw: the raw seconds (reconstructed
+    # as normalized x calibration when only the truncated tail
+    # survives) — raw ratios feed the self-normalized residual delta
+    prev_norm: dict[str, float] = {}
+    prev_raw: dict[str, float] = {}
     if prev_files:
         try:
             data = json.loads(prev_files[-1].read_text())
             # the driver wraps the bench line: {"n", "rc", "tail",
             # "parsed": {...the actual JSON...}} — unwrap if present;
-            # older rounds store only the raw "tail" string, so fall
-            # back to parsing the JSON line out of it
+            # otherwise recover from the "tail" string. The driver
+            # keeps only the LAST ~2000 chars of the line, so the
+            # full-JSON parse can be impossible (r8's file lost the
+            # leading "queries" map exactly this way) — fall back to
+            # regex-extracting the "normalized" map, which this
+            # script deliberately emits near the END of the line so
+            # it survives tail truncation.
             if isinstance(data.get("parsed"), dict):
                 data = data["parsed"]
-            elif "queries" not in data and isinstance(data.get("tail"), str):
-                m = re.search(r"\{\"metric\".*\}", data["tail"])
+            if "queries" in data and data.get("host_calibration_sec"):
+                pc = data["host_calibration_sec"]
+                prev_raw = {
+                    n: t for n, t in dict(data["queries"]).items() if t
+                }
+                prev_norm = {n: t / pc for n, t in prev_raw.items()}
+            elif isinstance(data.get("tail"), str):
+                tail = data["tail"]
+                m = re.search(r"\{\"metric\".*\}", tail)
                 if m:
-                    data = json.loads(m.group(0))
-            prev_timings = dict(data.get("queries", {}))
-            prev_queries = set(prev_timings)
-            prev_calib = data.get("host_calibration_sec")
+                    full = json.loads(m.group(0))
+                    pc = full.get("host_calibration_sec")
+                    if pc:
+                        prev_raw = {
+                            n: t
+                            for n, t in dict(full.get("queries", {})).items()
+                            if t
+                        }
+                        prev_norm = {n: t / pc for n, t in prev_raw.items()}
+                if not prev_norm:
+                    m = re.search(r"\"normalized\": (\{[^{}]*\})", tail)
+                    mc = re.search(
+                        r"\"host_calibration_sec\": ([0-9.]+)", tail
+                    )
+                    if m:
+                        prev_norm = {
+                            n: v
+                            for n, v in json.loads(m.group(1)).items()
+                            if v
+                        }
+                        if mc:
+                            pc = float(mc.group(1))
+                            prev_raw = {
+                                n: v * pc for n, v in prev_norm.items()
+                            }
         except Exception:  # noqa: BLE001 — comparability is best-effort
             pass
+    prev_queries = set(prev_norm)
     common = {n: t for n, t in timings.items() if n in prev_queries}
     new_queries = sorted(set(timings) - prev_queries)
     # per-query round-over-round delta in HOST-NORMALIZED time, so the
     # judge can see which movements are real and which are the host:
     # delta = (t/calib) / (t_prev/calib_prev) - 1
     delta_vs_prev: dict[str, float] = {}
-    if calib and prev_calib:
+    if calib:
         for n, t in common.items():
-            tp = prev_timings.get(n)
-            if tp:
+            if prev_norm.get(n):
                 delta_vs_prev[n] = round(
-                    (t / calib) / (tp / prev_calib) - 1, 3
+                    (t / calib) / prev_norm[n] - 1, 3
                 )
+    # SELF-normalized residual delta: the calibration probe measures a
+    # synthetic workload whose host sensitivity differs from the real
+    # queries' (r8 committed a 0.52 s min-of-2 calibration while its
+    # raw query times moved ~1.1x — so every calibration-normalized
+    # r9 delta reads ~+60% host artifact). The common query set is its
+    # own best gauge: the MEDIAN raw ratio t_now/t_prev over common
+    # queries IS the effective host factor, and each query's residual
+    # against it is the real per-query movement. A plan regression
+    # shows up as a positive residual outlier no matter what either
+    # round's calibration did.
+    host_factor = None
+    delta_residual: dict[str, float] = {}
+    raw_ratios = {
+        n: timings[n] / prev_raw[n]
+        for n in common
+        if prev_raw.get(n)
+    }
+    if raw_ratios:
+        srt = sorted(raw_ratios.values())
+        host_factor = round(srt[len(srt) // 2], 3)
+        delta_residual = {
+            n: round(r / host_factor - 1, 3) for n, r in raw_ratios.items()
+        }
 
+    # Key order matters: the driver archives only the LAST ~2000 chars
+    # of this line, so the fields the NEXT round's comparability needs
+    # ("normalized" + the summary scalars) are emitted at the END —
+    # the big raw maps go first and are the ones truncation eats.
     print(
         json.dumps(
             {
@@ -213,14 +277,9 @@ def main() -> None:
                 "queries": timings,
                 "duckdb": duck_timings,
                 "spark_vs_duckdb": ratios,
-                "host_calibration_sec": calib,
-                # cross-round comparison lines: compare
-                # common_total_normalized (common set / host speed)
-                # across rounds, not raw value
-                "common_total": round(sum(common.values()), 3),
-                "common_total_normalized": (
-                    round(sum(common.values()) / calib, 3) if calib else None
-                ),
+                "delta_vs_prev": delta_vs_prev,
+                "host_factor_vs_prev": host_factor,
+                "delta_vs_prev_residual": delta_residual,
                 "new_queries": new_queries,
                 "new_total": round(
                     sum(timings[n] for n in new_queries), 3
@@ -230,7 +289,14 @@ def main() -> None:
                     if calib
                     else {}
                 ),
-                "delta_vs_prev": delta_vs_prev,
+                "host_calibration_sec": calib,
+                # cross-round comparison lines: compare
+                # common_total_normalized (common set / host speed)
+                # across rounds, not raw value
+                "common_total": round(sum(common.values()), 3),
+                "common_total_normalized": (
+                    round(sum(common.values()) / calib, 3) if calib else None
+                ),
                 "sf": sf_from_dir(SF_DIR),
             }
         )
