@@ -1869,3 +1869,135 @@ def test_kcore_check_matches_independent_peel_on_real_data(spark):
     assert r["n_violations"] == 0
     assert r["n_core_nodes"] == len(core)
     assert r["sum_core_degree"] == sum(core.values())
+
+
+def test_pagerank_matches_independent_python_replica(spark):
+    """Brute-force replica on the real sf0.001 co-purchase graph: an
+    independent python implementation of the integer-stabilized
+    PageRank (orientation, floor contributions, half-up rounding) must
+    agree exactly. The DuckDB oracle is a translated same-algorithm
+    CTE, so — like the triangle case that hid a real bug — agreement
+    there certifies Spark<->DuckDB consistency, not semantic truth;
+    this is the independent certificate."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.graph import (
+        _PR_ITER, _PR_SCALE, graph_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    e = con.execute("""
+        WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT DISTINCT a.l_partkey, b.l_partkey FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """).fetchall()
+    deg = defaultdict(int)
+    for u, v in e:
+        deg[u] += 1
+        deg[v] += 1
+    edges = []
+    for u, v in e:
+        if (deg[u], u) < (deg[v], v):
+            edges.append((u, v))
+        else:
+            edges.append((v, u))
+    nodes = {n for uv in edges for n in uv}
+    outd = defaultdict(int)
+    for s, _ in edges:
+        outd[s] += 1
+    r = {n: _PR_SCALE for n in nodes}
+    for _ in range(_PR_ITER):
+        sc = defaultdict(int)
+        for s, d in edges:
+            sc[d] += math.floor(r[s] / outd[s])
+        # Spark F.round / DuckDB ROUND are HALF-UP on positives —
+        # python round() is banker's, so replicate half-up explicitly
+        r = {
+            n: math.floor(0.15 * _PR_SCALE + 0.85 * sc.get(n, 0) + 0.5)
+            for n in nodes
+        }
+    expected = {n: v / _PR_SCALE for n, v in r.items()}
+    got = {
+        row["node"]: row["pagerank"]
+        for row in graph_pagerank(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_semdedup_prune_matches_independent_python_replica(spark):
+    """Independent numpy/union-find reimplementation of the whole
+    oracle-parity SRP prune pipeline (quantize, plane dots, bands,
+    bucket cap, exact-integer tau-gate, connected components, min-id
+    keeper) on the real sf0.001 embeddings — the recursive-CTE oracle
+    shares the derivation, so this is the independent certificate."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from outreach_etl_tool_spark.dedup.parity import (
+        _CAP, _EMB_BAND_BITS, _EMB_BANDS, _EMB_PLANES, _EMB_SCALE, _emb_planes,
+    )
+    from outreach_etl_tool_spark.queries.llm import semdedup_prune
+
+    sf = "/root/testdata/sf0.001"
+    tbl = ds.dataset(f"{sf}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    vecs = {
+        i: v
+        for i, v in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+        if v is not None and len(v) == 64
+    }
+    planes = np.asarray(_emb_planes(64), dtype=np.int64)
+    q = {
+        i: np.floor(
+            np.asarray(v, dtype=np.float32).astype(np.float64) * _EMB_SCALE
+        ).astype(np.int64)
+        for i, v in vecs.items()
+    }
+    buckets = defaultdict(list)
+    for i in sorted(q):
+        dots = planes @ q[i]
+        fp = sum(1 << j for j in range(_EMB_PLANES) if dots[j] > 0)
+        for b in range(_EMB_BANDS):
+            key = (fp >> (b * _EMB_BAND_BITS)) & ((1 << _EMB_BAND_BITS) - 1)
+            buckets[(b, key)].append(i)
+    cands = set()
+    for ids in buckets.values():
+        capped = sorted(ids)[:_CAP]
+        for x in range(len(capped)):
+            for y in range(x + 1, len(capped)):
+                cands.add((capped[x], capped[y]))
+    parent = {i: i for i in q}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cands):
+        dq = int(q[a] @ q[b])
+        na, nb = int(q[a] @ q[a]), int(q[b] @ q[b])
+        if dq > 0 and 25 * dq * dq >= 4 * na * nb:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in q}
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_keep"])
+        for r in semdedup_prune(spark, sf).collect()
+    }
+    assert got == {i: (c, i == c) for i, c in expected.items()}
+    # non-vacuous: the corpus genuinely contains clustered vectors
+    assert any(i != c for i, c in expected.items())
