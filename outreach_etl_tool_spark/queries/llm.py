@@ -1898,6 +1898,123 @@ ORDER BY d.doc_id
 """
 
 
+# L2q — DECONTAMINATION REPORT: the per-document audit table a
+# curation run ships — every train doc with ALL THREE decon tiers'
+# signals side by side: exact character extents (the span tier),
+# distinct shared token 4-grams (the n-gram tier), and the closest
+# eval embedding neighbor (the semantic/paraphrase tier), plus the
+# any-tier contamination verdict. One eval convention governs the
+# report (doc_id % 7, the span/semantic tiers' split; embeddings join
+# by vec_id == doc_id). Each tier's derivation is the one its own
+# oracled registry query certifies; the report adds only doc-keyed
+# LEFT JOINs, so the composed oracle is the three tier oracles nested
+# as CTE subqueries plus the joins — and the composition itself is
+# what the driver's hash gate then certifies end-to-end.
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+    from .pipeline import _grams
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # tier 1: exact char extents (span machinery, %7 split)
+    runs, _ = _decon_runs(docs)
+    ext_doc = (
+        runs.groupBy("doc_id", "ext_id")
+        .agg((F.max("pos") - F.min("pos") + _LDS_L).alias("l"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_extents"),
+            F.sum("l").alias("extent_chars"),
+        )
+    )
+    # tier 2: distinct shared token 4-grams vs the %7 eval set
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(_grams("text", 4))).alias("gram")
+    )
+    evg = (
+        g.filter(F.col("doc_id") % _DCE_MOD == 0).select("gram").distinct()
+    )
+    ov = (
+        g.filter(F.col("doc_id") % _DCE_MOD != 0)
+        .join(F.broadcast(evg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ngram_hits"))
+    )
+    # tier 3: closest eval embedding neighbor (vec_id == doc_id)
+    sem = parity.emb_cross_decon_parity(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        "closest_eval_id",
+        F.col("cosine").alias("semantic_cosine"),
+    )
+    train = docs.filter(F.col("doc_id") % _DCE_MOD != 0).select("doc_id")
+    rep = (
+        train.join(ext_doc, "doc_id", "left")
+        .join(ov, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_extents", F.lit(0)).alias("n_extents"),
+            F.coalesce("extent_chars", F.lit(0)).alias("extent_chars"),
+            F.coalesce("ngram_hits", F.lit(0)).alias("ngram_hits"),
+            "closest_eval_id",
+            "semantic_cosine",
+        )
+    )
+    return rep.withColumn(
+        "contaminated",
+        (F.col("n_extents") > 0)
+        | (F.col("ngram_hits") > 0)
+        | F.col("closest_eval_id").isNotNull(),
+    ).orderBy("doc_id")
+
+
+def _decontamination_report_sql() -> str:
+    from ..dedup.parity import emb_cross_decon_sql
+
+    return f"""
+WITH ext_q AS (
+{DECONTAMINATE_EXTENTS_SQL}
+), ext_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_extents,
+           CAST(SUM(ext_len) AS BIGINT) AS extent_chars
+    FROM ext_q GROUP BY doc_id
+), grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(arr, i, i + 3), ' ') AS gram
+    FROM (SELECT doc_id,
+                 regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+          FROM documents),
+         UNNEST(generate_series(1, LEN(arr) - 3)) AS t(i)
+), ov AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_hits
+    FROM (SELECT doc_id, gram FROM grams
+          WHERE doc_id % {_DCE_MOD} <> 0) t
+    JOIN (SELECT DISTINCT gram FROM grams
+          WHERE doc_id % {_DCE_MOD} = 0) e USING (gram)
+    GROUP BY t.doc_id
+), sem AS (
+{emb_cross_decon_sql(dim=64)}
+)
+SELECT d.doc_id,
+       COALESCE(e.n_extents, 0) AS n_extents,
+       COALESCE(e.extent_chars, 0) AS extent_chars,
+       COALESCE(o.ngram_hits, 0) AS ngram_hits,
+       s.closest_eval_id,
+       s.cosine AS semantic_cosine,
+       (COALESCE(e.n_extents, 0) > 0 OR COALESCE(o.ngram_hits, 0) > 0
+        OR s.closest_eval_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DCE_MOD} <> 0) d
+LEFT JOIN ext_doc e USING (doc_id)
+LEFT JOIN ov o USING (doc_id)
+LEFT JOIN sem s ON s.vec_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+DECONTAMINATION_REPORT_SQL = _decontamination_report_sql()
+
+
 DEDUP_SPAN_EXACT_EXTENTS_SQL = f"""
 WITH fanout AS (
     SELECT doc_id, text,
@@ -3238,6 +3355,15 @@ QUERIES: dict[str, QuerySpec] = {
         "(vec_id%7==0) probe train vectors through the oracle-parity "
         "SRP bands, exact-integer tau-gate, closest-eval argmax per "
         "contaminated train vector; full-replica oracle",
+    ),
+    "decontamination_report": QuerySpec(
+        decontamination_report, DECONTAMINATION_REPORT_SQL,
+        tags=("L2", "L3", "L4", "J4"),
+        doc="per-train-doc audit composing ALL THREE decon tiers (char "
+        "extents, shared token 4-grams, closest eval embedding) + the "
+        "any-tier verdict; each tier is its own oracled derivation and "
+        "the composed oracle nests the three tier oracles as CTEs, so "
+        "the hash gate certifies the composition end-to-end",
     ),
     "dedup_span_exact_excise": QuerySpec(
         dedup_span_exact_excise, DEDUP_SPAN_EXACT_EXCISE_SQL,

@@ -369,6 +369,11 @@ SHUFFLE_BUDGETS = {
     # core is ~the node set here so AQE rightly picks SMJ, no
     # broadcast slack needed
     "graph_kcore_check": 7,
+    # three-tier composition (post-checkpoint segments of each tier):
+    # extent rollup + gram distinct/overlap rollup + semantic argmax
+    # window + doc-keyed report joins + result sort; eval grams and
+    # the tier outputs broadcast at pin scale — one slot for demotion
+    "decontamination_report": 9,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort
