@@ -2077,10 +2077,12 @@ QUALIFY rn <= {_STRAT_N}
 _DSIR_B = 256  # hashed feature buckets
 
 
-def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.intlog import spark_expr as _L
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+def _hashed_feature_occ(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_t, b) hashed unigram+bigram occurrence stream —
+    shared by DSIR and the trained quality classifier. explode_outer
+    keeps zero-feature docs as one (doc_id, b=null) row, so per-doc
+    rollups cover EVERY doc with no second docs scan (count(b) skips
+    the null). Returned persisted (multi-consumer)."""
 
     def _feats(toks: Column) -> Column:
         n = F.size(toks)
@@ -2095,10 +2097,7 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array().cast("array<string>"))
         return F.concat(toks, bi)
 
-    # explode_outer keeps zero-feature docs as one (doc_id, b=null)
-    # row, so the per-doc rollup below covers EVERY doc and no second
-    # docs scan / doc-keyed join is needed (count(b) skips the null)
-    occ = (
+    return (
         docs.select(
             "doc_id",
             (F.col("lang") == "en").alias("is_t"),
@@ -2114,6 +2113,13 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.intlog import spark_expr as _L
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    occ = _hashed_feature_occ(docs)
     cnt = occ.filter(F.col("b").isNotNull()).groupBy("b").agg(
         F.count(F.lit(1)).alias("k_r"),
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("k_t"),
@@ -2205,6 +2211,172 @@ ORDER BY doc_id
 
 
 DSIR_IMPORTANCE_SAMPLE_SQL = _dsir_sql()
+
+
+# ---------------------------------------------------------------------------
+# TRAINED QUALITY CLASSIFIER — GPT-3/Brown-style curation filter
+# ---------------------------------------------------------------------------
+# The curation piece DSIR's importance weighting does not cover: a
+# DISCRIMINATIVE model trained to score documents by target-likeness
+# (the "quality classifier trained on curated-vs-raw" every large
+# pretraining corpus ships through). Model: linear probability model
+# on the SAME hashed unigram+bigram buckets as DSIR, trained by THREE
+# fixed full-batch gradient steps in exact integer arithmetic —
+# logistic regression's sigmoid needs exp (a transcendental the float
+# discipline bans; libm results differ across engines), while squared
+# loss needs only *, + and one truncating division per weight update,
+# which Spark `div`, DuckDB `//` and python agree on exactly. The
+# oracle unrolls the three steps as CTEs (the PageRank pattern), so
+# the driver's hash gate certifies the TRAINING LOOP end-to-end —
+# weights, scores and predictions bit-for-bit.
+#
+# Label note (the funnel-degeneracy lesson, stated up front): the
+# synthetic corpus draws every language's text from one shared
+# vocabulary, so the lang='en' label carries no learnable signal here
+# and driver-data accuracy sits at the base rate BY CONSTRUCTION —
+# the gate certifies the arithmetic, and the planted separable-corpus
+# pytest (tests/test_pipeline_ops.py) certifies the operator actually
+# learns (99%+ accuracy) where signal exists.
+#
+# Scale shape: the feature frame is one corpus fan-out collapsed to
+# (doc, bucket, count) with map-side combine; each training step is
+# two corpus-keyed rollups (per-doc score, per-bucket gradient) and a
+# 256-row collect — the weight vector is bounded model state, exactly
+# like the k-means centroids. At 10^11 docs the BIGINT gradient sum
+# approaches 2^63 and training runs on a uniform sample
+# (kmeans.fit_fraction-style) — statistically standard for a linear
+# probe — while SCORING still covers the full corpus.
+_QC_SCALE = 1_000_000  # weight/score fixed-point scale
+_QC_ITERS = 3
+_QC_LRN, _QC_LRD = 1, 100  # learning rate 1/100 (divergence-checked)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — the semantics
+    Spark's `div` and DuckDB's `//` share; python's // floors."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import table_rows
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    occ = _hashed_feature_occ(docs)
+    x = (
+        occ.filter(F.col("b").isNotNull())
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .persist()
+    )
+    try:
+        n_docs = table_rows(sf_dir, "documents")
+    except (FileNotFoundError, OSError):
+        n_docs = docs.count()  # in-memory/synthetic frame fallback
+    y = F.when(F.col("is_t"), F.lit(_QC_SCALE)).otherwise(F.lit(0))
+
+    def _wb(w: dict[int, int]) -> Column:
+        # 256-entry literal weight map (model state rides the plan,
+        # like broadcast centroids); sorted for a deterministic plan
+        if not w:
+            return F.lit(0).cast("long")
+        wmap = F.create_map(
+            *[
+                F.lit(int(v)).cast("long")
+                for kv in sorted(w.items())
+                for v in kv
+            ]
+        )
+        return F.coalesce(wmap[F.col("b")], F.lit(0)).cast("long")
+
+    w: dict[int, int] = {}
+    for _ in range(_QC_ITERS):
+        zx = x.withColumn("wb", _wb(w))
+        z = zx.groupBy("doc_id", "is_t").agg(
+            F.sum(F.col("x") * F.col("wb")).alias("z")
+        )
+        grad_rows = (
+            x.join(z, ["doc_id", "is_t"])
+            .select("b", (F.col("x") * (F.col("z") - y)).alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("g"))
+            .collect()  # <= 256 rows — bounded model state
+        )
+        w = {
+            r["b"]: w.get(r["b"], 0)
+            - _trunc_div(r["g"] * _QC_LRN, _QC_LRD * n_docs)
+            for r in grad_rows
+        }
+    final_z = (
+        x.withColumn("wb", _wb(w))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("wb")).alias("z"))
+    )
+    return (
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_target"))
+        .join(final_z, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("z", F.lit(0)).cast("bigint").alias("score_scaled"),
+            (
+                F.coalesce("z", F.lit(0)) > F.lit(_QC_SCALE // 2)
+            ).alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _qc_sql() -> str:
+    s, lrn, lrd = _QC_SCALE, _QC_LRN, _QC_LRD
+    body = f"""
+WITH arrs AS MATERIALIZED (
+    SELECT doc_id, lang = 'en' AS is_t,
+           regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), feats AS (
+    SELECT doc_id, is_t, t AS f FROM arrs, unnest(arr) AS un(t)
+    UNION ALL
+    SELECT doc_id, is_t, arr[i] || ' ' || arr[i + 1] AS f
+    FROM arrs, unnest(generate_series(1, LEN(arr) - 1)) AS g(i)
+    WHERE LEN(arr) >= 2
+), x AS MATERIALIZED (
+    SELECT doc_id, is_t,
+           ('0x' || substr(md5(f), 1, 7))::BIGINT % {_DSIR_B} AS b,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM feats GROUP BY doc_id, is_t, b
+), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM x)"""
+    prev = "w0"
+    for i in range(1, _QC_ITERS + 1):
+        body += f""",
+z{i} AS MATERIALIZED (
+    SELECT doc_id, is_t, CAST(SUM(x.x * w.w) AS BIGINT) AS z
+    FROM x JOIN {prev} w USING (b) GROUP BY doc_id, is_t),
+g{i} AS MATERIALIZED (
+    SELECT x.b,
+           CAST(SUM(x.x * (z.z - CASE WHEN x.is_t THEN {s} ELSE 0 END))
+                AS BIGINT) AS g
+    FROM x JOIN z{i} z USING (doc_id, is_t) GROUP BY x.b),
+w{i} AS MATERIALIZED (
+    SELECT w.b, w.w - (g.g * {lrn}) // ({lrd} * nn.n) AS w
+    FROM {prev} w JOIN g{i} g USING (b), nn)"""
+        prev = f"w{i}"
+    body += f""",
+zf AS (
+    SELECT doc_id, CAST(SUM(x.x * w.w) AS BIGINT) AS z
+    FROM x JOIN {prev} w USING (b) GROUP BY doc_id)
+SELECT d.doc_id, d.lang = 'en' AS is_target,
+       COALESCE(zf.z, 0) AS score_scaled,
+       COALESCE(zf.z, 0) > {s // 2} AS predicted
+FROM documents d LEFT JOIN zf USING (doc_id)
+ORDER BY d.doc_id"""
+    return body
+
+
+QUALITY_CLASSIFIER_SCORES_SQL = _qc_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2652,6 +2824,20 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "quality_classifier_scores": QuerySpec(
+        quality_classifier_scores, QUALITY_CLASSIFIER_SCORES_SQL,
+        tags=("L4", "A2", "J2"),
+        doc="trained quality classifier (GPT-3/Brown-style curation "
+        "filter): linear probability model on hashed unigram+bigram "
+        "buckets, THREE fixed full-batch gradient steps in exact "
+        "integer arithmetic (squared loss — sigmoid's exp is "
+        "cross-engine-unsafe; truncating division agrees in Spark/"
+        "DuckDB/python); oracle unrolls the training loop as CTEs so "
+        "the hash gate certifies training end-to-end. Driver-corpus "
+        "label (lang=en) is signal-free by construction (shared "
+        "vocabulary) — learning is certified by the planted "
+        "separable-corpus pytest",
     ),
     "dsir_importance_sample": QuerySpec(
         dsir_importance_sample, DSIR_IMPORTANCE_SAMPLE_SQL,

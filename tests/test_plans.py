@@ -374,6 +374,11 @@ SHUFFLE_BUDGETS = {
     # window + doc-keyed report joins + result sort; eval grams and
     # the tier outputs broadcast at pin scale — one slot for demotion
     "decontamination_report": 9,
+    # returned SCORING plan only (training iterations collect their
+    # 256-row gradients eagerly at build time, persisted x feeds
+    # them): final per-doc score rollup + docs left join + result
+    # sort; one slot for the doc-keyed join demoting at scale
+    "quality_classifier_scores": 4,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort
