@@ -3349,7 +3349,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "decontaminate_semantic": QuerySpec(
         decontaminate_semantic, _DECONTAMINATE_SEMANTIC_SQL,
-        tags=("L2", "L3", "W1"),
+        tags=("L2", "L3", "W1"), bench=True,
         doc="embedding tier of the decon family (catches paraphrased "
         "leakage the n-gram and BM25 tiers miss): eval vectors "
         "(vec_id%7==0) probe train vectors through the oracle-parity "
@@ -3358,7 +3358,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "decontamination_report": QuerySpec(
         decontamination_report, DECONTAMINATION_REPORT_SQL,
-        tags=("L2", "L3", "L4", "J4"),
+        tags=("L2", "L3", "L4", "J4"), bench=True,
         doc="per-train-doc audit composing ALL THREE decon tiers (char "
         "extents, shared token 4-grams, closest eval embedding) + the "
         "any-tier verdict; each tier is its own oracled derivation and "

@@ -2827,7 +2827,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "quality_classifier_scores": QuerySpec(
         quality_classifier_scores, QUALITY_CLASSIFIER_SCORES_SQL,
-        tags=("L4", "A2", "J2"),
+        tags=("L4", "A2", "J2"), bench=True,
         doc="trained quality classifier (GPT-3/Brown-style curation "
         "filter): linear probability model on hashed unigram+bigram "
         "buckets, THREE fixed full-batch gradient steps in exact "
@@ -2841,7 +2841,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dsir_importance_sample": QuerySpec(
         dsir_importance_sample, DSIR_IMPORTANCE_SAMPLE_SQL,
-        tags=("L4", "A2", "J2"),
+        tags=("L4", "A2", "J2"), bench=True,
         doc="DSIR importance resampling (Xie et al. 2023): hashed "
         "unigram+bigram bucket counts, per-doc weight = sum of "
         "integer fixed-point log2 probability ratios "
