@@ -85,6 +85,11 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "emb_drift_monitor": False,
     "orders_rfm_segments": False,
     "dedup_containment_join": True,   # documents table → 3x point
+    # round-9 curation additions
+    "dsir_importance_sample": True,        # documents-only → 3x point
+    "quality_classifier_scores": True,     # documents-only → 3x point
+    "decontaminate_semantic": False,       # embeddings (sf1.0e slice)
+    "decontamination_report": False,       # needs documents AND embeddings
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
@@ -132,6 +137,15 @@ NOTES: dict[str, str] = {
         "pipeline_curation_funnel) and the timing would measure "
         "empty tables."
     ),
+    "decontaminate_semantic": (
+        "Cross-set form of the oracle-parity SRP pipeline: the same "
+        "8×4-bit fixed band space as semdedup_prune, so the same "
+        "bucket-saturation shape applies at 10× vectors — this is the "
+        "oracle-able small-corpus tier by design. Past its bound the "
+        "scale path is the semdedup_ivf handoff in cross-set form "
+        "(eval vectors assigned to the train corpus's k-means cells, "
+        "k grown with n, identical exact-integer τ-gate)."
+    ),
     "semdedup_ivf": (
         "The semdedup SCALE tier: k-means cell co-membership candidate "
         "generation with k = n/125 read from the parquet footer, so "
@@ -171,6 +185,7 @@ TOP10X = {
     "sim_ann_ivf",
     "semdedup_prune",
     "semdedup_ivf",
+    "decontaminate_semantic",
 }
 
 
@@ -235,7 +250,13 @@ def main() -> None:
         big_dir = (
             sf10e
             if name
-            in ("sim_knn_join", "sim_ann_ivf", "semdedup_prune", "semdedup_ivf")
+            in (
+                "sim_knn_join",
+                "sim_ann_ivf",
+                "semdedup_prune",
+                "semdedup_ivf",
+                "decontaminate_semantic",
+            )
             else sf10
         )
         for label, sf_dir in (
