@@ -643,6 +643,105 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The scale tier of SEMANTIC DECONTAMINATION — the cross-set form of
+# the semdedup_ivf handoff (same reasoning: decontaminate_semantic's
+# SRP band space is fixed, SCALING.md measures its 10× saturation, so
+# past ~10^5 vectors candidate generation swaps to k-means cell
+# co-membership whose quantizer resolution grows with the corpus).
+# Cells are trained on the TRAIN side (the corpus being protected);
+# eval vectors probe their argmax cell (nprobe=1, like the dedup
+# tier — the planted-paraphrase test pins recall: a near-duplicate
+# shares its original's argmax cell by a large margin). Verify and
+# the closest-eval argmax are IDENTICAL to the oracle-parity tier
+# (exact-integer τ-gate, cosine-desc / eval-id-asc), so the two tiers
+# agree wherever their candidate sets overlap. Rows-only (Lloyd is
+# float-iterative); SCALING.md carries the 10× contrast.
+def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..catalog import table_rows
+    from ..dedup.parity import _DECON_EVAL_MOD, _EMB_SCALE, _int_dot
+    from ..similarity import ann, kmeans
+
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    try:
+        n = table_rows(sf_dir, "embeddings")
+    except (FileNotFoundError, OSError):
+        n = embs.count()  # in-memory/synthetic frame fallback
+    k = max(16, n // _IVF_CELL_TARGET)
+    is_eval = F.col("vec_id") % _DECON_EVAL_MOD == 0
+    cents = kmeans.kmeans_centroids(embs.filter(~is_eval), k=k, iters=3)
+    zero = F.lit(0).cast("long")
+    qn = (
+        ann.assign_cells(embs, cents)
+        .select(
+            F.col("vec_id").alias("id"),
+            "cell",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(_EMB_SCALE))
+                ).cast("long"),
+            ).alias("qa"),
+        )
+        .select(
+            "id",
+            "cell",
+            "qa",
+            F.aggregate(
+                F.transform("qa", lambda a: a * a),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("nq"),
+        )
+        .localCheckpoint()  # feeds both sides of the cell join
+    )
+    ev = qn.filter(F.col("id") % _DECON_EVAL_MOD == 0)
+    tr = qn.filter(F.col("id") % _DECON_EVAL_MOD != 0)
+    cands = (
+        ev.alias("e")
+        .join(tr.alias("t"), F.col("e.cell") == F.col("t.cell"))
+        .select(
+            F.col("t.id").alias("id_train"),
+            F.col("e.id").alias("id_eval"),
+            F.col("t.qa").alias("va"),
+            F.col("e.qa").alias("vb"),
+            F.col("t.nq").alias("na"),
+            F.col("e.nq").alias("nb"),
+        )
+    )
+    scored = cands.select(
+        "id_train", "id_eval", _int_dot("va", "vb").alias("dq"), "na", "nb"
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    gated = scored.filter(
+        (F.col("dq") > 0)
+        & (F.lit(25) * dec("dq") * dec("dq") >= F.lit(4) * dec("na") * dec("nb"))
+    ).select(
+        "id_train",
+        "id_eval",
+        (
+            F.col("dq")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("id_train").orderBy(
+        F.desc("cosine"), F.asc("id_eval")
+    )
+    return (
+        gated.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_train").alias("vec_id"),
+            F.col("id_eval").alias("closest_eval_id"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
 # L3 — brute-force cosine top-k against a query vector (the baseline ANN
 # tier). The query vector is a plan-time literal (vec_id 0's embedding);
 # oracle mirrors the exact arithmetic: double-cast elements, left-fold
@@ -3355,6 +3454,17 @@ QUERIES: dict[str, QuerySpec] = {
         "(vec_id%7==0) probe train vectors through the oracle-parity "
         "SRP bands, exact-integer tau-gate, closest-eval argmax per "
         "contaminated train vector; full-replica oracle",
+    ),
+    "decontaminate_semantic_ivf": QuerySpec(
+        decontaminate_semantic_ivf, None, tags=("L2", "L3", "W1"),
+        doc="semantic decon SCALE tier (cross-set semdedup_ivf "
+        "handoff): train-side k-means cells (k = n/125 from the "
+        "parquet footer), eval vectors probe their argmax cell, "
+        "identical exact-integer tau-gate and closest-eval argmax as "
+        "the oracle-parity tier; rows-only (Lloyd is "
+        "float-iterative), planted-paraphrase recall pytest-pinned; "
+        "SCALING.md carries the 10x contrast to the SRP tier's "
+        "band-space saturation",
     ),
     "decontamination_report": QuerySpec(
         decontamination_report, DECONTAMINATION_REPORT_SQL,

@@ -947,3 +947,51 @@ def test_decontaminate_semantic_registry_query_nonempty(spark):
     assert all(
         r["vec_id"] % 7 != 0 and r["closest_eval_id"] % 7 == 0 for r in rows
     )
+
+
+def test_decontaminate_semantic_ivf_planted_paraphrases(spark, monkeypatch):
+    """The scale tier finds planted paraphrases too: a near-duplicate
+    shares its original's argmax k-means cell by a large margin, so
+    nprobe=1 cell co-membership recovers the planted (train, eval)
+    pairs with the right closest-eval choice — the recall contract
+    that justifies the SRP->IVF handoff at the production cosine
+    regime (~0.99)."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    rng = np.random.RandomState(23)
+    rows, truth = [], {}
+    tid = 1001
+    for i in range(1, 13):
+        e = 7 * i
+        base = rng.standard_normal(64)
+        near = base + rng.standard_normal(64) * 0.05
+        if tid % 7 == 0:
+            tid += 1
+        rows.append((e, [float(x) for x in base], 0))
+        rows.append((tid, [float(x) for x in near], 0))
+        truth[tid] = e
+        tid += 1
+    for _ in range(40):
+        if tid % 7 == 0:
+            tid += 1
+        rows.append((tid, [float(x) for x in rng.standard_normal(64)], 0))
+        tid += 1
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(L, "load_table", lambda *a: embs)
+    res = L.decontaminate_semantic_ivf(spark, "no-such-dir").collect()
+    got = {r["vec_id"]: r["closest_eval_id"] for r in res}
+    found = sum(1 for t, e in truth.items() if got.get(t) == e)
+    assert found >= 10, f"planted recall {found}/12: {got}"
+    vecs = {
+        vid: np.asarray(v, dtype=np.float32).astype(float)
+        for vid, v, _ in rows
+    }
+    for r in res:
+        assert r["vec_id"] % 7 != 0 and r["closest_eval_id"] % 7 == 0, r
+        a, b = vecs[r["vec_id"]], vecs[r["closest_eval_id"]]
+        exact_cos = float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+        assert exact_cos >= 0.40 - 1e-5, (r, exact_cos)

@@ -379,6 +379,10 @@ SHUFFLE_BUDGETS = {
     # them): final per-doc score rollup + docs left join + result
     # sort; one slot for the doc-keyed join demoting at scale
     "quality_classifier_scores": 4,
+    # post-checkpoint (qn feeds both cell-join sides): closest-eval
+    # window + result sort; one slot for the cell join demoting from
+    # its pin-scale broadcast
+    "decontaminate_semantic_ivf": 3,
     # winnow kernel rides the scan (zero-shuffle fingerprints); the
     # three exchanges are the shared-hash window + per-doc rollup +
     # result sort

@@ -89,6 +89,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "dsir_importance_sample": True,        # documents-only → 3x point
     "quality_classifier_scores": True,     # documents-only → 3x point
     "decontaminate_semantic": False,       # embeddings (sf1.0e slice)
+    "decontaminate_semantic_ivf": False,   # embeddings; the scale handoff
     "decontamination_report": False,       # needs documents AND embeddings
 }
 
@@ -142,9 +143,17 @@ NOTES: dict[str, str] = {
         "8×4-bit fixed band space as semdedup_prune, so the same "
         "bucket-saturation shape applies at 10× vectors — this is the "
         "oracle-able small-corpus tier by design. Past its bound the "
-        "scale path is the semdedup_ivf handoff in cross-set form "
-        "(eval vectors assigned to the train corpus's k-means cells, "
-        "k grown with n, identical exact-integer τ-gate)."
+        "scale path is decontaminate_semantic_ivf directly below."
+    ),
+    "decontaminate_semantic_ivf": (
+        "The semantic-decon SCALE tier: eval vectors probe their "
+        "argmax cell of a TRAIN-side k-means quantizer whose k grows "
+        "with the corpus (n/125 from the parquet footer), identical "
+        "exact-integer τ-gate and closest-eval argmax as the SRP "
+        "tier — the measured 10× contrast to the band-space "
+        "saturation directly above. nprobe=1 recall at the "
+        "production cosine regime (~0.99) is pytest-pinned with "
+        "planted paraphrases."
     ),
     "semdedup_ivf": (
         "The semdedup SCALE tier: k-means cell co-membership candidate "
@@ -186,6 +195,7 @@ TOP10X = {
     "semdedup_prune",
     "semdedup_ivf",
     "decontaminate_semantic",
+    "decontaminate_semantic_ivf",
 }
 
 
@@ -256,6 +266,7 @@ def main() -> None:
                 "semdedup_prune",
                 "semdedup_ivf",
                 "decontaminate_semantic",
+                "decontaminate_semantic_ivf",
             )
             else sf10
         )
