@@ -757,9 +757,26 @@ def emb_cross_decon_parity(
     df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     banded, qn = _emb_banded_qn(base, dim)
-    capped = _capped_buckets(banded)
-    ev = capped.filter(F.col("id") % _DECON_EVAL_MOD == 0)
-    tr = capped.filter(F.col("id") % _DECON_EVAL_MOD != 0)
+    # Round-10 ADVICE fix: the bucket cap is per SIDE, and only the
+    # TRAIN side is capped — capping the combined set let a saturated
+    # (band, key) bucket silently evict a high-id EVAL probe, leaving
+    # all of its train paraphrases unflagged (a recall hole the shared
+    # oracle shape could never surface). The window partitions by
+    # (band, key, side) so train rows are ranked among train rows
+    # only; eval rows pass unconditionally. Oracle mirrors verbatim.
+    from pyspark.sql.window import Window as _W
+
+    is_ev = (F.col("id") % _DECON_EVAL_MOD == 0).alias("is_ev")
+    w_cap = _W.partitionBy("band", "key", "is_ev").orderBy("id")
+    capped = (
+        banded.select("band", "key", "id", is_ev)
+        .withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("is_ev") | (F.col("rn") <= _CAP))
+        .select("band", "key", "id", "is_ev")
+        .localCheckpoint()  # feeds both sides of the cross join
+    )
+    ev = capped.filter("is_ev").select("band", "key", "id")
+    tr = capped.filter(~F.col("is_ev")).select("band", "key", "id")
     cands = (
         ev.alias("e")
         .join(
@@ -824,11 +841,21 @@ def emb_cross_decon_sql(
     dim: int = 64, threshold_num: int = 2, threshold_den: int = 5
 ) -> str:
     return f"""
-WITH {_emb_prefix_ctes(dim)}, cands AS (
+WITH {_emb_prefix_ctes(dim)}, side_capped AS (
+    -- per-SIDE cap (train only): eval probes are never evicted by a
+    -- saturated bucket (round-10 fix, mirrors the Spark window)
+    SELECT band, key, id, is_ev FROM (
+        SELECT band, key, id, id % {_DECON_EVAL_MOD} = 0 AS is_ev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band, key, id % {_DECON_EVAL_MOD} = 0
+                   ORDER BY id) AS rn
+        FROM banded
+    ) WHERE is_ev OR rn <= {_CAP}
+), cands AS (
     SELECT DISTINCT t.id AS id_train, e.id AS id_eval
-    FROM capped e JOIN capped t
+    FROM side_capped e JOIN side_capped t
       ON e.band = t.band AND e.key = t.key
-    WHERE e.id % {_DECON_EVAL_MOD} = 0 AND t.id % {_DECON_EVAL_MOD} <> 0
+    WHERE e.is_ev AND NOT t.is_ev
 ), scored AS (
     SELECT c.id_train, c.id_eval,
            list_sum(list_transform(generate_series(1, {dim}),

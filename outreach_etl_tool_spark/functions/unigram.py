@@ -238,13 +238,39 @@ def encode_corpus_tokens_unigram(
     n_unigram_tokens) per doc via one Arrow pass — the unigram twin of
     ``bpe.encode_corpus_tokens`` (same task-closure model shipping,
     same size-bounded per-task memo over distinct words, same ASCII
-    whitespace tokenization as the trainer)."""
+    whitespace tokenization as the trainer).
+
+    Out-of-vocabulary handling (round-10 ADVICE fix): the trainer's
+    coverage invariant (every single char present) only holds for the
+    TRAINING corpus, so encoding a different corpus may hit characters
+    no piece covers — previously a ValueError inside the Arrow kernel
+    that failed the whole distributed job. Now each maximal run of
+    uncoverable characters counts as ONE unk token (SentencePiece's
+    unk-piece semantics), and Viterbi runs on the coverable stretches
+    between runs. Splitting at uncoverable chars never severs a usable
+    piece: any vocab piece's characters are all vocab singles."""
     import re
 
     import pandas as pd
 
     logp = {p: lp for p, lp, *_ in pieces}
+    singles = {p for p in logp if len(p) == 1}
     ws = re.compile(_WS_PATTERN, re.ASCII)
+
+    def n_word_tokens(w: str) -> int:
+        total, i, n = 0, 0, len(w)
+        while i < n:
+            if w[i] in singles:
+                j = i
+                while j < n and w[j] in singles:
+                    j += 1
+                total += len(viterbi_segment(w[i:j], logp, max_piece_len))
+                i = j
+            else:
+                while i < n and w[i] not in singles:
+                    i += 1
+                total += 1  # one unk per uncoverable run
+        return total
 
     def kernel(batches):
         memo: dict[str, int] = {}
@@ -258,7 +284,7 @@ def encode_corpus_tokens_unigram(
                 for w in words:
                     hit = memo.get(w)
                     if hit is None:
-                        hit = len(viterbi_segment(w, logp, max_piece_len))
+                        hit = n_word_tokens(w)
                         if len(memo) < memo_cap:
                             memo[w] = hit
                     total += hit

@@ -561,23 +561,32 @@ _SEMDEDUP_PRUNE_SQL = _semdedup_prune_sql()
 _IVF_CELL_TARGET = 125  # vectors per coarse cell (k = n / this)
 
 
-def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_k(sf_dir: str, raw_embs: DataFrame) -> int:
+    """k for the IVF coarse quantizer, ONE convention for every entry
+    path (round-9 ADVICE): n is the RAW embeddings row count — the
+    parquet footer when the table is on disk (a driver-side KB read,
+    no job), `raw_embs.count()` on the same unfiltered frame when it
+    is not (in-memory/synthetic frames in the planted-recall tests).
+    The footer count is the intended approximation: the handful of
+    non-dim-64 rows it includes shift k by <1 cell, and reproducibility
+    across entry paths matters more than that correction."""
     from ..catalog import table_rows
+
+    try:
+        n = table_rows(sf_dir, "embeddings")
+    except (FileNotFoundError, OSError):
+        n = raw_embs.count()
+    return max(16, n // _IVF_CELL_TARGET)
+
+
+def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import cluster
     from ..dedup.parity import _EMB_SCALE, _int_dot
     from ..similarity import ann, kmeans
 
-    embs = load_table(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == 64
-    )
-    try:
-        n = table_rows(sf_dir, "embeddings")
-    except (FileNotFoundError, OSError):
-        # no parquet footer to read (in-memory/synthetic frame — the
-        # planted-recall tests monkeypatch the loader): one count job
-        # is the honest fallback for a frame with no metadata
-        n = embs.count()
-    k = max(16, n // _IVF_CELL_TARGET)
+    raw = load_table(spark, sf_dir, "embeddings")
+    embs = raw.filter(F.size("embedding") == 64)
+    k = _ivf_k(sf_dir, raw)
     cents = kmeans.kmeans_centroids(embs, k=k, iters=3)
     zero = F.lit(0).cast("long")
     qn = (
@@ -659,18 +668,12 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..catalog import table_rows
     from ..dedup.parity import _DECON_EVAL_MOD, _EMB_SCALE, _int_dot
     from ..similarity import ann, kmeans
 
-    embs = load_table(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") == 64
-    )
-    try:
-        n = table_rows(sf_dir, "embeddings")
-    except (FileNotFoundError, OSError):
-        n = embs.count()  # in-memory/synthetic frame fallback
-    k = max(16, n // _IVF_CELL_TARGET)
+    raw = load_table(spark, sf_dir, "embeddings")
+    embs = raw.filter(F.size("embedding") == 64)
+    k = _ivf_k(sf_dir, raw)
     is_eval = F.col("vec_id") % _DECON_EVAL_MOD == 0
     cents = kmeans.kmeans_centroids(embs.filter(~is_eval), k=k, iters=3)
     zero = F.lit(0).cast("long")

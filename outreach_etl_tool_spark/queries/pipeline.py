@@ -1914,8 +1914,8 @@ def novelty_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FLOOR, not a bare int cast: DuckDB CAST(double AS INTEGER)
     # rounds while Spark truncates — floor agrees in both engines
     dec = F.least(
-        F.lit(9),
-        F.floor(F.lit(10) * (F.col("doc_id") - F.lit(lo)) / F.lit(span)).cast("int"),
+        F.lit(9).cast("long"),
+        F.floor(F.lit(10) * (F.col("doc_id") - F.lit(lo)) / F.lit(span)),
     ) + 1
     return (
         nov.groupBy(dec.alias("decile"))
@@ -1964,7 +1964,7 @@ WITH g AS (
     SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
     FROM per_doc
 )
-SELECT LEAST(9, CAST(FLOOR(10 * (doc_id - lo) / span) AS INTEGER)) + 1 AS decile,
+SELECT LEAST(9, CAST(FLOOR(10 * (doc_id - lo) / span) AS BIGINT)) + 1 AS decile,
        COUNT(*) AS n_docs,
        CAST(SUM(n_grams) AS BIGINT) AS n_grams,
        CAST(SUM(n_novel) AS BIGINT) AS n_novel,
@@ -2077,12 +2077,16 @@ QUALIFY rn <= {_STRAT_N}
 _DSIR_B = 256  # hashed feature buckets
 
 
-def _hashed_feature_occ(docs: DataFrame) -> DataFrame:
+def _hashed_feature_occ(docs: DataFrame, materialize: bool = True) -> DataFrame:
     """(doc_id, is_t, b) hashed unigram+bigram occurrence stream —
     shared by DSIR and the trained quality classifier. explode_outer
     keeps zero-feature docs as one (doc_id, b=null) row, so per-doc
     rollups cover EVERY doc with no second docs scan (count(b) skips
-    the null). Returned persisted (multi-consumer)."""
+    the null). materialize=True localCheckpoints the stream for
+    multi-consumer callers (DSIR reads it twice); checkpointed blocks
+    are freed with the frame reference, unlike persist() whose
+    CacheManager entry outlives the call (the round-9 ADVICE leak).
+    Single-pass consumers pass materialize=False."""
 
     def _feats(toks: Column) -> Column:
         n = F.size(toks)
@@ -2097,7 +2101,7 @@ def _hashed_feature_occ(docs: DataFrame) -> DataFrame:
         ).otherwise(F.array().cast("array<string>"))
         return F.concat(toks, bi)
 
-    return (
+    occ = (
         docs.select(
             "doc_id",
             (F.col("lang") == "en").alias("is_t"),
@@ -2111,8 +2115,8 @@ def _hashed_feature_occ(docs: DataFrame) -> DataFrame:
                 .cast("long") % _DSIR_B
             ).alias("b"),
         )
-        .persist()
     )
+    return occ.localCheckpoint() if materialize else occ
 
 
 def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,12 +2268,18 @@ def quality_classifier_scores(
     from ..catalog import table_rows
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    occ = _hashed_feature_occ(docs)
+    # single consumer (x is the checkpointed multi-step frame) — no
+    # need to materialize the raw occurrence stream as well
+    occ = _hashed_feature_occ(docs, materialize=False)
     x = (
         occ.filter(F.col("b").isNotNull())
         .groupBy("doc_id", "is_t", "b")
         .agg(F.count(F.lit(1)).alias("x"))
-        .persist()
+        # localCheckpoint, not persist: x feeds every gradient step and
+        # the final scoring pass, and checkpoint blocks are released
+        # with the reference instead of living in the CacheManager for
+        # the session lifetime (round-9 ADVICE leak)
+        .localCheckpoint()
     )
     try:
         n_docs = table_rows(sf_dir, "documents")

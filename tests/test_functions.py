@@ -516,3 +516,32 @@ def test_unigram_encode_matches_driver_segmentation(spark):
         words = [w for w in re.split(r"\s+", t.lower()) if w]
         exp = sum(len(viterbi_segment(w, logp, 6)) for w in words)
         assert got[i] == (len(words), exp)
+
+
+def test_unigram_encode_oov_counts_unk_runs(spark):
+    """Encoding a corpus with characters the trained vocabulary never
+    saw must not fail the job (round-10 ADVICE): each maximal run of
+    uncoverable characters counts as ONE unk token, and the coverable
+    stretches around it still segment by Viterbi."""
+    from outreach_etl_tool_spark.functions.unigram import (
+        encode_corpus_tokens_unigram, train_unigram, viterbi_segment,
+    )
+
+    wf = [("spark", 5), ("park", 3), ("dark", 2)]
+    pieces = train_unigram(wf, vocab_size=10, seed_size=50)
+    logp = {p: lp for p, lp, _ in pieces}
+    # z/9 are OOV; "zz" run -> 1 unk, "9" -> 1 unk
+    docs = spark.createDataFrame(
+        [(0, "sparkzz park9dark"), (1, "zzz"), (2, "spark park")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+        for r in encode_corpus_tokens_unigram(
+            docs, [(p, lp) for p, lp, _ in pieces]
+        ).collect()
+    }
+    n = lambda w: len(viterbi_segment(w, logp, 6))  # noqa: E731
+    assert got[0] == (2, n("spark") + 1 + n("park") + 1 + n("dark"))
+    assert got[1] == (1, 1)  # fully-OOV word = one unk
+    assert got[2] == (2, n("spark") + n("park"))  # in-vocab unchanged
