@@ -1611,18 +1611,31 @@ def curation_funnel_frame(docs: DataFrame) -> DataFrame:
     list beyond 'the', so on raw testdata the published stopword rule
     (>= 2 distinct) zeroes every downstream stage — faithfully
     reported, and the reason the composition evidence runs on a
-    stopword-enriched frame."""
+    stopword-enriched frame. Because agreement on all-zero counts
+    certifies nothing (the round-9 degeneracy lesson), the funnel also
+    reports PRE-GATE stage measurements that are non-trivial on any
+    corpus: tokens entering the funnel, the MARGINAL unique-text count
+    (dedup canonical over all entering docs, independent of the
+    quality gate) and the MARGINAL decon-clean count — so the driver's
+    hash gate certifies real dedup/decon numbers even when the
+    sequential tail is legitimately zero."""
     from pyspark.sql.window import Window
 
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
     flags = _gopher_flags(train).select("doc_id", "keep")
     base = train.select("doc_id", "source", "text").join(flags, "doc_id")
+    # ONE window pass over sha256(text) yields BOTH canonical flags —
+    # marginal (first doc per text) and sequential (first QUALITY doc
+    # per text, as a running keep-count): no per-flag window + join
+    # back, so adding the marginal column costs zero extra shuffles.
     wq = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-    canon = (
-        base.filter("keep")
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.lit(True).alias("is_canon"))
+    wq_cum = wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = base.withColumn(
+        "is_canon_all", F.row_number().over(wq) == 1
+    ).withColumn(
+        "is_canon",
+        F.col("keep")
+        & (F.sum(F.col("keep").cast("long")).over(wq_cum) == 1),
     )
     grams_all = docs.select(
         "doc_id",
@@ -1640,14 +1653,18 @@ def curation_funnel_frame(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     q = F.col("keep")
-    d = q & F.coalesce("is_canon", F.lit(False))
+    d = q & F.col("is_canon")
     c = d & ~F.coalesce("is_leaky", F.lit(False))
+    uniq = F.col("is_canon_all")
+    nonleaky = ~F.coalesce("is_leaky", F.lit(False))
     return (
-        base.join(canon, "doc_id", "left")
-        .join(leaky, "doc_id", "left")
+        base.join(leaky, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TXT.token_count("text").cast("long")).alias("tokens_in"),
+            F.sum(uniq.cast("long")).alias("n_unique_marginal"),
+            F.sum(nonleaky.cast("long")).alias("n_decon_clean_marginal"),
             F.sum(q.cast("long")).alias("n_quality"),
             F.sum(d.cast("long")).alias("n_dedup"),
             F.sum(c.cast("long")).alias("n_clean"),
@@ -1738,13 +1755,19 @@ PIPELINE_CURATION_FUNNEL_SQL = f"""
 WITH {_gopher_sql_ctes(f"WHERE doc_id % {_EVAL_MOD} <> 0")},
 q AS (
     SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}
-), canon AS (
-    SELECT doc_id FROM (
-        SELECT d.doc_id,
-               ROW_NUMBER() OVER (PARTITION BY sha256(d.text)
-                                  ORDER BY d.doc_id) AS rn
-        FROM documents d JOIN q USING (doc_id)
-    ) WHERE rn = 1
+), flagged AS (
+    -- one window pass: marginal canonical (rn_all) and sequential
+    -- canonical (running keep-count), mirroring the Spark window
+    SELECT doc_id, source, text, q,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn_all,
+           SUM(CASE WHEN q THEN 1 ELSE 0 END) OVER (
+               PARTITION BY sha256(text) ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_q
+    FROM (SELECT d.doc_id, d.source, d.text,
+                 (d.doc_id IN (SELECT doc_id FROM q)) AS q
+          FROM documents d
+          WHERE d.doc_id % {_EVAL_MOD} <> 0)
 ), grams AS (
     SELECT DISTINCT doc_id,
            array_to_string(list_slice(arr, i, i + {_DECON_K - 1}), ' ') AS gram
@@ -1759,18 +1782,22 @@ q AS (
     FROM grams g JOIN ev USING (gram)
     WHERE g.doc_id % {_EVAL_MOD} <> 0
 ), staged AS (
-    SELECT d.source, d.text,
-           (d.doc_id IN (SELECT doc_id FROM q)) AS q,
-           (d.doc_id IN (SELECT doc_id FROM q)
-            AND d.doc_id IN (SELECT doc_id FROM canon)) AS dd,
-           (d.doc_id IN (SELECT doc_id FROM q)
-            AND d.doc_id IN (SELECT doc_id FROM canon)
-            AND d.doc_id NOT IN (SELECT doc_id FROM leaky)) AS c
-    FROM documents d
-    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    SELECT f.source, f.text, f.q,
+           (f.q AND f.cum_q = 1) AS dd,
+           (f.q AND f.cum_q = 1
+            AND f.doc_id NOT IN (SELECT doc_id FROM leaky)) AS c,
+           (f.rn_all = 1) AS uniq,
+           (f.doc_id NOT IN (SELECT doc_id FROM leaky)) AS nonleaky
+    FROM flagged f
 )
 SELECT source,
        COUNT(*) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')))
+            AS BIGINT) AS tokens_in,
+       CAST(SUM(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique_marginal,
+       CAST(SUM(CASE WHEN nonleaky THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_decon_clean_marginal,
        CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        CAST(SUM(CASE WHEN dd THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
        CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,

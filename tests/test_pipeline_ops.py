@@ -919,6 +919,26 @@ def test_pipeline_curation_funnel_stages(spark, monkeypatch):
     r = rows["srcA"]
     assert (r["n_docs"], r["n_quality"], r["n_dedup"], r["n_clean"]) == (4, 3, 2, 1)
     assert r["tokens_clean"] == 50
+    # marginal pre-gate stage measurements (round-10: the funnel must
+    # report non-trivial numbers even where the sequential tail zeroes)
+    assert r["tokens_in"] == 50 + 50 + 2 + 52
+    assert r["n_unique_marginal"] == 3   # dup of 'good' collapses
+    assert r["n_decon_clean_marginal"] == 3  # only the leak doc flags
+
+
+def test_pipeline_curation_funnel_nontrivial_on_driver_corpus(spark):
+    """The oracle-green-but-DEGENERATE lesson (round 9): agreement on
+    all-zero counts certifies nothing. On the driver's raw sf0.01
+    corpus the Gopher stopword rule legitimately zeroes the sequential
+    tail, so the funnel's marginal pre-gate columns are what the hash
+    gate must certify as non-trivial — assert they actually are."""
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    rows = P.pipeline_curation_funnel(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert sum(r["tokens_in"] for r in rows) > 0
+    assert sum(r["n_unique_marginal"] for r in rows) > 0
+    assert sum(r["n_decon_clean_marginal"] for r in rows) > 0
 
 
 # ------------------------------------------------------------- k-core

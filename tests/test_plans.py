@@ -414,10 +414,11 @@ SHUFFLE_BUDGETS = {
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup
     "ccnet_quality_buckets": 5,
-    # three-stage composite: dedup window over quality docs + leaky
-    # distinct + stage joins (AQE picks SMJ/BHJ per scale) + source
-    # rollup + result sort
-    "pipeline_curation_funnel": 7,
+    # three-stage composite: ONE dedup window computing both canonical
+    # flags (sequential + marginal) + leaky distinct + stage join +
+    # source rollup + result sort (round-10: window-join fusion cut
+    # the budget 7 -> 6 while ADDING the marginal pre-gate columns)
+    "pipeline_curation_funnel": 6,
 }
 
 
