@@ -448,6 +448,134 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# TEMPERATURE-SCALED MIXING — share^alpha reweighting (XLM-R style)
+# ---------------------------------------------------------------------------
+# The curation-family operator domain_mix_sample's share CAPS cannot
+# express: smooth a skewed domain distribution toward uniform by
+# sampling domain d with weight proportional to share^alpha (the
+# standard multilingual/domain temperature reweighting — alpha in
+# (0,1) upsamples the tail relative to the head). Rejection form:
+# relative to the SMALLEST domain (whose acceptance is 1), a doc in
+# domain d is kept with probability (n_min/n_d)^(1-alpha), so the
+# post-sample share is proportional to n_d^alpha exactly.
+#
+# Exactness discipline (the DSIR algebra): alpha = num/den is an exact
+# rational; log-space weights use functions/intlog.ilog2_64 (1/64-bit
+# fixed point, bit-identical across Spark/DuckDB/python), and the
+# accept test cross-multiplies by den so no division happens at all:
+#   keep  iff  (num-den)·(ilog2(n_d) - ilog2(n_min))
+#              >= den·(ilog2(u) - 64·30),   u = md5-uniform in [1,2^30]
+# i.e. P(keep) = 2^((alpha-1)·log2(n_d/n_min)) with deterministic
+# hash-derandomized Bernoulli decisions. alpha = 1 makes the LHS zero
+# and the RHS non-positive for every u, so EVERYTHING is kept —
+# temperature 1 is proportional sampling, pinned by a boundary test.
+#
+# The registry query keys on LANG, not source: the driver corpus has
+# exactly-uniform source sizes by construction (every weight would be
+# 0 — a degenerate output the hash gate can't distinguish from a bug)
+# while lang shares are ~3:1 skewed, so en visibly downsamples. Scale
+# shape: one map-side-combinable count rollup (domain-cardinality
+# rows), a broadcast of the weight table, one hash-gate pass, one
+# final rollup — no shuffle keyed on anything bigger than the domain.
+_TEMP_NUM, _TEMP_DEN = 1, 2  # alpha = 1/2
+
+
+def temperature_sample_frame(
+    docs: DataFrame,
+    key_col: str = "lang",
+    alpha_num: int = _TEMP_NUM,
+    alpha_den: int = _TEMP_DEN,
+) -> DataFrame:
+    """Per-domain rollup of temperature-scaled sampling over an
+    arbitrary (doc_id, key_col, text) frame: (key, n_total,
+    weight_scaled, n_kept, tokens_kept). weight_scaled is the exact
+    integer (num-den)·(ilog2_64(n_d) - ilog2_64(n_min)) <= 0 — den
+    times the log2-acceptance in 1/64-bit units (audit column; the
+    per-doc gate compares den·(ilog2_64(u) - 64·30) against it)."""
+    from ..functions.intlog import spark_expr as _L
+
+    cnt = docs.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_total"))
+    mn = cnt.agg(F.min("n_total").alias("n_min"))
+    wt = (
+        cnt.crossJoin(F.broadcast(mn))
+        .select(
+            key_col,
+            "n_total",
+            (
+                F.lit(alpha_num - alpha_den).cast("long")
+                * (F.expr(_L("n_total")) - F.expr(_L("n_min")))
+            ).alias("weight_scaled"),
+        )
+    )
+    u = (
+        "(CAST(conv(substring(md5(concat('temp#', "
+        "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        f"% {1 << 30} + 1)"
+    )
+    kept = (
+        F.lit(alpha_den).cast("long") * (F.expr(_L(u)) - F.lit(64 * 30))
+        <= F.col("weight_scaled")
+    )
+    return (
+        docs.join(F.broadcast(wt), key_col)
+        .groupBy(key_col, "n_total", "weight_scaled")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, TXT.token_count("text"))
+                .otherwise(0)
+                .cast("long")
+            ).alias("tokens_kept"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_sample_frame(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _lang_temperature_sample_sql() -> str:
+    from ..functions.intlog import duck_expr as _L
+
+    num, den = _TEMP_NUM, _TEMP_DEN
+    u = (
+        "(('0x' || substr(md5('temp#' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {1 << 30} + 1)"
+    )
+    return f"""
+WITH cnt AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY lang
+), mn AS (
+    SELECT MIN(n_total) AS n_min FROM cnt
+), wt AS (
+    SELECT lang, n_total,
+           CAST({num - den} AS BIGINT)
+               * ({_L("n_total")} - {_L("n_min")}) AS weight_scaled
+    FROM cnt, mn
+), gated AS (
+    SELECT d.lang, w.n_total, w.weight_scaled,
+           {den} * ({_L(u)} - {64 * 30}) <= w.weight_scaled AS kept,
+           LEN(regexp_extract_all(LOWER(d.text), '[a-zA-Z]+')) AS n_tok
+    FROM documents d JOIN wt w USING (lang)
+)
+SELECT lang, n_total, weight_scaled,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM gated
+GROUP BY lang, n_total, weight_scaled
+ORDER BY lang
+"""
+
+
+LANG_TEMPERATURE_SAMPLE_SQL = _lang_temperature_sample_sql()
+
+
+# ---------------------------------------------------------------------------
 # PACK SEQUENCES — greedy contiguous packing into token-budget bins
 # ---------------------------------------------------------------------------
 # Sample packing: concatenate documents into fixed-capacity training
@@ -2849,6 +2977,13 @@ QUERIES: dict[str, QuerySpec] = {
     "domain_mix_sample": QuerySpec(
         domain_mix_sample, DOMAIN_MIX_SAMPLE_SQL, tags=("L4", "A6"),
         doc="deterministic per-source mixture downsampling rollup",
+    ),
+    "lang_temperature_sample": QuerySpec(
+        lang_temperature_sample, LANG_TEMPERATURE_SAMPLE_SQL,
+        tags=("L4", "A2", "J2"),
+        doc="temperature-scaled domain mixing (share^alpha, alpha=1/2): "
+        "exact-rational rejection weights via fixed-point ilog2, "
+        "hash-derandomized Bernoulli keep decisions",
     ),
     "pack_sequences": QuerySpec(
         pack_sequences, PACK_SEQUENCES_SQL, tags=("L4", "W3"),

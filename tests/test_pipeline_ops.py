@@ -2123,3 +2123,100 @@ def test_quality_classifier_learns_separable_corpus(spark, monkeypatch):
         for r in out
     }
     assert got == expected
+
+
+# ------------------------------------------- temperature-scaled mixing
+def test_temperature_sample_alpha_one_is_proportional(spark):
+    """alpha = 1 is the no-reweighting boundary: every domain's weight
+    collapses to a non-binding gate and the sampled corpus IS the raw
+    corpus (proportional sampling)."""
+    from outreach_etl_tool_spark.queries.pipeline import (
+        temperature_sample_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 4 else "fr", "a b c") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r["lang"]: r
+        for r in temperature_sample_frame(
+            docs, alpha_num=1, alpha_den=1
+        ).collect()
+    }
+    assert all(r["n_kept"] == r["n_total"] for r in rows.values())
+    assert all(r["weight_scaled"] == 0 for r in rows.values())
+
+
+def test_temperature_sample_matches_independent_python_replica(spark):
+    """Replica on the real sf0.001 corpus: per-lang counts, fixed-point
+    weights and every hash-Bernoulli keep decision recomputed in pure
+    python (hashlib + intlog.ilog2_py) — exact equality required. The
+    DuckDB oracle shares the derivation shape, so this is the
+    independent certificate (the round-8 lesson)."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.dataset as ds
+
+    from outreach_etl_tool_spark.functions.intlog import ilog2_py
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _TEMP_DEN, _TEMP_NUM, lang_temperature_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tbl = ds.dataset(f"{sf}/documents.parquet").to_table(
+        columns=["doc_id", "text", "lang"]
+    )
+    docs = list(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("lang").to_pylist(),
+        )
+    )
+    n = Counter(lang for _, _, lang in docs)
+    n_min = min(n.values())
+    w = {
+        lang: (_TEMP_NUM - _TEMP_DEN) * (ilog2_py(c) - ilog2_py(n_min))
+        for lang, c in n.items()
+    }
+    exp = {
+        lang: [c, w[lang], 0, 0] for lang, c in n.items()
+    }  # n_total, weight, n_kept, tokens_kept
+    for doc_id, text, lang in docs:
+        u = (
+            int(hashlib.md5(f"temp#{doc_id}".encode()).hexdigest()[:8], 16)
+            % (1 << 30)
+            + 1
+        )
+        if _TEMP_DEN * (ilog2_py(u) - 64 * 30) <= w[lang]:
+            exp[lang][2] += 1
+            exp[lang][3] += len(_re.findall("[a-zA-Z]+", (text or "").lower()))
+
+    got = {
+        r["lang"]: [
+            r["n_total"], r["weight_scaled"], r["n_kept"], r["tokens_kept"]
+        ]
+        for r in lang_temperature_sample(spark, sf).collect()
+    }
+    assert got == {k: v for k, v in exp.items()}
+
+
+def test_temperature_sample_nontrivial_on_driver_corpus(spark):
+    """Degeneracy guard (the funnel lesson): on the driver corpus the
+    lang shares are skewed, so the head domain must VISIBLY downsample
+    (0 < n_kept < n_total) while the smallest domain keeps everything
+    (weight 0 => gate never binds)."""
+    from outreach_etl_tool_spark.queries.pipeline import (
+        lang_temperature_sample,
+    )
+
+    rows = lang_temperature_sample(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 2
+    head = max(rows, key=lambda r: r["n_total"])
+    tail = min(rows, key=lambda r: r["n_total"])
+    assert 0 < head["n_kept"] < head["n_total"]
+    assert tail["weight_scaled"] == 0
+    assert tail["n_kept"] == tail["n_total"]

@@ -414,6 +414,9 @@ SHUFFLE_BUDGETS = {
     # lm_quality_score derivation (count groupBy + prev window + doc
     # rollup) + per-source ntile + bucket rollup
     "ccnet_quality_buckets": 5,
+    # lang-count rollup + single-row min + broadcast weight join (gate
+    # rides the scan) + final rollup + result sort
+    "lang_temperature_sample": 5,
     # three-stage composite: ONE dedup window computing both canonical
     # flags (sequential + marginal) + leaky distinct + stage join +
     # source rollup + result sort (round-10: window-join fusion cut
