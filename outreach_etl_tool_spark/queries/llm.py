@@ -579,17 +579,16 @@ def _ivf_k(sf_dir: str, raw_embs: DataFrame) -> int:
     return max(16, n // _IVF_CELL_TARGET)
 
 
-def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..dedup import cluster
-    from ..dedup.parity import _EMB_SCALE, _int_dot
-    from ..similarity import ann, kmeans
+def _ivf_qn(embs: DataFrame, cents) -> DataFrame:
+    """(id, cell, qa, nq) — argmax-cell assignment plus the
+    1e-6-quantized integer array and squared norm per vector, local-
+    checkpointed (every consumer joins it against itself or probes it
+    twice). Shared by both IVF tiers and their certificates."""
+    from ..dedup.parity import _EMB_SCALE
+    from ..similarity import ann
 
-    raw = load_table(spark, sf_dir, "embeddings")
-    embs = raw.filter(F.size("embedding") == 64)
-    k = _ivf_k(sf_dir, raw)
-    cents = kmeans.kmeans_centroids(embs, k=k, iters=3)
     zero = F.lit(0).cast("long")
-    qn = (
+    return (
         ann.assign_cells(embs, cents)
         .select(
             F.col("vec_id").alias("id"),
@@ -611,8 +610,35 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("nq"),
         )
-        .localCheckpoint()  # feeds both sides of the cell self-join
+        .localCheckpoint()
     )
+
+
+def _tau_gate(dq: str = "dq", na: str = "na", nb: str = "nb"):
+    """The exact-integer τ = 2/5 cosine gate every embedding tier
+    shares: dq > 0 AND 25·dq² >= 4·na·nb in decimal(38)."""
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (F.col(dq) > 0) & (
+        F.lit(25) * dec(dq) * dec(dq) >= F.lit(4) * dec(na) * dec(nb)
+    )
+
+
+def _semdedup_ivf_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, comps) of the IVF dedup tier — the τ-gated cell-
+    co-membership pair set and its connected components. Split out so
+    the certificate query (semdedup_ivf_check) can audit the emitted
+    PAIRS, not just the component rollup."""
+    from ..dedup import cluster
+    from ..dedup.parity import _int_dot
+    from ..similarity import kmeans
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    embs = raw.filter(F.size("embedding") == 64)
+    k = _ivf_k(sf_dir, raw)
+    cents = kmeans.kmeans_centroids(embs, k=k, iters=3)
+    qn = _ivf_qn(embs, cents)
     cands = (
         qn.alias("a")
         .join(
@@ -632,19 +658,16 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    # same τ = 2/5 gate as the parity tier: 25·dq² >= 4·na·nb, dq > 0
-    pairs = (
-        scored.filter(
-            (F.col("dq") > 0)
-            & (F.lit(25) * dec("dq") * dec("dq") >= F.lit(4) * dec("na") * dec("nb"))
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    # same τ = 2/5 gate as the parity tier
+    pairs = scored.filter(_tau_gate()).select("id_a", "id_b").localCheckpoint()
     comps = cluster.connected_components(
         pairs, qn.select(F.col("id").alias("vec_id")), id_col="vec_id"
     )
+    return pairs, comps
+
+
+def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, comps = _semdedup_ivf_parts(spark, sf_dir)
     return comps.select(
         "vec_id",
         "cluster_id",
@@ -668,39 +691,15 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..dedup.parity import _DECON_EVAL_MOD, _EMB_SCALE, _int_dot
-    from ..similarity import ann, kmeans
+    from ..dedup.parity import _DECON_EVAL_MOD, _int_dot
+    from ..similarity import kmeans
 
     raw = load_table(spark, sf_dir, "embeddings")
     embs = raw.filter(F.size("embedding") == 64)
     k = _ivf_k(sf_dir, raw)
     is_eval = F.col("vec_id") % _DECON_EVAL_MOD == 0
     cents = kmeans.kmeans_centroids(embs.filter(~is_eval), k=k, iters=3)
-    zero = F.lit(0).cast("long")
-    qn = (
-        ann.assign_cells(embs, cents)
-        .select(
-            F.col("vec_id").alias("id"),
-            "cell",
-            F.transform(
-                "embedding",
-                lambda x: F.floor(
-                    x.cast("double") * F.lit(float(_EMB_SCALE))
-                ).cast("long"),
-            ).alias("qa"),
-        )
-        .select(
-            "id",
-            "cell",
-            "qa",
-            F.aggregate(
-                F.transform("qa", lambda a: a * a),
-                zero,
-                lambda acc, x: acc + x,
-            ).alias("nq"),
-        )
-        .localCheckpoint()  # feeds both sides of the cell join
-    )
+    qn = _ivf_qn(embs, cents)
     ev = qn.filter(F.col("id") % _DECON_EVAL_MOD == 0)
     tr = qn.filter(F.col("id") % _DECON_EVAL_MOD != 0)
     cands = (
@@ -718,11 +717,7 @@ def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "id_train", "id_eval", _int_dot("va", "vb").alias("dq"), "na", "nb"
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    gated = scored.filter(
-        (F.col("dq") > 0)
-        & (F.lit(25) * dec("dq") * dec("dq") >= F.lit(4) * dec("na") * dec("nb"))
-    ).select(
+    gated = scored.filter(_tau_gate()).select(
         "id_train",
         "id_eval",
         (
@@ -743,6 +738,250 @@ def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF SOUNDNESS CERTIFICATES — oracled checks for the rows-only tiers
+# ---------------------------------------------------------------------------
+# The graph_kcore_check pattern applied to the two IVF tiers: Lloyd is
+# float-iterative (rows-only by design), but every INVARIANT of the
+# tiers' outputs is pure SQL over raw embeddings, so the certificate
+# queries below are fully oracled and hash-certified by the driver.
+# What each reports:
+#   * the brute-force exact τ-pair universe size, recomputed from a
+#     FRESH scan (all-pairs — the one place the repo runs O(n²) in a
+#     registry query, and deliberately so: it is the certificate tier,
+#     corpus-bounded exactly like the documented exact-kNN tier; the
+#     scale tiers it certifies never run it);
+#   * τ-violations among the tier's EMITTED pairs/flags — re-verified
+#     against the fresh scan, must be 0 (soundness: emitted ⊆ exact);
+#   * cross-tier agreement on overlapping candidates — an emitted pair
+#     that is also an SRP band candidate must appear in the SRP tier's
+#     output (both tiers share one gate), disagreements must be 0;
+#   * an output-structure invariant (every pruned vector has a τ-sound
+#     cluster mate / every flagged cosine matches the exact one).
+# The oracle derives the universe size from data and pins the
+# violation legs at their specified value (0) — fail-loud: any unsound
+# emission hash-mismatches the driver gate. Non-vacuity (the tiers
+# actually emit on the driver corpus) is pytest-pinned separately.
+def _exact_tau_pairs(embs: DataFrame) -> DataFrame:
+    """Brute-force τ-pair universe (id_a < id_b, cosine) from a fresh
+    quantized scan — the certificate reference set."""
+    from ..dedup.parity import _EMB_SCALE, _int_dot
+
+    qarr = embs.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_EMB_SCALE))
+            ).cast("long"),
+        ).alias("qa"),
+    ).select(
+        "id",
+        "qa",
+        F.aggregate(
+            F.transform("qa", lambda a: a * a),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nq"),
+    )
+    cands = (
+        qarr.alias("a")
+        .join(F.broadcast(qarr.alias("b")), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.qa").alias("va"),
+            F.col("b.qa").alias("vb"),
+            F.col("a.nq").alias("na"),
+            F.col("b.nq").alias("nb"),
+        )
+    )
+    scored = cands.select(
+        "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
+    )
+    return scored.filter(_tau_gate()).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("dq")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cosine"),
+    )
+
+
+def semdedup_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
+    pairs, comps = _semdedup_ivf_parts(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    # three consumers of the reference set: checkpoint once
+    exact = _exact_tau_pairs(embs).select("id_a", "id_b").localCheckpoint()
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_tau_pairs")
+    )
+    unsound = pairs.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted_unsound")
+    )
+    base = embs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    banded, _ = parity._emb_banded_qn(base, 64)
+    srp_cands = parity._banded_pairs(banded)
+    srp_out = parity.emb_pairs_parity(embs, ordered=False).select(
+        "id_a", "id_b"
+    )
+    disagree = (
+        pairs.join(srp_cands, ["id_a", "id_b"], "left_semi")
+        .join(srp_out, ["id_a", "id_b"], "left_anti")
+        .agg(
+            F.count(F.lit(1))
+            .cast("bigint")
+            .alias("n_srp_overlap_disagree")
+        )
+    )
+    comps = comps.localCheckpoint()  # feeds nonkeep and the mate join
+    nonkeep = comps.filter(F.col("vec_id") != F.col("cluster_id"))
+    members = comps.select("cluster_id", F.col("vec_id").alias("mate"))
+    mate_pairs = (
+        nonkeep.join(members, "cluster_id")
+        .filter(F.col("vec_id") != F.col("mate"))
+        .select(
+            "vec_id",
+            F.least("vec_id", "mate").alias("id_a"),
+            F.greatest("vec_id", "mate").alias("id_b"),
+        )
+    )
+    with_mate = (
+        mate_pairs.join(exact, ["id_a", "id_b"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    no_mate = nonkeep.join(with_mate, "vec_id", "left_anti").agg(
+        F.count(F.lit(1))
+        .cast("bigint")
+        .alias("n_pruned_without_tau_mate")
+    )
+    return (
+        n_exact.crossJoin(unsound).crossJoin(disagree).crossJoin(no_mate)
+    )
+
+
+def _exact_tau_sql_ctes() -> str:
+    """DuckDB CTE body ending in ``exact(id_a, id_b, cosine)`` — the
+    brute-force τ universe the certificates' oracles derive from."""
+    from ..dedup.parity import _EMB_SCALE
+
+    return f"""qarr AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * {_EMB_SCALE}) AS BIGINT)) AS qa
+    FROM embeddings WHERE LEN(embedding) = 64
+), scored AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> a.qa[i] * b.qa[i])) AS dq,
+           list_sum(list_transform(a.qa, x -> x * x)) AS na,
+           list_sum(list_transform(b.qa, x -> x * x)) AS nb
+    FROM qarr a JOIN qarr b ON a.id < b.id
+), exact AS (
+    SELECT id_a, id_b,
+           dq / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+    FROM scored
+    WHERE dq > 0
+      AND 25 * dq::HUGEINT * dq::HUGEINT >= 4 * na::HUGEINT * nb::HUGEINT
+)"""
+
+
+def _semdedup_ivf_check_sql() -> str:
+    return f"""
+WITH {_exact_tau_sql_ctes()}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact_tau_pairs,
+       CAST(0 AS BIGINT) AS n_emitted_unsound,
+       CAST(0 AS BIGINT) AS n_srp_overlap_disagree,
+       CAST(0 AS BIGINT) AS n_pruned_without_tau_mate
+"""
+
+
+SEMDEDUP_IVF_CHECK_SQL = _semdedup_ivf_check_sql()
+
+
+def decontaminate_semantic_ivf_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..dedup import parity
+    from ..dedup.parity import _DECON_EVAL_MOD
+
+    flagged = decontaminate_semantic_ivf(spark, sf_dir).localCheckpoint()
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    # cross-set τ universe: (id_train, id_eval) legs of the ordered
+    # brute-force pair set where exactly one side is an eval id
+    ex = _exact_tau_pairs(embs).localCheckpoint()
+    a_ev = F.col("id_a") % _DECON_EVAL_MOD == 0
+    b_ev = F.col("id_b") % _DECON_EVAL_MOD == 0
+    cross = (
+        ex.filter(a_ev != b_ev)
+        .select(
+            F.when(a_ev, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_train"
+            ),
+            F.when(a_ev, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_eval"
+            ),
+            "cosine",
+        )
+        .localCheckpoint()  # feeds the count + both verification joins
+    )
+    n_exact = cross.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_cross_pairs")
+    )
+    n_srp = parity.emb_cross_decon_parity(embs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_srp_flagged")
+    )
+    fl = flagged.select(
+        F.col("vec_id").alias("id_train"),
+        F.col("closest_eval_id").alias("id_eval"),
+        F.col("cosine").alias("rep_cosine"),
+    )
+    unsound = fl.join(cross, ["id_train", "id_eval"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged_unsound")
+    )
+    # the reported cosine must be bit-identical to the one recomputed
+    # from the fresh scan (same integers, same IEEE ops)
+    mismatch = (
+        fl.join(cross, ["id_train", "id_eval"])
+        .filter(F.col("rep_cosine") != F.col("cosine"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cosine_mismatch"))
+    )
+    return n_exact.crossJoin(n_srp).crossJoin(unsound).crossJoin(mismatch)
+
+
+def _decon_ivf_check_sql() -> str:
+    from ..dedup.parity import _DECON_EVAL_MOD, emb_cross_decon_sql
+
+    return f"""
+WITH {_exact_tau_sql_ctes()}, cross_exact AS (
+    SELECT CASE WHEN id_a % {_DECON_EVAL_MOD} = 0 THEN id_b ELSE id_a END
+               AS id_train,
+           CASE WHEN id_a % {_DECON_EVAL_MOD} = 0 THEN id_a ELSE id_b END
+               AS id_eval
+    FROM exact
+    WHERE (id_a % {_DECON_EVAL_MOD} = 0) <> (id_b % {_DECON_EVAL_MOD} = 0)
+), srp AS ({emb_cross_decon_sql(dim=64)})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_exact)
+           AS n_exact_cross_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM srp) AS n_srp_flagged,
+       CAST(0 AS BIGINT) AS n_flagged_unsound,
+       CAST(0 AS BIGINT) AS n_cosine_mismatch
+"""
+
+
+DECONTAMINATE_SEMANTIC_IVF_CHECK_SQL = _decon_ivf_check_sql()
 
 
 # L3 — brute-force cosine top-k against a query vector (the baseline ANN
@@ -3469,6 +3708,15 @@ QUERIES: dict[str, QuerySpec] = {
         "SCALING.md carries the 10x contrast to the SRP tier's "
         "band-space saturation",
     ),
+    "decontaminate_semantic_ivf_check": QuerySpec(
+        decontaminate_semantic_ivf_check, DECONTAMINATE_SEMANTIC_IVF_CHECK_SQL,
+        tags=("L2", "L3", "A1"),
+        doc="oracled soundness certificate for the rows-only IVF decon "
+        "tier: brute-force cross-set tau universe + SRP-tier flagged "
+        "count from data, zero-violation invariants (every flagged "
+        "(train, eval) pair is exact-tau-sound from a fresh scan and "
+        "its reported cosine bit-matches the recomputation)",
+    ),
     "decontamination_report": QuerySpec(
         decontamination_report, DECONTAMINATION_REPORT_SQL,
         tags=("L2", "L3", "L4", "J4"), bench=True,
@@ -3618,6 +3866,16 @@ QUERIES: dict[str, QuerySpec] = {
         "keeper; rows-only (Lloyd is float-iterative), planted-dup "
         "recall pytest-pinned; SCALING.md carries its sub-linear 10x "
         "point vs the prune tier's saturation",
+    ),
+    "semdedup_ivf_check": QuerySpec(
+        semdedup_ivf_check, SEMDEDUP_IVF_CHECK_SQL,
+        tags=("L2", "L3", "A1"),
+        doc="oracled soundness certificate for the rows-only IVF dedup "
+        "tier (graph_kcore_check pattern): brute-force tau universe "
+        "from a fresh scan + zero-violation invariants (emitted pairs "
+        "sound, SRP-overlap agreement, every pruned vector has a "
+        "tau-sound cluster mate) — any unsound emission fails the "
+        "driver hash gate",
     ),
     "sim_topk": QuerySpec(sim_topk, SIM_TOPK_SQL, tags=("L3",), bench=True),
     "sim_range_search": QuerySpec(

@@ -995,3 +995,79 @@ def test_decontaminate_semantic_ivf_planted_paraphrases(spark, monkeypatch):
             np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
         )
         assert exact_cos >= 0.40 - 1e-5, (r, exact_cos)
+
+
+# ----------------------------------------------- IVF soundness checks
+def test_semdedup_ivf_nonvacuous_and_check_certifies(spark):
+    """The certificate's zero-violation legs would pass vacuously if
+    the IVF tier emitted nothing — pin that on the driver corpus the
+    tier actually prunes vectors, and that the check row reports a
+    non-trivial exact universe with all violation legs at zero."""
+    from outreach_etl_tool_spark.queries.llm import (
+        semdedup_ivf, semdedup_ivf_check,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = semdedup_ivf(spark, sf).collect()
+    n_pruned = sum(1 for r in out if not r["is_keep"])
+    assert n_pruned > 0
+    row = semdedup_ivf_check(spark, sf).collect()[0]
+    assert row["n_exact_tau_pairs"] > 0
+    assert row["n_emitted_unsound"] == 0
+    assert row["n_srp_overlap_disagree"] == 0
+    assert row["n_pruned_without_tau_mate"] == 0
+
+
+def test_decon_ivf_nonvacuous_and_check_certifies(spark):
+    """Same non-vacuity pin for the cross-set tier: the IVF decon
+    flags train vectors on the driver corpus, and the certificate's
+    universe/SRP counts are non-trivial with zero violations."""
+    from outreach_etl_tool_spark.queries.llm import (
+        decontaminate_semantic_ivf, decontaminate_semantic_ivf_check,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    assert decontaminate_semantic_ivf(spark, sf).count() > 0
+    row = decontaminate_semantic_ivf_check(spark, sf).collect()[0]
+    assert row["n_exact_cross_pairs"] > 0
+    assert row["n_srp_flagged"] > 0
+    assert row["n_flagged_unsound"] == 0
+    assert row["n_cosine_mismatch"] == 0
+
+
+def test_exact_tau_pairs_matches_numpy_bruteforce(spark):
+    """The certificates' reference set is itself verified against an
+    independent numpy brute force on a random frame (the oracle shares
+    the derivation shape — round-8 lesson)."""
+    from outreach_etl_tool_spark.queries.llm import _exact_tau_pairs
+
+    rng = np.random.RandomState(7)
+    vecs = {}
+    rows = []
+    for vid in range(60):
+        v = rng.standard_normal(64)
+        if vid % 5 == 0 and vid > 0:  # plant near-dups of vid-1
+            v = vecs[vid - 1] + rng.standard_normal(64) * 0.1
+        vecs[vid] = v
+        rows.append((vid, [float(x) for x in v]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _exact_tau_pairs(embs).collect()
+    }
+    expect = set()
+    for a in range(60):
+        for b in range(a + 1, 60):
+            qa = np.floor(
+                np.asarray(vecs[a], dtype=np.float32).astype(np.float64)
+                * 1_000_000
+            ).astype(np.int64)
+            qb = np.floor(
+                np.asarray(vecs[b], dtype=np.float32).astype(np.float64)
+                * 1_000_000
+            ).astype(np.int64)
+            dq = int(np.dot(qa, qb))
+            na, nb = int(np.dot(qa, qa)), int(np.dot(qb, qb))
+            if dq > 0 and 25 * dq * dq >= 4 * na * nb:
+                expect.add((a, b))
+    assert got == expect and expect

@@ -417,6 +417,11 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # certificate tier (post-checkpoint): brute-force universe is a
+    # broadcast nested loop, then four single-row aggregates over
+    # anti/semi joins of the emitted pairs vs the reference set
+    "semdedup_ivf_check": 16,
+    "decontaminate_semantic_ivf_check": 10,
     # three-stage composite: ONE dedup window computing both canonical
     # flags (sequential + marginal) + leaky distinct + stage join +
     # source rollup + result sort (round-10: window-join fusion cut
