@@ -2253,6 +2253,33 @@ ORDER BY d.doc_id
 # what the driver's hash gate then certifies end-to-end.
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import parity
+
+    sem = parity.emb_cross_decon_parity(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    return _decontamination_report_frame(spark, sf_dir, sem)
+
+
+# The report's SCALE variant (round-10): identical extents/ngram tiers
+# and doc-keyed joins, but the semantic leg is the IVF tier
+# (decontaminate_semantic_ivf) instead of the fixed-band-space SRP
+# pipeline — the same evidenced handoff the semdedup/decon families
+# already made. Rows-only (Lloyd), with the composition's scale point
+# committed in SCALING.md on the combined 10× documents+embeddings
+# slice: the SRP-legged report saturates with its band space there
+# while this variant stays near-linear. Soundness of the swapped leg
+# is carried by decontaminate_semantic_ivf_check (oracled); the other
+# two tiers are byte-identical to the oracled report's.
+def decontamination_report_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sem = decontaminate_semantic_ivf(spark, sf_dir)
+    return _decontamination_report_frame(spark, sf_dir, sem)
+
+
+def _decontamination_report_frame(
+    spark: SparkSession, sf_dir: str, sem: DataFrame
+) -> DataFrame:
+    """The shared report body over a caller-chosen semantic tier
+    ``sem(vec_id, closest_eval_id, cosine)``."""
     from .pipeline import _grams
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -2280,10 +2307,9 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("ngram_hits"))
     )
-    # tier 3: closest eval embedding neighbor (vec_id == doc_id)
-    sem = parity.emb_cross_decon_parity(
-        load_table(spark, sf_dir, "embeddings")
-    ).select(
+    # tier 3: closest eval embedding neighbor (vec_id == doc_id),
+    # from the caller-chosen semantic tier
+    sem = sem.select(
         F.col("vec_id").alias("doc_id"),
         "closest_eval_id",
         F.col("cosine").alias("semantic_cosine"),
@@ -3716,6 +3742,16 @@ QUERIES: dict[str, QuerySpec] = {
         "count from data, zero-violation invariants (every flagged "
         "(train, eval) pair is exact-tau-sound from a fresh scan and "
         "its reported cosine bit-matches the recomputation)",
+    ),
+    "decontamination_report_ivf": QuerySpec(
+        decontamination_report_ivf, None,
+        tags=("L2", "L3", "L4", "J4"), bench=True,
+        doc="the per-train-doc decon audit on its SCALE path: semantic "
+        "leg swapped to the IVF tier (the evidenced semdedup/decon "
+        "handoff), extents/ngram tiers byte-identical to the oracled "
+        "report; rows-only (Lloyd), leg soundness carried by "
+        "decontaminate_semantic_ivf_check, 10x composition point in "
+        "SCALING.md on the combined documents+embeddings slice",
     ),
     "decontamination_report": QuerySpec(
         decontamination_report, DECONTAMINATION_REPORT_SQL,

@@ -106,6 +106,73 @@ def build_documents_slice(
     return str(atomic_fixture(Path(dest), build))
 
 
+def build_combined_slice(
+    spark: SparkSession,
+    src_dir: str,
+    dest: str | Path,
+    replicas: int = 10,
+) -> str:
+    """Materialize a slice with BOTH tables — ``replicas``× documents
+    AND embeddings in one sf_dir — for queries that join them (the
+    decontamination report ties embeddings to documents by
+    vec_id == doc_id). One SHARED id stride (max over both tables)
+    keeps that alignment inside every replica: doc i's embedding in
+    replica r is still at vec_id == doc_id. Documents rotate text,
+    embeddings roll arrays — both the same bijections the single-table
+    slices use."""
+    from .catalog import load_table
+    from .queries.fixtures import atomic_fixture
+
+    if not 1 <= replicas <= 26:
+        raise ValueError("replicas must be in 1..26 (rotation distinctness)")
+
+    def build(tmp: Path) -> None:
+        docs = load_table(spark, src_dir, "documents")
+        embs = load_table(spark, src_dir, "embeddings")
+        stride = max(
+            docs.agg(F.max("doc_id")).first()[0],
+            embs.agg(F.max("vec_id")).first()[0],
+        ) + 1
+        dreps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                _rotate(F.col("text"), i).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(replicas)
+        ]
+        dout = dreps[0]
+        for r in dreps[1:]:
+            dout = dout.unionByName(r)
+        dout.write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+        dim = F.size("embedding")
+        ereps = []
+        for i in range(replicas):
+            rolled = (
+                F.col("embedding")
+                if i == 0
+                else F.concat(
+                    F.slice(F.col("embedding"), i + 1, dim - i),
+                    F.slice(F.col("embedding"), 1, i),
+                )
+            )
+            ereps.append(
+                embs.select(
+                    (F.col("vec_id") + F.lit(i * stride)).alias("vec_id"),
+                    rolled.alias("embedding"),
+                    "label",
+                )
+            )
+        eout = ereps[0]
+        for r in ereps[1:]:
+            eout = eout.unionByName(r)
+        eout.write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+
+    return str(atomic_fixture(Path(dest), build))
+
+
 def build_embeddings_slice(
     spark: SparkSession,
     src_dir: str,

@@ -1071,3 +1071,30 @@ def test_exact_tau_pairs_matches_numpy_bruteforce(spark):
             if dq > 0 and 25 * dq * dq >= 4 * na * nb:
                 expect.add((a, b))
     assert got == expect and expect
+
+
+def test_decontamination_report_ivf_shares_nonsemantic_tiers(spark):
+    """The scale variant differs from the oracled report ONLY in the
+    semantic leg: extents and ngram columns must be row-identical, the
+    IVF semantic flags must be tau-sound train-side rows, and the
+    variant must be non-vacuous on the driver corpus."""
+    from outreach_etl_tool_spark.queries.llm import (
+        decontamination_report, decontamination_report_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = {
+        r["doc_id"]: (r["n_extents"], r["extent_chars"], r["ngram_hits"])
+        for r in decontamination_report(spark, sf).collect()
+    }
+    ivf_rows = decontamination_report_ivf(spark, sf).collect()
+    got = {
+        r["doc_id"]: (r["n_extents"], r["extent_chars"], r["ngram_hits"])
+        for r in ivf_rows
+    }
+    assert got == base
+    sem = [r for r in ivf_rows if r["closest_eval_id"] is not None]
+    assert sem  # non-vacuous semantic leg
+    assert all(
+        r["doc_id"] % 7 != 0 and r["closest_eval_id"] % 7 == 0 for r in sem
+    )

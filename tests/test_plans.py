@@ -417,6 +417,9 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # the report's scale variant (post-checkpoint semantic leg): three
+    # tier rollups + doc-keyed LEFT joins + result sort
+    "decontamination_report_ivf": 7,
     # certificate tier (post-checkpoint): brute-force universe is a
     # broadcast nested loop, then four single-row aggregates over
     # anti/semi joins of the emitted pairs vs the reference set

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from outreach_etl_tool_spark.queries import REGISTRY  # noqa: E402
 from outreach_etl_tool_spark.scalekit import (  # noqa: E402
+    build_combined_slice,
     build_documents_slice,
     build_embeddings_slice,
     slice_dest,
@@ -90,7 +91,10 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "quality_classifier_scores": True,     # documents-only → 3x point
     "decontaminate_semantic": False,       # embeddings (sf1.0e slice)
     "decontaminate_semantic_ivf": False,   # embeddings; the scale handoff
-    "decontamination_report": False,       # needs documents AND embeddings
+    "decontamination_report": False,       # documents AND embeddings (sf10c)
+    # round-10: the report's scale variant (IVF semantic leg) — the
+    # committed contrast runs both variants on the combined 10x slice
+    "decontamination_report_ivf": False,
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
@@ -155,6 +159,22 @@ NOTES: dict[str, str] = {
         "production cosine regime (~0.99) is pytest-pinned with "
         "planted paraphrases."
     ),
+    "decontamination_report": (
+        "The composed per-train-doc audit with the SRP semantic leg — "
+        "the ORACLED tier (hash-green at the driver scales). Its 10× "
+        "point on the combined documents+embeddings slice inherits "
+        "the SRP band-space saturation (plus the extents/ngram tiers' "
+        "own 10×-documents growth); the variant directly below is the "
+        "committed scale handoff."
+    ),
+    "decontamination_report_ivf": (
+        "The report's SCALE variant: identical extents/ngram tiers "
+        "and joins, semantic leg swapped to decontaminate_semantic_ivf "
+        "(k = n/125 quantizer). The 10× contrast to the SRP-legged "
+        "report above is the composition-level handoff evidence; leg "
+        "soundness is carried by the oracled "
+        "decontaminate_semantic_ivf_check certificate."
+    ),
     "semdedup_ivf": (
         "The semdedup SCALE tier: k-means cell co-membership candidate "
         "generation with k = n/125 read from the parquet footer, so "
@@ -196,6 +216,8 @@ TOP10X = {
     "semdedup_ivf",
     "decontaminate_semantic",
     "decontaminate_semantic_ivf",
+    "decontamination_report",
+    "decontamination_report_ivf",
 }
 
 
@@ -248,6 +270,9 @@ def main() -> None:
     )
     build_embeddings_slice(spark, SF01, slice_dest("sf10e"), replicas=10)
     sf10e = str(slice_dest("sf10e"))
+    sf10c = build_combined_slice(
+        spark, SF01, slice_dest("sf10c"), replicas=10
+    )
 
     # python-worker pool spawn, untimed
     spark.range(64).repartition(32).mapInPandas(
@@ -257,19 +282,22 @@ def main() -> None:
     rows = []
     for name, docs_only in FAMILIES.items():
         points: dict[str, float | None] = {}
-        big_dir = (
-            sf10e
-            if name
-            in (
-                "sim_knn_join",
-                "sim_ann_ivf",
-                "semdedup_prune",
-                "semdedup_ivf",
-                "decontaminate_semantic",
-                "decontaminate_semantic_ivf",
-            )
-            else sf10
-        )
+        if name in (
+            "sim_knn_join",
+            "sim_ann_ivf",
+            "semdedup_prune",
+            "semdedup_ivf",
+            "decontaminate_semantic",
+            "decontaminate_semantic_ivf",
+        ):
+            big_dir = sf10e
+        elif name in (
+            "decontamination_report",
+            "decontamination_report_ivf",
+        ):
+            big_dir = sf10c  # joins documents AND embeddings
+        else:
+            big_dir = sf10
         for label, sf_dir in (
             ("sf0.01", SF001),
             ("sf0.1", SF01),
