@@ -5,37 +5,52 @@ real pretraining-data job executes, written through real sinks
 Stages (sequential, each committed as a manifest-versioned parquet
 table under ``dest_root`` before the next stage READS IT BACK from
 the committed snapshot — so the test proves the operators compose
-through the sink layer, not just through lazy lineage):
+through the sink layer, not just through lazy lineage). With
+``trained_stages=True`` (the default — the full GPT-3-style pipeline:
+heuristics → trained filter → importance mixing → dedup → decon →
+shards; VERDICT r9 next-round #4):
 
 1. ``stage_quality``  — train docs (doc_id % 97 != 0, the funnel's
    eval split) passing the Gopher quality gate;
-2. ``stage_dedup``    — exact-dedup canonicals (min doc_id per
-   sha256(text) WITHIN the quality survivors — the funnel's stage
+2. ``stage_trained``  — survivors kept by the TRAINED quality
+   classifier (``quality_classifier_frame`` on the full corpus frame,
+   the registry query's exact derivation — gate = its ``predicted``
+   column);
+3. ``stage_dsir``     — DSIR importance mixing: survivors the
+   hash-derandomized Bernoulli accepts (``dsir_frame``'s ``accepted``
+   column, same frame-level derivation as the oracled query);
+4. ``stage_dedup``    — exact-dedup canonicals (min doc_id per
+   sha256(text) WITHIN the prior survivors — the funnel's stage
    order);
-3. ``stage_clean``    — doc-drop decontamination: survivors sharing
+5. ``stage_clean``    — doc-drop decontamination: survivors sharing
    no distinct 4-token gram with the eval set;
-4. ``stage_excised``  — span-level cleaning of the remaining docs:
+6. ``stage_excised``  — span-level cleaning of the remaining docs:
    character extents of eval text cut and the text rebuilt
    byte-exactly (the ``decontaminate_excise`` machinery with the SAME
    % 97 eval convention via ``_decon_runs``'s eval_pred — one eval
    set governs every decon tier of the run). Doc counts are
    unchanged by construction (excision cuts text, never drops docs),
-   so stage-3 parity carries through;
-5. ``stage_shards``   — deterministic shuffle-shard assignment of the
+   so stage-5 parity carries through;
+7. ``stage_shards``   — deterministic shuffle-shard assignment of the
    cleaned corpus (``shard_assignments``), the layout a trainer
    streams.
 
-Stages 1–3 implement exactly ``pipeline_curation_funnel``'s oracled
-stage contracts, so the per-source survivor counts of the committed
-tables must equal the funnel's numbers — asserted by
-tests/test_sinks.py on the driver parquet, which is the composition
-proof: if any stage's semantics drifted from the oracled query, the
-funnel parity breaks.
+With ``trained_stages=False`` stages 2–3 are skipped, and stages
+1/4/5 implement exactly ``pipeline_curation_funnel``'s oracled stage
+contracts, so the per-source survivor counts of the committed tables
+must equal the funnel's numbers — asserted by tests/test_sinks.py on
+the driver parquet, which is the composition proof. The trained
+stages are parity-asserted against the two registry queries' own
+frame outputs on the same corpus (same file), so every gate of the
+7-stage run is pinned to an oracled derivation.
 
 Scale notes: every stage is one of the individually scale-graded
 registry operators applied to a committed table; the manifest sink
 adds one distributed parquet write + a KB JSON commit per stage, and
 the read-back is an explicit-file-list scan (no directory races).
+The classifier trains on the FULL corpus frame (bounded 256-int model
+state), then its broadcast-sized score map gates only the committed
+quality survivors.
 """
 
 from __future__ import annotations
@@ -45,19 +60,27 @@ from pyspark.sql import functions as F
 
 
 def run_curation(
-    spark: SparkSession, docs: DataFrame, dest_root: str
+    spark: SparkSession,
+    docs: DataFrame,
+    dest_root: str,
+    trained_stages: bool = True,
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
     ``docs`` is the full corpus frame (doc_id, text, source, lang);
     eval docs (doc_id % 97 == 0) steer decontamination and are never
-    part of any committed stage.
+    part of any committed stage. ``trained_stages`` inserts the
+    trained-classifier gate and DSIR importance mixing between the
+    heuristic gate and dedup (the 7-stage GPT-3-style run);
+    False runs the 5-stage heuristics-only form whose stages are the
+    funnel's oracled contracts.
     """
     from pyspark.sql.window import Window
 
     from ..queries.llm import _decon_runs, _excise_rebuild, _LDS_L
     from ..queries.pipeline import (
-        _DECON_K, _EVAL_MOD, _gopher_flags, _grams, shard_assignments,
+        _DECON_K, _EVAL_MOD, _gopher_flags, _grams, dsir_frame,
+        quality_classifier_frame, shard_assignments,
     )
     from ..sinks.manifest import ManifestTable
 
@@ -75,7 +98,7 @@ def run_curation(
     # 1 — quality gate over the train split
     train = docs.filter(~is_eval)
     flags = _gopher_flags(train).select("doc_id", "keep")
-    quality = commit(
+    survivors = commit(
         "stage_quality",
         train.select("doc_id", "source", "lang", "text")
         .join(flags, "doc_id")
@@ -83,12 +106,32 @@ def run_curation(
         .drop("keep"),
     )
 
-    # 2 — exact dedup among quality survivors (canonical = min doc_id
-    # per sha256, the funnel's stage order)
+    if trained_stages:
+        # 2 — trained quality filter: the registry query's exact
+        # derivation on the FULL corpus frame (train happens once,
+        # bounded model state), gating the committed survivors
+        predicted = (
+            quality_classifier_frame(docs)
+            .filter("predicted")
+            .select("doc_id")
+        )
+        survivors = commit(
+            "stage_trained", survivors.join(predicted, "doc_id", "left_semi")
+        )
+        # 3 — DSIR importance mixing: hash-derandomized Bernoulli
+        # acceptance toward the target distribution, same frame-level
+        # derivation as the oracled query
+        accepted = dsir_frame(docs).filter("accepted").select("doc_id")
+        survivors = commit(
+            "stage_dsir", survivors.join(accepted, "doc_id", "left_semi")
+        )
+
+    # 4 — exact dedup among survivors (canonical = min doc_id per
+    # sha256, the funnel's stage order)
     wq = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     dedup = commit(
         "stage_dedup",
-        quality.withColumn("rn", F.row_number().over(wq))
+        survivors.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") == 1)
         .drop("rn"),
     )

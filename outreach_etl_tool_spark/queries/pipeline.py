@@ -2275,9 +2275,17 @@ def _hashed_feature_occ(docs: DataFrame, materialize: bool = True) -> DataFrame:
 
 
 def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_frame(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def dsir_frame(docs: DataFrame) -> DataFrame:
+    """DSIR over an arbitrary (doc_id, text, lang) frame — shared by
+    the registry query and the materialized curation run's importance-
+    mixing stage (parity-asserted in tests/test_sinks.py)."""
     from ..functions.intlog import spark_expr as _L
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     occ = _hashed_feature_occ(docs)
     cnt = occ.filter(F.col("b").isNotNull()).groupBy("b").agg(
         F.count(F.lit(1)).alias("k_r"),
@@ -2423,6 +2431,21 @@ def quality_classifier_scores(
     from ..catalog import table_rows
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    try:
+        n_docs = table_rows(sf_dir, "documents")
+    except (FileNotFoundError, OSError):
+        n_docs = None  # in-memory/synthetic frame fallback (count())
+    return quality_classifier_frame(docs, n_docs)
+
+
+def quality_classifier_frame(
+    docs: DataFrame, n_docs: int | None = None
+) -> DataFrame:
+    """The trained classifier over an arbitrary (doc_id, text, lang)
+    frame — shared by the registry query and the materialized curation
+    run's trained-filter stage (parity-asserted in
+    tests/test_sinks.py). ``n_docs`` scales the learning rate; when
+    None it is counted from the frame."""
     # single consumer (x is the checkpointed multi-step frame) — no
     # need to materialize the raw occurrence stream as well
     occ = _hashed_feature_occ(docs, materialize=False)
@@ -2436,10 +2459,8 @@ def quality_classifier_scores(
         # the session lifetime (round-9 ADVICE leak)
         .localCheckpoint()
     )
-    try:
-        n_docs = table_rows(sf_dir, "documents")
-    except (FileNotFoundError, OSError):
-        n_docs = docs.count()  # in-memory/synthetic frame fallback
+    if n_docs is None:
+        n_docs = docs.count()
     y = F.when(F.col("is_t"), F.lit(_QC_SCALE)).otherwise(F.lit(0))
 
     def _wb(w: dict[int, int]) -> Column:

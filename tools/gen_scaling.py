@@ -128,13 +128,17 @@ NOTES: dict[str, str] = {
         "flat at 1.1×."
     ),
     "pipeline_curation_run": (
-        "The composed MATERIALIZED run (quality → exact dedup → "
-        "doc-drop decon → span excision → shuffle shards), each stage "
+        "The composed MATERIALIZED run, round-10: the full 7-stage "
+        "GPT-3-style pipeline (Gopher heuristics → TRAINED classifier "
+        "filter → DSIR importance mixing → exact dedup → doc-drop "
+        "decon → span excision → shuffle shards), each stage "
         "committed to a manifest table and read back from the "
-        "snapshot before the next stage — wall time includes 5 "
-        "distributed parquet writes + manifest commits + read-backs, "
-        "not just the transformations. Stage parity with the oracled "
-        "funnel contracts is pytest-pinned (tests/test_sinks.py). "
+        "snapshot before the next stage — wall time includes 7 "
+        "distributed parquet writes + manifest commits + read-backs "
+        "plus the classifier's 3 full-batch gradient steps, not just "
+        "the transformations. Trained-gate parity with the two "
+        "oracled registry derivations and downstream definitional "
+        "contracts are pytest-pinned (tests/test_sinks.py). "
         "Runs on the stopword-enriched frame (' the of' appended per "
         "doc): the synthetic vocabulary contains none of Gopher's "
         "stopword list beyond 'the', so on raw testdata the published "
