@@ -31,11 +31,39 @@ HEAVY = [
 ]
 
 
-def _timed(spark, name: str, sf_dir: str) -> float:
-    spark.catalog.clearCache()
-    t0 = time.monotonic()
-    REGISTRY[name].fn(spark, sf_dir).count()
-    return time.monotonic() - t0
+def _timed(spark, name: str, sf_dir: str, passes: int = 1) -> float:
+    best = None
+    for _ in range(passes):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _calibration(spark) -> float:
+    """Median-of-3 fixed probe, timed adjacent to a measurement — the
+    host-load normalizer that de-flakes the ratio assertions under a
+    concurrently busy machine (round-9 verdict #6: the 3× test failed
+    under a parallel selfcheck and passed quiet)."""
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        (
+            spark.range(5_000_000)
+            .select(
+                (F.col("id") % 97).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("h"),
+            )
+            .groupBy("k")
+            .sum("h")
+            .count()
+        )
+        samples.append(time.monotonic() - t0)
+    return sorted(samples)[1]
 
 
 @pytest.mark.slow
@@ -86,11 +114,18 @@ def sf03_dir(spark):
 )
 def test_three_x_slice_scales_linearly(spark, name, sf03_dir):
     REGISTRY[name].fn(spark, SF_BIG).count()  # warm
-    t_mid = _timed(spark, name, SF_BIG)
-    t_3x = _timed(spark, name, sf03_dir)
-    ratio = t_3x / max(t_mid, 1e-6)
+    # each wall time is best-of-2 and normalized by a calibration
+    # probe timed in ITS OWN measurement window, so a CPU hog that
+    # lands on one window inflates that window's probe too and the
+    # ratio stays load-invariant (round-9 verdict #6 de-flake)
+    c_mid = _calibration(spark)
+    t_mid = _timed(spark, name, SF_BIG, passes=2)
+    c_3x = _calibration(spark)
+    t_3x = _timed(spark, name, sf03_dir, passes=2)
+    ratio = (t_3x / max(c_3x, 1e-6)) / max(t_mid / max(c_mid, 1e-6), 1e-6)
     # 3x data: linear is 3x, quadratic ~9x; 6 allows fixed-cost noise
     assert ratio < 6.0, (
-        f"{name}: sf0.3 took {t_3x:.2f}s vs sf0.1 {t_mid:.2f}s "
-        f"(ratio {ratio:.1f}× for 3× data) — super-linear scaling"
+        f"{name}: sf0.3 took {t_3x:.2f}s (calib {c_3x:.2f}s) vs "
+        f"sf0.1 {t_mid:.2f}s (calib {c_mid:.2f}s) — normalized ratio "
+        f"{ratio:.1f}× for 3× data — super-linear scaling"
     )
