@@ -106,6 +106,49 @@ def build_documents_slice(
     return str(atomic_fixture(Path(dest), build))
 
 
+def build_lineitem_slice(
+    spark: SparkSession,
+    src_dir: str,
+    dest: str | Path,
+    replicas: int = 3,
+) -> str:
+    """Materialize the ``replicas``× lineitem slice for the
+    GRAPH family's third scaling point: each replica offsets
+    l_orderkey AND l_partkey by a shared stride, so the co-purchase
+    graph gains ``replicas`` disjoint copies of the original — node,
+    edge and triangle counts grow exactly linearly, the regime where
+    a super-linear wedge/pair expansion has nowhere to hide. Other
+    columns ride along unchanged (the graph queries never read
+    them)."""
+    from .catalog import load_table
+    from .queries.fixtures import atomic_fixture
+
+    def build(tmp: Path) -> None:
+        li = load_table(spark, src_dir, "lineitem")
+        stride = (
+            li.agg(
+                F.greatest(
+                    F.max("l_orderkey"), F.max("l_partkey")
+                )
+            ).first()[0]
+            + 1
+        )
+        reps = [
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * stride)
+            ).withColumn(
+                "l_partkey", F.col("l_partkey") + F.lit(i * stride)
+            )
+            for i in range(replicas)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+
+    return str(atomic_fixture(Path(dest), build))
+
+
 def build_combined_slice(
     spark: SparkSession,
     src_dir: str,
