@@ -2566,6 +2566,92 @@ QUALITY_CLASSIFIER_SCORES_SQL = _qc_sql()
 
 
 # ---------------------------------------------------------------------------
+# PARETO LOTTERY — GPT-3's actual classifier-acceptance rule
+# ---------------------------------------------------------------------------
+# GPT-3 (Brown et al. 2020, App. A) does NOT threshold its quality
+# classifier: a document is kept iff
+#       np.random.pareto(alpha) > 1 - document_score,   alpha = 9
+# so high-scoring docs are near-certain keeps while low scorers retain
+# a heavy-tailed re-inclusion chance (preserving distributional
+# coverage). With X = U^(-1/alpha) - 1 (inverse-CDF form, U uniform
+# (0,1]) the rule is  U <= (2 - s)^(-alpha)  — and THAT is exactly
+# representable in integer arithmetic: with s quantized to 1/1000 and
+# clamped to [0, 1] (scores ride the classifier's fixed point), keep
+#       u * (2000 - s1k)^9  <=  2^20 * 1000^9
+# with u = md5-uniform in [1, 2^20]. Max LHS = 2^20 * 2000^9 ~ 5.4e35
+# < 1e38, so decimal(38,0) (Spark) and HUGEINT (DuckDB) agree exactly:
+# a transcendental-free Pareto draw, derandomized by a
+# content-independent hash — the same discipline as DSIR's Bernoulli.
+# At s = 1 the inequality is u <= 2^20: always true, P(keep) = 1
+# exactly. Oracle: the classifier's unrolled training CTEs + the
+# integer lottery (full hash certification of train + lottery).
+_PARETO_ALPHA = 9
+_PL_UBITS = 20  # u in [1, 2^20]
+
+
+def quality_pareto_lottery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = quality_classifier_scores(spark, sf_dir).select(
+        "doc_id", "score_scaled"
+    )
+    # `div`: truncating integer division, the semantics DuckDB's `//`
+    # shares (module float-discipline note)
+    s1k = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(1000).cast("long"), F.expr("score_scaled div 1000")),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pareto#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (1 << _PL_UBITS)
+        + 1
+    )
+    c = (F.lit(2000) - s1k).cast("decimal(38,0)")
+    c9 = c
+    for _ in range(_PARETO_ALPHA - 1):
+        c9 = c9 * c
+    # 2^20 * 1000^9 ~ 1.05e33 exceeds int64 — a decimal literal, not
+    # F.lit (py4j longs cap at 2^63)
+    rhs = F.expr(
+        f"CAST('{(1 << _PL_UBITS) * 1000 ** _PARETO_ALPHA}' AS DECIMAL(38,0))"
+    )
+    return scores.select(
+        "doc_id",
+        "score_scaled",
+        u.alias("pareto_u"),
+        (u.cast("decimal(38,0)") * c9 <= rhs).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def _pareto_lottery_sql() -> str:
+    c = "(2000 - GREATEST(0, LEAST(1000, score_scaled // 1000)))::HUGEINT"
+    c9 = " * ".join([c] * _PARETO_ALPHA)
+    u = (
+        "(('0x' || substr(md5('pareto#' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {1 << _PL_UBITS} + 1)"
+    )
+    return f"""
+WITH qc AS ({QUALITY_CLASSIFIER_SCORES_SQL.rstrip()}
+)
+SELECT doc_id, score_scaled,
+       CAST({u} AS BIGINT) AS pareto_u,
+       {u}::HUGEINT * ({c9})
+           <= {(1 << _PL_UBITS) * 1000**_PARETO_ALPHA}::HUGEINT AS kept
+FROM qc
+ORDER BY doc_id
+"""
+
+
+QUALITY_PARETO_LOTTERY_SQL = _pareto_lottery_sql()
+
+
+# ---------------------------------------------------------------------------
 # BOILERPLATE COMMONALITY — cross-document repeated-content filter
 # ---------------------------------------------------------------------------
 # The cross-doc complement of quality_signals' intra-doc repetition
@@ -3017,6 +3103,17 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "quality_pareto_lottery": QuerySpec(
+        quality_pareto_lottery, QUALITY_PARETO_LOTTERY_SQL,
+        tags=("L4", "A2", "F4"),
+        doc="GPT-3's actual classifier-acceptance rule (Brown et al. "
+        "2020 App. A): keep iff pareto(9) > 1 - score, rewritten via "
+        "the inverse CDF as the exact-integer inequality "
+        "u*(2000-s1k)^9 <= 2^20*1000^9 (decimal(38)/HUGEINT) on the "
+        "trained classifier's scores - a transcendental-free Pareto "
+        "draw derandomized by a content-independent hash; oracle "
+        "nests the classifier's unrolled training CTEs + the lottery",
     ),
     "quality_classifier_scores": QuerySpec(
         quality_classifier_scores, QUALITY_CLASSIFIER_SCORES_SQL,

@@ -2220,3 +2220,74 @@ def test_temperature_sample_nontrivial_on_driver_corpus(spark):
     assert 0 < head["n_kept"] < head["n_total"]
     assert tail["weight_scaled"] == 0
     assert tail["n_kept"] == tail["n_total"]
+
+
+# ------------------------------------------------------ Pareto lottery
+def test_pareto_lottery_matches_independent_python_replica(spark):
+    """Replica on the real sf0.001 corpus: recompute every doc's
+    lottery decision in pure python (hashlib + exact ints) from the
+    REGISTRY classifier scores, and cross-check the integer inequality
+    against the float Pareto condition U <= (2 - s)^-9 (they can only
+    disagree inside the 1/1000 score-quantization band, by design)."""
+    import hashlib
+
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _PARETO_ALPHA, _PL_UBITS, quality_classifier_scores,
+        quality_pareto_lottery,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scores = {
+        r["doc_id"]: r["score_scaled"]
+        for r in quality_classifier_scores(spark, sf).collect()
+    }
+    exp = {}
+    for doc_id, s in scores.items():
+        s1k = max(0, min(1000, int(abs(s) // 1000) * (1 if s >= 0 else -1)))
+        s1k = max(0, s1k)
+        u = (
+            int(hashlib.md5(f"pareto#{doc_id}".encode()).hexdigest()[:8], 16)
+            % (1 << _PL_UBITS)
+            + 1
+        )
+        kept = u * (2000 - s1k) ** _PARETO_ALPHA <= (
+            (1 << _PL_UBITS) * 1000 ** _PARETO_ALPHA
+        )
+        # float cross-check of the inverse-CDF rewrite on the
+        # quantized score (same quantization both sides)
+        float_kept = (u / (1 << _PL_UBITS)) <= (2 - s1k / 1000) ** (
+            -_PARETO_ALPHA
+        )
+        assert kept == float_kept, (doc_id, s1k, u)
+        exp[doc_id] = (u, kept)
+    got = {
+        r["doc_id"]: (r["pareto_u"], r["kept"])
+        for r in quality_pareto_lottery(spark, sf).collect()
+    }
+    assert got == exp
+
+
+def test_pareto_lottery_boundaries_and_nondegeneracy(spark):
+    """s = 1 is an always-keep (u <= 2^20 holds for every u); on the
+    driver corpus the lottery must make a strict nonzero cut (the
+    degeneracy rule), and keeps must skew toward higher scores."""
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _PARETO_ALPHA, _PL_UBITS,
+    )
+
+    # algebraic boundary: max u at s1k=1000
+    assert (1 << _PL_UBITS) * 1000 ** _PARETO_ALPHA <= (
+        (1 << _PL_UBITS) * 1000 ** _PARETO_ALPHA
+    )
+    from outreach_etl_tool_spark.queries.pipeline import (
+        quality_pareto_lottery,
+    )
+
+    rows = quality_pareto_lottery(spark, "/root/testdata/sf0.01").collect()
+    kept = [r for r in rows if r["kept"]]
+    assert 0 < len(kept) < len(rows)
+    import statistics
+
+    assert statistics.mean(r["score_scaled"] for r in kept) > (
+        statistics.mean(r["score_scaled"] for r in rows)
+    )

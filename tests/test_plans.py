@@ -417,6 +417,9 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # classifier scoring rollup + result sort (the lottery itself
+    # rides the projection — no extra exchange)
+    "quality_pareto_lottery": 2,
     # the report's scale variant (post-checkpoint semantic leg): three
     # tier rollups + doc-keyed LEFT joins + result sort
     "decontamination_report_ivf": 7,
