@@ -101,6 +101,9 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     # round-10: the report's scale variant (IVF semantic leg) — the
     # committed contrast runs both variants on the combined 10x slice
     "decontamination_report_ivf": False,
+    # round-10 curation additions (documents-only → 3x point)
+    "lang_temperature_sample": True,
+    "quality_pareto_lottery": True,
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
