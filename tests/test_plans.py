@@ -417,6 +417,9 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # certificate: two distinct rollups + approx rollup + sketch
+    # rollup/merge + single-row crossjoins
+    "agg_approx_distinct_check": 10,
     # classifier scoring rollup + result sort (the lottery itself
     # rides the projection — no extra exchange)
     "quality_pareto_lottery": 2,
