@@ -64,6 +64,7 @@ def run_curation(
     docs: DataFrame,
     dest_root: str,
     trained_stages: bool = True,
+    classifier_gate: str = "threshold",
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
@@ -73,14 +74,20 @@ def run_curation(
     trained-classifier gate and DSIR importance mixing between the
     heuristic gate and dedup (the 7-stage GPT-3-style run);
     False runs the 5-stage heuristics-only form whose stages are the
-    funnel's oracled contracts.
+    funnel's oracled contracts. ``classifier_gate`` picks the trained
+    gate's acceptance rule: ``"threshold"`` keeps the classifier's
+    ``predicted`` docs; ``"lottery"`` applies GPT-3's actual Pareto
+    lottery (`pareto_lottery_frame`, the oracled
+    `quality_pareto_lottery` derivation) so low scorers retain a
+    heavy-tailed re-inclusion chance.
     """
     from pyspark.sql.window import Window
 
     from ..queries.llm import _decon_runs, _excise_rebuild, _LDS_L
     from ..queries.pipeline import (
         _DECON_K, _EVAL_MOD, _gopher_flags, _grams, dsir_frame,
-        quality_classifier_frame, shard_assignments,
+        pareto_lottery_frame, quality_classifier_frame,
+        shard_assignments,
     )
     from ..sinks.manifest import ManifestTable
 
@@ -107,14 +114,18 @@ def run_curation(
     )
 
     if trained_stages:
-        # 2 — trained quality filter: the registry query's exact
-        # derivation on the FULL corpus frame (train happens once,
+        # 2 — trained quality filter: the registry queries' exact
+        # derivations on the FULL corpus frame (train happens once,
         # bounded model state), gating the committed survivors
-        predicted = (
-            quality_classifier_frame(docs)
-            .filter("predicted")
-            .select("doc_id")
-        )
+        qc = quality_classifier_frame(docs)
+        if classifier_gate == "lottery":
+            predicted = (
+                pareto_lottery_frame(qc.select("doc_id", "score_scaled"))
+                .filter("kept")
+                .select("doc_id")
+            )
+        else:
+            predicted = qc.filter("predicted").select("doc_id")
         survivors = commit(
             "stage_trained", survivors.join(predicted, "doc_id", "left_semi")
         )

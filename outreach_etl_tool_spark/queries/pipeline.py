@@ -2590,9 +2590,17 @@ _PL_UBITS = 20  # u in [1, 2^20]
 
 
 def quality_pareto_lottery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scores = quality_classifier_scores(spark, sf_dir).select(
-        "doc_id", "score_scaled"
-    )
+    return pareto_lottery_frame(
+        quality_classifier_scores(spark, sf_dir).select(
+            "doc_id", "score_scaled"
+        )
+    ).orderBy("doc_id")
+
+
+def pareto_lottery_frame(scores: DataFrame) -> DataFrame:
+    """The integer lottery over an arbitrary (doc_id, score_scaled)
+    frame — shared by the registry query and the curation run's
+    ``classifier_gate="lottery"`` mode."""
     # `div`: truncating integer division, the semantics DuckDB's `//`
     # shares (module float-discipline note)
     s1k = F.greatest(
@@ -2626,7 +2634,7 @@ def quality_pareto_lottery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_scaled",
         u.alias("pareto_u"),
         (u.cast("decimal(38,0)") * c9 <= rhs).alias("kept"),
-    ).orderBy("doc_id")
+    )
 
 
 def _pareto_lottery_sql() -> str:

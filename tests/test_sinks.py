@@ -728,3 +728,46 @@ def test_curation_run_trained_stages_parity(spark, tmp_path):
     # excision never drops docs; shards cover the survivors
     assert counts["stage_excised"] == counts["stage_clean"]
     assert counts["stage_shards"] == counts["stage_clean"]
+
+
+def test_curation_run_lottery_gate_parity(spark, tmp_path):
+    """classifier_gate='lottery' swaps the trained stage's acceptance
+    to GPT-3's Pareto lottery; the committed survivors must equal
+    quality ∩ the oracled lottery derivation's keeps on the same
+    frame, and the gate must be non-degenerate AND differ from the
+    threshold gate (the two rules genuinely select different docs)."""
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.operators.curation import run_curation
+    from outreach_etl_tool_spark.queries.pipeline import (
+        pareto_lottery_frame, quality_classifier_frame,
+    )
+    from outreach_etl_tool_spark.sinks.manifest import ManifestTable
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text", F.concat("text", F.lit(" the of"))
+    )
+    dest = str(tmp_path / "curation_lottery")
+    run_curation(spark, docs, dest, classifier_gate="lottery")
+
+    def ids(name):
+        return {
+            r["doc_id"]
+            for r in ManifestTable(f"{dest}/{name}").read(spark).collect()
+        }
+
+    quality, trained = ids("stage_quality"), ids("stage_trained")
+    qc = quality_classifier_frame(docs)
+    kept = {
+        r["doc_id"]
+        for r in pareto_lottery_frame(qc.select("doc_id", "score_scaled"))
+        .filter("kept")
+        .select("doc_id")
+        .collect()
+    }
+    predicted = {
+        r["doc_id"] for r in qc.filter("predicted").select("doc_id").collect()
+    }
+    assert trained == quality & kept
+    assert 0 < len(trained) < len(quality)
+    assert quality & kept != quality & predicted  # a genuinely different rule
