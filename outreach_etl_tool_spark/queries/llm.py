@@ -1414,6 +1414,77 @@ def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram.unigram_train_pieces(spark, docs, vocab_size=300)
 
 
+# L4x CERTIFICATE — the rows-only unigram trainer certified by the
+# check pattern: the trainer's EM is float-iterative (no SQL mirror),
+# but its OUTPUT CONTRACTS are pure data properties — every distinct
+# character of the lowercased whitespace-tokenized corpus must be
+# present as a single-char piece (the coverage invariant the encoder
+# relies on), every trained piece must occur as a substring of some
+# corpus word (seeding/pruning never invent text), and the vocabulary
+# respects its size bound (exceedable only to keep singles). The
+# oracle derives the non-trivial anchor (distinct corpus characters)
+# from data and pins the violation legs at their specified values.
+def unigram_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pieces = unigram_train(spark, sf_dir).localCheckpoint()
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), r"\s+", ""), ""
+                )
+            ).alias("ch")
+        )
+        .filter(F.length("ch") > 0)
+        .distinct()
+        .localCheckpoint()  # anchor count + the coverage anti-join
+    )
+    n_chars = chars.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars")
+    )
+    singles = pieces.filter(F.length("piece") == 1).select(
+        F.col("piece").alias("ch")
+    )
+    missing = chars.join(singles, "ch", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_missing_singles")
+    )
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    found = (
+        F.broadcast(pieces.select("piece"))
+        .join(words, F.expr("instr(w, piece) > 0"), "left_semi")
+    )
+    not_sub = pieces.join(found, "piece", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces_not_substring")
+    )
+    n_singles = singles.count()
+    bound_ok = pieces.agg(
+        (F.count(F.lit(1)) <= F.lit(max(300, n_singles))).alias(
+            "vocab_within_bound"
+        )
+    )
+    return (
+        n_chars.crossJoin(missing).crossJoin(not_sub).crossJoin(bound_ok)
+    )
+
+
+UNIGRAM_TRAIN_CHECK_SQL = r"""
+SELECT (SELECT CAST(COUNT(DISTINCT ch) AS BIGINT)
+        FROM (SELECT unnest(string_split(
+                  regexp_replace(lower(text), '\s+', '', 'g'), '')) AS ch
+              FROM documents)
+        WHERE ch <> '') AS n_distinct_chars,
+       CAST(0 AS BIGINT) AS n_missing_singles,
+       CAST(0 AS BIGINT) AS n_pieces_not_substring,
+       TRUE AS vocab_within_bound
+"""
+
+
 # L4s-b — tokenizer fertility on BOTH trained vocabularies: the
 # dataset-engineering comparison a tokenizer decision rests on —
 # pieces per whitespace word by source x lang under the trained BPE
@@ -3940,6 +4011,15 @@ QUERIES: dict[str, QuerySpec] = {
         "hard-EM + deterministic pruning): same bounded word-count "
         "collect as BPE, driver-side EM, pieces table as the model; "
         "rows-only, property-pinned (determinism/coverage/pruning)",
+    ),
+    "unigram_train_check": QuerySpec(
+        unigram_train_check, UNIGRAM_TRAIN_CHECK_SQL,
+        tags=("L4", "A2", "A1"),
+        doc="oracled output-contract certificate for the rows-only "
+        "unigram trainer: distinct corpus characters (data-derived "
+        "anchor) + pinned invariants - every corpus char has a "
+        "single-char piece, every piece is a substring of some "
+        "corpus word, vocab respects its bound",
     ),
     "tokenizer_fertility_compare": QuerySpec(
         tokenizer_fertility_compare, None, tags=("L4", "A2", "UDF"),

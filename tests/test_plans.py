@@ -417,6 +417,9 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # certificate (post-checkpoint pieces/chars): char + word distincts,
+    # coverage anti-join, substring BNL semi-join, single-row crossjoins
+    "unigram_train_check": 9,
     # certificate: two distinct rollups + approx rollup + sketch
     # rollup/merge + single-row crossjoins
     "agg_approx_distinct_check": 10,
