@@ -1485,6 +1485,64 @@ SELECT (SELECT CAST(COUNT(DISTINCT ch) AS BIGINT)
 """
 
 
+# L4g CERTIFICATE — the rows-only BPE trainer certified the same way:
+# Sennrich training is greedy-iterative (no SQL mirror), but (a) the
+# FIRST merge is definitionally the corpus's max-frequency adjacent
+# symbol pair — fully derivable in SQL over the same lowercase
+# ASCII-whitespace word table with the trainer's `</w>` end symbol
+# and its (freq desc, pair asc) tie-break — and (b) the max pair
+# frequency is NON-INCREASING across merges (every new pair's count
+# is bounded by the merged pair's count; old pairs only lose
+# occurrences), so rank-order frequency inversions are a pinned-zero
+# violation leg. Anchors: first_left/first_right/first_pair_freq all
+# come from data in both engines.
+def bpe_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = bpe_train(spark, sf_dir)  # driver-trained, tiny local frame
+    first = rules.filter(F.col("rank") == 0).select(
+        F.col("left").alias("first_left"),
+        F.col("right").alias("first_right"),
+        F.col("pair_freq").cast("bigint").alias("first_pair_freq"),
+    )
+    a, b = rules.alias("a"), rules.alias("b")
+    viol = (
+        a.join(b, F.col("b.rank") == F.col("a.rank") + 1)
+        .filter(F.col("b.pair_freq") > F.col("a.pair_freq"))
+        .agg(
+            F.count(F.lit(1))
+            .cast("bigint")
+            .alias("n_freq_order_violations")
+        )
+    )
+    bound = rules.agg(
+        (F.count(F.lit(1)) <= F.lit(40)).alias("n_rules_within_bound")
+    )
+    return first.crossJoin(viol).crossJoin(bound)
+
+
+BPE_TRAIN_CHECK_SQL = r"""
+WITH words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          FROM documents) t
+    WHERE w <> '' GROUP BY w
+), pairs AS (
+    SELECT substr(w, i, 1) AS l,
+           CASE WHEN i = LEN(w) THEN '</w>'
+                ELSE substr(w, i + 1, 1) END AS r,
+           n
+    FROM words, unnest(generate_series(1, LEN(w))) AS s(i)
+), agg AS (
+    SELECT l, r, CAST(SUM(n) AS BIGINT) AS f FROM pairs GROUP BY l, r
+)
+SELECT l AS first_left, r AS first_right, f AS first_pair_freq,
+       CAST(0 AS BIGINT) AS n_freq_order_violations,
+       TRUE AS n_rules_within_bound
+FROM agg
+ORDER BY f DESC, l ASC, r ASC
+LIMIT 1
+"""
+
+
 # L4s-b — tokenizer fertility on BOTH trained vocabularies: the
 # dataset-engineering comparison a tokenizer decision rests on —
 # pieces per whitespace word by source x lang under the trained BPE
@@ -4011,6 +4069,15 @@ QUERIES: dict[str, QuerySpec] = {
         "hard-EM + deterministic pruning): same bounded word-count "
         "collect as BPE, driver-side EM, pieces table as the model; "
         "rows-only, property-pinned (determinism/coverage/pruning)",
+    ),
+    "bpe_train_check": QuerySpec(
+        bpe_train_check, BPE_TRAIN_CHECK_SQL,
+        tags=("L4", "A2", "A1"),
+        doc="oracled certificate for the rows-only BPE trainer: the "
+        "first merge must be the corpus's max-frequency symbol pair "
+        "(derived in SQL with the </w> end symbol and the trainer's "
+        "tie-break) and max pair frequency is non-increasing across "
+        "ranks (violations pinned 0)",
     ),
     "unigram_train_check": QuerySpec(
         unigram_train_check, UNIGRAM_TRAIN_CHECK_SQL,
