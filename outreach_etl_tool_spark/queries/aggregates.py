@@ -437,6 +437,99 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4d CERTIFICATE — rank-error certification of the rows-only approx
+# percentiles (same check pattern): percentile_approx(acc=10⁴)
+# guarantees a returned element whose RANK is within n/acc of the
+# target, so the certificate sorts each group once (window
+# row_number — a certificate-tier cost, like the all-pairs τ
+# universe), reads the data values at the integer rank window
+# [ceil(p·n) − slack, ceil(p·n) + slack] (slack = ceil(n/acc) + 1,
+# exact integer arithmetic — no float ranks), and counts estimates
+# falling OUTSIDE their window's values — pinned 0, alongside the
+# p50 ≤ p95 ≤ p99 monotonicity leg. Anchors (group, n) derive from
+# data in both engines.
+def agg_approx_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    acc = 10_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = agg_approx_percentiles(spark, sf_dir)  # flag, p50, p95, p99, n
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rk", F.row_number().over(w)).localCheckpoint()
+
+    def tgt(num: int, den: int):
+        # ceil(num*n/den) via truncating div on positives
+        return F.expr(f"(({num} * n + {den} - 1) div {den})")
+
+    slack = F.expr(f"(n + {acc} - 1) div {acc}") + 1
+    probes = ap.select(
+        "l_returnflag",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pname"),
+                        F.col(col).alias("est"),
+                        F.greatest(F.lit(1).cast("long"), t - slack).alias(
+                            "lo_rk"
+                        ),
+                        F.least(F.col("n"), t + slack).alias("hi_rk"),
+                    )
+                    for name, col, t in [
+                        ("p50", "p50", tgt(1, 2)),
+                        ("p95", "p95", tgt(19, 20)),
+                        ("p99", "p99", tgt(99, 100)),
+                    ]
+                ]
+            )
+        ).alias("pr"),
+    ).select("l_returnflag", "n", "pr.*")
+    bounds = (
+        probes.join(ranked, "l_returnflag")
+        .filter(
+            (F.col("rk") == F.col("lo_rk")) | (F.col("rk") == F.col("hi_rk"))
+        )
+        .groupBy("l_returnflag", "n", "pname", "est")
+        .agg(
+            F.min(
+                F.when(F.col("rk") == F.col("lo_rk"), F.col("l_extendedprice"))
+            ).alias("lo_val"),
+            F.max(
+                F.when(F.col("rk") == F.col("hi_rk"), F.col("l_extendedprice"))
+            ).alias("hi_val"),
+        )
+    )
+    viol = (F.col("est") < F.col("lo_val")) | (F.col("est") > F.col("hi_val"))
+    per_group = bounds.groupBy("l_returnflag", "n").agg(
+        F.sum(viol.cast("long")).cast("bigint").alias("n_rank_violations")
+    )
+    mono = ap.select(
+        "l_returnflag",
+        ((F.col("p50") <= F.col("p95")) & (F.col("p95") <= F.col("p99"))).alias(
+            "monotone"
+        ),
+    )
+    return (
+        per_group.join(mono, "l_returnflag")
+        .select("l_returnflag", F.col("n").cast("bigint").alias("n"),
+                "n_rank_violations", "monotone")
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_APPROX_PERCENTILES_CHECK_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS n_rank_violations,
+       TRUE AS monotone
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # A2c — equi-width histogram: the profiling primitive behind every
 # "distribution of X" dashboard and the bin step of quantile-free
 # outlier screens. Buckets are closed-form integer arithmetic
@@ -572,6 +665,15 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_approx_percentiles": QuerySpec(
         agg_approx_percentiles, None, tags=("A4",),
         doc="GK-sketch approx percentiles; rank-error bound test-pinned",
+    ),
+    "agg_approx_percentiles_check": QuerySpec(
+        agg_approx_percentiles_check, AGG_APPROX_PERCENTILES_CHECK_SQL,
+        tags=("A4", "A1", "W1"),
+        doc="oracled rank-error certificate for the approx percentiles: "
+        "each estimate must fall inside the data values at the exact "
+        "integer rank window ceil(p*n) +- (ceil(n/acc)+1) (violations "
+        "pinned 0) with p50<=p95<=p99 monotonicity; per-group n anchors "
+        "derive from data",
     ),
     "agg_bootstrap_ci": QuerySpec(
         agg_bootstrap_ci, AGG_BOOTSTRAP_CI_SQL, tags=("A2", "A7", "F3"),
