@@ -1182,6 +1182,66 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.topk_ivf(cells, centroids, query, k=_TOPK, nprobe=3)
 
 
+# L3e CERTIFICATE — the rows-only IVF ANN tier certified (check
+# pattern): Lloyd's centroids have no SQL mirror, but the tier's
+# output contracts do — it must return exactly k rows, every returned
+# cosine must bit-match a fresh recomputation of the same expression
+# from raw embeddings (the scoring can never invent similarity), and
+# its best hit is bounded by the TRUE best cosine over the full
+# corpus, which IS derivable: the oracle computes the global
+# max-cosine anchor with the exact arithmetic sim_topk's hash-green
+# oracle already certifies cross-engine (double casts, left-fold
+# dots, pre-folded query norm).
+def sim_ann_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..functions.vectors import cosine_vs_lit_sql
+
+    ann_res = sim_ann_ivf(spark, sf_dir).localCheckpoint()
+    embs = load_table(spark, sf_dir, "embeddings")
+    query = _query_vector(sf_dir, 1)
+    exact = ann.topk_bruteforce(embs, query, k=_TOPK, id_col="vec_id",
+                                vec_col="embedding")
+    n_ret = ann_res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned")
+    )
+    eb = exact.agg(F.max("cos_sim").alias("exact_best_cosine"))
+    qd = [float(v) for v in query]
+    qnorm = 0.0
+    for v in qd:
+        qnorm += v * v
+    qnorm = math.sqrt(qnorm)
+    fresh = embs.select(
+        "vec_id",
+        F.expr(cosine_vs_lit_sql("embedding", qd, qnorm)).alias("fresh_cos"),
+    )
+    mism = (
+        ann_res.join(fresh, "vec_id")
+        .filter(F.col("cos_sim") != F.col("fresh_cos"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cosine_mismatch"))
+    )
+    bounded = (
+        ann_res.agg(F.max("cos_sim").alias("ab"))
+        .crossJoin(exact.agg(F.max("cos_sim").alias("xb")))
+        .select((F.col("ab") <= F.col("xb")).alias("ann_best_bounded"))
+    )
+    return n_ret.crossJoin(eb).crossJoin(mism).crossJoin(bounded)
+
+
+SIM_ANN_IVF_CHECK_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 1)
+SELECT CAST({_TOPK} AS BIGINT) AS n_returned,
+       MAX(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * SQRT(list_dot_product(qv, qv)))) AS exact_best_cosine,
+       CAST(0 AS BIGINT) AS n_cosine_mismatch,
+       TRUE AS ann_best_bounded
+FROM embeddings, q
+"""
+
+
 # L3d — product-quantized ANN (rows-only: per-subspace Lloyd + ADC are
 # iterative float pipelines with no SQL mirror; recall + compression
 # pinned by tests/test_recall.py::test_pq_adc_recall_and_compression).
@@ -4053,6 +4113,13 @@ QUERIES: dict[str, QuerySpec] = {
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
+    "sim_ann_ivf_check": QuerySpec(
+        sim_ann_ivf_check, SIM_ANN_IVF_CHECK_SQL, tags=("L3", "A1"),
+        doc="oracled certificate for the rows-only IVF ANN tier: "
+        "exactly k rows, every returned cosine bit-matches its fresh "
+        "recomputation (mismatches pinned 0), and the tier's best hit "
+        "is bounded by the derivable global max-cosine anchor",
+    ),
     "bpe_encode_corpus": QuerySpec(
         bpe_encode_corpus, None, tags=("L4", "UDTF", "A2"),
         doc="BPE apply at scale: one Arrow pass with distinct-word "

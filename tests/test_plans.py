@@ -417,6 +417,9 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # certificate (post-checkpoint ann result): exact top-k sort +
+    # mismatch join + single-row crossjoins
+    "sim_ann_ivf_check": 3,
     # certificate (post-checkpoint ranked frame): approx rollup +
     # probe join rollup + result sort
     "agg_approx_percentiles_check": 3,
