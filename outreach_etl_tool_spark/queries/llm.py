@@ -1603,6 +1603,73 @@ LIMIT 1
 """
 
 
+# L4f/L4x CERTIFICATE — corpus accounting of BOTH Arrow encoders: the
+# encode kernels are rows-only (trained float artifacts ride the task
+# closure), but their WORD accounting is a pure data contract — the
+# per-doc n_words both kernels emit uses the shared lowercase
+# ASCII-whitespace tokenization, so the corpus-wide word totals are
+# derivable in SQL and hash-compared as DATA (not merely pinned).
+# The fertility legs (a word can never encode to zero tokens: BPE
+# emits >= 1 symbol per word, unigram >= 1 piece or one unk per
+# uncoverable run) are the pinned-zero violations.
+def tokenizer_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import bpe, unigram
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    rules = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe.bpe_train_merges(spark, docs, n_merges=40).collect()
+    ]
+    pieces = [
+        (r["piece"], r["log_prob"])
+        for r in unigram.unigram_train_pieces(
+            spark, docs, vocab_size=300
+        ).collect()
+    ]
+    b = bpe.encode_corpus_tokens(docs, rules)
+    u = unigram.encode_corpus_tokens_unigram(docs, pieces)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    b_tot = b.agg(
+        F.sum("n_words").cast("bigint").alias("total_words_bpe"),
+        F.sum(
+            ((F.col("n_words") > 0) & (F.col("n_bpe_tokens") < F.col("n_words")))
+            .cast("long")
+        ).cast("bigint").alias("n_fertility_violations_bpe"),
+    )
+    u_tot = u.agg(
+        F.sum("n_words").cast("bigint").alias("total_words_unigram"),
+        F.sum(
+            (
+                (F.col("n_words") > 0)
+                & (F.col("n_unigram_tokens") < F.col("n_words"))
+            ).cast("long")
+        ).cast("bigint").alias("n_fertility_violations_unigram"),
+    )
+    return n_docs.crossJoin(b_tot).crossJoin(u_tot).select(
+        "n_docs",
+        "total_words_bpe",
+        "total_words_unigram",
+        "n_fertility_violations_bpe",
+        "n_fertility_violations_unigram",
+    )
+
+
+TOKENIZER_ENCODE_CHECK_SQL = r"""
+WITH wc AS (
+    SELECT CAST(SUM(LEN(list_filter(
+               regexp_split_to_array(lower(text), '\s+'),
+               x -> x <> ''))) AS BIGINT) AS total_words
+    FROM documents
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       total_words AS total_words_bpe,
+       total_words AS total_words_unigram,
+       CAST(0 AS BIGINT) AS n_fertility_violations_bpe,
+       CAST(0 AS BIGINT) AS n_fertility_violations_unigram
+FROM wc
+"""
+
+
 # L4s-b — tokenizer fertility on BOTH trained vocabularies: the
 # dataset-engineering comparison a tokenizer decision rests on —
 # pieces per whitespace word by source x lang under the trained BPE
@@ -4136,6 +4203,14 @@ QUERIES: dict[str, QuerySpec] = {
         "hard-EM + deterministic pruning): same bounded word-count "
         "collect as BPE, driver-side EM, pieces table as the model; "
         "rows-only, property-pinned (determinism/coverage/pruning)",
+    ),
+    "tokenizer_encode_check": QuerySpec(
+        tokenizer_encode_check, TOKENIZER_ENCODE_CHECK_SQL,
+        tags=("L4", "A1", "UDF"),
+        doc="oracled corpus-accounting certificate for BOTH Arrow "
+        "encoders: the word totals each kernel emits are derived "
+        "independently in SQL and hash-compared as data; zero-token "
+        "words are the pinned fertility violation legs",
     ),
     "bpe_train_check": QuerySpec(
         bpe_train_check, BPE_TRAIN_CHECK_SQL,

@@ -417,6 +417,9 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # certificate: two trainer word-count shuffles + two Arrow encode
+    # aggregates + single-row crossjoins
+    "tokenizer_encode_check": 3,
     # certificate (post-checkpoint ann result): exact top-k sort +
     # mismatch join + single-row crossjoins
     "sim_ann_ivf_check": 3,
