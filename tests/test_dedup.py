@@ -1098,3 +1098,77 @@ def test_decontamination_report_ivf_shares_nonsemantic_tiers(spark):
     assert all(
         r["doc_id"] % 7 != 0 and r["closest_eval_id"] % 7 == 0 for r in sem
     )
+
+
+# -------------------------- certificates catch what they claim to
+def test_semdedup_ivf_check_detects_unsound_pair(spark, monkeypatch):
+    """Fail-loud proof: if the IVF tier emitted a pair that does NOT
+    clear the exact tau-gate, the certificate's violation leg goes
+    nonzero (and would hash-mismatch the driver gate)."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    real_parts = L._semdedup_ivf_parts
+
+    def tampered(spark_, sf_dir):
+        pairs, comps = real_parts(spark_, sf_dir)
+        # ids 2 and 3 exist; their cosine ~0 on the synthetic corpus,
+        # far below tau=0.4 -> an unsound emission
+        bogus = spark_.createDataFrame([(2, 3)], "id_a long, id_b long")
+        return pairs.unionByName(bogus), comps
+
+    monkeypatch.setattr(L, "_semdedup_ivf_parts", tampered)
+    row = L.semdedup_ivf_check(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_emitted_unsound"] >= 1
+
+
+def test_sim_ann_ivf_check_detects_fabricated_result(spark, monkeypatch):
+    """A fabricated ANN hit with an impossible cosine must trip both
+    the recomputation-mismatch leg and the bounded-by-exact leg."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    real = L.sim_ann_ivf
+
+    def tampered(spark_, sf_dir):
+        df = real(spark_, sf_dir)
+        bogus = spark_.createDataFrame([(7, 2.0)], "vec_id long, cos_sim double")
+        return df.limit(24).unionByName(bogus)
+
+    monkeypatch.setattr(L, "sim_ann_ivf", tampered)
+    row = L.sim_ann_ivf_check(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_cosine_mismatch"] >= 1
+    assert row["ann_best_bounded"] is False
+
+
+def test_bpe_train_check_detects_order_violation(spark, monkeypatch):
+    """Tampered merge rules with an increasing pair frequency trip the
+    non-increasing invariant leg; a wrong first rule shifts the anchor
+    columns (which the driver's hash gate compares against SQL)."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    def tampered(spark_, sf_dir):
+        return spark_.createDataFrame(
+            [(0, "zz", "qq", 3), (1, "a", "b", 99)],
+            "rank int, left string, right string, pair_freq long",
+        )
+
+    monkeypatch.setattr(L, "bpe_train", tampered)
+    row = L.bpe_train_check(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_freq_order_violations"] >= 1
+    assert (row["first_left"], row["first_right"]) == ("zz", "qq")
+
+
+def test_unigram_train_check_detects_broken_coverage(spark, monkeypatch):
+    """A pieces table missing single-char coverage and containing an
+    invented piece trips both pinned legs."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    def tampered(spark_, sf_dir):
+        return spark_.createDataFrame(
+            [("qzxj", -1.0, 1.0)],  # not a substring; no singles at all
+            "piece string, log_prob double, expected_count double",
+        )
+
+    monkeypatch.setattr(L, "unigram_train", tampered)
+    row = L.unigram_train_check(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_missing_singles"] >= 1
+    assert row["n_pieces_not_substring"] >= 1
