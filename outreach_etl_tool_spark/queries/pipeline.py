@@ -662,6 +662,104 @@ LIMIT {_VOCAB_K}
 
 
 # ---------------------------------------------------------------------------
+# ZIPF SLOPE — rank-frequency power-law fit of the vocabulary
+# ---------------------------------------------------------------------------
+# The corpus-health diagnostic behind "does this crawl look like
+# natural language": token frequencies should follow freq ∝ rank^s
+# with s ≈ −1 (Zipf); a flat slope flags synthetic/boilerplate text,
+# a steep one a degenerate vocabulary. The fit is ordinary least
+# squares of y = log2(freq) on x = log2(rank) — and both logs go
+# through functions/intlog.ilog2_64 (exact fixed point, engine-
+# identical), so every regression sum is an ORDER-FREE integer:
+#   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+# is emitted as its exact integer numerator and denominator plus ONE
+# IEEE division for the readable value. Magnitudes: x, y ≤ 64·63;
+# per-term xy ≤ 1.6e7; with n ≤ ~10⁶ vocab terms n·Σxy ≤ ~1.6e19 —
+# route the final products through decimal(38,0)/HUGEINT. Plan: one
+# token rollup (map-side combinable), one rank window over the
+# vocab-sized frame (vocabulary ≪ corpus — the same bounded-frame
+# argument as the trainers), one scalar aggregate.
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.intlog import spark_expr as _L
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    xy = freq.select(
+        F.row_number().over(w).cast("long").alias("r"), "f"
+    ).select(
+        F.expr(_L("r")).alias("x"), F.expr(_L("f")).alias("y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # numerator/denominator computed in decimal(38) then emitted as
+    # BIGINT (DuckDB HUGEINT→pandas dtype diverges from int64 in the
+    # driver's hash gate): |num| ≤ n·Σxy ≈ n²·(64·log2 n)² — inside
+    # int64 up to ~10⁷ vocabulary terms, far past any tokenized
+    # natural-language vocab at these scales
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        # try_divide: a single-term vocabulary has den = 0 (no x
+        # spread) — the fit is undefined, reported as NULL not a job
+        # failure (same contract as DuckDB's NULLIF guard)
+        F.try_divide(num.cast("double"), den.cast("double")).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+def _vocab_zipf_slope_sql() -> str:
+    from ..functions.intlog import duck_expr as _L
+
+    return f"""
+WITH freq AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS tok
+          FROM documents) t
+    GROUP BY tok
+), xy AS (
+    SELECT {_L("r")} AS x, {_L("f")} AS y
+    FROM (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) AS r
+          FROM freq)
+), sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM xy
+)
+SELECT n AS n_terms,
+       CAST(n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT
+            AS BIGINT) AS slope_num,
+       CAST(n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT
+            AS BIGINT) AS slope_den,
+       CAST(n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT AS DOUBLE)
+           / NULLIF(CAST(n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT
+                         AS DOUBLE), 0) AS zipf_slope
+FROM sums
+"""
+
+
+VOCAB_ZIPF_SLOPE_SQL = _vocab_zipf_slope_sql()
+
+
+# ---------------------------------------------------------------------------
 # PERCENTILE TRIM — drop metric outliers relative to the corpus
 # distribution (the "remove the 5% shortest and longest docs" filter
 # every curation pipeline applies before training)
@@ -3092,6 +3190,14 @@ QUERIES: dict[str, QuerySpec] = {
     "domain_mix_sample": QuerySpec(
         domain_mix_sample, DOMAIN_MIX_SAMPLE_SQL, tags=("L4", "A6"),
         doc="deterministic per-source mixture downsampling rollup",
+    ),
+    "vocab_zipf_slope": QuerySpec(
+        vocab_zipf_slope, VOCAB_ZIPF_SLOPE_SQL, tags=("L4", "A2", "W1"),
+        doc="Zipf rank-frequency power-law fit of the vocabulary: OLS "
+        "of ilog2(freq) on ilog2(rank) with every regression sum an "
+        "order-free exact integer; slope emitted as exact num/den "
+        "plus one IEEE division; the rank window runs on the bounded "
+        "vocabulary frame, not the corpus",
     ),
     "lang_temperature_sample": QuerySpec(
         lang_temperature_sample, LANG_TEMPERATURE_SAMPLE_SQL,

@@ -2291,3 +2291,50 @@ def test_pareto_lottery_boundaries_and_nondegeneracy(spark):
     assert statistics.mean(r["score_scaled"] for r in kept) > (
         statistics.mean(r["score_scaled"] for r in rows)
     )
+
+
+# ----------------------------------------------------- Zipf slope fit
+def test_vocab_zipf_slope_recovers_planted_power_law(spark, monkeypatch):
+    """A corpus planted with freq(rank) = floor(3000/rank) must fit a
+    slope near -1, and the query's exact integer sums must equal an
+    independent ilog2_py OLS replica bit-for-bit. (The driver corpus's
+    ~31-term near-uniform vocabulary legitimately fits a FLAT slope —
+    which is the diagnostic working, not failing.)"""
+    from outreach_etl_tool_spark.functions.intlog import ilog2_py
+    import outreach_etl_tool_spark.queries.pipeline as P
+
+    def _rank_word(r):
+        # letters only: the [a-zA-Z]+ tokenizer strips digits
+        a, b = divmod(r, 26)
+        return "tok" + chr(ord("a") + a) + chr(ord("a") + b)
+
+    words = []
+    freqs = []
+    for r in range(1, 61):
+        f = 3000 // r
+        freqs.append(f)
+        words.extend([_rank_word(r)] * f)
+    # one doc per ~200 words keeps the explode distributed
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 200:(i + 1) * 200]))
+         for i in range((len(words) + 199) // 200)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda *a: docs)
+    row = P.vocab_zipf_slope(spark, "unused").collect()[0]
+
+    # independent replica: rank by (freq desc, token asc), exact sums
+    xs, ys = [], []
+    for i, f in enumerate(sorted(freqs, reverse=True), start=1):
+        xs.append(ilog2_py(i))
+        ys.append(ilog2_py(f))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert (row["n_terms"], row["slope_num"], row["slope_den"]) == (
+        n, num, den,
+    )
+    assert -1.2 < row["zipf_slope"] < -0.8
+    assert row["zipf_slope"] == num / den

@@ -417,6 +417,8 @@ SHUFFLE_BUDGETS = {
     # lang-count rollup + single-row min + broadcast weight join (gate
     # rides the scan) + final rollup + result sort
     "lang_temperature_sample": 5,
+    # token rollup + vocab-frame rank window + scalar aggregate
+    "vocab_zipf_slope": 4,
     # certificate: two trainer word-count shuffles + two Arrow encode
     # aggregates + single-row crossjoins
     "tokenizer_encode_check": 3,
