@@ -109,7 +109,9 @@ def near_dup_pairs(
     ).select("id", "bk.band", "bk.chunk")
     from .minhash import bucket_pairs
 
-    cand = bucket_pairs(banded, ["band", "chunk"]).persist()
+    # localCheckpoint, not persist (cache-leak hygiene: freed with the
+    # frame reference instead of living in the session CacheManager)
+    cand = bucket_pairs(banded, ["band", "chunk"]).localCheckpoint()
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     verified = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a")), "id_a")

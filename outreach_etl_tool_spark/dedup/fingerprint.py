@@ -47,13 +47,17 @@ def fingerprint_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.chunk")
-    cand = bucket_pairs(banded, ["band", "chunk"]).persist()
+    # localCheckpoint, not persist: both multi-consumer frames are tiny
+    # (candidate pairs / candidate-only fingerprints) but a persist()
+    # entry outlives the call in the session CacheManager; checkpointed
+    # blocks are freed with the frame reference.
+    cand = bucket_pairs(banded, ["band", "chunk"]).localCheckpoint()
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    fp_small = base.join(cand_ids, "id", "left_semi").persist()
+    fp_small = base.join(cand_ids, "id", "left_semi").localCheckpoint()
     verified = (
         cand.join(
             fp_small.select(F.col("id").alias("id_a"), F.col("__fp").alias("h_a")),

@@ -280,10 +280,13 @@ def candidate_pairs(
     ).select("id", "bk.band", "bk.bkey")
     cand = bucket_pairs(banded, ["band", "bkey"])
     # cand feeds two consumers (the id semi-join and the verify join);
-    # persist it so the bucket pipeline runs once. Candidates are a tiny
-    # fraction of the corpus (two long columns), cacheable at any scale
-    # — unlike the band table itself (×B corpus-sized; see bucket_pairs).
-    cand = cand.persist()
+    # checkpoint it so the bucket pipeline runs once. Candidates are a
+    # tiny fraction of the corpus (two long columns), cacheable at any
+    # scale — unlike the band table itself (×B corpus-sized; see
+    # bucket_pairs). localCheckpoint, not persist: checkpointed blocks
+    # are freed with the frame reference instead of living in the
+    # session CacheManager.
+    cand = cand.localCheckpoint()
 
     # Exact-Jaccard verification re-computes shingles for candidate docs
     # only: semi-join the corpus down to ids that appear in any pair

@@ -119,7 +119,9 @@ def candidate_pairs(
     ).select("id", "bk.band", "bk.chunk")
     from .minhash import bucket_pairs
 
-    cand = bucket_pairs(banded, ["band", "chunk"]).persist()
+    # localCheckpoint, not persist (cache-leak hygiene: freed with the
+    # frame reference instead of living in the session CacheManager)
+    cand = bucket_pairs(banded, ["band", "chunk"]).localCheckpoint()
     # verification re-attaches fingerprints to the (tiny) candidate set
     # — recompute-don't-materialize, same as minhash.candidate_pairs
     fp_ids = (
@@ -131,7 +133,7 @@ def candidate_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(fp_ids, "id", "left_semi")
         .select("id", simhash64(tokens(F.col("__t"))).alias("simhash"))
-    ).persist()  # tiny (candidate ids only); joined twice below
+    ).localCheckpoint()  # tiny (candidate ids only); joined twice below
     verified = (
         cand.join(
             fp_small.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a")),

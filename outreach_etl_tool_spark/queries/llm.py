@@ -3933,7 +3933,254 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII SPAN FAMILY — detection as exact character extents + byte-exact
+# excision. The scrub stage a pretraining pipeline runs before
+# tokenization (C4/RefinedWeb-class), and the faithful extension of
+# the reference's data model: its CRM export schema
+# (reference schemas/prospects.json) is full of real PII columns
+# (emails, phone numbers), so a redaction operator is the natural
+# counterpart on the document side. Three detectors: email, phone,
+# IPv4 (octet-bounded).
+#
+# The synthetic corpus carries no natural PII, so the queries run on
+# the same deterministic contaminated view as pii_redact
+# (queries/sqlplus.py — docs with doc_id%3==0 gain an email, %3==1 a
+# phone), extended with an IPv4 plant on doc_id%5==0 — the mods are
+# coprime, so some docs carry TWO pii types and the extents output
+# exercises multi-span docs. Both engines construct byte-identical
+# inputs from doc_id alone.
+#
+# Span derivation is a TOKEN-LEVEL SCAN, not regex position
+# extraction: Spark has no all-match-positions function and Java vs
+# RE2 offset semantics would be an untestable seam. The corpus is
+# space-tokenized (posexplode/UNNEST with 1-based index i); token i's
+# char start is i + sum(len of prior tokens) — exact because split
+# on ' ' preserves every byte (empty tokens included) — and a token
+# is PII iff an ANCHORED regex full-matches it. Anchored full-token
+# matching is the one regex contract Java and RE2 interpret
+# identically for these character-class patterns (no backrefs, no
+# lookaround).
+#
+# Scale shape: a regex SCREEN (the unanchored union) gates the token
+# fan-out — on a mostly-clean corpus only docs containing a candidate
+# substring pay the explode + per-doc position window (winnowing-
+# screen discipline; sound because an anchored token match implies an
+# unanchored substring match on the doc). The window is per-doc
+# (partition = doc), the classification is whole-stage-codegen JVM
+# regex, and excision reuses _excise_rebuild (token spans are
+# disjoint by construction, satisfying its non-overlap contract).
+# pii_redact (sqlplus.py) remains the mask-style tier; this family
+# reports WHERE (audit extents) and cuts byte-exactly (md5-verified).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_PII_IPV4 = f"{_PII_OCTET}(\\.{_PII_OCTET}){{3}}"
+_PII_UNION = f"{_PII_EMAIL}|{_PII_PHONE}|{_PII_IPV4}"
+
+
+def _pii_ctext() -> Column:
+    """Deterministic planted-PII view (byte-identical to the oracle's
+    CTE): email/phone plants mirror pii_redact's, plus an IPv4 tail
+    on doc_id%5==0 (octets derived from doc_id, all <= 255)."""
+    base = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        F.expr("(doc_id % 65536) div 256").cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 251).cast("string"),
+    )
+    return F.when(F.col("doc_id") % 5 == 0, F.concat(base, ip)).otherwise(base)
+
+
+def _pii_spans(cdocs: DataFrame) -> DataFrame:
+    """Typed PII token spans over a (doc_id, ctext) frame: returns
+    (doc_id, pii_type, span_start, span_len, matched) with 1-based
+    char starts. Shared by pii_extents and pii_excise."""
+    from pyspark.sql.window import Window
+
+    screened = cdocs.filter(F.col("ctext").rlike(_PII_UNION))
+    toks = screened.select(
+        "doc_id", F.posexplode(F.split("ctext", " ")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    pos = toks.withColumn(
+        "span_start",
+        (
+            F.col("i")
+            + F.coalesce(
+                F.sum(F.length("tok")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint"),
+    )
+    return (
+        pos.withColumn(
+            "pii_type",
+            F.when(F.col("tok").rlike(f"^{_PII_EMAIL}$"), F.lit("email"))
+            .when(F.col("tok").rlike(f"^{_PII_PHONE}$"), F.lit("phone"))
+            .when(F.col("tok").rlike(f"^{_PII_IPV4}$"), F.lit("ipv4")),
+        )
+        .filter(F.col("pii_type").isNotNull())
+        .select(
+            "doc_id",
+            "pii_type",
+            "span_start",
+            F.length("tok").cast("bigint").alias("span_len"),
+            F.col("tok").alias("matched"),
+        )
+    )
+
+
+def pii_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cdocs = docs.select("doc_id", _pii_ctext().alias("ctext"))
+    return _pii_spans(cdocs).orderBy("doc_id", "span_start")
+
+
+def pii_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cdocs = docs.select("doc_id", _pii_ctext().alias("ctext"))
+    ivls = _pii_spans(cdocs).select(
+        "doc_id",
+        F.col("span_start").alias("ivl_start"),
+        (F.col("span_start") + F.col("span_len")).alias("ivl_end"),
+    )
+    return _excise_rebuild(cdocs.withColumnRenamed("ctext", "text"), ivls)
+
+
+_PII_CTEXT_CTES = """base AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+             WHEN doc_id % 3 = 1 THEN
+               text || ' call 555-'
+                    || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text
+           END AS btext
+    FROM documents
+), contaminated AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN
+               btext || ' from 10.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id % 65536) // 256 AS VARCHAR) || '.'
+                     || CAST(doc_id % 251 AS VARCHAR)
+           ELSE btext END AS ctext
+    FROM base
+)"""
+
+_PII_SPANS_CTES = f"""{_PII_CTEXT_CTES}, toks AS (
+    SELECT doc_id, i, arr[i] AS tok
+    FROM (SELECT doc_id, string_split(ctext, ' ') AS arr
+          FROM contaminated
+          WHERE regexp_matches(ctext, '{_PII_UNION}')),
+         UNNEST(generate_series(1, LEN(arr))) AS t(i)
+), pos AS (
+    SELECT doc_id, tok,
+           CAST(i + COALESCE(SUM(LENGTH(tok)) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS span_start
+    FROM toks
+), typed AS (
+    SELECT doc_id,
+           CASE WHEN regexp_matches(tok, '^{_PII_EMAIL}$') THEN 'email'
+                WHEN regexp_matches(tok, '^{_PII_PHONE}$') THEN 'phone'
+                WHEN regexp_matches(tok, '^{_PII_IPV4}$') THEN 'ipv4'
+           END AS pii_type,
+           span_start,
+           CAST(LENGTH(tok) AS BIGINT) AS span_len,
+           tok AS matched
+    FROM pos
+)"""
+
+PII_EXTENTS_SQL = f"""
+WITH {_PII_SPANS_CTES}
+SELECT doc_id, pii_type, span_start, span_len, matched
+FROM typed
+WHERE pii_type IS NOT NULL
+ORDER BY doc_id, span_start
+"""
+
+PII_EXCISE_SQL = f"""
+WITH {_PII_SPANS_CTES}, ivls AS (
+    SELECT doc_id, span_start AS ivl_start,
+           span_start + span_len AS ivl_end
+    FROM typed WHERE pii_type IS NOT NULL
+), gaps AS (
+    SELECT doc_id,
+           COALESCE(LAG(ivl_end) OVER (PARTITION BY doc_id
+                                       ORDER BY ivl_start), 1) AS gs,
+           ivl_start AS ge
+    FROM ivls
+    UNION ALL
+    SELECT doc_id, MAX(ivl_end) AS gs, NULL AS ge
+    FROM ivls GROUP BY doc_id
+), segs AS (
+    SELECT g.doc_id, g.gs,
+           substr(d.ctext, CAST(g.gs AS INTEGER),
+                  CAST(COALESCE(g.ge, LENGTH(d.ctext) + 1) - g.gs AS INTEGER))
+               AS seg
+    FROM gaps g JOIN contaminated d USING (doc_id)
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, '' ORDER BY gs) AS cleaned
+    FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LENGTH(d.ctext) AS BIGINT) AS n_chars,
+       CAST(LENGTH(COALESCE(r.cleaned, d.ctext)) AS BIGINT) AS kept_chars,
+       md5(COALESCE(r.cleaned, d.ctext)) AS cleaned_md5
+FROM contaminated d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pii_extents": QuerySpec(
+        pii_extents, PII_EXTENTS_SQL, tags=("L4", "L2", "F1", "W3"),
+        bench=True,
+        doc="PII detection as exact char-span extents (email/phone/"
+        "octet-bounded IPv4) via an anchored-regex token scan; regex "
+        "screen gates the fan-out; planted deterministic PII (the "
+        "corpus carries none) mirrors pii_redact's construction + an "
+        "IPv4 plant so docs carry multiple pii types",
+    ),
+    "pii_excise": QuerySpec(
+        pii_excise, PII_EXCISE_SQL, tags=("L4", "L2", "F1"),
+        doc="PII scrub pass: every detected span cut from the "
+        "contaminated corpus and the text rebuilt byte-exactly "
+        "(md5-verified) via _excise_rebuild; clean docs pass through",
+    ),
     "dedup_span_excise": QuerySpec(
         dedup_span_excise, DEDUP_SPAN_EXCISE_SQL, tags=("L2", "L1", "W3", "F1"),
         doc="Lee-et-al span excision: canonical first occurrence kept, "

@@ -262,13 +262,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(_grams("text", _DECON_K))).alias("gram"),
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    # persist: the eval-gram explode feeds three consumers (sizing,
-    # bloom build, exact verify join); scalar string columns cache
-    # cheaply, and the eval slice is the small side by construction
+    # localCheckpoint, not persist: the eval-gram explode feeds three
+    # consumers (sizing, bloom build, exact verify join) and the eval
+    # slice is the small side by construction — but a persist() entry
+    # outlives the call in the session CacheManager (the round-9/10
+    # ADVICE leak its siblings already fixed). Checkpointed blocks are
+    # freed with the frame reference.
     eval_grams = (
         grams.filter(is_eval)
         .select(F.col("doc_id").alias("eval_id"), "gram")
-        .persist()
+        .localCheckpoint()
     )
     # build: fully distributed — partitions fold grams into local bit
     # arrays, a bit_or agg merges the 64-bit words, and the driver
@@ -2758,6 +2761,217 @@ QUALITY_PARETO_LOTTERY_SQL = _pareto_lottery_sql()
 
 
 # ---------------------------------------------------------------------------
+# TRAINED LANGUAGE-ID CLASSIFIER — the learned counterpart of
+# lang_id_guess (queries/llm.py), closing the curation gap where
+# pipeline_clean_corpus trusts the `lang` column: a real crawl needs
+# a classifier. Model: K one-vs-rest linear probability models
+# (fastText's shape, linear on hashed features) over hashed char
+# TRIGRAMS of the document's lowercased first _LID_C chars — char
+# n-grams are the standard lang-ID feature family, and the prefix
+# bound caps per-doc cost (lang-ID needs a probe, not the whole doc).
+# Training is the exact-integer discipline of
+# quality_classifier_scores: _LID_ITERS full-batch squared-loss
+# gradient steps, all *, + and one truncating division per weight
+# update (Spark `div` = DuckDB `//` = _trunc_div), labels from the
+# existing `lang` column. The oracle unrolls every step as CTEs with
+# the class dimension in the group keys, so the driver's hash gate
+# certifies the K-class TRAINING LOOP end-to-end — weights, scores,
+# argmax predictions bit-for-bit.
+#
+# Label note (the funnel-degeneracy lesson, stated up front): the
+# synthetic corpus draws every language's text from ONE shared
+# vocabulary, so driver-data accuracy sits near the base rate BY
+# CONSTRUCTION — the gate certifies the arithmetic; the planted
+# separable-corpus pytest (tests/test_pipeline_ops.py) certifies the
+# operator actually learns (distinct char distributions -> >95%
+# agreement) where signal exists.
+#
+# Scale shape: the feature frame is one bounded fan-out (<= _LID_C-2
+# grams/doc) collapsed to (doc, bucket, count) with map-side combine;
+# each step is a broadcast join against the <= K*_DSIR_B-row weight
+# table, two corpus-keyed rollups, and a bounded collect (model
+# state, like the k-means centroids). The argmax is a per-doc window
+# over K rows/doc. Same 10^11-doc note as the quality classifier:
+# training subsamples, scoring covers the corpus.
+_LID_C = 128   # chars of prefix probed per doc
+_LID_ITERS = 3
+_LID_SCALE = 1_000_000
+_LID_LRN, _LID_LRD = 1, 100
+
+
+def _lid_x(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, x) hashed char-trigram counts over the lowercased
+    _LID_C-char prefix. sequence() guard: explode only docs whose
+    prefix holds >= 1 trigram (descending-sequence hazard)."""
+    pre = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, _LID_C)).alias("p")
+    ).filter(F.length("p") >= 3)
+    grams = pre.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), (F.length("p") - 2).cast("int"))
+        ).alias("i"),
+        "p",
+    ).select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("p").substr(F.col("i"), F.lit(3))), 1, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    return grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("x"))
+
+
+def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_rows
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    try:
+        n_docs = table_rows(sf_dir, "documents")
+    except (FileNotFoundError, OSError):
+        n_docs = None
+    return lang_id_trained_frame(spark, docs, n_docs)
+
+
+def lang_id_trained_frame(
+    spark: SparkSession, docs: DataFrame, n_docs: int | None = None
+) -> DataFrame:
+    """K-class trained lang-ID over an arbitrary (doc_id, text, lang)
+    frame. Returns per-doc (doc_id, lang, predicted_lang,
+    best_score_scaled, is_correct); agreement rate is one rollup away
+    (asserted in the pytest, kept out of the frame so no corpus-wide
+    single-task window rides the registry plan)."""
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = docs.count()
+    labels = docs.select("doc_id", "lang")
+    # localCheckpoint: x feeds every gradient step + final scoring
+    x = _lid_x(docs).localCheckpoint()
+    langs = sorted(r["lang"] for r in labels.select("lang").distinct().collect())
+    bs = sorted(r["b"] for r in x.select("b").distinct().collect())
+    y = F.when(F.col("lang") == F.col("c"), F.lit(_LID_SCALE)).otherwise(F.lit(0))
+    w: dict[tuple[str, int], int] = {(c, b): 0 for c in langs for b in bs}
+
+    def _wdf() -> DataFrame:
+        return F.broadcast(
+            spark.createDataFrame(
+                [(c, b, int(v)) for (c, b), v in sorted(w.items())],
+                "c string, b bigint, w long",
+            )
+        )
+
+    for _ in range(_LID_ITERS):
+        z = (
+            x.join(_wdf(), "b")
+            .groupBy("doc_id", "c")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        )
+        grad_rows = (
+            x.join(z, "doc_id")
+            .join(F.broadcast(labels), "doc_id")
+            .select("c", "b", (F.col("x") * (F.col("z") - y)).alias("g1"))
+            .groupBy("c", "b")
+            .agg(F.sum("g1").alias("g"))
+            .collect()  # <= K * _DSIR_B rows — bounded model state
+        )
+        for r in grad_rows:
+            w[(r["c"], r["b"])] -= _trunc_div(
+                r["g"] * _LID_LRN, _LID_LRD * n_docs
+            )
+    zf = (
+        x.join(_wdf(), "b")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("z"), F.asc("c"))
+    winner = (
+        zf.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("pred"), "z")
+    )
+    # docs whose prefix held no trigram fall back to the
+    # lexicographically-first class at score 0 (deterministic; never
+    # fires on driver data — min doc length 47)
+    fallback = F.lit(langs[0] if langs else "und")
+    return (
+        labels.join(winner, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred", fallback).alias("predicted_lang"),
+            F.coalesce("z", F.lit(0)).cast("bigint").alias("best_score_scaled"),
+            (F.col("lang") == F.coalesce("pred", fallback)).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_trained_sql() -> str:
+    s, lrn, lrd = _LID_SCALE, _LID_LRN, _LID_LRD
+    body = f"""
+WITH pre AS (
+    SELECT doc_id, LOWER(SUBSTR(text, 1, {_LID_C})) AS p
+    FROM documents WHERE LENGTH(SUBSTR(text, 1, {_LID_C})) >= 3
+), grams AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(substr(p, CAST(i AS INTEGER), 3)), 1, 7))::BIGINT
+               % {_DSIR_B} AS b
+    FROM pre, unnest(generate_series(1, LENGTH(p) - 2)) AS g(i)
+), x AS MATERIALIZED (
+    SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS x
+    FROM grams GROUP BY doc_id, b
+), labels AS MATERIALIZED (SELECT doc_id, lang FROM documents),
+langs AS MATERIALIZED (SELECT DISTINCT lang AS c FROM documents),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+w0 AS MATERIALIZED (
+    SELECT l.c, b.b, CAST(0 AS BIGINT) AS w
+    FROM langs l, (SELECT DISTINCT b FROM x) b)"""
+    prev = "w0"
+    for i in range(1, _LID_ITERS + 1):
+        body += f""",
+z{i} AS MATERIALIZED (
+    SELECT x.doc_id, w.c, CAST(SUM(x.x * w.w) AS BIGINT) AS z
+    FROM x JOIN {prev} w USING (b) GROUP BY x.doc_id, w.c),
+g{i} AS MATERIALIZED (
+    SELECT z.c, x.b,
+           CAST(SUM(x.x * (z.z -
+               CASE WHEN lab.lang = z.c THEN {s} ELSE 0 END)) AS BIGINT) AS g
+    FROM x JOIN z{i} z USING (doc_id)
+           JOIN labels lab ON lab.doc_id = x.doc_id
+    GROUP BY z.c, x.b),
+w{i} AS MATERIALIZED (
+    SELECT w.c, w.b, w.w - (g.g * {lrn}) // ({lrd} * nn.n) AS w
+    FROM {prev} w JOIN g{i} g ON g.c = w.c AND g.b = w.b, nn)"""
+        prev = f"w{i}"
+    body += f""",
+zf AS (
+    SELECT x.doc_id, w.c, CAST(SUM(x.x * w.w) AS BIGINT) AS z
+    FROM x JOIN {prev} w USING (b) GROUP BY x.doc_id, w.c),
+winner AS (
+    SELECT doc_id, c AS pred, z FROM (
+        SELECT doc_id, c, z,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY z DESC, c ASC) AS rn
+        FROM zf) WHERE rn = 1),
+fb AS (SELECT MIN(c) AS f FROM langs)
+SELECT lab.doc_id, lab.lang,
+       COALESCE(winner.pred, fb.f) AS predicted_lang,
+       CAST(COALESCE(winner.z, 0) AS BIGINT) AS best_score_scaled,
+       lab.lang = COALESCE(winner.pred, fb.f) AS is_correct
+FROM labels lab LEFT JOIN winner USING (doc_id), fb
+ORDER BY lab.doc_id"""
+    return body
+
+
+LANG_ID_TRAINED_SQL = _lang_id_trained_sql()
+
+
+# ---------------------------------------------------------------------------
 # BOILERPLATE COMMONALITY — cross-document repeated-content filter
 # ---------------------------------------------------------------------------
 # The cross-doc complement of quality_signals' intra-doc repetition
@@ -3217,6 +3431,18 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "lang_id_trained": QuerySpec(
+        lang_id_trained, LANG_ID_TRAINED_SQL,
+        tags=("L4", "A2", "W1", "J2"), bench=True,
+        doc="trained K-class language-ID (fastText shape: linear on "
+        "hashed char trigrams of a bounded 128-char prefix probe), "
+        "one-vs-rest exact-integer gradient training with argmax "
+        "prediction + per-doc agreement; oracle unrolls the K-class "
+        "training loop as CTEs so the hash gate certifies weights, "
+        "scores and predictions bit-for-bit; planted separable-corpus "
+        "learning test in tests/test_pipeline_ops.py (driver-data "
+        "accuracy is base-rate by construction - shared vocabulary)",
     ),
     "quality_pareto_lottery": QuerySpec(
         quality_pareto_lottery, QUALITY_PARETO_LOTTERY_SQL,

@@ -337,7 +337,8 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(bind_once(tokens("text"), _pairs)).alias("p")
         )
         .select("doc_id", "p.prev", "p.nxt")
-        .persist()
+        # localCheckpoint, not persist (cache-leak hygiene)
+        .localCheckpoint()
     )
     counts = occ.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n_bi"))
     probs = counts.withColumn(

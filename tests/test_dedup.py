@@ -1172,3 +1172,116 @@ def test_unigram_train_check_detects_broken_coverage(spark, monkeypatch):
     row = L.unigram_train_check(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["n_missing_singles"] >= 1
     assert row["n_pieces_not_substring"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# PII span family: independent pure-Python replica (re + hashlib, no
+# Spark/SQL logic shared) over the planted-contamination view, plus
+# the non-triviality counts the memory rule requires for planted
+# fixtures.
+# ---------------------------------------------------------------------------
+def _pii_replica_rows(sf_dir):
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    pats = [
+        ("email", re.compile(r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$")),
+        ("phone", re.compile(r"^[0-9]{3}-[0-9]{3}-[0-9]{4}$")),
+        (
+            "ipv4",
+            re.compile(
+                r"^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+                r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+            ),
+        ),
+    ]
+    out = {}  # doc_id -> (ctext, [(type, start, len, tok)])
+    for doc_id, text in docs:
+        if doc_id % 3 == 0:
+            ctext = f"{text} contact user{doc_id}@example.com"
+        elif doc_id % 3 == 1:
+            ctext = (
+                f"{text} call 555-{doc_id % 1000:03d}-{doc_id % 10000:04d}"
+            )
+        else:
+            ctext = text
+        if doc_id % 5 == 0:
+            ctext += (
+                f" from 10.{doc_id % 256}"
+                f".{(doc_id % 65536) // 256}.{doc_id % 251}"
+            )
+        spans = []
+        start = 1
+        for tok in ctext.split(" "):
+            for name, pat in pats:
+                if pat.match(tok):
+                    spans.append((name, start, len(tok), tok))
+                    break
+            start += len(tok) + 1
+        out[doc_id] = (ctext, spans)
+    return out
+
+
+def test_pii_extents_matches_python_replica(spark):
+    from outreach_etl_tool_spark.queries.llm import pii_extents
+
+    sf = "/root/testdata/sf0.001"
+    replica = _pii_replica_rows(sf)
+    expected = [
+        (doc_id, name, start, ln, tok)
+        for doc_id, (_, spans) in sorted(replica.items())
+        for (name, start, ln, tok) in spans
+    ]
+    got = [
+        (r["doc_id"], r["pii_type"], r["span_start"], r["span_len"], r["matched"])
+        for r in pii_extents(spark, sf).collect()
+    ]
+    assert got == expected
+    # planted-fixture non-triviality: each detector fires substantially
+    by_type = {}
+    for _, name, *_ in expected:
+        by_type[name] = by_type.get(name, 0) + 1
+    assert by_type["email"] >= 100
+    assert by_type["phone"] >= 100
+    assert by_type["ipv4"] >= 80
+    # multi-span docs exist (coprime plant mods)
+    from collections import Counter
+
+    per_doc = Counter(d for d, *_ in expected)
+    assert max(per_doc.values()) >= 2
+
+
+def test_pii_excise_md5_matches_python_replica(spark):
+    import hashlib
+
+    from outreach_etl_tool_spark.queries.llm import pii_excise
+
+    sf = "/root/testdata/sf0.001"
+    replica = _pii_replica_rows(sf)
+    expected = {}
+    n_changed = 0
+    for doc_id, (ctext, spans) in replica.items():
+        cleaned = ctext
+        for _, start, ln, _ in sorted(spans, reverse=True, key=lambda s: s[1]):
+            cleaned = cleaned[: start - 1] + cleaned[start - 1 + ln :]
+        if cleaned != ctext:
+            n_changed += 1
+        expected[doc_id] = (
+            len(ctext),
+            len(cleaned),
+            hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+    rows = pii_excise(spark, sf).collect()
+    assert len(rows) == len(expected)  # every doc passes through
+    for r in rows:
+        assert (
+            r["n_chars"],
+            r["kept_chars"],
+            r["cleaned_md5"],
+        ) == expected[r["doc_id"]], r["doc_id"]
+    assert n_changed >= 300  # the scrub actually cut text

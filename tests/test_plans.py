@@ -259,6 +259,10 @@ SHUFFLE_BUDGETS = {
     "sql_q14_promo_share": 2,
     "sql_q19_bracket_revenue": 2,
     "pii_redact": 2,  # regex scrub is pure projection; rollup + sort
+    "pii_extents": 2,   # per-doc token window + result sort only
+    # span window + rebuild rollup + passthrough join/sort; the gap
+    # windows reuse the doc_id partitioning (sort-only, no exchange)
+    "pii_excise": 3,
     # count groupBy + prev-window + per-doc rollup; the probs join
     # broadcasts back (vocab² rows), never reshuffling the corpus
     "lm_quality_score": 3,
