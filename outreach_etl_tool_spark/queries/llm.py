@@ -764,12 +764,13 @@ def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # violation legs at their specified value (0) — fail-loud: any unsound
 # emission hash-mismatches the driver gate. Non-vacuity (the tiers
 # actually emit on the driver corpus) is pytest-pinned separately.
-def _exact_tau_pairs(embs: DataFrame) -> DataFrame:
-    """Brute-force τ-pair universe (id_a < id_b, cosine) from a fresh
-    quantized scan — the certificate reference set."""
-    from ..dedup.parity import _EMB_SCALE, _int_dot
+def _tau_qarr(embs: DataFrame) -> DataFrame:
+    """(id, qa, nq) fresh quantized scan — the certificate families'
+    shared reference representation (same _EMB_SCALE integers as every
+    embedding tier, so recomputed cosines are bit-identical)."""
+    from ..dedup.parity import _EMB_SCALE
 
-    qarr = embs.select(
+    return embs.select(
         F.col("vec_id").alias("id"),
         F.transform(
             "embedding",
@@ -786,6 +787,20 @@ def _exact_tau_pairs(embs: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("nq"),
     )
+
+
+def _exact_tau_pairs(
+    embs: DataFrame, sample_mod: int | None = None
+) -> DataFrame:
+    """Brute-force τ-pair universe (id_a < id_b, cosine) from a fresh
+    quantized scan — the certificate reference set. ``sample_mod=S``
+    restricts BOTH sides to the deterministic id-sample id % S == 0,
+    cutting the cost to (n/S)² for the sampled certificate mode."""
+    from ..dedup.parity import _int_dot
+
+    qarr = _tau_qarr(embs)
+    if sample_mod is not None:
+        qarr = qarr.filter(F.col("id") % sample_mod == 0)
     cands = (
         qarr.alias("a")
         .join(F.broadcast(qarr.alias("b")), F.col("a.id") < F.col("b.id"))
@@ -870,16 +885,19 @@ def semdedup_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_tau_sql_ctes() -> str:
+def _exact_tau_sql_ctes(sample_mod: int | None = None) -> str:
     """DuckDB CTE body ending in ``exact(id_a, id_b, cosine)`` — the
-    brute-force τ universe the certificates' oracles derive from."""
+    brute-force τ universe the certificates' oracles derive from.
+    ``sample_mod=S`` restricts both sides to id % S == 0 (the sampled
+    certificate mode's (n/S)² sub-universe)."""
     from ..dedup.parity import _EMB_SCALE
 
+    samp = f" AND vec_id % {sample_mod} = 0" if sample_mod else ""
     return f"""qarr AS (
     SELECT vec_id AS id,
            list_transform(embedding, x ->
                CAST(FLOOR(CAST(x AS DOUBLE) * {_EMB_SCALE}) AS BIGINT)) AS qa
-    FROM embeddings WHERE LEN(embedding) = 64
+    FROM embeddings WHERE LEN(embedding) = 64{samp}
 ), scored AS (
     SELECT a.id AS id_a, b.id AS id_b,
            list_sum(list_transform(generate_series(1, 64),
@@ -982,6 +1000,207 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_exact)
 
 
 DECONTAMINATE_SEMANTIC_IVF_CHECK_SQL = _decon_ivf_check_sql()
+
+
+# ---------------------------------------------------------------------------
+# SAMPLED CERTIFICATE MODE — the scale story for the certificate tier
+# ---------------------------------------------------------------------------
+# The full-universe checks above recompute the entire O(n²) τ universe
+# — deliberate at driver scale, but the soundness story itself must
+# not stop at the corpus size where brute force fits. The sampled
+# mode splits the certificate into its two different-cost halves:
+#
+#   * VIOLATION DETECTORS stay exhaustive and become O(emitted): every
+#     emitted pair / flagged vector / mate pair is re-verified by
+#     joining its TWO ids back to a fresh quantized scan and
+#     recomputing the exact-integer τ gate and IEEE cosine directly —
+#     no universe materialization at all. Soundness is NOT sampled:
+#     a single unsound emission anywhere in the output still
+#     hash-mismatches the driver gate.
+#   * the UNIVERSE ANCHOR (the data-derived magnitude that proves the
+#     check ran against real geometry, not an empty set) runs on the
+#     deterministic id-sample id % S == 0, BOTH sides, so its cost is
+#     (n/S)² with S tunable to hold the sampled side at the exact
+#     tier's documented budget (at 10× embeddings and S=4 the anchor
+#     is 1/16th of the full universe).
+#
+# Sampling soundness argument: the anchor is an unbiased-by-
+# construction sub-universe COUNT (every pair with both ids ≡ 0 mod S
+# — a deterministic, content-independent slice), not a violation
+# detector, so sampling it cannot hide an unsound emission; those are
+# caught by the exhaustive per-pair recompute legs. What the sample
+# gives up is completeness-of-the-anchor only — and the full-universe
+# forms above remain the sf0.01 driver gate, so the two modes
+# cross-check each other where both run.
+_CERT_SAMPLE_MOD = 4
+
+
+def _pair_tau_recompute(
+    pairs: DataFrame, qarr: DataFrame, xcol: str, ycol: str
+) -> DataFrame:
+    """Exact per-pair re-verification — O(emitted): joins each pair's
+    two ids to the fresh quantized scan and recomputes (tau_ok,
+    cosine) with the same integers/IEEE ops as every tier."""
+    from ..dedup.parity import _int_dot
+
+    qa = qarr.select(
+        F.col("id").alias(xcol), F.col("qa").alias("va"), F.col("nq").alias("na")
+    )
+    qb = qarr.select(
+        F.col("id").alias(ycol), F.col("qa").alias("vb"), F.col("nq").alias("nb")
+    )
+    scored = (
+        pairs.join(qa, xcol)
+        .join(qb, ycol)
+        .withColumn("dq", _int_dot("va", "vb"))
+    )
+    return scored.select(
+        xcol,
+        ycol,
+        _tau_gate().alias("tau_ok"),
+        (
+            F.col("dq")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("cosine"),
+    )
+
+
+def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode certificate for the IVF dedup tier: exhaustive
+    O(emitted) per-pair soundness + mate recompute, (n/S)² sampled
+    universe anchor (see the block comment above for the sampling
+    soundness argument)."""
+    from ..dedup import parity
+
+    pairs, comps = _semdedup_ivf_parts(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    qarr = _tau_qarr(embs).localCheckpoint()  # feeds every recompute leg
+    n_anchor = (
+        _exact_tau_pairs(embs, sample_mod=_CERT_SAMPLE_MOD)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_tau_pairs_sampled"))
+    )
+    unsound = (
+        _pair_tau_recompute(pairs, qarr, "id_a", "id_b")
+        .filter(~F.col("tau_ok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted_unsound"))
+    )
+    # SRP cross-tier agreement: band-space legs, never O(n²) — kept full
+    base = embs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    banded, _ = parity._emb_banded_qn(base, 64)
+    srp_cands = parity._banded_pairs(banded)
+    srp_out = parity.emb_pairs_parity(embs, ordered=False).select(
+        "id_a", "id_b"
+    )
+    disagree = (
+        pairs.join(srp_cands, ["id_a", "id_b"], "left_semi")
+        .join(srp_out, ["id_a", "id_b"], "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_srp_overlap_disagree")
+        )
+    )
+    # mate leg — O(output × cluster size), recomputed per mate pair
+    comps = comps.localCheckpoint()
+    nonkeep = comps.filter(F.col("vec_id") != F.col("cluster_id"))
+    members = comps.select("cluster_id", F.col("vec_id").alias("mate"))
+    mate_pairs = (
+        nonkeep.join(members, "cluster_id")
+        .filter(F.col("vec_id") != F.col("mate"))
+        .select(
+            "vec_id",
+            F.least("vec_id", "mate").alias("id_a"),
+            F.greatest("vec_id", "mate").alias("id_b"),
+        )
+    )
+    sound_mates = (
+        _pair_tau_recompute(
+            mate_pairs.select("vec_id", "id_a", "id_b"), qarr, "id_a", "id_b"
+        )
+        .filter(F.col("tau_ok"))
+        .select("id_a", "id_b")
+    )
+    with_mate = (
+        mate_pairs.join(sound_mates, ["id_a", "id_b"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    no_mate = nonkeep.join(with_mate, "vec_id", "left_anti").agg(
+        F.count(F.lit(1))
+        .cast("bigint")
+        .alias("n_pruned_without_tau_mate")
+    )
+    return n_anchor.crossJoin(unsound).crossJoin(disagree).crossJoin(no_mate)
+
+
+SEMDEDUP_IVF_CHECK_SAMPLED_SQL = f"""
+WITH {_exact_tau_sql_ctes(sample_mod=_CERT_SAMPLE_MOD)}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+           AS n_exact_tau_pairs_sampled,
+       CAST(0 AS BIGINT) AS n_emitted_unsound,
+       CAST(0 AS BIGINT) AS n_srp_overlap_disagree,
+       CAST(0 AS BIGINT) AS n_pruned_without_tau_mate
+"""
+
+
+def decontaminate_semantic_ivf_check_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-mode certificate for the IVF decon tier: every flagged
+    (train, eval) pair exactly re-verified (τ gate + bit-identical
+    cosine) in O(flagged); the cross-set universe anchor runs on the
+    id % S sample."""
+    from ..dedup.parity import _DECON_EVAL_MOD
+
+    flagged = decontaminate_semantic_ivf(spark, sf_dir).localCheckpoint()
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    qarr = _tau_qarr(embs).localCheckpoint()
+    a_ev = F.col("id_a") % _DECON_EVAL_MOD == 0
+    b_ev = F.col("id_b") % _DECON_EVAL_MOD == 0
+    n_anchor = (
+        _exact_tau_pairs(embs, sample_mod=_CERT_SAMPLE_MOD)
+        .filter(a_ev != b_ev)
+        .agg(
+            F.count(F.lit(1))
+            .cast("bigint")
+            .alias("n_exact_cross_pairs_sampled")
+        )
+    )
+    fl = flagged.select(
+        F.col("vec_id").alias("id_train"),
+        F.col("closest_eval_id").alias("id_eval"),
+        F.col("cosine").alias("rep_cosine"),
+    )
+    rec = _pair_tau_recompute(fl, qarr, "id_train", "id_eval").localCheckpoint()
+    unsound = rec.filter(~F.col("tau_ok")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged_unsound")
+    )
+    mismatch = (
+        fl.join(rec.filter(F.col("tau_ok")), ["id_train", "id_eval"])
+        .filter(F.col("rep_cosine") != F.col("cosine"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cosine_mismatch"))
+    )
+    return n_anchor.crossJoin(unsound).crossJoin(mismatch)
+
+
+def _decon_ivf_check_sampled_sql() -> str:
+    from ..dedup.parity import _DECON_EVAL_MOD
+
+    return f"""
+WITH {_exact_tau_sql_ctes(sample_mod=_CERT_SAMPLE_MOD)}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact
+        WHERE (id_a % {_DECON_EVAL_MOD} = 0) <> (id_b % {_DECON_EVAL_MOD} = 0))
+           AS n_exact_cross_pairs_sampled,
+       CAST(0 AS BIGINT) AS n_flagged_unsound,
+       CAST(0 AS BIGINT) AS n_cosine_mismatch
+"""
+
+
+DECONTAMINATE_SEMANTIC_IVF_CHECK_SAMPLED_SQL = _decon_ivf_check_sampled_sql()
 
 
 # L3 — brute-force cosine top-k against a query vector (the baseline ANN
@@ -4245,6 +4464,26 @@ QUERIES: dict[str, QuerySpec] = {
         "count from data, zero-violation invariants (every flagged "
         "(train, eval) pair is exact-tau-sound from a fresh scan and "
         "its reported cosine bit-matches the recomputation)",
+    ),
+    "semdedup_ivf_check_sampled": QuerySpec(
+        semdedup_ivf_check_sampled, SEMDEDUP_IVF_CHECK_SAMPLED_SQL,
+        tags=("L2", "L3", "A1"), bench=True,
+        doc="scale-mode IVF-dedup certificate: violation detectors "
+        "exhaustive and O(emitted) (every emitted/mate pair exactly "
+        "re-verified against a fresh quantized scan - no universe "
+        "materialization), universe anchor on the deterministic "
+        "id%4 sample so its cost is (n/S)^2; full-universe form "
+        "stays the sf0.01 gate; SCALING.md carries the 10x-embeddings "
+        "contrast to the full certificate's quadratic",
+    ),
+    "decontaminate_semantic_ivf_check_sampled": QuerySpec(
+        decontaminate_semantic_ivf_check_sampled,
+        DECONTAMINATE_SEMANTIC_IVF_CHECK_SAMPLED_SQL,
+        tags=("L2", "L3", "A1"),
+        doc="scale-mode IVF-decon certificate: every flagged (train, "
+        "eval) pair exactly re-verified in O(flagged) (tau gate + "
+        "bit-identical cosine), cross-set universe anchor on the "
+        "id%4 sample",
     ),
     "decontamination_report_ivf": QuerySpec(
         decontamination_report_ivf, None,

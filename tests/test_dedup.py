@@ -1285,3 +1285,83 @@ def test_pii_excise_md5_matches_python_replica(spark):
             r["cleaned_md5"],
         ) == expected[r["doc_id"]], r["doc_id"]
     assert n_changed >= 300  # the scrub actually cut text
+
+
+# ---------------------------------------------------------------------------
+# Sampled certificate mode: the O(emitted) violation detectors stay
+# exhaustive — tampered emissions must trip them even though the
+# universe anchor is sampled.
+# ---------------------------------------------------------------------------
+def test_semdedup_ivf_check_sampled_detects_unsound_pair(spark, monkeypatch):
+    """An unsound emitted pair (cosine far below tau) trips the
+    per-pair recompute leg of the SAMPLED certificate — soundness is
+    not sampled."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    real_parts = L._semdedup_ivf_parts
+
+    def tampered(spark_, sf_dir):
+        pairs, comps = real_parts(spark_, sf_dir)
+        bogus = spark_.createDataFrame([(2, 3)], "id_a long, id_b long")
+        return pairs.unionByName(bogus), comps
+
+    monkeypatch.setattr(L, "_semdedup_ivf_parts", tampered)
+    row = L.semdedup_ivf_check_sampled(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_emitted_unsound"] >= 1
+
+
+def test_decon_ivf_check_sampled_detects_fabricated_flag(spark, monkeypatch):
+    """A fabricated flagged (train, eval) pair with an impossible
+    cosine trips the sampled certificate's recompute legs: the pair
+    fails the exact tau gate (unsound leg), and a tampered cosine on a
+    REAL pair trips the bit-match leg."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    real = L.decontaminate_semantic_ivf
+
+    def tampered(spark_, sf_dir):
+        df = real(spark_, sf_dir)
+        # vec_ids 2 (train) and 7 (eval) exist; cosine ~0 on the
+        # synthetic corpus -> fails the tau gate on recompute
+        bogus = spark_.createDataFrame(
+            [(2, 7, 0.99)], "vec_id long, closest_eval_id long, cosine double"
+        )
+        return df.unionByName(bogus)
+
+    monkeypatch.setattr(L, "decontaminate_semantic_ivf", tampered)
+    row = L.decontaminate_semantic_ivf_check_sampled(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["n_flagged_unsound"] >= 1
+
+
+def test_decon_ivf_check_sampled_detects_cosine_tamper(spark, monkeypatch):
+    """Perturbing a REAL flagged pair's reported cosine (the emission
+    is tau-sound, the value is wrong) trips the bit-match leg."""
+    import outreach_etl_tool_spark.queries.llm as L
+    from pyspark.sql import functions as F
+
+    real = L.decontaminate_semantic_ivf
+
+    def tampered(spark_, sf_dir):
+        df = real(spark_, sf_dir)
+        return df.withColumn(
+            "cosine", F.col("cosine") + F.lit(1e-9)
+        )
+
+    monkeypatch.setattr(L, "decontaminate_semantic_ivf", tampered)
+    row = L.decontaminate_semantic_ivf_check_sampled(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["n_cosine_mismatch"] >= 1
+
+
+def test_sampled_certificates_nonvacuous(spark):
+    """The sampled universe anchors are nonzero at driver scale (the
+    id%4 sample still sees real tau geometry) and the tiers emit."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    row = L.semdedup_ivf_check_sampled(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_exact_tau_pairs_sampled"] >= 1
+    pairs, _ = L._semdedup_ivf_parts(spark, "/root/testdata/sf0.01")
+    assert pairs.count() >= 1

@@ -104,6 +104,15 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     # round-10 curation additions (documents-only → 3x point)
     "lang_temperature_sample": True,
     "quality_pareto_lottery": True,
+    # round-11: the certificate tier's scale mode (embeddings) — the
+    # committed contrast is sampled-at-10× vs the full form's
+    # driver-scale-only quadratic; plus the new curation operators
+    "semdedup_ivf_check": False,          # full universe: driver scales only
+    "semdedup_ivf_check_sampled": False,  # O(emitted) detectors + (n/S)² anchor
+    "decontaminate_semantic_ivf_check_sampled": False,
+    "pii_extents": True,                  # documents-only → 3x point
+    "pii_excise": True,
+    "lang_id_trained": True,
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
@@ -198,6 +207,21 @@ NOTES: dict[str, str] = {
         "soundness is carried by the oracled "
         "decontaminate_semantic_ivf_check certificate."
     ),
+    "semdedup_ivf_check_sampled": (
+        "Certificate-tier SCALE MODE (round-11): the violation "
+        "detectors are exhaustive but O(emitted) — every emitted/mate "
+        "pair is re-verified by joining its two ids back to a fresh "
+        "quantized scan, no universe materialization — and only the "
+        "data-derived universe ANCHOR runs brute-force, on the id%S "
+        "deterministic sample (S=4 here), i.e. 1/S\u00b2 of the full "
+        "certificate's O(n\u00b2). The 10\u00d7-embeddings point is the "
+        "committed evidence the knob works: the full-universe form "
+        "(semdedup_ivf_check, driver scales only above) would be "
+        "400M pair recomputes at this point; the sampled anchor is "
+        "25M/S\u00b2 \u2248 1/16th of that, and S is chosen per corpus to "
+        "hold n/S at the exact tier's documented budget while "
+        "soundness stays un-sampled."
+    ),
     "semdedup_ivf": (
         "The semdedup SCALE tier: k-means cell co-membership candidate "
         "generation with k = n/125 read from the parquet footer, so "
@@ -229,6 +253,8 @@ NOTES: dict[str, str] = {
 # claims should not rest on a 3× slice alone. sim_knn_join runs on the
 # 10× EMBEDDINGS slice; the others on the 10× documents slice.
 TOP10X = {
+    "semdedup_ivf_check_sampled",
+    "decontaminate_semantic_ivf_check_sampled",
     "dedup_span_exact_extents",
     "dedup_setsim_join",
     "dedup_minhash",
@@ -313,6 +339,8 @@ def main() -> None:
             "semdedup_ivf",
             "decontaminate_semantic",
             "decontaminate_semantic_ivf",
+            "semdedup_ivf_check_sampled",
+            "decontaminate_semantic_ivf_check_sampled",
         ):
             big_dir = sf10e
         elif name in (
