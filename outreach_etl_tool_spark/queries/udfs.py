@@ -618,7 +618,193 @@ ORDER BY doc_id, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# MULTIMODAL DECODE CERTIFICATE — oracled check for the rows-only
+# multimodal family (the graph_kcore_check pattern). The three Arrow
+# kernels (decode_features / resize_images / frame_sample) are
+# rows-only because their outputs carry arrays/binary, but every
+# kernel is a DETERMINISTIC function of the utf-8 payload bytes, so
+# their per-asset invariants are derivable from the documents table:
+#
+#   * decode leg — VALUE-LEVEL: the 16-bin byte histogram's scalar
+#     summaries are recomputed in pure Spark SQL from the text's
+#     character codes (payloads are single-byte here — a data-derived
+#     anchor counts multi-byte docs, excluded from the leg) and folded
+#     with the SAME HOF/log/round expressions as multimodal_decode, so
+#     agreement is bit-exact; sniff type and n_bytes join in;
+#   * resize leg — DIMENSION invariants of the stub grid codec: side =
+#     floor(sqrt(n_bytes)); side >= 8 ⇒ (8, 8, 64 pixel bytes),
+#     side < 8 ⇒ (0, 0, null) — per-asset, every row checked;
+#   * frames leg — exact ACCOUNTING of the frame_sample kernel at the
+#     registry configuration (frame_bytes=64, every_nth=2; the
+#     multimodal_frames query is a count rollup of the same kernel):
+#     kept-frame count m = (nf+1)//2 with nf = max(1, ceil(nb/64)),
+#     frame_idx sum = m(m-1) (the even ladder), and total frame bytes
+#     = 64(m-1) + min(64, nb-128(m-1)) (all kept frames before the
+#     last are full — proof: kept k < 2(m-1) ⇒ k+1 <= nf-1 ⇒ the
+#     window ends inside the payload).
+#
+# The oracle derives the anchors (asset/byte totals, small-asset and
+# frame counts) from the same formulas over documents and pins every
+# violation leg at 0 — fail-loud: a drifting kernel hash-mismatches
+# the driver gate. The PIXEL-exactness of the real codecs is already
+# oracled separately (ppm_roundtrip / wav_roundtrip); this check
+# covers the three batch kernels the Pillow gate leaves rows-only.
+# ---------------------------------------------------------------------------
+def multimodal_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    nb = F.length(F.encode("text", "utf-8"))
+    ascii_only = nb == F.length("text")
+    # Spark-SQL histogram recomputation (JVM, independent of numpy):
+    # counts per bin b = #chars with ascii(ch) // 16 == b, normalized
+    # by n_bytes — same integers, same single IEEE division as
+    # np.histogram(...) / size, then the IDENTICAL fold/round
+    # expressions as multimodal_decode.
+    chars = F.split("text", "")
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.size(
+            F.filter(chars, lambda ch: F.floor(F.ascii(ch) / 16) == b)
+        ),
+    )
+    h = F.transform(counts, lambda c: c.cast("double") / nb.cast("double"))
+    nonzero = F.filter(h, lambda p: p > F.lit(0.0))
+    entropy = -F.aggregate(
+        nonzero, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    expect = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        nb.cast("long").alias("e_bytes"),
+        ascii_only.alias("e_ascii"),
+        F.round(entropy, 9).alias("e_entropy"),
+        F.round(F.array_max(h), 9).alias("e_max"),
+        F.array_position(h, F.array_max(h)).alias("e_argmax"),
+        # resize stub-grid expectations
+        (nb >= 64).alias("e_big"),
+        # frames accounting: nf = max(1, ceil(nb/64)), m = (nf+1)//2
+        F.expr(
+            "greatest(1, (length(encode(text, 'utf-8')) + 63) div 64)"
+        ).alias("e_nf"),
+    ).withColumn("e_m", F.expr("(e_nf + 1) div 2")).localCheckpoint()
+
+    dec = multimodal_decode(spark, sf_dir)
+    d = dec.join(expect, "asset_id")
+    dec_legs = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("e_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(
+            F.when(F.col("media_type") != "application/octet-stream", 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_sniff_mismatch"),
+        F.sum(F.when(F.col("n_bytes") != F.col("e_bytes"), 1).otherwise(0))
+        .cast("bigint").alias("n_nbytes_mismatch"),
+        F.sum(
+            F.when(
+                F.col("e_ascii")
+                & (
+                    (F.col("hist_entropy") != F.col("e_entropy"))
+                    | (F.col("hist_max") != F.col("e_max"))
+                    | (F.col("hist_argmax") != F.col("e_argmax"))
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_hist_mismatch"),
+        F.sum(F.when(~F.col("e_ascii"), 1).otherwise(0))
+        .cast("bigint").alias("n_multibyte_assets"),
+    )
+
+    rs = multimodal_resize(spark, sf_dir).join(expect, "asset_id")
+    ok_big = (
+        (F.col("width") == 8)
+        & (F.col("height") == 8)
+        & (F.length("pixels") == 64)
+    )
+    ok_small = (
+        (F.col("width") == 0)
+        & (F.col("height") == 0)
+        & F.col("pixels").isNull()
+    )
+    resize_legs = rs.agg(
+        F.sum(
+            F.when(
+                (F.col("e_big") & ~ok_big) | (~F.col("e_big") & ~ok_small), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_resize_shape_violations"),
+        F.sum(F.when(~F.col("e_big"), 1).otherwise(0))
+        .cast("bigint").alias("n_resize_small_assets"),
+    )
+
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    fr = (
+        frame_sample(assets, frame_bytes=64, every_nth=2)
+        .groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("m_actual"),
+            F.sum("frame_idx").alias("idx_sum"),
+            F.sum(F.length("frame")).alias("bytes_actual"),
+        )
+        .join(expect, "asset_id")
+    )
+    e_total = (
+        F.lit(64) * (F.col("e_m") - 1)
+        + F.least(
+            F.lit(64), F.col("e_bytes") - F.lit(128) * (F.col("e_m") - 1)
+        )
+    )
+    frame_legs = fr.agg(
+        F.sum("m_actual").cast("bigint").alias("n_frames_total"),
+        F.sum(
+            F.when(
+                (F.col("m_actual") != F.col("e_m"))
+                | (F.col("idx_sum") != F.col("e_m") * (F.col("e_m") - 1))
+                | (F.col("bytes_actual") != e_total),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_frame_accounting_violations"),
+    )
+    return dec_legs.crossJoin(resize_legs).crossJoin(frame_legs)
+
+
+MULTIMODAL_DECODE_CHECK_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS nb
+    FROM documents
+), fr AS (
+    SELECT nb,
+           (GREATEST(1, (nb + 63) // 64) + 1) // 2 AS m
+    FROM base
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_assets,
+       (SELECT CAST(SUM(nb) AS BIGINT) FROM base) AS total_bytes,
+       CAST(0 AS BIGINT) AS n_sniff_mismatch,
+       CAST(0 AS BIGINT) AS n_nbytes_mismatch,
+       CAST(0 AS BIGINT) AS n_hist_mismatch,
+       (SELECT CAST(SUM(CASE WHEN OCTET_LENGTH(ENCODE(text)) <> LENGTH(text)
+                             THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+           AS n_multibyte_assets,
+       CAST(0 AS BIGINT) AS n_resize_shape_violations,
+       (SELECT CAST(SUM(CASE WHEN nb < 64 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM base) AS n_resize_small_assets,
+       (SELECT CAST(SUM(m) AS BIGINT) FROM fr) AS n_frames_total,
+       CAST(0 AS BIGINT) AS n_frame_accounting_violations
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_decode_check": QuerySpec(
+        multimodal_decode_check, MULTIMODAL_DECODE_CHECK_SQL,
+        tags=("L5", "A1", "F6"),
+        doc="oracled certificate for the rows-only multimodal batch "
+        "kernels: decode's histogram summaries recomputed bit-exactly "
+        "in pure Spark SQL from character codes, resize's stub-grid "
+        "dimension contract per asset, frame_sample's exact count/"
+        "index/byte accounting - anchors data-derived, violation legs "
+        "pinned 0 (a drifting kernel hash-mismatches the driver gate)",
+    ),
     "udf_map_arrow": QuerySpec(
         udf_map_arrow, UDF_MAP_ARROW_SQL, tags=("UDTF", "F1"),
         doc="mapInArrow: raw RecordBatch kernel via pyarrow.compute "

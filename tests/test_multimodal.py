@@ -369,3 +369,56 @@ def test_png_without_pillow_keeps_deterministic_stub(spark):
         arr = np.frombuffer(png_magic, dtype=np.uint8)
         hist, _ = np.histogram(arr, bins=16, range=(0, 256))
         assert np.allclose(row["feature"], hist / arr.size)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_check: the certificate's violation legs are live
+# detectors (adversarial negative tests, same pattern as the IVF
+# certificates in test_dedup.py).
+# ---------------------------------------------------------------------------
+def test_multimodal_check_detects_hist_tamper(spark, monkeypatch):
+    import outreach_etl_tool_spark.queries.udfs as U
+    from pyspark.sql import functions as F
+
+    real = U.multimodal_decode
+
+    def tampered(spark_, sf_dir):
+        return real(spark_, sf_dir).withColumn(
+            "hist_entropy", F.col("hist_entropy") + F.lit(1e-9)
+        )
+
+    monkeypatch.setattr(U, "multimodal_decode", tampered)
+    row = U.multimodal_decode_check(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_hist_mismatch"] >= 1
+
+
+def test_multimodal_check_detects_resize_tamper(spark, monkeypatch):
+    import outreach_etl_tool_spark.queries.udfs as U
+    from pyspark.sql import functions as F
+
+    real = U.multimodal_resize
+
+    def tampered(spark_, sf_dir):
+        return real(spark_, sf_dir).withColumn(
+            "width", F.when(F.col("width") == 8, 7).otherwise(F.col("width"))
+        )
+
+    monkeypatch.setattr(U, "multimodal_resize", tampered)
+    row = U.multimodal_decode_check(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_resize_shape_violations"] >= 1
+
+
+def test_multimodal_check_detects_frame_drop(spark, monkeypatch):
+    """Dropping every 3rd frame breaks the exact count/index/byte
+    accounting for some assets."""
+    import outreach_etl_tool_spark.queries.udfs as U
+    from pyspark.sql import functions as F
+
+    real = U.frame_sample
+
+    def tampered(df, **kw):
+        return real(df, **kw).filter(F.col("frame_idx") != 2)
+
+    monkeypatch.setattr(U, "frame_sample", tampered)
+    row = U.multimodal_decode_check(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_frame_accounting_violations"] >= 1
