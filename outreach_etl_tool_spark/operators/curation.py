@@ -65,6 +65,7 @@ def run_curation(
     dest_root: str,
     trained_stages: bool = True,
     classifier_gate: str = "threshold",
+    stopwords: str = "published",
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
@@ -79,14 +80,21 @@ def run_curation(
     ``predicted`` docs; ``"lottery"`` applies GPT-3's actual Pareto
     lottery (`pareto_lottery_frame`, the oracled
     `quality_pareto_lottery` derivation) so low scorers retain a
-    heavy-tailed re-inclusion chance.
+    heavy-tailed re-inclusion chance. ``stopwords`` picks the quality
+    gate's stopword list: ``"published"`` (default) is Gopher's
+    literature list; ``"corpus"`` derives the top-8 document-frequency
+    head (`corpus_stopwords`, the vocab_topk derivation) so the run
+    executes NON-DEGENERATELY on raw corpora whose vocabulary does not
+    overlap the published list -- the synthetic driver corpus needs no
+    enrichment preamble in this mode (round-11; SCALING.md carries the
+    raw-data timing row).
     """
     from pyspark.sql.window import Window
 
     from ..queries.llm import _decon_runs, _excise_rebuild, _LDS_L
     from ..queries.pipeline import (
-        _DECON_K, _EVAL_MOD, _gopher_flags, _grams, dsir_frame,
-        pareto_lottery_frame, quality_classifier_frame,
+        _DECON_K, _EVAL_MOD, _gopher_flags, _grams, corpus_stopwords,
+        dsir_frame, pareto_lottery_frame, quality_classifier_frame,
         shard_assignments,
     )
     from ..sinks.manifest import ManifestTable
@@ -104,7 +112,10 @@ def run_curation(
 
     # 1 — quality gate over the train split
     train = docs.filter(~is_eval)
-    flags = _gopher_flags(train).select("doc_id", "keep")
+    sw = corpus_stopwords(docs) if stopwords == "corpus" else None
+    flags = (
+        _gopher_flags(train, stopwords=sw) if sw else _gopher_flags(train)
+    ).select("doc_id", "keep")
     survivors = commit(
         "stage_quality",
         train.select("doc_id", "source", "lang", "text")

@@ -1372,9 +1372,13 @@ ORDER BY source_a, source_b
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def _gopher_flags(docs: DataFrame) -> DataFrame:
+def _gopher_flags(
+    docs: DataFrame, stopwords: tuple[str, ...] = _GOPHER_STOPWORDS
+) -> DataFrame:
     """Per-doc Gopher rule flags + composite keep (shared by the
-    filter query and the curation funnel)."""
+    filter query and the curation funnel). ``stopwords`` defaults to
+    Gopher's published list; corpus_stopwords() derives a data-driven
+    head for corpora whose vocabulary does not overlap it."""
     toks = TXT.tokens("text")
     lines = F.split("text", "\n")
     n_words = F.size(toks).cast("long")
@@ -1403,7 +1407,7 @@ def _gopher_flags(docs: DataFrame) -> DataFrame:
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            F.array(*[F.lit(w) for w in stopwords]),
         )
     ).cast("long")
     r_word_count = (n_words >= 50) & (n_words <= 100000)
@@ -1831,7 +1835,31 @@ ORDER BY b.doc_id, ns.n
 # fully oracled. Plan: the gopher flags ride the scan; dedup is one
 # 32-byte-key window over quality docs only; the eval gram set is
 # broadcast; one final per-source rollup.
-def curation_funnel_frame(docs: DataFrame) -> DataFrame:
+def corpus_stopwords(docs: DataFrame, k: int = 8) -> tuple[str, ...]:
+    """Corpus-derived stopword head (the vocab_topk derivation): the k
+    tokens appearing in the most documents, ties broken by token.
+    Bounded k-row collect — model state, like the k-means centroids.
+    The published Gopher list stays the default everywhere; this
+    parameterization lets the quality gate run NON-DEGENERATELY on
+    corpora whose vocabulary does not overlap the published list (the
+    synthetic driver corpus, or a non-English crawl) — the raw-data
+    mode of operators/curation.run_curation."""
+    rows = (
+        docs.select(
+            F.explode(F.array_distinct(TXT.tokens("text"))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("t"))
+        .limit(k)
+        .collect()
+    )
+    return tuple(r["t"] for r in rows)
+
+
+def curation_funnel_frame(
+    docs: DataFrame, stopwords: tuple[str, ...] | None = None
+) -> DataFrame:
     """The funnel over an arbitrary (doc_id, source, text) frame —
     shared by the registry query and the materialized-run parity test
     (tests/test_sinks.py), which feeds both this and
@@ -1851,7 +1879,9 @@ def curation_funnel_frame(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
-    flags = _gopher_flags(train).select("doc_id", "keep")
+    flags = _gopher_flags(
+        train, stopwords=stopwords or _GOPHER_STOPWORDS
+    ).select("doc_id", "keep")
     base = train.select("doc_id", "source", "text").join(flags, "doc_id")
     # ONE window pass over sha256(text) yields BOTH canonical flags —
     # marginal (first doc per text) and sequential (first QUALITY doc

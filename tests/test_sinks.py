@@ -771,3 +771,47 @@ def test_curation_run_lottery_gate_parity(spark, tmp_path):
     assert trained == quality & kept
     assert 0 < len(trained) < len(quality)
     assert quality & kept != quality & predicted  # a genuinely different rule
+
+
+def test_curation_run_corpus_stopwords_raw_data(spark, tmp_path):
+    """RAW-DATA mode (round-11): with stopwords='corpus' the quality
+    gate's stopword list is the corpus-derived top-8 document-
+    frequency head, so the 7-stage run executes non-degenerately on
+    the driver parquet with NO enrichment preamble. Parity: the
+    committed stage_quality equals the funnel frame's oracle-shaped
+    derivation under the SAME derived list, and every stage is a
+    real (or provably idempotent) cut."""
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.operators.curation import run_curation
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _EVAL_MOD,
+        _gopher_flags,
+        corpus_stopwords,
+        curation_funnel_frame,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")  # raw — no enrichment
+    dest = str(tmp_path / "curation_raw")
+    counts = run_curation(spark, docs, dest, stopwords="corpus")
+
+    sw = corpus_stopwords(docs)
+    assert len(sw) == 8 and len(set(sw)) == 8
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    n_train = train.count()
+    expected_quality = (
+        _gopher_flags(train, stopwords=sw).filter("keep").count()
+    )
+    # non-degenerate: the gate cuts strictly but keeps a real corpus
+    assert 0 < counts["stage_quality"] < n_train
+    assert counts["stage_quality"] == expected_quality
+    # trained + mixing stages are strict nonzero cuts on raw data
+    assert 0 < counts["stage_trained"] < counts["stage_quality"]
+    assert 0 < counts["stage_dsir"] < counts["stage_trained"]
+    assert 0 < counts["stage_clean"] <= counts["stage_dedup"]
+    assert counts["stage_excised"] == counts["stage_clean"]
+    assert counts["stage_shards"] == counts["stage_clean"]
+    # and the funnel frame under the same derived list agrees on the
+    # quality stage (the 5-stage contracts share one derivation)
+    funnel = curation_funnel_frame(docs, stopwords=sw).collect()
+    assert counts["stage_quality"] == sum(r["n_quality"] for r in funnel)

@@ -207,6 +207,17 @@ NOTES: dict[str, str] = {
         "soundness is carried by the oracled "
         "decontaminate_semantic_ivf_check certificate."
     ),
+    "pipeline_curation_run_raw": (
+        "RAW-DATA mode of the composed run (round-11): "
+        "stopwords='corpus' derives the quality gate's stopword list "
+        "as the corpus's top-8 document-frequency head "
+        "(corpus_stopwords — the vocab_topk derivation, one bounded "
+        "8-row collect), so every stage executes non-degenerately on "
+        "the UNENRICHED driver parquet — this row is measured WITHOUT "
+        "the stopword-enrichment preamble the published-rule row "
+        "below requires. Stage parity + strict-nonzero cuts on raw "
+        "data are pytest-pinned (tests/test_sinks.py)."
+    ),
     "semdedup_ivf_check_sampled": (
         "Certificate-tier SCALE MODE (round-11): the violation "
         "detectors are exhaustive but O(emitted) — every emitted/mate "
@@ -422,6 +433,40 @@ def main() -> None:
         "sf0.3": None,
         "sf1.0": _run_curation_timed(sf10),
     }
+
+    # RAW-DATA mode (round-11): stopwords='corpus' derives the top-8
+    # document-frequency head, so the run executes non-degenerately on
+    # the UNENRICHED driver parquet — this row is measured WITHOUT the
+    # stopword-enrichment preamble the published-rule row needs.
+    def _run_curation_raw_timed(sf_dir: str) -> float:
+        docs = load_table(spark, sf_dir, "documents")
+        best = None
+        for i in range(3):  # pass 0 is the untimed warm pass
+            dest = tempfile.mkdtemp(prefix="curation_raw_")
+            t0 = time.perf_counter()
+            run_curation(spark, docs, dest, stopwords="corpus")
+            dt = time.perf_counter() - t0
+            shutil.rmtree(dest, ignore_errors=True)
+            spark.catalog.clearCache()
+            if i > 0:
+                best = dt if best is None else min(best, dt)
+        return best
+
+    raw_points: dict[str, float | None] = {
+        "sf0.01": _run_curation_raw_timed(SF001),
+        "sf0.1": _run_curation_raw_timed(SF01),
+        "sf0.3": None,
+        "sf1.0": _run_curation_raw_timed(sf10),
+    }
+    rows.append(
+        (
+            "pipeline_curation_run_raw",
+            raw_points,
+            round(raw_points["sf0.1"] / raw_points["sf0.01"], 1),
+            None,
+            round(raw_points["sf1.0"] / raw_points["sf0.1"], 1),
+        )
+    )
     rows.append(
         (
             "pipeline_curation_run",
