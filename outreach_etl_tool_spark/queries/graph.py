@@ -195,7 +195,11 @@ _EDGE_JACCARD_NUM, _EDGE_JACCARD_DEN = 1, 20
 
 def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    deg = _degrees(e)
+    # deg feeds FOUR consumers (both orientation joins inside
+    # _oriented_triangles + the final du/dv joins) — checkpoint so the
+    # union+groupBy over the edge list runs once, not per consumer
+    # (round-11 constant-factor trim; node-count-sized relation)
+    deg = _degrees(e).localCheckpoint()
     tri = _oriented_triangles(e, deg)
     # each triangle contributes one common neighbor to each of its 3
     # sides; normalize sides to (u < v) to match the edge list key
