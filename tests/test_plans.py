@@ -260,6 +260,9 @@ SHUFFLE_BUDGETS = {
     "sql_q19_bracket_revenue": 2,
     "pii_redact": 2,  # regex scrub is pure projection; rollup + sort
     "pii_extents": 2,   # per-doc token window + result sort only
+    # trigram-count buildup + scoring rollup + argmax window + output
+    # join/sort; +1 slot for the weight broadcast AQE may demote
+    "lang_id_trained": 5,
     # span window + rebuild rollup + passthrough join/sort; the gap
     # windows reuse the doc_id partitioning (sort-only, no exchange)
     "pii_excise": 3,
