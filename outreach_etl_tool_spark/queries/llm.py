@@ -885,14 +885,14 @@ def semdedup_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_tau_sql_ctes(sample_mod: int | None = None) -> str:
+def _exact_tau_sql_ctes(sample_mod: int | str | None = None) -> str:
     """DuckDB CTE body ending in ``exact(id_a, id_b, cosine)`` — the
     brute-force τ universe the certificates' oracles derive from.
     ``sample_mod=S`` restricts both sides to id % S == 0 (the sampled
     certificate mode's (n/S)² sub-universe)."""
     from ..dedup.parity import _EMB_SCALE
 
-    samp = f" AND vec_id % {sample_mod} = 0" if sample_mod else ""
+    samp = f" AND vec_id % ({sample_mod}) = 0" if sample_mod else ""
     return f"""qarr AS (
     SELECT vec_id AS id,
            list_transform(embedding, x ->
@@ -1020,9 +1020,13 @@ DECONTAMINATE_SEMANTIC_IVF_CHECK_SQL = _decon_ivf_check_sql()
 #   * the UNIVERSE ANCHOR (the data-derived magnitude that proves the
 #     check ran against real geometry, not an empty set) runs on the
 #     deterministic id-sample id % S == 0, BOTH sides, so its cost is
-#     (n/S)² with S tunable to hold the sampled side at the exact
-#     tier's documented budget (at 10× embeddings and S=4 the anchor
-#     is 1/16th of the full universe).
+#     (n/S)². S is DERIVED FROM THE CORPUS the same way the IVF tier
+#     derives k (the _ivf_k convention): S = max(4, n // 500), so the
+#     sampled side stays ~500 vectors and the anchor's cost is
+#     CONSTANT at any corpus size — at the driver scales (n = 500 /
+#     2000) this resolves to S = 4, keeping the anchors non-vacuous
+#     where the driver gate runs, and at 10× embeddings (n = 20000,
+#     S = 40) the anchor is 1/100th of the full universe.
 #
 # Sampling soundness argument: the anchor is an unbiased-by-
 # construction sub-universe COUNT (every pair with both ids ≡ 0 mod S
@@ -1032,7 +1036,22 @@ DECONTAMINATE_SEMANTIC_IVF_CHECK_SQL = _decon_ivf_check_sql()
 # gives up is completeness-of-the-anchor only — and the full-universe
 # forms above remain the sf0.01 driver gate, so the two modes
 # cross-check each other where both run.
-_CERT_SAMPLE_MOD = 4
+_CERT_SAMPLE_MOD_MIN = 4
+_CERT_SAMPLE_TARGET = 500  # sampled side held at ~this many vectors
+
+
+def _cert_sample_mod(embs: DataFrame) -> int:
+    """S = max(4, n // 500) over the dim-filtered embeddings — the
+    same count the oracle's GREATEST(4, COUNT(*) // 500) subquery
+    derives, so both engines sample the identical id set."""
+    n = embs.count()
+    return max(_CERT_SAMPLE_MOD_MIN, n // _CERT_SAMPLE_TARGET)
+
+
+_CERT_SAMPLE_SQL = (
+    "GREATEST(4, (SELECT COUNT(*) FROM embeddings"
+    " WHERE LEN(embedding) = 64) // 500)"
+)
 
 
 def _pair_tau_recompute(
@@ -1078,7 +1097,7 @@ def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qarr = _tau_qarr(embs).localCheckpoint()  # feeds every recompute leg
     n_anchor = (
-        _exact_tau_pairs(embs, sample_mod=_CERT_SAMPLE_MOD)
+        _exact_tau_pairs(embs, sample_mod=_cert_sample_mod(embs))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_tau_pairs_sampled"))
     )
     unsound = (
@@ -1086,20 +1105,37 @@ def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("tau_ok"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted_unsound"))
     )
-    # SRP cross-tier agreement: band-space legs, never O(n²) — kept full
-    base = embs.select(
+    # SRP cross-tier agreement, SAMPLED: the fixed SRP band space
+    # saturates quadratically in bucket occupancy at 10× — exactly the
+    # behavior the IVF tier exists to escape — so the agreement audit
+    # must not reintroduce it. Both SRP candidacy and the SRP output
+    # decision are PAIRWISE (same-bucket membership + the per-pair
+    # exact gate), hence subset-invariant: running the band pipeline
+    # over the id%S sample and auditing the sampled emitted pairs
+    # checks the identical per-pair agreement at 1/S² of the cost.
+    # (Soundness is NOT affected — it is the exhaustive recompute leg
+    # above; this leg is the cross-tier agreement audit, exhaustive in
+    # the full-universe form that remains the sf0.01 driver gate.)
+    smod = _cert_sample_mod(embs)
+    embs_s = embs.filter(F.col("vec_id") % smod == 0)
+    base_s = embs_s.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v")
     )
-    banded, _ = parity._emb_banded_qn(base, 64)
-    srp_cands = parity._banded_pairs(banded)
-    srp_out = parity.emb_pairs_parity(embs, ordered=False).select(
+    banded_s, _ = parity._emb_banded_qn(base_s, 64)
+    srp_cands = parity._banded_pairs(banded_s)
+    srp_out = parity.emb_pairs_parity(embs_s, ordered=False).select(
         "id_a", "id_b"
     )
+    pairs_s = pairs.filter(
+        (F.col("id_a") % smod == 0) & (F.col("id_b") % smod == 0)
+    )
     disagree = (
-        pairs.join(srp_cands, ["id_a", "id_b"], "left_semi")
+        pairs_s.join(srp_cands, ["id_a", "id_b"], "left_semi")
         .join(srp_out, ["id_a", "id_b"], "left_anti")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_srp_overlap_disagree")
+            F.count(F.lit(1))
+            .cast("bigint")
+            .alias("n_srp_overlap_disagree_sampled")
         )
     )
     # mate leg — O(output × cluster size), recomputed per mate pair
@@ -1136,11 +1172,11 @@ def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_IVF_CHECK_SAMPLED_SQL = f"""
-WITH {_exact_tau_sql_ctes(sample_mod=_CERT_SAMPLE_MOD)}
+WITH {_exact_tau_sql_ctes(sample_mod=_CERT_SAMPLE_SQL)}
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
            AS n_exact_tau_pairs_sampled,
        CAST(0 AS BIGINT) AS n_emitted_unsound,
-       CAST(0 AS BIGINT) AS n_srp_overlap_disagree,
+       CAST(0 AS BIGINT) AS n_srp_overlap_disagree_sampled,
        CAST(0 AS BIGINT) AS n_pruned_without_tau_mate
 """
 
@@ -1162,7 +1198,7 @@ def decontaminate_semantic_ivf_check_sampled(
     a_ev = F.col("id_a") % _DECON_EVAL_MOD == 0
     b_ev = F.col("id_b") % _DECON_EVAL_MOD == 0
     n_anchor = (
-        _exact_tau_pairs(embs, sample_mod=_CERT_SAMPLE_MOD)
+        _exact_tau_pairs(embs, sample_mod=_cert_sample_mod(embs))
         .filter(a_ev != b_ev)
         .agg(
             F.count(F.lit(1))
@@ -1191,7 +1227,7 @@ def _decon_ivf_check_sampled_sql() -> str:
     from ..dedup.parity import _DECON_EVAL_MOD
 
     return f"""
-WITH {_exact_tau_sql_ctes(sample_mod=_CERT_SAMPLE_MOD)}
+WITH {_exact_tau_sql_ctes(sample_mod=_CERT_SAMPLE_SQL)}
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact
         WHERE (id_a % {_DECON_EVAL_MOD} = 0) <> (id_b % {_DECON_EVAL_MOD} = 0))
            AS n_exact_cross_pairs_sampled,
@@ -4472,9 +4508,12 @@ QUERIES: dict[str, QuerySpec] = {
         "exhaustive and O(emitted) (every emitted/mate pair exactly "
         "re-verified against a fresh quantized scan - no universe "
         "materialization), universe anchor on the deterministic "
-        "id%4 sample so its cost is (n/S)^2; full-universe form "
-        "stays the sf0.01 gate; SCALING.md carries the 10x-embeddings "
-        "contrast to the full certificate's quadratic",
+        "id%S sample with S = max(4, n/500) derived from the corpus "
+        "(the _ivf_k convention) so the sampled side stays ~500 "
+        "vectors and the anchor cost is CONSTANT; S=4 at driver "
+        "scales (anchors non-vacuous); full-universe form stays the "
+        "sf0.01 gate; SCALING.md carries the 10x-embeddings contrast "
+        "to the full certificate's quadratic",
     ),
     "decontaminate_semantic_ivf_check_sampled": QuerySpec(
         decontaminate_semantic_ivf_check_sampled,
@@ -4483,7 +4522,7 @@ QUERIES: dict[str, QuerySpec] = {
         doc="scale-mode IVF-decon certificate: every flagged (train, "
         "eval) pair exactly re-verified in O(flagged) (tau gate + "
         "bit-identical cosine), cross-set universe anchor on the "
-        "id%4 sample",
+        "corpus-derived id%S sample (S = max(4, n/500))",
     ),
     "decontamination_report_ivf": QuerySpec(
         decontamination_report_ivf, None,

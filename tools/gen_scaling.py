@@ -220,18 +220,17 @@ NOTES: dict[str, str] = {
     ),
     "semdedup_ivf_check_sampled": (
         "Certificate-tier SCALE MODE (round-11): the violation "
-        "detectors are exhaustive but O(emitted) — every emitted/mate "
+        "detectors are exhaustive but O(emitted) \u2014 every emitted/mate "
         "pair is re-verified by joining its two ids back to a fresh "
-        "quantized scan, no universe materialization — and only the "
-        "data-derived universe ANCHOR runs brute-force, on the id%S "
-        "deterministic sample (S=4 here), i.e. 1/S\u00b2 of the full "
-        "certificate's O(n\u00b2). The 10\u00d7-embeddings point is the "
-        "committed evidence the knob works: the full-universe form "
-        "(semdedup_ivf_check, driver scales only above) would be "
-        "400M pair recomputes at this point; the sampled anchor is "
-        "25M/S\u00b2 \u2248 1/16th of that, and S is chosen per corpus to "
-        "hold n/S at the exact tier's documented budget while "
-        "soundness stays un-sampled."
+        "quantized scan, no universe materialization \u2014 and the "
+        "universe anchor plus the SRP cross-tier agreement audit run "
+        "on the deterministic id%S sample with S = max(4, n/500) "
+        "derived from the corpus (the _ivf_k convention), so the "
+        "sampled side stays ~500 vectors and those legs' cost is "
+        "CONSTANT at any corpus size. The full-universe form "
+        "(semdedup_ivf_check, driver scales only above) would be 400M "
+        "pair recomputes at this 10\u00d7 point; soundness stays "
+        "un-sampled in both modes."
     ),
     "semdedup_ivf": (
         "The semdedup SCALE tier: k-means cell co-membership candidate "
