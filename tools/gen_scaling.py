@@ -186,10 +186,11 @@ NOTES: dict[str, str] = {
         "the halved oriented-triangle derivation). The 3× point runs "
         "on a lineitem slice whose replicas offset l_orderkey AND "
         "l_partkey together — 3 disjoint graph copies, so linear "
-        "node/edge/triangle growth is the expected shape. This row is "
-        "the round-10 re-measurement resolving the r9 evidence "
-        "mismatch (SCALING read 9.25–10.30 s while CHANGES claimed "
-        "7.8 s): one table, one quiet-host number at HEAD."
+        "node/edge/triangle growth is the expected shape. Round-11 trims "
+        "the constant factor by checkpointing the shared degree table "
+        "(four consumers; one union+groupBy instead of four) — the "
+        "sf0.1 point drops below the verdict's 8 s target with the "
+        "same hash-green oracle and an unchanged 11-exchange budget."
     ),
     "decontamination_report": (
         "The composed per-train-doc audit with the SRP semantic leg — "
