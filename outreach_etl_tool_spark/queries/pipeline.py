@@ -579,6 +579,132 @@ LANG_TEMPERATURE_SAMPLE_SQL = _lang_temperature_sample_sql()
 
 
 # ---------------------------------------------------------------------------
+# TOKEN-BUDGET MIXTURE EXECUTOR — the "data recipe" step that turns a
+# mixture spec into an exact document selection. Rate-based mixing
+# (temperature/DSIR above) hits proportions IN EXPECTATION; the recipe
+# executor a training run actually ships fills per-domain TOKEN QUOTAS
+# exactly: total budget B = 4/5 of corpus tokens, uniform per-domain
+# quotas q_d = B/D (rebalance-to-uniform — the head domain truncates,
+# tail domains keep everything, both visible in the output), greedy
+# fill in a deterministic hash order including the quota-crossing doc.
+#
+# Scale shape — the naive form is a PER-DOMAIN GLOBAL CUMSUM, i.e. one
+# sequential task per domain at 100 TB (the single-task-window
+# anti-pattern). The executor instead splits every domain's quota
+# across _MIX_SHARDS hash-salted sub-streams and fills each sub-stream
+# independently: parallelism = D × S with S a free knob (shard count
+# scales with the cluster, exactly like corpus_shuffle_shards), the
+# fill inside a sub-stream stays an exact integer prefix sum, and the
+# selection remains fully deterministic — a different-but-well-defined
+# spec vs the global order, stated here rather than hidden. All quota
+# arithmetic is floor division on exact BIGINTs; the oracle replays it
+# identically.
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 4, 5
+_MIX_SHARDS = 8
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _MIX_SHARDS
+        ).alias("shard"),
+        F.md5(
+            F.concat(F.lit("mixord#"), F.col("doc_id").cast("string"))
+        ).alias("ord"),
+    )
+    tot = base.agg(
+        F.sum("n_tok").alias("t_total"),
+        F.countDistinct("lang").alias("n_domains"),
+    )
+    q = tot.select(
+        F.expr(
+            f"(t_total * {_MIX_BUDGET_NUM}) div {_MIX_BUDGET_DEN}"
+            f" div n_domains div {_MIX_SHARDS}"
+        ).alias("q_shard")
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("ord", "doc_id")
+    filled = (
+        base.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("kept", F.col("cum_before") < F.col("q_shard"))
+    )
+    return (
+        filled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("domain_tokens"),
+            (F.first("q_shard") * _MIX_SHARDS).cast("bigint").alias("quota_tokens"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS BIGINT)
+               AS n_tok,
+           ('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_MIX_SHARDS} AS shard,
+           md5('mixord#' || CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+), tot AS (
+    SELECT CAST(SUM(n_tok) AS BIGINT) AS t_total,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_domains
+    FROM base
+), q AS (
+    SELECT (t_total * {_MIX_BUDGET_NUM}) // {_MIX_BUDGET_DEN}
+               // n_domains // {_MIX_SHARDS} AS q_shard
+    FROM tot
+), filled AS (
+    SELECT b.lang, b.n_tok, q.q_shard,
+           COALESCE(SUM(b.n_tok) OVER (
+               PARTITION BY b.lang, b.shard ORDER BY b.ord, b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               < q.q_shard AS kept
+    FROM base b, q
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS domain_tokens,
+       CAST(MIN(q_shard) * {_MIX_SHARDS} AS BIGINT) AS quota_tokens,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM filled
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # PACK SEQUENCES — greedy contiguous packing into token-budget bins
 # ---------------------------------------------------------------------------
 # Sample packing: concatenate documents into fixed-capacity training
@@ -3461,6 +3587,17 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "token_budget_mix": QuerySpec(
+        token_budget_mix, TOKEN_BUDGET_MIX_SQL,
+        tags=("L4", "A2", "W3"), bench=True,
+        doc="token-budget mixture executor (the data-recipe step): "
+        "uniform per-domain token quotas filled EXACTLY by greedy "
+        "deterministic hash-order fill, quota split across 8 "
+        "hash-salted sub-streams per domain so parallelism is D*S "
+        "instead of one sequential cumsum per domain; head domain "
+        "truncates, tail domains keep all - both visible in the "
+        "per-domain rollup; all floor-division exact integers",
     ),
     "lang_id_trained": QuerySpec(
         lang_id_trained, LANG_ID_TRAINED_SQL,

@@ -2452,3 +2452,69 @@ def test_lang_id_trained_driver_data_shape(spark):
     langs = {r["lang"] for r in out}
     assert {r["predicted_lang"] for r in out} <= langs
     assert any(r["best_score_scaled"] != 0 for r in out)
+
+
+# ------------------------------------------------ token-budget mixing
+def test_token_budget_mix_python_replica_and_binding(spark):
+    """Independent pure-python replica (hashlib + dicts) of the
+    sharded greedy fill, plus the operator's defining behaviors on
+    driver data: the head domain is TRUNCATED toward its quota while
+    at least one tail domain keeps everything (quotas partially bind),
+    and every kept count/token sum matches the replica exactly."""
+    import hashlib
+
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _MIX_BUDGET_DEN,
+        _MIX_BUDGET_NUM,
+        _MIX_SHARDS,
+        token_budget_mix,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT doc_id, lang,
+               LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+'))
+            FROM '{sf}/documents.parquet'"""
+    ).fetchall()
+    T = sum(r[2] for r in rows)
+    langs = sorted({r[1] for r in rows})
+    q_shard = T * _MIX_BUDGET_NUM // _MIX_BUDGET_DEN // len(langs) // _MIX_SHARDS
+    streams: dict[tuple[str, int], list[tuple[str, int, int]]] = {}
+    for doc_id, lang, n_tok in rows:
+        shard = int(
+            hashlib.md5(f"mix#{doc_id}".encode()).hexdigest()[:8], 16
+        ) % _MIX_SHARDS
+        ordk = hashlib.md5(f"mixord#{doc_id}".encode()).hexdigest()
+        streams.setdefault((lang, shard), []).append((ordk, doc_id, n_tok))
+    expected = {
+        l: {"n_docs": 0, "domain_tokens": 0, "n_kept": 0, "tokens_kept": 0}
+        for l in langs
+    }
+    for (lang, _), docs in streams.items():
+        cum = 0
+        for ordk, doc_id, n_tok in sorted(docs):
+            e = expected[lang]
+            e["n_docs"] += 1
+            e["domain_tokens"] += n_tok
+            if cum < q_shard:
+                e["n_kept"] += 1
+                e["tokens_kept"] += n_tok
+            cum += n_tok
+    got = {r["lang"]: r.asDict() for r in token_budget_mix(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for lang, e in expected.items():
+        g = got[lang]
+        assert g["quota_tokens"] == q_shard * _MIX_SHARDS
+        for k, v in e.items():
+            assert g[k] == v, (lang, k, g[k], v)
+    # quotas partially bind: head truncates, some tail keeps all
+    head = max(got.values(), key=lambda g: g["domain_tokens"])
+    assert head["n_kept"] < head["n_docs"]
+    assert any(g["n_kept"] == g["n_docs"] for g in got.values())
+    # greedy fill with the crossing doc: kept tokens reach the quota
+    # wherever the domain had enough material (within one doc's slack
+    # per sub-stream)
+    assert head["tokens_kept"] >= head["quota_tokens"]

@@ -263,6 +263,8 @@ SHUFFLE_BUDGETS = {
     # trigram-count buildup + scoring rollup + argmax window + output
     # join/sort; +1 slot for the weight broadcast AQE may demote
     "lang_id_trained": 5,
+    # totals agg + (lang,shard) window + domain rollup + result sort
+    "token_budget_mix": 5,
     # span window + rebuild rollup + passthrough join/sort; the gap
     # windows reuse the doc_id partitioning (sort-only, no exchange)
     "pii_excise": 3,

@@ -113,6 +113,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "pii_extents": True,                  # documents-only → 3x point
     "pii_excise": True,
     "lang_id_trained": True,
+    "token_budget_mix": True,
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
