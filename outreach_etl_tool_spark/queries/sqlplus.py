@@ -389,6 +389,123 @@ GROUP BY o.doc_id
 
 
 # ---------------------------------------------------------------------------
+# TARGET-TRAINED LM FILTER — the actual CCNet shape (round-11):
+# lm_quality_score above trains its bigram LM on the corpus ITSELF
+# (self-perplexity = disfluency); CCNet's filter trains the LM on a
+# TARGET domain (their Wikipedia KenLM) and scores the whole crawl by
+# target-likeness. Here the target is the lang='en' split (the same
+# target convention as DSIR/the quality classifier), the model is the
+# add-1-smoothed bigram LM P(v|u) = (c_t(u,v)+1)/(c_t(u)+V) with V =
+# |target vocabulary| — smoothing is what makes scoring the FULL
+# corpus sound (off-target bigrams the target never saw get the
+# uniform floor 1/(c_t(u)+V) instead of a hole). Each per-bigram
+# probability is ROUND(1e9 · one IEEE division of exact integers)
+# (the lm_quality_score discipline, engine-identical), summed
+# order-free; one final division.
+#
+# Label note (the shared-vocabulary degeneracy, stated up front): the
+# synthetic langs draw from one vocabulary, so driver-data scores
+# barely separate by lang — the gate certifies the arithmetic; the
+# planted disjoint-vocabulary pytest (tests/test_pipeline_ops.py)
+# certifies the filter actually discriminates where domains differ.
+#
+# Scale shape: one corpus tokenize pass + one target-slice count
+# rollup (vocab²-sized, AQE broadcasts it back) + the scoring join —
+# the corpus shuffles once on (prev, nxt) for the left join; totals
+# and V are vocab-sized/1-row broadcasts.
+# ---------------------------------------------------------------------------
+def lm_target_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
+    def _pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+        p = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(toks, i - 1).alias("prev"), F.get(toks, i).alias("nxt")
+            ),
+        )
+        return F.when(n >= 2, p).otherwise(
+            F.array().cast("array<struct<prev:string,nxt:string>>")
+        )
+
+    occ = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(bind_once(tokens("text"), _pairs)).alias("p"),
+        )
+        .select("doc_id", "lang", "p.prev", "p.nxt")
+        # feeds the target model build AND the scoring pass
+        .localCheckpoint()
+    )
+    tgt = occ.filter(F.col("lang") == "en")
+    counts_t = tgt.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c_uv"))
+    prev_t = tgt.groupBy("prev").agg(F.count(F.lit(1)).alias("c_u"))
+    vocab = (
+        tgt.select(F.col("prev").alias("t"))
+        .unionAll(tgt.select(F.col("nxt").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    sp = F.round(
+        F.lit(1000000000.0)
+        * (
+            (F.coalesce("c_uv", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("c_u", F.lit(0)) + F.col("v")).cast("double")
+        )
+    ).cast("bigint")
+    return (
+        occ.join(F.broadcast(counts_t), ["prev", "nxt"], "left")
+        .join(F.broadcast(prev_t), "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", sp.alias("sp"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("sp").cast("double")
+                / (F.lit(1000000000.0) * F.count(F.lit(1)))
+            ).alias("target_lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_TARGET_SCORE_SQL = """
+WITH arrs AS (
+    SELECT doc_id, lang, regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), occ AS (
+    SELECT doc_id, lang, arr[i] AS prev, arr[i + 1] AS nxt
+    FROM arrs, UNNEST(generate_series(1, LEN(arr) - 1)) AS t(i)
+    WHERE LEN(arr) >= 2
+), tgt AS (
+    SELECT prev, nxt FROM occ WHERE lang = 'en'
+), counts_t AS (
+    SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c_uv FROM tgt GROUP BY 1, 2
+), prev_t AS (
+    SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_u FROM tgt GROUP BY 1
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+    FROM (SELECT prev AS t FROM tgt UNION ALL SELECT nxt FROM tgt)
+)
+SELECT o.doc_id, o.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(1000000000.0 *
+                (CAST(COALESCE(c.c_uv, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(p.c_u, 0) + vocab.v AS DOUBLE)))
+            AS BIGINT)) AS DOUBLE)
+           / (1000000000.0 * COUNT(*)) AS target_lm_score
+FROM occ o
+LEFT JOIN counts_t c ON o.prev = c.prev AND o.nxt = c.nxt
+LEFT JOIN prev_t p ON o.prev = p.prev, vocab
+GROUP BY o.doc_id, o.lang
+ORDER BY o.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # RFM SEGMENTATION — the classic customer-mart cube: per customer,
 # Recency (days since last order, against the corpus max date so the
 # anchor is data-derived, not wall-clock), Frequency (order count) and
@@ -1105,6 +1222,17 @@ QUERIES: dict[str, QuerySpec] = {
     "lm_quality_score": QuerySpec(
         lm_quality_score, LM_QUALITY_SCORE_SQL, tags=("L4", "A2", "W3", "J1"),
         doc="corpus-trained bigram-LM mean-probability document score",
+    ),
+    "lm_target_score": QuerySpec(
+        lm_target_score, LM_TARGET_SCORE_SQL,
+        tags=("L4", "A2", "J2", "J4"),
+        doc="CCNet-shape TARGET-trained LM filter: add-1-smoothed "
+        "bigram LM trained on the lang='en' split scores the whole "
+        "corpus by target-likeness (smoothing floors unseen bigrams "
+        "at 1/(c_u+V)); per-bigram ROUND(1e9 * one IEEE division of "
+        "exact integers), order-free sum; planted disjoint-vocabulary "
+        "discrimination test (driver langs share one vocabulary - "
+        "documented)",
     ),
     "sql_q7_nation_volume": QuerySpec(
         sql_q7_nation_volume, SQL_Q7_NATION_VOLUME_SQL,

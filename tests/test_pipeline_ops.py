@@ -2518,3 +2518,46 @@ def test_token_budget_mix_python_replica_and_binding(spark):
     # wherever the domain had enough material (within one doc's slack
     # per sub-stream)
     assert head["tokens_kept"] >= head["quota_tokens"]
+
+
+# ------------------------------------------------ target-trained LM
+def test_lm_target_score_discriminates_disjoint_vocabularies(spark, monkeypatch):
+    """Where the target domain has its own vocabulary (the real CCNet
+    setting), target-domain docs must score far above off-target docs
+    (whose unseen bigrams get the smoothed floor); on the driver
+    corpus the langs share one vocabulary and scores barely separate
+    (documented in the registry doc)."""
+    import random
+
+    import outreach_etl_tool_spark.queries.sqlplus as S
+
+    rng = random.Random(7)
+    # target text is STRUCTURED (cyclic bigram chains over a 20-word
+    # vocabulary -> in-domain bigram probability near 1 after
+    # smoothing), off-target text is random over a disjoint vocabulary
+    # (every bigram unseen -> the smoothed floor 1/(0+V)). A bigram LM
+    # cannot separate uniform-random corpora (P ~ 1/V equals the
+    # floor) - structure is what the filter detects.
+    va = ["a" + c for c in "abcdefghijklmnopqrst"]
+    vb = ["z" + c for c in "abcdefghijklmnopqrst"]
+    rows = []
+    for d in range(120):
+        tgt = d % 2 == 0
+        if tgt:
+            start = rng.randrange(20)
+            n = rng.randint(15, 40)
+            text = " ".join(va[(start + k) % 20] for k in range(n))
+        else:
+            text = " ".join(
+                rng.choice(vb) for _ in range(rng.randint(15, 40))
+            )
+        rows.append((d, text, "en" if tgt else "zz", "src0", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(S, "load_table", lambda *a: docs)
+    out = S.lm_target_score(spark, "no-such-dir").collect()
+    en = [r["target_lm_score"] for r in out if r["lang"] == "en"]
+    zz = [r["target_lm_score"] for r in out if r["lang"] == "zz"]
+    assert len(en) and len(zz)
+    assert min(en) > 5 * max(zz), (min(en), max(zz))
