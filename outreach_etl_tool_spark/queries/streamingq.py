@@ -915,6 +915,91 @@ ORDER BY d.doc_id
 STREAM_DECONTAMINATE_INGEST_SQL = _stream_decontaminate_ingest_sql()
 
 
+def stream_pii_scrub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6c/L4ac: streaming PII scrub at ingest — every arriving doc's
+    email/phone/IPv4 token spans detected and excised byte-exactly
+    before landing (streams.pii_scrub_ingest_sink; the batch
+    `pii_extents`/`pii_excise` machinery). The scrub is a pure
+    per-doc function of the text, so the retained table is
+    batch-structure-invariant and the oracle is the batch excise
+    replica plus the span count — md5-certifying the scrubbed bytes
+    of every streamed document."""
+    import tempfile as _tf
+
+    from ..streaming.streams import pii_scrub_ingest_sink
+
+    replay = _build_docs_replay(spark, sf_dir)
+    docs = (
+        spark.readStream.schema(_DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{replay}/s*/part-*.json")
+    )
+    table_path = _tf.mkdtemp(prefix="stream_pii_table_")
+    ckpt = _tf.mkdtemp(prefix="stream_pii_ckpt_")
+    q = (
+        pii_scrub_ingest_sink(docs, table_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+
+    from ..sinks.manifest import ManifestTable
+
+    return (
+        ManifestTable(table_path)
+        .read(spark)
+        .select("doc_id", "n_pii_spans", "n_chars", "kept_chars", "cleaned_md5")
+        .orderBy("doc_id")
+    )
+
+
+def _stream_pii_scrub_ingest_sql() -> str:
+    from .llm import _PII_SPANS_CTES
+
+    return f"""
+WITH {_PII_SPANS_CTES}, ivls AS (
+    SELECT doc_id, span_start AS ivl_start,
+           span_start + span_len AS ivl_end
+    FROM typed WHERE pii_type IS NOT NULL
+), spancnt AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pii_spans
+    FROM typed WHERE pii_type IS NOT NULL GROUP BY doc_id
+), gaps AS (
+    SELECT doc_id,
+           COALESCE(LAG(ivl_end) OVER (PARTITION BY doc_id
+                                       ORDER BY ivl_start), 1) AS gs,
+           ivl_start AS ge
+    FROM ivls
+    UNION ALL
+    SELECT doc_id, MAX(ivl_end) AS gs, NULL AS ge
+    FROM ivls GROUP BY doc_id
+), segs AS (
+    SELECT g.doc_id, g.gs,
+           substr(d.ctext, CAST(g.gs AS INTEGER),
+                  CAST(COALESCE(g.ge, LENGTH(d.ctext) + 1) - g.gs AS INTEGER))
+               AS seg
+    FROM gaps g JOIN contaminated d USING (doc_id)
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, '' ORDER BY gs) AS cleaned
+    FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_pii_spans, 0) AS n_pii_spans,
+       CAST(LENGTH(d.ctext) AS BIGINT) AS n_chars,
+       CAST(LENGTH(COALESCE(r.cleaned, d.ctext)) AS BIGINT) AS kept_chars,
+       md5(COALESCE(r.cleaned, d.ctext)) AS cleaned_md5
+FROM contaminated d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN spancnt s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+STREAM_PII_SCRUB_INGEST_SQL = _stream_pii_scrub_ingest_sql()
+
+
 def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6c/L2k: streaming span-aware ingest under the oracle gate.
     Each doc_id-ranged micro-batch is annotated with duplicated-char
@@ -1095,6 +1180,16 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T7", "J4", "T4"),
         doc="stream-stream LEFT OUTER interval join: null-extended rows "
         "emitted at watermark expiry; flush bound mirrored in the oracle",
+    ),
+    "stream_pii_scrub_ingest": QuerySpec(
+        stream_pii_scrub_ingest,
+        STREAM_PII_SCRUB_INGEST_SQL,
+        tags=("T6", "L4", "F1", "W3"),
+        doc="streaming PII scrub at ingest: arriving docs' email/phone/"
+        "IPv4 token spans excised byte-exactly before landing, span "
+        "count + scrubbed-text md5 committed per doc; replay-safe "
+        "anti-join; batch-structure-invariant, exact batch-replica "
+        "oracle",
     ),
     "stream_decontaminate_ingest": QuerySpec(
         stream_decontaminate_ingest,

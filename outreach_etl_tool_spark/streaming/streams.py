@@ -548,6 +548,64 @@ def decontaminate_ingest_sink(
     )
 
 
+def pii_scrub_ingest_sink(
+    docs: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+):
+    """Streaming PII scrub at ingest (round-11 — the T9 ingest pattern
+    applied to the PII span family): every arriving document has its
+    email/phone/IPv4 token spans detected and cut byte-exactly
+    (`queries/llm.py`'s `_pii_spans` + `_excise_rebuild` — the same
+    machinery the oracled batch queries certify), and lands in the
+    manifest table with its span count and scrubbed-text md5 rather
+    than raw. Replayed batches (checkpoint recovery after a committed
+    append) are anti-joined against the table's own ids, so recovery
+    never double-ingests. The scrub is a pure per-document function of
+    the text, so the retained table is batch-structure-invariant —
+    which is what the exact oracle certifies. (Micro-batches run the
+    planted-contamination view, matching the batch queries: the
+    corpus carries no natural PII.)"""
+    from pyspark.sql import functions as SF
+
+    from ..queries.llm import _excise_rebuild, _pii_ctext, _pii_spans
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if table.exists():
+            batch = batch.join(
+                table.read(spark).select("doc_id"), "doc_id", "left_anti"
+            )
+        cdocs = batch.select("doc_id", _pii_ctext().alias("ctext"))
+        spans = _pii_spans(cdocs)
+        ivls = spans.select(
+            "doc_id",
+            SF.col("span_start").alias("ivl_start"),
+            (SF.col("span_start") + SF.col("span_len")).alias("ivl_end"),
+        )
+        cnt = spans.groupBy("doc_id").agg(
+            SF.count(SF.lit(1)).cast("bigint").alias("n_pii_spans")
+        )
+        out = (
+            _excise_rebuild(cdocs.withColumnRenamed("ctext", "text"), ivls)
+            .join(cnt, "doc_id", "left")
+            .fillna(0, subset=["n_pii_spans"])
+            .select("doc_id", "n_pii_spans", "n_chars", "kept_chars", "cleaned_md5")
+        )
+        if out.isEmpty():
+            return
+        table.append(out)
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
 def manifest_upsert_sink(
     events: DataFrame,
     table_path: str,

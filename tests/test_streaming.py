@@ -931,3 +931,31 @@ def test_decontaminate_ingest_annotates_and_survives_replay(spark, tmp_path):
              for r in ManifestTable(table).read(spark).collect()}
     assert {d: (r["n_shared_grams"], r["n_eval_docs"])
             for d, r in rows2.items()} == {1: (1, 1), 2: (0, 0)}
+
+
+def test_stream_pii_scrub_matches_batch_excise(spark):
+    """The streamed table's scrubbed md5s equal the batch pii_excise
+    output doc-for-doc (batch-structure invariance made concrete), and
+    span counts match pii_extents' per-doc rollup."""
+    from collections import Counter
+
+    from outreach_etl_tool_spark.queries.llm import pii_excise, pii_extents
+    from outreach_etl_tool_spark.queries.streamingq import (
+        stream_pii_scrub_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["doc_id"]: (r["n_pii_spans"], r["n_chars"], r["kept_chars"], r["cleaned_md5"])
+        for r in stream_pii_scrub_ingest(spark, sf).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_chars"], r["kept_chars"], r["cleaned_md5"])
+        for r in pii_excise(spark, sf).collect()
+    }
+    spans = Counter(r["doc_id"] for r in pii_extents(spark, sf).collect())
+    assert set(streamed) == set(batch)
+    for doc_id, (n_spans, n_chars, kept, md5) in streamed.items():
+        assert (n_chars, kept, md5) == batch[doc_id], doc_id
+        assert n_spans == spans.get(doc_id, 0), doc_id
+    assert sum(n for n, *_ in streamed.values()) > 0  # scrub non-trivial
