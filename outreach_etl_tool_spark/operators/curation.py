@@ -83,7 +83,8 @@ def run_curation(
     heavy-tailed re-inclusion chance. ``stopwords`` picks the quality
     gate's stopword list: ``"published"`` (default) is Gopher's
     literature list; ``"corpus"`` derives the top-8 document-frequency
-    head (`corpus_stopwords`, the vocab_topk derivation) so the run
+    head (`corpus_stopwords` over the TRAIN split only — the eval
+    split leaks nothing into the gates) so the run
     executes NON-DEGENERATELY on raw corpora whose vocabulary does not
     overlap the published list -- the synthetic driver corpus needs no
     enrichment preamble in this mode (round-11; SCALING.md carries the
@@ -110,9 +111,13 @@ def run_curation(
 
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
 
-    # 1 — quality gate over the train split
+    # 1 — quality gate over the train split. The corpus-derived
+    # stopword head is computed from the TRAIN split only: the eval
+    # split (doc_id % _EVAL_MOD == 0) steers decontamination and must
+    # leak no information — not even document frequencies — into the
+    # gates applied to training data (round-12; ADVICE r11).
     train = docs.filter(~is_eval)
-    sw = corpus_stopwords(docs) if stopwords == "corpus" else None
+    sw = corpus_stopwords(train) if stopwords == "corpus" else None
     flags = (
         _gopher_flags(train, stopwords=sw) if sw else _gopher_flags(train)
     ).select("doc_id", "keep")

@@ -1059,7 +1059,15 @@ def _pair_tau_recompute(
 ) -> DataFrame:
     """Exact per-pair re-verification — O(emitted): joins each pair's
     two ids to the fresh quantized scan and recomputes (tau_ok,
-    cosine) with the same integers/IEEE ops as every tier."""
+    cosine) with the same integers/IEEE ops as every tier.
+
+    Missing-id soundness: a pair referencing an id ABSENT from the
+    dim-filtered scan (fabricated id, or a vector the dim filter
+    dropped) must trip the gate exactly like the full-universe forms'
+    left_anti legs do — so such pairs are emitted with tau_ok=false /
+    cosine NULL rather than silently dropped by an inner join. The
+    known/unknown split (left_semi + the complement) keeps the Arrow
+    _int_dot kernel on non-null equal-length arrays only."""
     from ..dedup.parity import _int_dot
 
     qa = qarr.select(
@@ -1068,12 +1076,14 @@ def _pair_tau_recompute(
     qb = qarr.select(
         F.col("id").alias(ycol), F.col("qa").alias("vb"), F.col("nq").alias("nb")
     )
+    ids_a = qarr.select(F.col("id").alias(xcol))
+    ids_b = qarr.select(F.col("id").alias(ycol))
     scored = (
         pairs.join(qa, xcol)
         .join(qb, ycol)
         .withColumn("dq", _int_dot("va", "vb"))
     )
-    return scored.select(
+    known = scored.select(
         xcol,
         ycol,
         _tau_gate().alias("tau_ok"),
@@ -1082,6 +1092,23 @@ def _pair_tau_recompute(
             / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
         ).alias("cosine"),
     )
+    unknown = (
+        pairs.select(xcol, ycol)
+        .join(
+            pairs.select(xcol, ycol)
+            .join(ids_a, xcol, "left_semi")
+            .join(ids_b, ycol, "left_semi"),
+            [xcol, ycol],
+            "left_anti",
+        )
+        .select(
+            xcol,
+            ycol,
+            F.lit(False).alias("tau_ok"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    )
+    return known.unionByName(unknown)
 
 
 def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2947,8 +2947,14 @@ QUALITY_PARETO_LOTTERY_SQL = _pareto_lottery_sql()
 # each step is a broadcast join against the <= K*_DSIR_B-row weight
 # table, two corpus-keyed rollups, and a bounded collect (model
 # state, like the k-means centroids). The argmax is a per-doc window
-# over K rows/doc. Same 10^11-doc note as the quality classifier:
-# training subsamples, scoring covers the corpus.
+# over K rows/doc. The labels join in the gradient step is a plain
+# doc_id shuffle join (labels is corpus-sized — NEVER broadcast).
+# At a real 10^11-doc corpus the whole-corpus gradient is still a
+# fixed number of corpus passes, but the practical path is training
+# on a hash-derandomized subsample (pass a filtered frame to
+# lang_id_trained_frame's train_docs) and scoring the full corpus;
+# the registry form trains and scores on the same frame so the
+# DuckDB oracle can unroll the identical loop.
 _LID_C = 128   # chars of prefix probed per doc
 _LID_ITERS = 3
 _LID_SCALE = 1_000_000
@@ -2994,22 +3000,36 @@ def lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id_trained_frame(
-    spark: SparkSession, docs: DataFrame, n_docs: int | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    n_docs: int | None = None,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """K-class trained lang-ID over an arbitrary (doc_id, text, lang)
     frame. Returns per-doc (doc_id, lang, predicted_lang,
     best_score_scaled, is_correct); agreement rate is one rollup away
     (asserted in the pytest, kept out of the frame so no corpus-wide
-    single-task window rides the registry plan)."""
+    single-task window rides the registry plan).
+
+    train_docs: optional training subsample (the 10^11-doc path —
+    train on a hash-derandomized slice, score the full frame). When
+    None (the registry/oracle form) training and scoring share the
+    same frame and the same feature scan."""
     from pyspark.sql.window import Window
 
-    if n_docs is None:
-        n_docs = docs.count()
-    labels = docs.select("doc_id", "lang")
     # localCheckpoint: x feeds every gradient step + final scoring
     x = _lid_x(docs).localCheckpoint()
+    if train_docs is None:
+        if n_docs is None:
+            n_docs = docs.count()
+        labels = docs.select("doc_id", "lang")
+        xt = x
+    else:
+        n_docs = train_docs.count()
+        labels = train_docs.select("doc_id", "lang")
+        xt = _lid_x(train_docs).localCheckpoint()
     langs = sorted(r["lang"] for r in labels.select("lang").distinct().collect())
-    bs = sorted(r["b"] for r in x.select("b").distinct().collect())
+    bs = sorted(r["b"] for r in xt.select("b").distinct().collect())
     y = F.when(F.col("lang") == F.col("c"), F.lit(_LID_SCALE)).otherwise(F.lit(0))
     w: dict[tuple[str, int], int] = {(c, b): 0 for c in langs for b in bs}
 
@@ -3023,13 +3043,13 @@ def lang_id_trained_frame(
 
     for _ in range(_LID_ITERS):
         z = (
-            x.join(_wdf(), "b")
+            xt.join(_wdf(), "b")
             .groupBy("doc_id", "c")
             .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
         )
         grad_rows = (
-            x.join(z, "doc_id")
-            .join(F.broadcast(labels), "doc_id")
+            xt.join(z, "doc_id")
+            .join(labels, "doc_id")  # corpus-sized: shuffle join, no hint
             .select("c", "b", (F.col("x") * (F.col("z") - y)).alias("g1"))
             .groupBy("c", "b")
             .agg(F.sum("g1").alias("g"))
@@ -3054,8 +3074,9 @@ def lang_id_trained_frame(
     # lexicographically-first class at score 0 (deterministic; never
     # fires on driver data — min doc length 47)
     fallback = F.lit(langs[0] if langs else "und")
+    out_labels = docs.select("doc_id", "lang")
     return (
-        labels.join(winner, "doc_id", "left")
+        out_labels.join(winner, "doc_id", "left")
         .select(
             "doc_id",
             "lang",

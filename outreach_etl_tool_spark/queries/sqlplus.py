@@ -410,9 +410,13 @@ GROUP BY o.doc_id
 # certifies the filter actually discriminates where domains differ.
 #
 # Scale shape: one corpus tokenize pass + one target-slice count
-# rollup (vocab²-sized, AQE broadcasts it back) + the scoring join —
-# the corpus shuffles once on (prev, nxt) for the left join; totals
-# and V are vocab-sized/1-row broadcasts.
+# rollup + the scoring join — the corpus shuffles once on (prev, nxt)
+# for the left join. The model tables (counts_t/prev_t) are bounded by
+# the OBSERVED target bigrams (up to ~1e8–1e9 rows for a real CCNet-
+# style target, NOT the tiny vocab² of driver data), so they carry NO
+# broadcast hint: AQE broadcasts them when they measure small and
+# falls back to a shuffle join on (prev, nxt) — which the scoring pass
+# shuffles on anyway — when they don't. Only V (1 row) is broadcast.
 # ---------------------------------------------------------------------------
 def lm_target_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -456,8 +460,8 @@ def lm_target_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("bigint")
     return (
-        occ.join(F.broadcast(counts_t), ["prev", "nxt"], "left")
-        .join(F.broadcast(prev_t), "prev", "left")
+        occ.join(counts_t, ["prev", "nxt"], "left")
+        .join(prev_t, "prev", "left")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", "lang", sp.alias("sp"))
         .groupBy("doc_id", "lang")

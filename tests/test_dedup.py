@@ -1356,6 +1356,50 @@ def test_decon_ivf_check_sampled_detects_cosine_tamper(spark, monkeypatch):
     assert row["n_cosine_mismatch"] >= 1
 
 
+def test_semdedup_ivf_check_sampled_detects_missing_id_pair(spark, monkeypatch):
+    """ADVICE r11 hole closed: an emitted pair referencing an id ABSENT
+    from the dim-filtered scan (fabricated id, or a vector the dim
+    filter dropped) must count as unsound — an inner-join recompute
+    would silently drop it from n_emitted_unsound."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    real_parts = L._semdedup_ivf_parts
+
+    def tampered(spark_, sf_dir):
+        pairs, comps = real_parts(spark_, sf_dir)
+        bogus = spark_.createDataFrame(
+            [(2, 999_999_999)], "id_a long, id_b long"
+        )
+        return pairs.unionByName(bogus), comps
+
+    monkeypatch.setattr(L, "_semdedup_ivf_parts", tampered)
+    row = L.semdedup_ivf_check_sampled(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_emitted_unsound"] >= 1
+
+
+def test_decon_ivf_check_sampled_detects_missing_id_flag(spark, monkeypatch):
+    """A flagged pair whose train id does not exist in the embeddings
+    trips the unsound leg of the sampled decon certificate (same
+    missing-id discipline as the full-universe left_anti form)."""
+    import outreach_etl_tool_spark.queries.llm as L
+
+    real = L.decontaminate_semantic_ivf
+
+    def tampered(spark_, sf_dir):
+        df = real(spark_, sf_dir)
+        bogus = spark_.createDataFrame(
+            [(999_999_999, 7, 0.99)],
+            "vec_id long, closest_eval_id long, cosine double",
+        )
+        return df.unionByName(bogus)
+
+    monkeypatch.setattr(L, "decontaminate_semantic_ivf", tampered)
+    row = L.decontaminate_semantic_ivf_check_sampled(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["n_flagged_unsound"] >= 1
+
+
 def test_sampled_certificates_nonvacuous(spark):
     """The sampled universe anchors are nonzero at driver scale (the
     id%4 sample still sees real tau geometry) and the tiers emit."""

@@ -2441,6 +2441,39 @@ def test_lang_id_trained_learns_separable_corpus(spark, monkeypatch):
     assert got == expected
 
 
+def test_lang_id_trained_subsample_training_path(spark):
+    """The 10^11-doc path (round-12): train_docs restricts TRAINING to
+    a hash-derandomized subsample while scoring covers the full frame.
+    On a disjoint-alphabet corpus the subsample-trained model still
+    classifies the UNSEEN docs correctly, every doc is scored, and the
+    gradient never touches (or broadcasts) the full label frame."""
+    import random
+
+    from outreach_etl_tool_spark.queries.pipeline import lang_id_trained_frame
+
+    rng = random.Random(12)
+    vocabs = {
+        "aa": ["abba", "cafe", "dead", "beef", "fade", "edba"],
+        "bb": ["gigi", "hijk", "jill", "kilig", "lligh", "hikj"],
+    }
+    rows = []
+    for d in range(120):
+        lang = ["aa", "bb"][d % 2]
+        text = " ".join(
+            rng.choice(vocabs[lang]) for _ in range(rng.randint(15, 40))
+        )
+        rows.append((d, text, lang, "src0", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    train = docs.filter(F.col("doc_id") % 3 == 0)  # 1/3 subsample
+    out = lang_id_trained_frame(spark, docs, train_docs=train).collect()
+    assert len(out) == 120  # scoring covers the corpus
+    held_out = [r for r in out if r["doc_id"] % 3 != 0]
+    acc = sum(1 for r in held_out if r["is_correct"]) / len(held_out)
+    assert acc >= 0.95, acc
+
+
 def test_lang_id_trained_driver_data_shape(spark):
     """On driver data the output is well-formed and non-degenerate in
     SHAPE (every doc scored, predictions drawn from the label set)

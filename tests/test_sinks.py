@@ -377,6 +377,48 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     assert none.count() == 0 and none.schema == full.schema
 
 
+def test_manifest_bloom_gates_content_probe(spark, tmp_path):
+    """Snapshot bloom sidecar (round-12): no false negatives — every
+    stored value probes True; a novel-value batch probes False (the
+    streaming dedup sink then skips the store read entirely); append
+    maintains the bloom incrementally, and an append onto a pre-bloom
+    snapshot backfills it so old rows stay covered."""
+    t = _mt(tmp_path)
+    # v0: appended WITHOUT a bloom (pre-bloom snapshot)
+    t.append(_df(spark, [(1, "alpha", _t(spark, 8)), (2, "beta", _t(spark, 8))]))
+    assert t.bloom("v") is None
+    # conservative when no bloom exists
+    assert t.bloom_may_contain_any(
+        spark, spark.createDataFrame([("zeta",)], "v string"), "v"
+    )
+    # v1: bloom_col triggers the one-time backfill over v0's files
+    t.append(
+        _df(spark, [(3, "gamma", _t(spark, 9))]), bloom_col="v"
+    )
+    b = t.bloom("v")
+    assert b is not None and len(b["positions"]) >= 3
+    # no false negatives: every stored value (both snapshots) hits
+    for val in ("alpha", "beta", "gamma"):
+        assert t.bloom_may_contain_any(
+            spark, spark.createDataFrame([(val,)], "v string"), "v"
+        ), val
+    # a definitely-novel batch is proven absent
+    novel = spark.createDataFrame(
+        [(f"novel-{i}",) for i in range(5)], "v string"
+    )
+    assert not t.bloom_may_contain_any(spark, novel, "v")
+    # further appends keep absorbing new values without re-reading
+    prev_positions = set(b["positions"])
+    t.append(_df(spark, [(4, "delta", _t(spark, 10))]), bloom_col="v")
+    assert t.bloom_may_contain_any(
+        spark, spark.createDataFrame([("delta",)], "v string"), "v"
+    )
+    assert set(t.bloom("v")["positions"]) >= prev_positions
+    # mixed batch (one stored value among novels) is conservatively True
+    mixed = spark.createDataFrame([("novel-9",), ("beta",)], "v string")
+    assert t.bloom_may_contain_any(spark, mixed, "v")
+
+
 def test_bigquery_sink_load_job_path(spark, tmp_path):
     """S4's stage-then-load path end to end without any Google SDK:
     distributed parquet staging, file manifest, mode→disposition
@@ -795,9 +837,11 @@ def test_curation_run_corpus_stopwords_raw_data(spark, tmp_path):
     dest = str(tmp_path / "curation_raw")
     counts = run_curation(spark, docs, dest, stopwords="corpus")
 
-    sw = corpus_stopwords(docs)
-    assert len(sw) == 8 and len(set(sw)) == 8
+    # the run derives the head from the TRAIN split only (no eval
+    # document-frequency leak into the training gates — round-12)
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    sw = corpus_stopwords(train)
+    assert len(sw) == 8 and len(set(sw)) == 8
     n_train = train.count()
     expected_quality = (
         _gopher_flags(train, stopwords=sw).filter("keep").count()

