@@ -66,6 +66,8 @@ def run_curation(
     trained_stages: bool = True,
     classifier_gate: str = "threshold",
     stopwords: str = "published",
+    lang_gate: str = "trusted",
+    lm_gate: str | None = None,
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
@@ -89,15 +91,39 @@ def run_curation(
     overlap the published list -- the synthetic driver corpus needs no
     enrichment preamble in this mode (round-11; SCALING.md carries the
     raw-data timing row).
+
+    Round-12 (VERDICT r11 #1 — the trained gates as STAGES, the
+    CCNet/GPT-3 composition):
+
+    ``lang_gate="trained"`` prepends ``stage_lang``: the corpus is
+    RELABELED with `lang_id_trained_frame`'s argmax (trained on the
+    train split only via its ``train_docs`` seam — the eval split
+    steers nothing), and every downstream lang consumer — the DSIR /
+    classifier target membership, the target-LM split — sees the
+    trained labels instead of trusting the ingested ``lang`` column.
+    The committed stage is the relabeled train split (a relabel, not a
+    cut; parity-asserted against the frame derivation in
+    tests/test_sinks.py).
+
+    ``lm_gate="target"`` appends ``stage_lm`` after the mixing stages:
+    `lm_target_score_frame` (trained on the TRAIN split's target-lang
+    slice — leak-free) scores every train doc, the CCNet head/middle/
+    tail convention (`ccnet_quality_buckets`' ntile(3) per source,
+    score DESC, doc_id tie-break) buckets them, and the TAIL bucket is
+    dropped — the CCNet "train on head, sample middle, drop tail" rule
+    reduced to its filtering kernel. Bucketing runs over the full
+    train split (a pure per-doc derivation, independent of earlier
+    gates) so the cut is reproducible from the corpus alone.
     """
     from pyspark.sql.window import Window
 
     from ..queries.llm import _decon_runs, _excise_rebuild, _LDS_L
     from ..queries.pipeline import (
         _DECON_K, _EVAL_MOD, _gopher_flags, _grams, corpus_stopwords,
-        dsir_frame, pareto_lottery_frame, quality_classifier_frame,
-        shard_assignments,
+        dsir_frame, lang_id_trained_frame, pareto_lottery_frame,
+        quality_classifier_frame, shard_assignments,
     )
+    from ..queries.sqlplus import lm_target_score_frame
     from ..sinks.manifest import ManifestTable
 
     counts: dict[str, int] = {}
@@ -111,12 +137,36 @@ def run_curation(
 
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
 
+    # 0 — optional trained lang-ID relabel: downstream lang consumers
+    # (DSIR / classifier target membership, the target-LM split) see
+    # the trained argmax, not the trusted ingested column. Training
+    # uses the train split only (train_docs seam — no eval leak).
+    active = docs
+    if lang_gate == "trained":
+        lid = lang_id_trained_frame(
+            spark, docs, train_docs=docs.filter(~is_eval)
+        )
+        active = (
+            docs.select("doc_id", "source", "text")
+            .join(
+                lid.select(
+                    "doc_id", F.col("predicted_lang").alias("lang")
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "source", "lang", "text")
+        )
+        train = commit("stage_lang", active.filter(~is_eval))
+    elif lang_gate != "trusted":
+        raise ValueError(f"unknown lang_gate: {lang_gate!r}")
+    else:
+        train = active.filter(~is_eval)
+
     # 1 — quality gate over the train split. The corpus-derived
     # stopword head is computed from the TRAIN split only: the eval
     # split (doc_id % _EVAL_MOD == 0) steers decontamination and must
     # leak no information — not even document frequencies — into the
     # gates applied to training data (round-12; ADVICE r11).
-    train = docs.filter(~is_eval)
     sw = corpus_stopwords(train) if stopwords == "corpus" else None
     flags = (
         _gopher_flags(train, stopwords=sw) if sw else _gopher_flags(train)
@@ -133,7 +183,7 @@ def run_curation(
         # 2 — trained quality filter: the registry queries' exact
         # derivations on the FULL corpus frame (train happens once,
         # bounded model state), gating the committed survivors
-        qc = quality_classifier_frame(docs)
+        qc = quality_classifier_frame(active)
         if classifier_gate == "lottery":
             predicted = (
                 pareto_lottery_frame(qc.select("doc_id", "score_scaled"))
@@ -148,10 +198,34 @@ def run_curation(
         # 3 — DSIR importance mixing: hash-derandomized Bernoulli
         # acceptance toward the target distribution, same frame-level
         # derivation as the oracled query
-        accepted = dsir_frame(docs).filter("accepted").select("doc_id")
+        accepted = dsir_frame(active).filter("accepted").select("doc_id")
         survivors = commit(
             "stage_dsir", survivors.join(accepted, "doc_id", "left_semi")
         )
+
+    if lm_gate == "target":
+        # target-LM percentile cut (CCNet head/middle/tail): score the
+        # full train split with the leak-free target-trained bigram
+        # LM, ntile(3) per source (score DESC, doc_id tie-break — the
+        # ccnet_quality_buckets convention), drop the tail bucket.
+        # Docs the LM cannot score (< 2 tokens) have no bucket and are
+        # cut — the documented < 2-token contract.
+        scored = lm_target_score_frame(train)
+        wlm = Window.partitionBy("source").orderBy(
+            F.desc("target_lm_score"), F.asc("doc_id")
+        )
+        keep_lm = (
+            train.select("doc_id", "source")
+            .join(scored.select("doc_id", "target_lm_score"), "doc_id")
+            .withColumn("bucket", F.ntile(3).over(wlm))
+            .filter(F.col("bucket") <= 2)
+            .select("doc_id")
+        )
+        survivors = commit(
+            "stage_lm", survivors.join(keep_lm, "doc_id", "left_semi")
+        )
+    elif lm_gate is not None:
+        raise ValueError(f"unknown lm_gate: {lm_gate!r}")
 
     # 4 — exact dedup among survivors (canonical = min doc_id per
     # sha256, the funnel's stage order)

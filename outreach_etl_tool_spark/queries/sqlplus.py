@@ -420,6 +420,17 @@ GROUP BY o.doc_id
 # ---------------------------------------------------------------------------
 def lm_target_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return lm_target_score_frame(docs)
+
+
+def lm_target_score_frame(
+    docs: DataFrame, target_lang: str = "en"
+) -> DataFrame:
+    """The target-trained bigram LM over an arbitrary (doc_id, lang,
+    text) frame — shared by the registry query and the materialized
+    curation run's ``lm_gate="target"`` stage (round-12), which feeds
+    it the TRAIN split only so the eval split leaks nothing into the
+    model."""
 
     def _pairs(toks: Column) -> Column:
         n = F.size(toks)
@@ -444,7 +455,7 @@ def lm_target_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds the target model build AND the scoring pass
         .localCheckpoint()
     )
-    tgt = occ.filter(F.col("lang") == "en")
+    tgt = occ.filter(F.col("lang") == target_lang)
     counts_t = tgt.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c_uv"))
     prev_t = tgt.groupBy("prev").agg(F.count(F.lit(1)).alias("c_u"))
     vocab = (

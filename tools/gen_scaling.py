@@ -220,6 +220,21 @@ NOTES: dict[str, str] = {
         "below requires. Stage parity + strict-nonzero cuts on raw "
         "data are pytest-pinned (tests/test_sinks.py)."
     ),
+    "pipeline_curation_run_gates": (
+        "TRAINED-GATES mode of the composed run (round-12): the full "
+        "9-stage CCNet/GPT-3 composition — stage_lang relabels the "
+        "corpus with lang_id_trained's argmax (trained on the train "
+        "split via the train_docs seam; every downstream lang "
+        "consumer sees trained labels) and stage_lm drops the CCNet "
+        "tail bucket of the leak-free target-trained bigram LM "
+        "(ntile(3) per source, the ccnet_quality_buckets convention). "
+        "Measured on raw data like the _raw row, so the delta vs that "
+        "row is the two trained gates' cost: lang-ID adds 3 bounded "
+        "gradient collects + one relabel join, the LM gate one "
+        "(prev,nxt) shuffle + a per-source window. Stage parity is "
+        "pytest-pinned against the oracled frame derivations "
+        "(tests/test_sinks.py::test_curation_run_trained_gates_compose)."
+    ),
     "semdedup_ivf_check_sampled": (
         "Certificate-tier SCALE MODE (round-11): the violation "
         "detectors are exhaustive but O(emitted) \u2014 every emitted/mate "
@@ -466,6 +481,45 @@ def main() -> None:
             round(raw_points["sf0.1"] / raw_points["sf0.01"], 1),
             None,
             round(raw_points["sf1.0"] / raw_points["sf0.1"], 1),
+        )
+    )
+
+    # TRAINED-GATES mode (round-12): the 9-stage composition — trained
+    # lang-ID relabel (train-split-trained) feeding every lang
+    # consumer, plus the target-LM CCNet tail-drop after the mixing
+    # stages. Measured on raw data (stopwords='corpus') like the row
+    # above, so the delta vs pipeline_curation_run_raw is exactly the
+    # two trained gates' cost.
+    def _run_curation_gates_timed(sf_dir: str) -> float:
+        docs = load_table(spark, sf_dir, "documents")
+        best = None
+        for i in range(3):  # pass 0 is the untimed warm pass
+            dest = tempfile.mkdtemp(prefix="curation_gates_")
+            t0 = time.perf_counter()
+            run_curation(
+                spark, docs, dest, stopwords="corpus",
+                lang_gate="trained", lm_gate="target",
+            )
+            dt = time.perf_counter() - t0
+            shutil.rmtree(dest, ignore_errors=True)
+            spark.catalog.clearCache()
+            if i > 0:
+                best = dt if best is None else min(best, dt)
+        return best
+
+    gates_points: dict[str, float | None] = {
+        "sf0.01": _run_curation_gates_timed(SF001),
+        "sf0.1": _run_curation_gates_timed(SF01),
+        "sf0.3": None,
+        "sf1.0": _run_curation_gates_timed(sf10),
+    }
+    rows.append(
+        (
+            "pipeline_curation_run_gates",
+            gates_points,
+            round(gates_points["sf0.1"] / gates_points["sf0.01"], 1),
+            None,
+            round(gates_points["sf1.0"] / gates_points["sf0.1"], 1),
         )
     )
     rows.append(
