@@ -4222,8 +4222,10 @@ ORDER BY d.doc_id
 # the reference's data model: its CRM export schema
 # (reference schemas/prospects.json) is full of real PII columns
 # (emails, phone numbers), so a redaction operator is the natural
-# counterpart on the document side. Three detectors: email, phone,
-# IPv4 (octet-bounded).
+# counterpart on the document side. Four detectors: email, phone,
+# IPv4 (octet-bounded), and credit card (dashed 4-4-4-4 shape AND the
+# Luhn checksum as exact integer arithmetic — round-12; a card-shaped
+# token failing Luhn must NOT match).
 #
 # The synthetic corpus carries no natural PII, so the queries run on
 # the same deterministic contaminated view as pii_redact
@@ -4259,7 +4261,45 @@ _PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 _PII_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _PII_IPV4 = f"{_PII_OCTET}(\\.{_PII_OCTET}){{3}}"
-_PII_UNION = f"{_PII_EMAIL}|{_PII_PHONE}|{_PII_IPV4}"
+_PII_CC = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+_PII_UNION = f"{_PII_EMAIL}|{_PII_PHONE}|{_PII_IPV4}|{_PII_CC}"
+
+
+# Round-12 (VERDICT r11 #7): credit-card detector = SHAPE (dashed
+# 4-4-4-4 digit groups — disjoint from the 3-3-4 phone shape) AND the
+# Luhn checksum as exact integer arithmetic. The checksum is the
+# cross-engine-safe discipline: digits come from ascii(substr(..))-48
+# (never an ANSI-mode cast that could error on junk; rpad(.,16,'0')
+# bounds every substr), doubling is the branch-free CASE d>4 form, and
+# the same generated SQL text runs in Spark (F.expr) and DuckDB. A
+# card-SHAPED token failing Luhn must NOT match — pinned by the
+# doc_id%7==3 invalid plant and the replica test.
+def _luhn_sum_sql(s: str, ndigits: int) -> str:
+    """Engine-shared SQL text for the Luhn sum of ``s`` (a digit-string
+    expression, left-aligned within a 16-digit number): position j
+    from the left is doubled iff j is odd (= even position from the
+    right of the full 16)."""
+    terms = []
+    for j in range(1, ndigits + 1):
+        d = f"(ascii(substr({s}, {j}, 1)) - 48)"
+        if j % 2 == 1:
+            terms.append(f"(CASE WHEN {d} > 4 THEN 2*{d} - 9 ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+def _luhn_sum_col(s: Column, ndigits: int) -> Column:
+    """Column form of :func:`_luhn_sum_sql` — same arithmetic, built
+    from ascii/substring so no ANSI cast can error on non-digits."""
+    total = F.lit(0)
+    for j in range(1, ndigits + 1):
+        d = F.ascii(F.substring(s, j, 1)) - F.lit(48)
+        term = (
+            F.when(d > 4, d * 2 - 9).otherwise(d * 2) if j % 2 == 1 else d
+        )
+        total = total + term
+    return total
 
 
 def _pii_ctext() -> Column:
@@ -4296,7 +4336,44 @@ def _pii_ctext() -> Column:
         F.lit("."),
         (F.col("doc_id") % 251).cast("string"),
     )
-    return F.when(F.col("doc_id") % 5 == 0, F.concat(base, ip)).otherwise(base)
+    withip = F.when(F.col("doc_id") % 5 == 0, F.concat(base, ip)).otherwise(
+        base
+    )
+    # credit-card plants (doc_id%7==0 Luhn-VALID, %7==3 Luhn-INVALID —
+    # the invalid one is card-shaped but must never be detected); 3/5/7
+    # coprime, so docs carry up to three pii types
+    b15 = F.concat(
+        F.lit("400000"),
+        F.lpad((F.col("doc_id") % 1000000000).cast("string"), 9, "0"),
+    )
+    s15 = _luhn_sum_col(b15, 15)
+    chk_v = ((F.lit(10) - (s15 % 10)) % 10).cast("string")
+    chk_i = ((F.lit(10) - (s15 % 10) + 1) % 10).cast("string")
+
+    def _dashed(cc: Column) -> Column:
+        return F.concat_ws(
+            "-",
+            F.substring(cc, 1, 4),
+            F.substring(cc, 5, 4),
+            F.substring(cc, 9, 4),
+            F.substring(cc, 13, 4),
+        )
+
+    return (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                withip, F.lit(" pay "), _dashed(F.concat(b15, chk_v))
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                withip, F.lit(" pay "), _dashed(F.concat(b15, chk_i))
+            ),
+        )
+        .otherwise(withip)
+    )
 
 
 def _pii_spans(cdocs: DataFrame) -> DataFrame:
@@ -4322,12 +4399,18 @@ def _pii_spans(cdocs: DataFrame) -> DataFrame:
             )
         ).cast("bigint"),
     )
+    cc16 = F.expr("rpad(replace(tok, '-', ''), 16, '0')")
     return (
         pos.withColumn(
             "pii_type",
             F.when(F.col("tok").rlike(f"^{_PII_EMAIL}$"), F.lit("email"))
             .when(F.col("tok").rlike(f"^{_PII_PHONE}$"), F.lit("phone"))
-            .when(F.col("tok").rlike(f"^{_PII_IPV4}$"), F.lit("ipv4")),
+            .when(F.col("tok").rlike(f"^{_PII_IPV4}$"), F.lit("ipv4"))
+            .when(
+                F.col("tok").rlike(f"^{_PII_CC}$")
+                & ((_luhn_sum_col(cc16, 16) % 10) == 0),
+                F.lit("ccard"),
+            ),
         )
         .filter(F.col("pii_type").isNotNull())
         .select(
@@ -4357,7 +4440,7 @@ def pii_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _excise_rebuild(cdocs.withColumnRenamed("ctext", "text"), ivls)
 
 
-_PII_CTEXT_CTES = """base AS (
+_PII_CTEXT_CTES = f"""base AS (
     SELECT doc_id,
            CASE
              WHEN doc_id % 3 = 0 THEN
@@ -4370,15 +4453,39 @@ _PII_CTEXT_CTES = """base AS (
              ELSE text
            END AS btext
     FROM documents
-), contaminated AS (
+), withip AS (
     SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN
                btext || ' from 10.'
                      || CAST(doc_id % 256 AS VARCHAR) || '.'
                      || CAST((doc_id % 65536) // 256 AS VARCHAR) || '.'
                      || CAST(doc_id % 251 AS VARCHAR)
-           ELSE btext END AS ctext
+           ELSE btext END AS itext
     FROM base
+), ccb AS (
+    SELECT doc_id,
+           '400000' || LPAD(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+               AS b15
+    FROM documents
+), ccs AS (
+    SELECT doc_id, b15, {_luhn_sum_sql('b15', 15)} AS s15 FROM ccb
+), ccf AS (
+    SELECT doc_id,
+           b15 || CAST((10 - (s15 % 10)) % 10 AS VARCHAR) AS ccv,
+           b15 || CAST((10 - (s15 % 10) + 1) % 10 AS VARCHAR) AS cci
+    FROM ccs
+), contaminated AS (
+    SELECT w.doc_id,
+           CASE WHEN w.doc_id % 7 = 0 THEN w.itext || ' pay '
+                     || substr(c.ccv, 1, 4) || '-' || substr(c.ccv, 5, 4)
+                     || '-' || substr(c.ccv, 9, 4) || '-'
+                     || substr(c.ccv, 13, 4)
+                WHEN w.doc_id % 7 = 3 THEN w.itext || ' pay '
+                     || substr(c.cci, 1, 4) || '-' || substr(c.cci, 5, 4)
+                     || '-' || substr(c.cci, 9, 4) || '-'
+                     || substr(c.cci, 13, 4)
+           ELSE w.itext END AS ctext
+    FROM withip w JOIN ccf c USING (doc_id)
 )"""
 
 _PII_SPANS_CTES = f"""{_PII_CTEXT_CTES}, toks AS (
@@ -4399,6 +4506,11 @@ _PII_SPANS_CTES = f"""{_PII_CTEXT_CTES}, toks AS (
            CASE WHEN regexp_matches(tok, '^{_PII_EMAIL}$') THEN 'email'
                 WHEN regexp_matches(tok, '^{_PII_PHONE}$') THEN 'phone'
                 WHEN regexp_matches(tok, '^{_PII_IPV4}$') THEN 'ipv4'
+                WHEN regexp_matches(tok, '^{_PII_CC}$')
+                     AND ({_luhn_sum_sql(
+                         "rpad(replace(tok, '-', ''), 16, '0')", 16
+                     )}) % 10 = 0
+                THEN 'ccard'
            END AS pii_type,
            span_start,
            CAST(LENGTH(tok) AS BIGINT) AS span_len,
@@ -4452,10 +4564,12 @@ QUERIES: dict[str, QuerySpec] = {
         pii_extents, PII_EXTENTS_SQL, tags=("L4", "L2", "F1", "W3"),
         bench=True,
         doc="PII detection as exact char-span extents (email/phone/"
-        "octet-bounded IPv4) via an anchored-regex token scan; regex "
-        "screen gates the fan-out; planted deterministic PII (the "
-        "corpus carries none) mirrors pii_redact's construction + an "
-        "IPv4 plant so docs carry multiple pii types",
+        "octet-bounded IPv4/Luhn-checked credit card) via an "
+        "anchored-regex token scan; regex screen gates the fan-out; "
+        "planted deterministic PII (the corpus carries none) mirrors "
+        "pii_redact's construction + IPv4 and Luhn-valid/invalid card "
+        "plants (coprime mods) so docs carry multiple pii types and "
+        "shape-only card tokens are provably rejected",
     ),
     "pii_excise": QuerySpec(
         pii_excise, PII_EXCISE_SQL, tags=("L4", "L2", "F1"),

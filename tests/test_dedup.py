@@ -1200,6 +1200,21 @@ def _pii_replica_rows(sf_dir):
             ),
         ),
     ]
+    cc_pat = re.compile(r"^[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}$")
+
+    def luhn_sum(digits: str) -> int:
+        # independent formulation: positions counted from the RIGHT,
+        # double every second digit starting at position 2
+        total = 0
+        for p, ch in enumerate(reversed(digits), start=1):
+            d = int(ch)
+            if p % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total
+
     out = {}  # doc_id -> (ctext, [(type, start, len, tok)])
     for doc_id, text in docs:
         if doc_id % 3 == 0:
@@ -1215,13 +1230,26 @@ def _pii_replica_rows(sf_dir):
                 f" from 10.{doc_id % 256}"
                 f".{(doc_id % 65536) // 256}.{doc_id % 251}"
             )
+        if doc_id % 7 in (0, 3):
+            b15 = f"400000{doc_id % 1000000000:09d}"
+            chk = (10 - luhn_sum(b15 + "0") % 10) % 10
+            if doc_id % 7 == 3:
+                chk = (chk + 1) % 10  # card-shaped, Luhn-INVALID
+            cc = f"{b15}{chk}"
+            ctext += f" pay {cc[0:4]}-{cc[4:8]}-{cc[8:12]}-{cc[12:16]}"
         spans = []
         start = 1
         for tok in ctext.split(" "):
+            matched = None
             for name, pat in pats:
                 if pat.match(tok):
-                    spans.append((name, start, len(tok), tok))
+                    matched = name
                     break
+            if matched is None and cc_pat.match(tok):
+                if luhn_sum(tok.replace("-", "")) % 10 == 0:
+                    matched = "ccard"
+            if matched is not None:
+                spans.append((matched, start, len(tok), tok))
             start += len(tok) + 1
         out[doc_id] = (ctext, spans)
     return out
@@ -1249,6 +1277,14 @@ def test_pii_extents_matches_python_replica(spark):
     assert by_type["email"] >= 100
     assert by_type["phone"] >= 100
     assert by_type["ipv4"] >= 80
+    assert by_type["ccard"] >= 60
+    # the Luhn-INVALID plants (doc_id%7==3) are card-SHAPED but must
+    # never be detected — shape alone is not PII
+    invalid_docs = {d for d in replica if d % 7 == 3}
+    assert len(invalid_docs) >= 60
+    assert all(
+        name != "ccard" for d, name, *_ in expected if d % 7 == 3
+    )
     # multi-span docs exist (coprime plant mods)
     from collections import Counter
 
