@@ -422,3 +422,93 @@ def test_multimodal_check_detects_frame_drop(spark, monkeypatch):
     monkeypatch.setattr(U, "frame_sample", tampered)
     row = U.multimodal_decode_check(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["n_frame_accounting_violations"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup fingerprint (round-12): independent python replica of
+# the integer kernel, planted-duplicate recall, and entropy floor.
+# ---------------------------------------------------------------------------
+def _afp_replica(aid: int) -> int:
+    """Independent formulation (plain loops, no numpy, no shared
+    helpers) of clip synthesis + fingerprint."""
+    pert = aid % 10 == 1
+    b = aid - 1 if pert else aid
+    x = []
+    for i in range(992):
+        s = i // 32
+        t = b * 97 + s
+        amp = (t * t + 3 * t) % 1000003 % 97
+        st = 1 + 2 * ((t * t * 5 + t * 11) % 1000003 % 32)
+        v = amp * ((i * st + b) % 64 - 32)
+        if pert and i % 127 == 0:
+            v += 1
+        x.append(v)
+    fp = 0
+    energies = [sum(abs(v) for v in x[s * 32:(s + 1) * 32]) for s in range(31)]
+    total = sum(energies)
+    for s in range(31):
+        if energies[s] * 31 > total:
+            fp |= 1 << s
+        a = sum(
+            x[s * 32 + j] * x[s * 32 + j + 1] for j in range(31)
+        )
+        if a > 0:
+            fp |= 1 << (31 + s)
+    return fp
+
+
+def test_audio_fingerprint_matches_python_replica():
+    import numpy as np
+
+    from outreach_etl_tool_spark.multimodal.afp import (
+        audio_fingerprint,
+        synth_clip,
+    )
+    from outreach_etl_tool_spark.multimodal.wav import decode_wav, encode_wav
+
+    for aid in list(range(40)) + [497, 498, 499, 1234]:
+        clip = synth_clip(aid)
+        # the query path rides the real codec: verify transparency too
+        dec, sr = decode_wav(encode_wav(clip, 16000))
+        assert sr == 16000
+        assert np.array_equal(dec[:, 0], clip)
+        assert audio_fingerprint(dec[:, 0]) == _afp_replica(aid), aid
+
+
+def test_audio_near_dup_planted_recall_and_entropy(spark):
+    from outreach_etl_tool_spark.queries.udfs import multimodal_audio_fp_dedup
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal_audio_fp_dedup(spark, sf).collect()
+    }
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT doc_id FROM '{sf}/documents.parquet'")
+        .fetchall()
+    ]
+    idset = set(ids)
+    planted = {(k, k + 1) for k in idset if k % 10 == 0 and k + 1 in idset}
+    assert len(planted) >= 40  # the fixture is non-trivial
+    # every planted near-dup is recalled (tiny perturbation -> small
+    # hamming; the banded join guarantees recall at <= 3)
+    assert planted <= set(pairs)
+    assert all(pairs[p] <= 3 for p in planted)
+    # precision: the emitted set is dominated by the plants, not noise
+    assert len(pairs) <= len(planted) + 10
+    # entropy floor: unrelated clips sit far apart
+    fps = {
+        aid: _afp_replica(aid) for aid in sorted(idset)[:100]
+    }
+    import itertools
+
+    hd = [
+        bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(fps, 2)
+        if (a, b) not in planted
+    ]
+    assert sum(hd) / len(hd) > 20
