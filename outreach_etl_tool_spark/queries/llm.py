@@ -4341,16 +4341,35 @@ def _pii_ctext() -> Column:
     )
     # credit-card plants (doc_id%7==0 Luhn-VALID, %7==3 Luhn-INVALID —
     # the invalid one is card-shaped but must never be detected); 3/5/7
-    # coprime, so docs carry up to three pii types
-    b15 = F.concat(
-        F.lit("400000"),
-        F.lpad((F.col("doc_id") % 1000000000).cast("string"), 9, "0"),
-    )
-    s15 = _luhn_sum_col(b15, 15)
-    chk_v = ((F.lit(10) - (s15 % 10)) % 10).cast("string")
-    chk_i = ((F.lit(10) - (s15 % 10) + 1) % 10).cast("string")
+    # coprime, so docs carry up to three pii types.
+    #
+    # The plant's Luhn sum is computed ARITHMETICALLY from doc_id's
+    # decimal digits, not from the card string: a string-based
+    # formulation nests the b15 concat tree inside 15 substr terms and
+    # duplicates it ~6x across check-digit/dashed variants — the
+    # resulting megabyte-scale codegen cost ~3.5 s of Janino compile
+    # per run (round-12 bench regression, found and fixed). b15's
+    # fixed prefix "400000" contributes f(2*4) = 8; the 9 digits of
+    # m = doc_id % 1e9 sit at positions 7..15 of the 16-digit number,
+    # odd positions doubled.
+    m = F.col("doc_id") % 1000000000
+    s15 = F.lit(8)
+    for k in range(1, 10):  # D_k = k-th decimal digit of m, D1 most sig
+        d = F.expr(
+            f"((doc_id % 1000000000) div {10 ** (9 - k)}) % 10"
+        )
+        s15 = s15 + (
+            F.when(d > 4, d * 2 - 9).otherwise(d * 2) if k % 2 == 1 else d
+        )
+    chk_v = (F.lit(10) - (s15 % 10)) % 10
+    chk_i = (chk_v + 1) % 10
 
-    def _dashed(cc: Column) -> Column:
+    def _dashed(chk: Column) -> Column:
+        cc = F.concat(
+            F.lit("400000"),
+            F.lpad(m.cast("string"), 9, "0"),
+            chk.cast("string"),
+        )
         return F.concat_ws(
             "-",
             F.substring(cc, 1, 4),
@@ -4362,15 +4381,11 @@ def _pii_ctext() -> Column:
     return (
         F.when(
             F.col("doc_id") % 7 == 0,
-            F.concat(
-                withip, F.lit(" pay "), _dashed(F.concat(b15, chk_v))
-            ),
+            F.concat(withip, F.lit(" pay "), _dashed(chk_v)),
         )
         .when(
             F.col("doc_id") % 7 == 3,
-            F.concat(
-                withip, F.lit(" pay "), _dashed(F.concat(b15, chk_i))
-            ),
+            F.concat(withip, F.lit(" pay "), _dashed(chk_i)),
         )
         .otherwise(withip)
     )
@@ -4399,9 +4414,16 @@ def _pii_spans(cdocs: DataFrame) -> DataFrame:
             )
         ).cast("bigint"),
     )
-    cc16 = F.expr("rpad(replace(tok, '-', ''), 16, '0')")
+    # cc16 is bound as a REAL column first: each of the 16 Luhn digit
+    # terms then references the attribute instead of re-inlining the
+    # rpad/replace tree 16x (codegen-size discipline — see the plant
+    # comment in _pii_ctext)
+    cc16 = F.col("cc16")
     return (
         pos.withColumn(
+            "cc16", F.expr("rpad(replace(tok, '-', ''), 16, '0')")
+        )
+        .withColumn(
             "pii_type",
             F.when(F.col("tok").rlike(f"^{_PII_EMAIL}$"), F.lit("email"))
             .when(F.col("tok").rlike(f"^{_PII_PHONE}$"), F.lit("phone"))
