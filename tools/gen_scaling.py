@@ -187,11 +187,14 @@ NOTES: dict[str, str] = {
         "the halved oriented-triangle derivation). The 3× point runs "
         "on a lineitem slice whose replicas offset l_orderkey AND "
         "l_partkey together — 3 disjoint graph copies, so linear "
-        "node/edge/triangle growth is the expected shape. Round-11 trims "
-        "the constant factor by checkpointing the shared degree table "
-        "(four consumers; one union+groupBy instead of four) — the "
-        "sf0.1 point drops below the verdict's 8 s target with the "
-        "same hash-green oracle and an unchanged 11-exchange budget."
+        "node/edge/triangle growth is the expected shape. Round-11 "
+        "checkpointed the shared degree table (four consumers; one "
+        "union+groupBy instead of four); round-12 packs the triangle "
+        "closing-join key (b, c) into one 64-bit long — the 41M-row "
+        "wedge stream shuffles half the key bytes and hashes one "
+        "column, measured −31% on the quiet steady state (7.60 → "
+        "5.22 s at sf0.1) with the same hash-green oracle and an "
+        "unchanged 11-exchange budget."
     ),
     "decontamination_report": (
         "The composed per-train-doc audit with the SRP semantic leg — "
