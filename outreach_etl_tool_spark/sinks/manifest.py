@@ -93,14 +93,26 @@ class ManifestTable:
     def _write_files(self, df: DataFrame) -> tuple[list[str], str]:
         """One immutable uniquely-named directory of parquet per commit
         attempt; returns the file names relative to data/ and the
-        schema JSON recorded in the manifest."""
+        schema JSON recorded in the manifest.
+
+        Zero-row part files (one per empty shuffle partition — whether
+        they appear depends on AQE coalescing) are dropped before the
+        manifest ever references them: they carry no data, bloat every
+        subsequent snapshot's file list, and — having no row groups —
+        no column stats, so they would be conservatively KEPT by every
+        pruned read (found as a round-12 flake: a disjoint-id replay
+        probe read a footer-only file)."""
+        import pyarrow.parquet as pq
+
         batch_id = uuid.uuid4().hex[:12]
         staging = self.data_dir / f"b{batch_id}"
         df.write.mode("error").parquet(str(staging))
-        files = [
-            f"b{batch_id}/{p.name}"
-            for p in sorted(staging.glob("*.parquet"))
-        ]
+        files = []
+        for p in sorted(staging.glob("*.parquet")):
+            if pq.ParquetFile(p).metadata.num_rows == 0:
+                p.unlink()  # uncommitted, ours — safe to drop now
+                continue
+            files.append(f"b{batch_id}/{p.name}")
         return files, df.schema.json()
 
     @staticmethod

@@ -377,6 +377,29 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     assert none.count() == 0 and none.schema == full.schema
 
 
+def test_manifest_drops_zero_row_part_files(spark, tmp_path):
+    """Empty shuffle partitions write footer-only part files; the
+    manifest must never reference them — they bloat every snapshot and,
+    having no row groups, no stats, so pruned reads would conservatively
+    KEEP them (the round-12 replay-probe flake). An append whose frame
+    is spread over mostly-empty partitions commits only the data-bearing
+    files, every referenced file carries id stats, and a disjoint-range
+    prune selects nothing."""
+    t = _mt(tmp_path)
+    df = _df(spark, [(1, "a", _t(spark, 8)), (2, "b", _t(spark, 8))])
+    t.append(df.repartition(8))
+    m = t._manifest(t.current_version())
+    assert 0 < m["n_files"] <= 2
+    for f in m["files"]:
+        assert "id" in m["stats"][f], f
+    assert t.pruned_files("id", lo=10_000, hi=20_000) == []
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+    # an all-empty append commits a snapshot with no new files
+    t.append(df.filter("id > 99").repartition(4))
+    m2 = t._manifest(t.current_version())
+    assert m2["n_files"] == m["n_files"] and m2["n_rows"] == 2
+
+
 def test_manifest_bloom_gates_content_probe(spark, tmp_path):
     """Snapshot bloom sidecar (round-12): no false negatives — every
     stored value probes True; a novel-value batch probes False (the
