@@ -763,7 +763,16 @@ def span_ingest_sink(
                 )
             ).alias("gram_hash"),
         ).persist()
-        if store_table.exists():
+        # store probe, bloom-gated (round-12): a batch PROVABLY sharing
+        # no gram with history (the snapshot bloom has no false
+        # negatives) skips the store read entirely — the dominant fast
+        # path for dup-light streams; otherwise the store is probed
+        # with a semi-join per leg instead of the previous
+        # union+DISTINCT over the WHOLE store (a full store-wide
+        # shuffle aggregation every micro-batch).
+        if store_table.exists() and store_table.bloom_may_contain_any(
+            spark, grams.select("gram_hash"), "gram_hash"
+        ):
             store = store_table.read(spark).select("gram_hash")
         else:
             store = spark.createDataFrame([], "gram_hash binary")
@@ -773,10 +782,15 @@ def span_ingest_sink(
             .filter(SF.col("n") >= 2)
             .select("gram_hash")
         )
-        flagged_hashes = store.unionByName(batch_dups).distinct()
-        flagged = grams.join(
-            flagged_hashes, "gram_hash", "left_semi"
-        ).select(id_col, "pos")
+        flagged = (
+            grams.join(store, "gram_hash", "left_semi")
+            .select(id_col, "pos")
+            .unionByName(
+                grams.join(batch_dups, "gram_hash", "left_semi")
+                .select(id_col, "pos")
+            )
+            .dropDuplicates([id_col, "pos"])
+        )
         w = SW.partitionBy(id_col).orderBy("pos")
         extents = (
             flagged.withColumn(
@@ -822,7 +836,9 @@ def span_ingest_sink(
             .persist()
         )
         if not new_grams.isEmpty():
-            store_table.append(new_grams)
+            # bloom_col keeps the gram-store bloom absorbing each
+            # delta, so the gate above stays sound batch over batch
+            store_table.append(new_grams, bloom_col="gram_hash")
         new_grams.unpersist()
         grams.unpersist()
 
