@@ -521,6 +521,179 @@ ORDER BY o.doc_id
 
 
 # ---------------------------------------------------------------------------
+# EXCESS-LOSS DATA SELECTION — the RHO-1 / CCNet-importance shape
+# (round-12): rank documents by how much MORE target-like than
+# corpus-typical they are. lm_quality_score measures fluency under the
+# corpus's own bigram LM; lm_target_score measures target-likeness
+# under a model trained on the lang='en' split; the published
+# selection signal is their DIFFERENCE (excess loss / importance
+# log-ratio): a doc that the target model likes far more than the
+# corpus model is target-domain signal, one both models score alike
+# is generic, one the corpus model likes more is off-target.
+#
+# Exactness: both scores share the SAME tokenization and bigram count
+# n per doc, so the ranking statistic is the INTEGER
+# Σ(sp_t − sp_r) of the two 1e9-scaled per-occurrence probabilities —
+# no float subtraction of two averaged doubles, no ordering seam.
+# One occurrence pass feeds both models (corpus ML estimate — the
+# lm_quality_score convention — and add-1-smoothed target — the
+# lm_target_score convention); the cut is the CCNet head/middle/tail
+# ntile(3) per source on the integer excess (DESC, doc_id tie-break),
+# selected = the head bucket.
+#
+# Scale shape: one corpus tokenize pass (localCheckpoint feeds both
+# model builds + scoring), two count rollups, one scoring join
+# shuffling the corpus once on (prev, nxt); model tables carry NO
+# broadcast hints (observed-bigram-sized at a real target — the
+# round-12 lm_target_score discipline); the ntile window partitions
+# by source.
+# ---------------------------------------------------------------------------
+def lm_excess_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return lm_excess_select_frame(docs)
+
+
+def lm_excess_select_frame(
+    docs: DataFrame, target_lang: str = "en"
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    def _pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+        p = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(toks, i - 1).alias("prev"), F.get(toks, i).alias("nxt")
+            ),
+        )
+        return F.when(n >= 2, p).otherwise(
+            F.array().cast("array<struct<prev:string,nxt:string>>")
+        )
+
+    occ = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(bind_once(tokens("text"), _pairs)).alias("p"),
+        )
+        .select("doc_id", "source", "lang", "p.prev", "p.nxt")
+        # feeds the corpus model, the target model AND the scoring pass
+        .localCheckpoint()
+    )
+    # corpus model: ML estimate n_bi / n_prev (lm_quality_score)
+    counts_r = occ.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).alias("n_bi")
+    )
+    probs_r = counts_r.withColumn(
+        "n_prev", F.sum("n_bi").over(Window.partitionBy("prev"))
+    )
+    # target model: add-1 smoothed on the target split (lm_target_score)
+    tgt = occ.filter(F.col("lang") == target_lang)
+    counts_t = tgt.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c_uv"))
+    prev_t = tgt.groupBy("prev").agg(F.count(F.lit(1)).alias("c_u"))
+    vocab = (
+        tgt.select(F.col("prev").alias("t"))
+        .unionAll(tgt.select(F.col("nxt").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    sp_t = F.round(
+        F.lit(1000000000.0)
+        * (
+            (F.coalesce("c_uv", F.lit(0)) + 1).cast("double")
+            / (F.coalesce("c_u", F.lit(0)) + F.col("v")).cast("double")
+        )
+    ).cast("bigint")
+    sp_r = F.round(
+        F.lit(1000000000.0)
+        * (F.col("n_bi").cast("double") / F.col("n_prev").cast("double"))
+    ).cast("bigint")
+    scored = (
+        occ.join(probs_r, ["prev", "nxt"])
+        .join(counts_t, ["prev", "nxt"], "left")
+        .join(prev_t, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "source", (sp_t - sp_r).alias("d"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("d").cast("bigint").alias("excess_scaled"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("excess_scaled"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "excess_scaled",
+            "bucket",
+            (F.col("bucket") == 1).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_EXCESS_SELECT_SQL = """
+WITH arrs AS (
+    SELECT doc_id, source, lang,
+           regexp_extract_all(LOWER(text), '[a-zA-Z]+') AS arr
+    FROM documents
+), occ AS (
+    SELECT doc_id, source, lang, arr[i] AS prev, arr[i + 1] AS nxt
+    FROM arrs, UNNEST(generate_series(1, LEN(arr) - 1)) AS t(i)
+    WHERE LEN(arr) >= 2
+), counts_r AS (
+    SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n_bi FROM occ GROUP BY 1, 2
+), probs_r AS (
+    SELECT prev, nxt, n_bi,
+           SUM(n_bi) OVER (PARTITION BY prev) AS n_prev
+    FROM counts_r
+), tgt AS (
+    SELECT prev, nxt FROM occ WHERE lang = 'en'
+), counts_t AS (
+    SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c_uv FROM tgt GROUP BY 1, 2
+), prev_t AS (
+    SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_u FROM tgt GROUP BY 1
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+    FROM (SELECT prev AS t FROM tgt UNION ALL SELECT nxt FROM tgt)
+), scored AS (
+    SELECT o.doc_id, o.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(
+               CAST(ROUND(1000000000.0 *
+                    (CAST(COALESCE(c.c_uv, 0) + 1 AS DOUBLE)
+                     / CAST(COALESCE(p.c_u, 0) + vocab.v AS DOUBLE)))
+                AS BIGINT)
+             - CAST(ROUND(1000000000.0 *
+                    (CAST(r.n_bi AS DOUBLE) / CAST(r.n_prev AS DOUBLE)))
+                AS BIGINT)
+           ) AS BIGINT) AS excess_scaled
+    FROM occ o
+    JOIN probs_r r ON o.prev = r.prev AND o.nxt = r.nxt
+    LEFT JOIN counts_t c ON o.prev = c.prev AND o.nxt = c.nxt
+    LEFT JOIN prev_t p ON o.prev = p.prev, vocab
+    GROUP BY o.doc_id, o.source, vocab.v
+), ranked AS (
+    SELECT doc_id, source, n_bigrams, excess_scaled,
+           CAST(NTILE(3) OVER (PARTITION BY source
+                               ORDER BY excess_scaled DESC, doc_id)
+                AS INTEGER) AS bucket
+    FROM scored
+)
+SELECT doc_id, source, n_bigrams, excess_scaled, bucket,
+       bucket = 1 AS selected
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # RFM SEGMENTATION — the classic customer-mart cube: per customer,
 # Recency (days since last order, against the corpus max date so the
 # anchor is data-derived, not wall-clock), Frequency (order count) and
@@ -1248,6 +1421,18 @@ QUERIES: dict[str, QuerySpec] = {
         "exact integers), order-free sum; planted disjoint-vocabulary "
         "discrimination test (driver langs share one vocabulary - "
         "documented)",
+    ),
+    "lm_excess_select": QuerySpec(
+        lm_excess_select, LM_EXCESS_SELECT_SQL,
+        tags=("L4", "A2", "W4", "J4"),
+        doc="RHO-1 / CCNet-importance excess-loss data selection: "
+        "documents ranked by the INTEGER difference between their "
+        "target-trained and corpus-trained bigram-LM scores (same "
+        "tokenization, same per-occurrence 1e9 scaling, so the "
+        "statistic is an exact integer sum - no float-subtraction "
+        "seam); CCNet ntile(3) head cut per source; one occurrence "
+        "pass feeds both models, no broadcast hints on the "
+        "corpus-content-sized model tables",
     ),
     "sql_q7_nation_volume": QuerySpec(
         sql_q7_nation_volume, SQL_Q7_NATION_VOLUME_SQL,

@@ -2594,3 +2594,56 @@ def test_lm_target_score_discriminates_disjoint_vocabularies(spark, monkeypatch)
     zz = [r["target_lm_score"] for r in out if r["lang"] == "zz"]
     assert len(en) and len(zz)
     assert min(en) > 5 * max(zz), (min(en), max(zz))
+
+
+def test_lm_excess_select_ranks_target_domain_on_top(spark, monkeypatch):
+    """RHO-1/CCNet-importance selection (round-12): on the same
+    disjoint-vocabulary plant, EVERY target-domain doc must out-rank
+    every off-domain doc on the integer excess statistic — the corpus
+    model scores both domains as fluent (each is structured over its
+    own vocabulary), so the target-vs-corpus DIFFERENCE is what
+    isolates the target domain. The head-bucket cut then selects
+    target docs only."""
+    import random
+
+    import outreach_etl_tool_spark.queries.sqlplus as S
+
+    rng = random.Random(7)
+    va = ["a" + c for c in "abcdefghijklmnopqrst"]
+    vb = ["z" + c for c in "abcdefghijklmnopqrst"]
+    rows = []
+    for d in range(120):
+        tgt = d % 2 == 0
+        voc = va if tgt else vb
+        start = rng.randrange(20)
+        n = rng.randint(15, 40)
+        # BOTH domains are structured cyclic chains (equally fluent
+        # under the corpus model) — only the target split is 'en'
+        text = " ".join(voc[(start + k) % 20] for k in range(n))
+        rows.append((d, text, "en" if tgt else "zz", "src0", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(S, "load_table", lambda *a: docs)
+    out = S.lm_excess_select(spark, "no-such-dir").collect()
+    langs = {d: ("en" if d % 2 == 0 else "zz") for d in range(120)}
+    en_excess = [
+        r["excess_scaled"] / r["n_bigrams"]
+        for r in out
+        if langs[r["doc_id"]] == "en"
+    ]
+    zz_excess = [
+        r["excess_scaled"] / r["n_bigrams"]
+        for r in out
+        if langs[r["doc_id"]] == "zz"
+    ]
+    assert len(en_excess) == 60 and len(zz_excess) == 60
+    assert min(en_excess) > max(zz_excess)
+    # the head bucket (selected) is entirely target-domain
+    sel = {r["doc_id"] for r in out if r["selected"]}
+    assert sel and all(langs[d] == "en" for d in sel)
+    # bucket sizes follow NTILE(3) over 120 docs
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in out)
+    assert sizes == {1: 40, 2: 40, 3: 40}
