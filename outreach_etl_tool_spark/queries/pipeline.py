@@ -705,6 +705,165 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# UNIMAX BUDGET ALLOCATION — the third member of the mixing family
+# (round-12; UniMax, ICLR 2023): token_budget_mix fills UNIFORM
+# per-domain quotas, lang_temperature_sample reweights by size^1/T;
+# UniMax allocates a total budget as EQUAL shares per source, capped
+# at C epochs of each source's own material — the multilingual-mix
+# rule that prevents small sources from being over-repeated while
+# large sources absorb the surplus. The allocation is exact-integer
+# WATERFILLING in closed form, not an iterative loop:
+#
+#   sort sources by cap = C·tokens_s ascending (source tie-break);
+#   source i is CAPPED iff cap_j·(D−j+1) ≤ N − prefix_{j−1} holds for
+#   ALL j ≤ i (a running-min flag — the capped set is the maximal
+#   prefix where taking the full cap stays below the water level);
+#   the D−k uncapped sources split R = N − Σ capped caps as
+#   q = R div m each, with the first R mod m (in sort order) getting
+#   one extra token — the token_budget_mix remainder discipline.
+#
+# Budget N = (19·total) div 10 (1.9 epochs of the corpus) against
+# C = 2 epoch caps: binding for the small sources, slack for the
+# large — both regimes pinned non-degenerate in the pytest. Scale
+# shape: one corpus rollup to D = |sources| rows; the sort window
+# runs over that vocabulary-bounded frame (the documented
+# single-task-window exception); everything else is scalar.
+# ---------------------------------------------------------------------------
+_UNIMAX_CAP_EPOCHS = 2
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 19, 10
+
+
+def unimax_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(TXT.tokens("text")).cast("long")).alias("n_tokens")
+    )
+    caps = per.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * _UNIMAX_CAP_EPOCHS).alias("cap"),
+    )
+    tot = caps.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d")
+    ).select(
+        F.expr(
+            f"(t * {_UNIMAX_BUDGET_NUM}) div {_UNIMAX_BUDGET_DEN}"
+        ).alias("n_budget"),
+        "d",
+    )
+    w = Window.orderBy("cap", "source")  # D rows: vocabulary-bounded
+    marked = (
+        caps.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "f",
+            F.when(
+                F.col("cap") * (F.col("d") - F.col("i") + 1)
+                <= F.col("n_budget") - (F.col("prefix") - F.col("cap")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "capped",
+            F.min("f").over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            == 1,
+        )
+    )
+    stats = marked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        ).alias("csum"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("ccnt"),
+    )
+    j = marked.crossJoin(F.broadcast(stats))
+    m = F.col("d") - F.col("ccnt")
+    q = F.expr("(n_budget - csum) div (d - ccnt)")
+    rem = F.expr("(n_budget - csum) % (d - ccnt)")
+    alloc = (
+        F.when(F.col("capped"), F.col("cap"))
+        .when(
+            m > 0,
+            q + F.when(F.col("i") - F.col("ccnt") <= rem, 1).otherwise(0),
+        )
+        .otherwise(F.col("cap"))
+    )
+    return (
+        j.select(
+            "source",
+            "n_tokens",
+            F.col("cap").cast("bigint").alias("cap_tokens"),
+            alloc.cast("bigint").alias("allocated_tokens"),
+            "capped",
+        )
+        .orderBy("source")
+    )
+
+
+UNIMAX_BUDGET_ALLOC_SQL = f"""
+WITH per AS (
+    SELECT source,
+           CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+), caps AS (
+    SELECT source, n_tokens,
+           n_tokens * {_UNIMAX_CAP_EPOCHS} AS cap
+    FROM per
+), tot AS (
+    SELECT (CAST(SUM(n_tokens) AS BIGINT) * {_UNIMAX_BUDGET_NUM})
+               // {_UNIMAX_BUDGET_DEN} AS n_budget,
+           CAST(COUNT(*) AS BIGINT) AS d
+    FROM caps
+), marked AS (
+    SELECT c.source, c.n_tokens, c.cap, t.n_budget, t.d,
+           ROW_NUMBER() OVER (ORDER BY c.cap, c.source) AS i,
+           SUM(c.cap) OVER (ORDER BY c.cap, c.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+    FROM caps c, tot t
+), flagged AS (
+    SELECT *,
+           CASE WHEN cap * (d - i + 1) <= n_budget - (prefix - cap)
+                THEN 1 ELSE 0 END AS f
+    FROM marked
+), runflag AS (
+    SELECT *,
+           MIN(f) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_i
+    FROM flagged
+), stats AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN c_i = 1 THEN cap END), 0)
+                AS BIGINT) AS csum,
+           CAST(COALESCE(SUM(c_i), 0) AS BIGINT) AS ccnt
+    FROM runflag
+)
+SELECT r.source, r.n_tokens,
+       CAST(r.cap AS BIGINT) AS cap_tokens,
+       CAST(CASE
+         WHEN r.c_i = 1 THEN r.cap
+         WHEN (r.d - s.ccnt) > 0 THEN
+           (r.n_budget - s.csum) // (r.d - s.ccnt)
+           + CASE WHEN r.i - s.ccnt
+                       <= (r.n_budget - s.csum) % (r.d - s.ccnt)
+                  THEN 1 ELSE 0 END
+         ELSE r.cap
+       END AS BIGINT) AS allocated_tokens,
+       r.c_i = 1 AS capped
+FROM runflag r, stats s
+ORDER BY r.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # PACK SEQUENCES — greedy contiguous packing into token-budget bins
 # ---------------------------------------------------------------------------
 # Sample packing: concatenate documents into fixed-capacity training
@@ -3608,6 +3767,17 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "unimax_budget_alloc": QuerySpec(
+        unimax_budget_alloc, UNIMAX_BUDGET_ALLOC_SQL,
+        tags=("L4", "A2", "W3"),
+        doc="UniMax budget allocation (the multilingual-mix rule): a "
+        "total token budget split as equal shares per source, capped "
+        "at C=2 epochs of each source's material - exact-integer "
+        "closed-form waterfilling (running-min capped prefix over the "
+        "cap-sorted sources, remainder to the first R mod m in sort "
+        "order), no iteration; completes the mixing family alongside "
+        "uniform quotas (token_budget_mix) and temperature sampling",
     ),
     "token_budget_mix": QuerySpec(
         token_budget_mix, TOKEN_BUDGET_MIX_SQL,

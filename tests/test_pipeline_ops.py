@@ -2487,6 +2487,70 @@ def test_lang_id_trained_driver_data_shape(spark):
     assert any(r["best_score_scaled"] != 0 for r in out)
 
 
+def test_unimax_budget_alloc_matches_waterfill_replica(spark):
+    """UniMax allocation (round-12): an independent pure-python greedy
+    waterfill (iterative, NOT the closed form the engine uses) must
+    produce the identical allocation; the driver fixture is
+    non-degenerate (both capped and uncapped sources exist), capped
+    sources get exactly their cap, and the uncapped shares exhaust the
+    budget to the token."""
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        _UNIMAX_CAP_EPOCHS,
+        unimax_budget_alloc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["cap_tokens"], r["allocated_tokens"], r["capped"]
+        )
+        for r in unimax_budget_alloc(spark, sf).collect()
+    }
+    per = dict(
+        duckdb.connect().execute(
+            "SELECT source, SUM(LEN(regexp_extract_all(LOWER(text), "
+            f"'[a-zA-Z]+'))) FROM '{sf}/documents.parquet' GROUP BY source"
+        ).fetchall()
+    )
+    total = sum(per.values())
+    budget = total * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+    caps = {s: t * _UNIMAX_CAP_EPOCHS for s, t in per.items()}
+    # iterative greedy waterfill: repeatedly grant the full cap to any
+    # source whose cap is <= the current equal share, then re-divide
+    remaining, left = dict(caps), budget
+    alloc: dict[str, int] = {}
+    while remaining:
+        share = left // len(remaining)
+        small = {s: c for s, c in remaining.items() if c <= share}
+        if not small:
+            break
+        for s, c in small.items():
+            alloc[s] = c
+            left -= c
+            del remaining[s]
+    uncapped = sorted(remaining, key=lambda s: (caps[s], s))
+    if uncapped:
+        q, r = divmod(left, len(uncapped))
+        for rank, s in enumerate(uncapped, start=1):
+            alloc[s] = q + (1 if rank <= r else 0)
+    assert set(got) == set(alloc)
+    for s in alloc:
+        n, cap, a, capped = got[s]
+        assert n == per[s] and cap == caps[s]
+        assert a == alloc[s], (s, a, alloc[s])
+        assert capped == (s not in uncapped)
+    # non-degenerate fixture: both regimes present, budget exhausted
+    assert any(v[3] for v in got.values())
+    assert any(not v[3] for v in got.values())
+    assert sum(v[2] for v in got.values()) == budget
+    for s in uncapped:
+        assert got[s][2] < caps[s]
+
+
 # ------------------------------------------------ token-budget mixing
 def test_token_budget_mix_python_replica_and_binding(spark):
     """Independent pure-python replica (hashlib + dicts) of the
