@@ -1412,6 +1412,111 @@ ORDER BY query_id, cosine DESC, vec_id
 """
 
 
+# L3i — HARD-NEGATIVE MINING (round-12): the training-data prep an
+# embedding-model pipeline runs between dedup and contrastive training
+# (sentence-transformers / DPR convention): for each anchor, the
+# single best POSITIVE (nearest neighbor passing the exact-integer
+# τ = 2/5 gate every embedding tier shares) and the top-3 HARD
+# negatives — the highest-cosine vectors that FAIL the gate, i.e. the
+# confusable non-matches a contrastive loss learns the most from
+# (random negatives are trivially separable). Scale shape: the anchor
+# set is tiny (id % 53 — an eval/probe batch) and BROADCASTS; the
+# corpus is scanned once, per-pair work is one Arrow int64 dot, and
+# the per-anchor-per-role window is bounded (4 rows/anchor out).
+# Correctness shape: the pos/neg split is the exact integer τ gate
+# (25·dq² ≥ 4·na·nb, dq > 0) on 1e-6-quantized vectors; the ranking
+# float is one IEEE expression over identical integers, so both
+# engines order identically (the sim_knn_join precedent). A positive
+# always out-ranks every negative of its anchor by construction
+# (cos ≥ 2/5 > cos of any gate-failing vector) — pinned in the
+# pytest.
+_HNM_ANCHOR_MOD = 53
+_HNM_NEGATIVES = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..dedup.parity import _int_dot
+
+    embs = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64
+    )
+    qn = _tau_qarr(embs).withColumnRenamed("nq", "n2")
+    qry = qn.filter(F.col("id") % _HNM_ANCHOR_MOD == 0).select(
+        F.col("id").alias("query_id"),
+        F.col("qa").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    pairs = qn.join(F.broadcast(qry), F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        _int_dot("qa", "qb").alias("dq"),
+        F.col("n2").alias("na"),
+        "nb",
+    )
+    role = F.when(_tau_gate(), F.lit("pos")).otherwise(F.lit("neg"))
+    cosine = F.col("dq") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.select(
+            "query_id", "vec_id", role.alias("role"), cosine.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            (F.col("rank") <= F.lit(1))
+            | ((F.col("role") == "neg") & (F.col("rank") <= _HNM_NEGATIVES))
+        )
+        .select("query_id", "role", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "role", "rank")
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH qarr AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x ->
+               CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qa
+    FROM embeddings WHERE LEN(embedding) = 64
+), n AS (
+    SELECT id, qa, list_sum(list_transform(qa, x -> x * x)) AS n2 FROM qarr
+), qry AS (
+    SELECT id AS query_id, qa AS qb, n2 AS nb FROM n
+    WHERE id % {_HNM_ANCHOR_MOD} = 0
+), scored AS (
+    SELECT qry.query_id, c.id AS vec_id,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> c.qa[i] * qry.qb[i])) AS dq,
+           c.n2 AS na, qry.nb AS nb
+    FROM n c JOIN qry ON c.id <> qry.query_id
+), typed AS (
+    SELECT query_id, vec_id,
+           CASE WHEN dq > 0
+                 AND 25 * dq::HUGEINT * dq::HUGEINT
+                     >= 4 * na::HUGEINT * nb::HUGEINT
+                THEN 'pos' ELSE 'neg' END AS role,
+           CAST(dq AS DOUBLE)
+               / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+    FROM scored
+), ranked AS (
+    SELECT query_id, role, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id, role
+                                   ORDER BY cosine DESC, vec_id)
+                AS INTEGER) AS rank
+    FROM typed
+)
+SELECT query_id, role, rank, vec_id, cosine
+FROM ranked
+WHERE rank <= 1 OR (role = 'neg' AND rank <= {_HNM_NEGATIVES})
+ORDER BY query_id, role, rank
+"""
+
+
 # L3c — all-pairs kNN join: every vector's top-k neighbors. Distributed
 # block nested-loop (hash-blocked index, replicated probes, cogroup
 # local top-k, window merge — similarity/ann.py knn_join_blocked): EXACT
@@ -4866,6 +4971,15 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_knn_join": QuerySpec(
         sim_knn_join, SIM_KNN_JOIN_SQL, tags=("L3", "J2"), bench=True,
         doc="all-pairs top-k cosine neighbors, distributed block-NL kNN join",
+    ),
+    "hard_negative_mining": QuerySpec(
+        hard_negative_mining, HARD_NEGATIVE_MINING_SQL,
+        tags=("L3", "W1", "J2"),
+        doc="contrastive-training data prep: per broadcast anchor, the "
+        "best positive (exact integer tau=2/5 gate) and the top-3 "
+        "HARD negatives - the highest-cosine gate-failing vectors a "
+        "contrastive loss learns the most from; one corpus scan, "
+        "bounded per-anchor windows, 1e-6-quantized integer dots",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
     "sim_ann_ivf_check": QuerySpec(

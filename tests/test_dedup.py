@@ -1445,3 +1445,37 @@ def test_sampled_certificates_nonvacuous(spark):
     assert row["n_exact_tau_pairs_sampled"] >= 1
     pairs, _ = L._semdedup_ivf_parts(spark, "/root/testdata/sf0.01")
     assert pairs.count() >= 1
+
+
+def test_hard_negative_mining_invariants(spark):
+    """Contrastive-prep invariants (round-12): every anchor carries
+    exactly 3 hard negatives (ranked 1..3 by descending cosine), at
+    most one positive, every positive passes the tau=2/5 gate while
+    every negative fails it (cos < 0.4), and hence each anchor's
+    positive out-ranks all of its negatives. Driver data is
+    non-degenerate: some anchor HAS a positive."""
+    from collections import defaultdict
+
+    from outreach_etl_tool_spark.queries.llm import (
+        _HNM_NEGATIVES,
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, "/root/testdata/sf0.01").collect()
+    per = defaultdict(lambda: {"pos": [], "neg": []})
+    for r in rows:
+        per[r["query_id"]][r["role"]].append((r["rank"], r["cosine"]))
+    assert len(per) >= 5
+    assert any(v["pos"] for v in per.values())  # non-degenerate
+    for qid, v in per.items():
+        assert len(v["pos"]) <= 1
+        assert len(v["neg"]) == _HNM_NEGATIVES, qid
+        ranks = sorted(rk for rk, _ in v["neg"])
+        assert ranks == [1, 2, 3]
+        cosines = [c for _, c in sorted(v["neg"])]
+        assert cosines == sorted(cosines, reverse=True)  # desc by rank
+        for _, c in v["neg"]:
+            assert c < 0.4
+        for _, c in v["pos"]:
+            assert c >= 0.4
+            assert all(c > cn for _, cn in v["neg"])
