@@ -114,6 +114,11 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "pii_excise": True,
     "lang_id_trained": True,
     "token_budget_mix": True,
+    # round-12 additions
+    "lm_excess_select": True,             # documents-only → 3x point
+    "unimax_budget_alloc": True,
+    "multimodal_audio_fp_dedup": True,    # clips synthesized from doc ids
+    "hard_negative_mining": False,        # embeddings table
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
@@ -222,6 +227,28 @@ NOTES: dict[str, str] = {
         "the stopword-enrichment preamble the published-rule row "
         "below requires. Stage parity + strict-nonzero cuts on raw "
         "data are pytest-pinned (tests/test_sinks.py)."
+    ),
+    "multimodal_audio_fp_dedup": (
+        "Audio near-dup fingerprint (round-12): one Arrow decode+"
+        "feature pass per clip (real WAV codec round trip), then only "
+        "(id, 62-bit fingerprint) moves through the shared 4×16-band "
+        "Hamming machinery — the image-phash scale shape. The 3× "
+        "documents slice replicates clips with offset ids, so planted "
+        "near-dup pairs and band-bucket occupancy grow linearly."
+    ),
+    "lm_excess_select": (
+        "Excess-loss selection (round-12): one corpus tokenize pass "
+        "feeds BOTH bigram models (corpus ML + target add-1); the "
+        "scoring join shuffles the corpus once on (prev, nxt); the "
+        "ntile window partitions by source. Model tables carry no "
+        "broadcast hints (observed-bigram-sized at a real target)."
+    ),
+    "unimax_budget_alloc": (
+        "UniMax allocation (round-12): one corpus rollup to "
+        "D = |sources| rows, then closed-form integer waterfilling "
+        "over that vocabulary-bounded frame (the documented "
+        "single-task-window exception) — wall time is the rollup; "
+        "the allocation itself is O(D)."
     ),
     "pipeline_curation_run_gates": (
         "TRAINED-GATES mode of the composed run (round-12): the full "
