@@ -864,6 +864,88 @@ ORDER BY r.source
 
 
 # ---------------------------------------------------------------------------
+# WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis–Spirakis priority
+# sampling in exact integers (round-12): select k documents with
+# probability proportional to weight WITHOUT replacement by ranking on
+# u_i^(1/w_i) (u uniform). Distributed shape: each item computes its
+# own priority key independently (no global state, no sequential
+# pass), then one TakeOrdered(k) — the one-pass weighted-reservoir
+# primitive a corpus subsampler uses, here with w = token count
+# (length-proportional selection).
+#
+# Exactness: ranking by u^(1/w) ⟺ ranking by (32 − log2 u)/w
+# ASCENDING for u ∈ [1, 2^32). log2 comes from the engine's fixed-
+# point integer ilog2_64 (functions/intlog — shifts and multiplies,
+# never libm), so the key is key_i = ((2048 − ilog2_64(u_i)) << 20)
+# div w_i — all operands NONNEGATIVE, sidestepping the Spark-div
+# (truncate) vs DuckDB-// (floor) divergence on negatives. u_i is the
+# hash-derandomized md5 prefix + 1. The CONTRACT is this fixed-point
+# rule (ties at 2^-20 resolution break by doc_id), deterministic and
+# engine-identical — the statistical behavior is E-S to within the
+# 1/64-bit log resolution.
+# ---------------------------------------------------------------------------
+_WRS_K = 100
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.intlog import spark_expr as _L
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(TXT.tokens("text")).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wrs#"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        ).alias("u"),
+    ).filter(F.col("n_tokens") > 0)
+    keyed = base.withColumn(
+        "priority",
+        F.expr(f"((2048 - {_L('u')}) << 20) div n_tokens").cast("bigint"),
+    )
+    return (
+        keyed.select("doc_id", "source", "n_tokens", "priority")
+        .orderBy("priority", "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+def _weighted_sample_topk_sql() -> str:
+    from ..functions.intlog import duck_expr as _L
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS BIGINT)
+               AS n_tokens,
+           ('0x' || substr(md5('wrs#' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT + 1 AS u
+    FROM documents
+), keyed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(((2048 - {_L('u')}) << 20) // n_tokens AS BIGINT) AS priority
+    FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens, priority
+FROM keyed
+ORDER BY priority, doc_id
+LIMIT {_WRS_K}
+"""
+
+
+WEIGHTED_SAMPLE_TOPK_SQL = _weighted_sample_topk_sql()
+
+
+# ---------------------------------------------------------------------------
 # PACK SEQUENCES — greedy contiguous packing into token-budget bins
 # ---------------------------------------------------------------------------
 # Sample packing: concatenate documents into fixed-capacity training
@@ -3767,6 +3849,16 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, tags=("L4", "W1"),
         doc="exact-n-per-source deterministic hash-ranked sample",
+    ),
+    "weighted_sample_topk": QuerySpec(
+        weighted_sample_topk, WEIGHTED_SAMPLE_TOPK_SQL,
+        tags=("L4", "O3", "F3"),
+        doc="Efraimidis-Spirakis weighted sampling without replacement "
+        "in exact integers: per-item priority key from the fixed-point "
+        "ilog2 of a hash-derandomized uniform (never libm), weight = "
+        "token count, one TakeOrdered(k) - the one-pass distributed "
+        "weighted-reservoir primitive; all operands nonnegative so "
+        "Spark div and DuckDB // agree",
     ),
     "unimax_budget_alloc": QuerySpec(
         unimax_budget_alloc, UNIMAX_BUDGET_ALLOC_SQL,

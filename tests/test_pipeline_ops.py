@@ -2711,3 +2711,43 @@ def test_lm_excess_select_ranks_target_domain_on_top(spark, monkeypatch):
 
     sizes = Counter(r["bucket"] for r in out)
     assert sizes == {1: 40, 2: 40, 3: 40}
+
+
+def test_weighted_sample_topk_matches_replica_and_skews_long(spark):
+    """E-S priority sampling (round-12): the selected set equals a
+    pure-python replica built from ilog2_py + hashlib (independent of
+    the SQL fold), and the weighting is REAL — the selected docs'
+    mean token count exceeds the corpus mean (longer docs drew
+    proportionally more selection mass)."""
+    import hashlib
+
+    import duckdb
+
+    from outreach_etl_tool_spark.functions.intlog import ilog2_py
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _WRS_K,
+        weighted_sample_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = [
+        (r["doc_id"], r["source"], r["n_tokens"], r["priority"])
+        for r in weighted_sample_topk(spark, sf).collect()
+    ]
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, source, LEN(regexp_extract_all(LOWER(text), "
+        f"'[a-zA-Z]+')) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, source, n_tok in rows:
+        if n_tok == 0:
+            continue
+        u = int(hashlib.md5(f"wrs#{doc_id}".encode()).hexdigest()[:8], 16) + 1
+        prio = ((2048 - ilog2_py(u)) << 20) // n_tok
+        keyed.append((prio, doc_id, source, n_tok))
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    expected = [(d, s, n, p) for p, d, s, n in keyed[:_WRS_K]]
+    assert got == expected
+    corpus_mean = sum(n for *_r, n in [(r[0], r[1], r[2]) for r in rows]) / len(rows)
+    sel_mean = sum(n for _, _, n, _ in got) / len(got)
+    assert sel_mean > corpus_mean * 1.05, (sel_mean, corpus_mean)
