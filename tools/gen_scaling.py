@@ -119,6 +119,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "unimax_budget_alloc": True,
     "multimodal_audio_fp_dedup": True,    # clips synthesized from doc ids
     "hard_negative_mining": False,        # embeddings table
+    "weighted_sample_topk": True,
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
