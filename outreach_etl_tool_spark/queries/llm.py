@@ -4017,7 +4017,11 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _excise_rebuild(
-    docs: DataFrame, ivls: DataFrame, keep_text: bool = False
+    docs: DataFrame,
+    ivls: DataFrame,
+    keep_text: bool = False,
+    ordered: bool = True,
+    count_ivls: bool = False,
 ) -> DataFrame:
     """Byte-exact text surgery shared by the excision queries: given
     per-doc NON-OVERLAPPING excision intervals (doc_id, ivl_start,
@@ -4028,7 +4032,11 @@ def _excise_rebuild(
     ``keep_text=True`` additionally returns the rebuilt text itself
     (``text_clean``) for consumers that materialize the cleaned
     corpus (operators/curation.py); the registry queries return only
-    the md5 so the driver hash gate stays row-compact."""
+    the md5 so the driver hash gate stays row-compact.
+    ``count_ivls=True`` appends ``n_ivls`` (the per-doc interval
+    count, 0 for untouched docs) derived from the rebuild's own
+    aggregation; ``ordered=False`` skips the final global sort for
+    sink consumers (both round-13, for the streaming scrub path)."""
     from pyspark.sql.window import Window
 
     # complement gaps in ONE window pass: each interval emits its
@@ -4080,7 +4088,13 @@ def _excise_rebuild(
             ),
             F.lit(""),
             lambda acc, s: F.concat(acc, s),
-        ).alias("cleaned")
+        ).alias("cleaned"),
+        # every interval emits exactly one lead gap and the last emits
+        # one extra tail gap, so segs-per-doc = n_ivls + 1: the interval
+        # count falls out of the SAME aggregation — sink consumers that
+        # report a per-doc span count (pii_scrub_ingest_sink) get it
+        # without a second agg + join over the detect plan (round-13)
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_ivls"),
     )
     cols = [
         F.col("doc_id"),
@@ -4090,14 +4104,19 @@ def _excise_rebuild(
         ),
         F.md5(F.coalesce("cleaned", "text")).alias("cleaned_md5"),
     ]
+    if count_ivls:
+        cols.append(F.coalesce("n_ivls", F.lit(0)).alias("n_ivls"))
     if keep_text:
         cols.append(F.coalesce("cleaned", "text").alias("text_clean"))
-    return (
+    joined = (
         docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"), "text")
         .join(rebuilt, "doc_id", "left")
         .select(*cols)
-        .orderBy("doc_id")
     )
+    # ordered=False skips the global sort (a range-exchange plus its
+    # sampling pass) for sink consumers that land the frame in a table
+    # — per-MICRO-BATCH that sort is a whole extra job (round-13)
+    return joined.orderBy("doc_id") if ordered else joined
 
 
 # L2h-excise — the cleaning pass for the EXACT variable-length family:
@@ -4407,10 +4426,25 @@ def _luhn_sum_col(s: Column, ndigits: int) -> Column:
     return total
 
 
-def _pii_ctext() -> Column:
-    """Deterministic planted-PII view (byte-identical to the oracle's
-    CTE): email/phone plants mirror pii_redact's, plus an IPv4 tail
-    on doc_id%5==0 (octets derived from doc_id, all <= 255)."""
+def _pii_cdocs(docs: DataFrame) -> DataFrame:
+    """Deterministic planted-PII view as a (doc_id, ctext) FRAME
+    (byte-identical to the oracle's CTE): email/phone plants mirror
+    pii_redact's, plus an IPv4 tail on doc_id%5==0 (octets derived
+    from doc_id, all <= 255).
+
+    Round-13 codegen-size discipline: every reused intermediate
+    (base text, ip-tailed text, check digits, the two card strings)
+    is BOUND AS A REAL COLUMN, so each reuse is an attribute
+    reference.  The previous single-Column construction duplicated
+    subtrees multiplicatively at build time (base ×6 through the
+    nested CASEs, the 9-term Luhn plant sum ×8 through the four
+    substr positions of both card variants) — on the excise/streaming
+    path, which references the contaminated view in three subtrees,
+    that produced 1.2–2.4 MiB task binaries recompiled by Janino
+    EVERY micro-batch (the round-12 fix had reached only
+    pii_extents).  Catalyst's CollapseProject keeps multi-referenced
+    non-cheap aliases as attributes, so the bound form survives
+    optimization."""
     base = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -4441,9 +4475,6 @@ def _pii_ctext() -> Column:
         F.lit("."),
         (F.col("doc_id") % 251).cast("string"),
     )
-    withip = F.when(F.col("doc_id") % 5 == 0, F.concat(base, ip)).otherwise(
-        base
-    )
     # credit-card plants (doc_id%7==0 Luhn-VALID, %7==3 Luhn-INVALID —
     # the invalid one is card-shaped but must never be detected); 3/5/7
     # coprime, so docs carry up to three pii types.
@@ -4466,15 +4497,8 @@ def _pii_ctext() -> Column:
         s15 = s15 + (
             F.when(d > 4, d * 2 - 9).otherwise(d * 2) if k % 2 == 1 else d
         )
-    chk_v = (F.lit(10) - (s15 % 10)) % 10
-    chk_i = (chk_v + 1) % 10
 
-    def _dashed(chk: Column) -> Column:
-        cc = F.concat(
-            F.lit("400000"),
-            F.lpad(m.cast("string"), 9, "0"),
-            chk.cast("string"),
-        )
+    def _dashed(cc: Column) -> Column:
         return F.concat_ws(
             "-",
             F.substring(cc, 1, 4),
@@ -4483,17 +4507,55 @@ def _pii_ctext() -> Column:
             F.substring(cc, 13, 4),
         )
 
-    return (
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(withip, F.lit(" pay "), _dashed(chk_v)),
+    staged = (
+        docs.select("doc_id", "text")
+        .withColumn("_pbase", base)
+        .withColumn(
+            "_pwithip",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("_pbase"), ip)
+            ).otherwise(F.col("_pbase")),
         )
-        .when(
-            F.col("doc_id") % 7 == 3,
-            F.concat(withip, F.lit(" pay "), _dashed(chk_i)),
+        .withColumn("_pchk_v", (F.lit(10) - (s15 % 10)) % 10)
+        .withColumn("_pchk_i", (F.col("_pchk_v") + 1) % 10)
+        .withColumn(
+            "_pcc_v",
+            F.concat(
+                F.lit("400000"),
+                F.lpad(m.cast("string"), 9, "0"),
+                F.col("_pchk_v").cast("string"),
+            ),
         )
-        .otherwise(withip)
+        .withColumn(
+            "_pcc_i",
+            F.concat(
+                F.lit("400000"),
+                F.lpad(m.cast("string"), 9, "0"),
+                F.col("_pchk_i").cast("string"),
+            ),
+        )
+        .withColumn(
+            "ctext",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("_pwithip"),
+                    F.lit(" pay "),
+                    _dashed(F.col("_pcc_v")),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(
+                    F.col("_pwithip"),
+                    F.lit(" pay "),
+                    _dashed(F.col("_pcc_i")),
+                ),
+            )
+            .otherwise(F.col("_pwithip")),
+        )
     )
+    return staged.select("doc_id", "ctext")
 
 
 def _pii_spans(cdocs: DataFrame) -> DataFrame:
@@ -4552,13 +4614,13 @@ def _pii_spans(cdocs: DataFrame) -> DataFrame:
 
 def pii_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    cdocs = docs.select("doc_id", _pii_ctext().alias("ctext"))
+    cdocs = _pii_cdocs(docs)
     return _pii_spans(cdocs).orderBy("doc_id", "span_start")
 
 
 def pii_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    cdocs = docs.select("doc_id", _pii_ctext().alias("ctext"))
+    cdocs = _pii_cdocs(docs)
     ivls = _pii_spans(cdocs).select(
         "doc_id",
         F.col("span_start").alias("ivl_start"),
