@@ -1412,50 +1412,58 @@ ORDER BY query_id, cosine DESC, vec_id
 """
 
 
-# L3i — HARD-NEGATIVE MINING (round-12): the training-data prep an
-# embedding-model pipeline runs between dedup and contrastive training
+# L3i — HARD-NEGATIVE MINING (round-12; round-13 scale seam + IVF
+# tier per VERDICT r12 #1): the training-data prep an embedding-model
+# pipeline runs between dedup and contrastive training
 # (sentence-transformers / DPR convention): for each anchor, the
 # single best POSITIVE (nearest neighbor passing the exact-integer
 # τ = 2/5 gate every embedding tier shares) and the top-3 HARD
 # negatives — the highest-cosine vectors that FAIL the gate, i.e. the
 # confusable non-matches a contrastive loss learns the most from
-# (random negatives are trivially separable). Scale shape: the anchor
-# set is tiny (id % 53 — an eval/probe batch) and BROADCASTS; the
-# corpus is scanned once, per-pair work is one Arrow int64 dot, and
-# the per-anchor-per-role window is bounded (4 rows/anchor out).
-# Correctness shape: the pos/neg split is the exact integer τ gate
-# (25·dq² ≥ 4·na·nb, dq > 0) on 1e-6-quantized vectors; the ranking
-# float is one IEEE expression over identical integers, so both
-# engines order identically (the sim_knn_join precedent). A positive
-# always out-ranks every negative of its anchor by construction
-# (cos ≥ 2/5 > cos of any gate-failing vector) — pinned in the
-# pytest.
+# (random negatives are trivially separable).
+#
+# TWO TIERS, the semdedup/decon handoff pattern:
+#
+# - hard_negative_mining_frame — exact brute force against a
+#   caller-supplied anchor frame under the BOUNDED-ANCHOR CONTRACT:
+#   the anchors must fit a broadcast (an eval/probe batch, ≲10^5
+#   rows), because the plan is anchors-broadcast × one corpus scan —
+#   O(n·|anchors|) dots. The registry query instantiates it with the
+#   id % 53 demo anchors, which are CORPUS-PROPORTIONAL — fine at
+#   certificate scale (it is the DuckDB-oracled certificate of the
+#   IVF tier), quadratic if taken to the full corpus. That is exactly
+#   why it is not the scale path.
+# - hard_negative_mining_ivf — the scale tier: anchors and corpus are
+#   assigned k-means cells (the _ivf_qn machinery, k = n/125 by the
+#   _ivf_k footer convention), and each anchor mines positives + hard
+#   negatives from its OWN cell (nprobe=1, like semdedup_ivf /
+#   decontaminate_semantic_ivf). Per-cell occupancy is constant by
+#   construction, so total pair work is O(n·125/53) — LINEAR in the
+#   corpus, no broadcast of anything corpus-proportional, one shuffle
+#   equi-join on cell. Rows-only (Lloyd is float-iterative; no SQL
+#   mirror); the oracled brute-force tier is its certificate wherever
+#   candidate sets overlap (identical τ gate, identical ranking
+#   expression), and planted-duplicate recall is pytest-pinned (an
+#   exact duplicate shares its anchor's argmax cell by construction).
+#
+# Correctness shape (both tiers): the pos/neg split is the exact
+# integer τ gate (25·dq² ≥ 4·na·nb, dq > 0) on 1e-6-quantized
+# vectors; the ranking float is one IEEE expression over identical
+# integers, so both engines order identically (the sim_knn_join
+# precedent). A positive always out-ranks every negative of its
+# anchor by construction (cos ≥ 2/5 > cos of any gate-failing vector)
+# — pinned in the pytest.
 _HNM_ANCHOR_MOD = 53
 _HNM_NEGATIVES = 3
 
 
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnm_rank(scored: DataFrame) -> DataFrame:
+    """Shared role-split + per-anchor ranking over a (query_id,
+    vec_id, dq, na, nb) pair stream: τ-gate → pos/neg, rank by cosine
+    desc / vec_id asc within (anchor, role), keep the best positive
+    and the top-_HNM_NEGATIVES negatives."""
     from pyspark.sql.window import Window
 
-    from ..dedup.parity import _int_dot
-
-    embs = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).filter(
-        F.size("embedding") == 64
-    )
-    qn = _tau_qarr(embs).withColumnRenamed("nq", "n2")
-    qry = qn.filter(F.col("id") % _HNM_ANCHOR_MOD == 0).select(
-        F.col("id").alias("query_id"),
-        F.col("qa").alias("qb"),
-        F.col("n2").alias("nb"),
-    )
-    pairs = qn.join(F.broadcast(qry), F.col("id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("id").alias("vec_id"),
-        _int_dot("qa", "qb").alias("dq"),
-        F.col("n2").alias("na"),
-        "nb",
-    )
     role = F.when(_tau_gate(), F.lit("pos")).otherwise(F.lit("neg"))
     cosine = F.col("dq") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
@@ -1475,6 +1483,100 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "role", "rank", "vec_id", "cosine")
         .orderBy("query_id", "role", "rank")
     )
+
+
+def hard_negative_mining_frame(
+    embs: DataFrame, anchors: DataFrame
+) -> DataFrame:
+    """Exact hard-negative mining against a caller-supplied anchor
+    id frame (one ``id`` column — the train_docs seam convention).
+
+    BOUNDED-ANCHOR CONTRACT: ``anchors`` is broadcast twice (anchor
+    selection + the pair stream), so it must be an eval/probe batch
+    (≲10^5 rows), NOT a corpus-proportional set — the pair stream is
+    O(n·|anchors|) exact dots with a per-anchor ranking window. For
+    anchor sets that grow with the corpus use
+    :func:`hard_negative_mining_ivf`, whose per-anchor candidate set
+    is its k-means cell (constant occupancy ⇒ linear total work)."""
+    from ..dedup.parity import _int_dot
+
+    qn = _tau_qarr(embs).withColumnRenamed("nq", "n2")
+    qry = qn.join(
+        F.broadcast(anchors.select("id")), "id", "left_semi"
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("qa").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    pairs = qn.join(F.broadcast(qry), F.col("id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        _int_dot("qa", "qb").alias("dq"),
+        F.col("n2").alias("na"),
+        "nb",
+    )
+    return _hnm_rank(scored)
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate tier: the exact brute-force miner on the id % 53
+    demo anchors (corpus-proportional — certificate scale only; the
+    scale path is hard_negative_mining_ivf)."""
+    embs = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64
+    )
+    anchors = embs.select(F.col("vec_id").alias("id")).filter(
+        F.col("id") % _HNM_ANCHOR_MOD == 0
+    )
+    return hard_negative_mining_frame(embs, anchors)
+
+
+def hard_negative_mining_ivf_frame(
+    embs: DataFrame, anchors: DataFrame, k: int
+) -> DataFrame:
+    """IVF-celled hard-negative mining: anchors mine positives + hard
+    negatives from their argmax k-means cell (nprobe=1). ``anchors``
+    is an id frame; ``k`` the coarse-quantizer size (callers derive it
+    via _ivf_k). One shuffle equi-join on cell — nothing
+    corpus-proportional is broadcast or crossed."""
+    from ..dedup.parity import _int_dot
+    from ..similarity import kmeans
+
+    cents = kmeans.kmeans_centroids(embs, k=k, iters=3)
+    qn = _ivf_qn(embs, cents)
+    # no broadcast hint: the anchor set MAY be corpus-proportional in
+    # this tier — AQE size-decides the semi join (the lm_target_score
+    # lesson)
+    qry = qn.join(anchors.select("id"), "id", "left_semi").select(
+        F.col("id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("qa").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    cands = qn.join(
+        qry,
+        (F.col("cell") == F.col("qcell")) & (F.col("id") != F.col("query_id")),
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        _int_dot("qa", "qb").alias("dq"),
+        F.col("nq").alias("na"),
+        "nb",
+    )
+    return _hnm_rank(scored)
+
+
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier on the demo anchors (rows-only — Lloyd has no SQL
+    mirror; hard_negative_mining is the oracled certificate)."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    embs = ensure_parallelism(raw).filter(F.size("embedding") == 64)
+    anchors = embs.select(F.col("vec_id").alias("id")).filter(
+        F.col("id") % _HNM_ANCHOR_MOD == 0
+    )
+    return hard_negative_mining_ivf_frame(embs, anchors, _ivf_k(sf_dir, raw))
 
 
 HARD_NEGATIVE_MINING_SQL = f"""
@@ -5037,11 +5139,22 @@ QUERIES: dict[str, QuerySpec] = {
     "hard_negative_mining": QuerySpec(
         hard_negative_mining, HARD_NEGATIVE_MINING_SQL,
         tags=("L3", "W1", "J2"),
-        doc="contrastive-training data prep: per broadcast anchor, the "
-        "best positive (exact integer tau=2/5 gate) and the top-3 "
-        "HARD negatives - the highest-cosine gate-failing vectors a "
-        "contrastive loss learns the most from; one corpus scan, "
-        "bounded per-anchor windows, 1e-6-quantized integer dots",
+        doc="contrastive-training data prep, CERTIFICATE tier: per "
+        "anchor, the best positive (exact integer tau=2/5 gate) and "
+        "the top-3 HARD negatives - the highest-cosine gate-failing "
+        "vectors a contrastive loss learns the most from; exact "
+        "brute force under the bounded-anchor broadcast contract "
+        "(hard_negative_mining_frame); the scale path is the IVF tier",
+    ),
+    "hard_negative_mining_ivf": QuerySpec(
+        hard_negative_mining_ivf, None, tags=("L3", "W1", "J1"),
+        doc="hard-negative mining SCALE tier: anchors mine positives "
+        "+ hard negatives from their argmax k-means cell (nprobe=1, "
+        "k=n/125 footer-derived) - constant cell occupancy makes "
+        "total pair work linear in the corpus, one shuffle equi-join "
+        "on cell, nothing corpus-proportional broadcast; rows-only "
+        "(Lloyd is float-iterative), certified by the oracled "
+        "brute-force tier + planted-duplicate recall pytest",
     ),
     "sim_ann_ivf": QuerySpec(sim_ann_ivf, None, tags=("L3",)),
     "sim_ann_ivf_check": QuerySpec(

