@@ -90,7 +90,12 @@ def synth_clip(aid: int) -> np.ndarray:
     b = aid - 1 if pert else aid
     i = np.arange(AFP_SAMPLES, dtype=np.int64)
     s = i // AFP_WIN
-    t = b * 97 + s
+    # reduce t mod p BEFORE squaring (round-13 ADVICE): tm ≡ t (mod p)
+    # so (tm²+3tm) % p == (t²+3t) % p — values unchanged, but the
+    # square stays < p² ≈ 2^40 at ANY asset id, where the raw t² wrapped
+    # silently in int64 (numpy) yet raised in the oracle's BIGINT
+    # (DuckDB) once aid exceeded ~1.4e7 — an engine-vs-oracle seam
+    t = (b * 97 + s) % 1000003
     amp = (t * t + 3 * t) % 1000003 % 97
     st = 1 + 2 * ((t * t * 5 + t * 11) % 1000003 % 32)  # odd: gcd(st,64)=1
     x = amp * ((i * st + b) % 64 - 32)

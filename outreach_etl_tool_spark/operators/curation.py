@@ -86,7 +86,11 @@ def run_curation(
     gate's stopword list: ``"published"`` (default) is Gopher's
     literature list; ``"corpus"`` derives the top-8 document-frequency
     head (`corpus_stopwords` over the TRAIN split only — the eval
-    split leaks nothing into the gates) so the run
+    split leaks nothing into the stopword, lang-ID, or target-LM
+    gates; the trained-classifier and DSIR stages, by contrast, are
+    deliberately the registry queries' EXACT full-frame derivations,
+    so eval docs do contribute to their feature statistics — callers
+    needing a fully eval-blind run should pre-filter ``docs``) so the run
     executes NON-DEGENERATELY on raw corpora whose vocabulary does not
     overlap the published list -- the synthetic driver corpus needs no
     enrichment preamble in this mode (round-11; SCALING.md carries the

@@ -125,9 +125,17 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
     # wedges per edge at sf0.1 — 41M rows), and halving its shuffle
     # key width + hashing one long instead of two measures −27% on the
     # triangle core (round-12; 5.46 → 4.01 s at sf0.1). Sound while
-    # node ids < 2^31 (TPC-H partkeys; any corpus whose ids exceed
-    # that falls back to the two-column key — the unpack below is the
-    # only packed consumer).
+    # node ids < 2^31 (TPC-H partkeys); guarded FAIL-LOUD below —
+    # out-of-range ids raise instead of silently mis-packing (falling
+    # back to the two-column key is a manual code change, not runtime
+    # behavior; round-13 ADVICE).
+    mx = o.agg(F.max(F.greatest("s", "t"))).first()[0]
+    if mx is not None and int(mx) >= (1 << 31):
+        raise ValueError(
+            f"packed 64-bit triangle-closing key requires node ids < 2^31 "
+            f"(max seen: {mx}); use a two-column (b, c) join key for this "
+            f"graph"
+        )
     wedges = (
         w1.join(w2, "s")
         .filter(

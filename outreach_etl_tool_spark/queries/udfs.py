@@ -406,7 +406,7 @@ WITH d AS (
               - 32)
            + CASE WHEN pert AND i % 127 = 0 THEN 1 ELSE 0 END AS x
   FROM (SELECT aid, b, pert, ii.i AS i, (ii.i // 32) AS s,
-               b*97 + (ii.i // 32) AS t
+               (b*97 + (ii.i // 32)) % 1000003 AS t
         FROM d, UNNEST(generate_series(0, 991)) AS ii(i))
 ), nx AS (
   SELECT aid, s, i, x,

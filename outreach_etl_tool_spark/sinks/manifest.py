@@ -288,11 +288,17 @@ class ManifestTable:
                 for s in range(int(b["k"]))
             ]
         )
+        # per-row missing-position test grouped by the column VALUE
+        # itself, not a hash of it (round-13 ADVICE): collapsing rows
+        # by xxhash64(col) let a hash collision between an absent
+        # value and a possibly-present one mark both definitely
+        # absent — a silent false negative against the documented
+        # no-false-negatives contract
         probe = df.select(
-            F.xxhash64(F.col(col)).alias("__r"), F.explode(pos).alias("p")
+            F.col(col).alias("__v"), F.explode(pos).alias("p")
         )
-        missing = probe.join(pos_df, "p", "left_anti").select("__r").distinct()
-        possible = probe.select("__r").distinct().join(missing, "__r", "left_anti")
+        missing = probe.join(pos_df, "p", "left_anti").select("__v").distinct()
+        possible = probe.select("__v").distinct().join(missing, "__v", "left_anti")
         return not possible.isEmpty()
 
     def append(self, df: DataFrame, bloom_col: str | None = None) -> int:
@@ -339,10 +345,12 @@ class ManifestTable:
         # negatives contract breaks for the new rows
         bloom_cols = set(prev_blooms) | ({bloom_col} if bloom_col else set())
         blooms: dict[str, dict] = {}
+        # one batch scan shared by every bloomed column (round-13
+        # ADVICE: it was re-created inside the loop)
+        batch_scan = spark.read.parquet(
+            *[str(self.data_dir / f) for f in files]
+        ) if files and bloom_cols else None
         for c in sorted(bloom_cols):
-            batch_scan = spark.read.parquet(
-                *[str(self.data_dir / f) for f in files]
-            ) if files else None
             new_pos = (
                 self._bloom_positions(batch_scan, c) if batch_scan is not None
                 else []
