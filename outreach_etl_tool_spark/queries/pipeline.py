@@ -733,23 +733,30 @@ _UNIMAX_CAP_EPOCHS = 2
 _UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 19, 10
 
 
-def unimax_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _unimax_alloc_frame(
+    per: DataFrame,
+    cap_epochs: int = _UNIMAX_CAP_EPOCHS,
+    budget_num: int = _UNIMAX_BUDGET_NUM,
+    budget_den: int = _UNIMAX_BUDGET_DEN,
+) -> DataFrame:
+    """Closed-form exact-integer UniMax waterfilling over a (source,
+    n_tokens) rollup — returns (source, n_tokens, cap, allocated_tokens,
+    capped). Shared by the oracled allocator query (default recipe:
+    C=2 epoch caps, 1.9-epoch budget) and the fill executor
+    `unimax_budget_fill` (C=1, 0.95 epochs — see its recipe note),
+    round-13."""
     from pyspark.sql.window import Window
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    per = docs.groupBy("source").agg(
-        F.sum(F.size(TXT.tokens("text")).cast("long")).alias("n_tokens")
-    )
     caps = per.select(
         "source",
         "n_tokens",
-        (F.col("n_tokens") * _UNIMAX_CAP_EPOCHS).alias("cap"),
+        (F.col("n_tokens") * cap_epochs).alias("cap"),
     )
     tot = caps.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d")
     ).select(
         F.expr(
-            f"(t * {_UNIMAX_BUDGET_NUM}) div {_UNIMAX_BUDGET_DEN}"
+            f"(t * {budget_num}) div {budget_den}"
         ).alias("n_budget"),
         "d",
     )
@@ -797,12 +804,27 @@ def unimax_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("cap"))
     )
+    return j.select(
+        "source",
+        "n_tokens",
+        "cap",
+        alloc.cast("bigint").alias("allocated_tokens"),
+        "capped",
+    )
+
+
+def unimax_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(TXT.tokens("text")).cast("long")).alias("n_tokens")
+    )
     return (
-        j.select(
+        _unimax_alloc_frame(per)
+        .select(
             "source",
             "n_tokens",
             F.col("cap").cast("bigint").alias("cap_tokens"),
-            alloc.cast("bigint").alias("allocated_tokens"),
+            "allocated_tokens",
             "capped",
         )
         .orderBy("source")
@@ -860,6 +882,201 @@ SELECT r.source, r.n_tokens,
        r.c_i = 1 AS capped
 FROM runflag r, stats s
 ORDER BY r.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNIMAX BUDGET FILL — the allocator COMPOSED with the fill executor
+# (round-13; VERDICT r12 #4): unimax_budget_alloc computes per-source
+# token budgets and token_budget_mix fills UNIFORM quotas, but the
+# actual "execute the data recipe" step — fill each source to ITS
+# allocation — is this composition. Every doc hashes into one of
+# _MIX_SHARDS sub-streams (the D×8 hash-salted fill discipline) and a
+# source's allocation splits across its shards as
+# q_shard = alloc div S (+1 for the first alloc % S shards — the
+# remainder discipline, so Σ shard quotas == the allocation EXACTLY);
+# a doc is kept iff the tokens before it in its (source, shard)
+# sub-stream (hash order — deterministic, position-independent) are
+# under the shard quota, OR the source's allocation covers its whole
+# material (alloc ≥ n_tokens — capped sources by construction, since
+# cap = 2 epochs): a non-binding allocation keeps everything, so hash
+# skew across a small source's shards cannot spuriously truncate it;
+# the shard discipline only cuts sources whose allocation is binding
+# (within the per-shard straddle slack — the greedy boundary doc may
+# overshoot its shard quota, same contract as token_budget_mix).
+# Scale shape: one corpus rollup to D rows for the
+# allocator (vocabulary-bounded window), one broadcast of the D-row
+# allocation, per-(source, shard) windows over the corpus — no global
+# sort, no driver loop.
+#
+# RECIPE: the fill runs C=1 epoch caps against a 0.95-epoch budget
+# (19/20) — the allocator query's own C=2/1.9-epoch setting is
+# non-binding for EVERY source on the near-uniform driver corpus
+# (every allocation ≥ material ⇒ nothing would truncate, a vacuous
+# fill); C=1/0.95 puts both regimes on driver data (measured: 7–8
+# sources capped-at-material, 12–13 truncated, at sf0.001 AND sf0.01)
+# — pinned non-degenerate in the pytest.
+# ---------------------------------------------------------------------------
+_UNIMAX_FILL_CAP_EPOCHS = 1
+_UNIMAX_FILL_NUM, _UNIMAX_FILL_DEN = 19, 20
+
+
+def unimax_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _MIX_SHARDS
+        ).alias("shard"),
+        F.md5(
+            F.concat(F.lit("mixord#"), F.col("doc_id").cast("string"))
+        ).alias("ord"),
+    )
+    per = base.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    alloc = _unimax_alloc_frame(
+        per,
+        cap_epochs=_UNIMAX_FILL_CAP_EPOCHS,
+        budget_num=_UNIMAX_FILL_NUM,
+        budget_den=_UNIMAX_FILL_DEN,
+    ).select(
+        "source",
+        "allocated_tokens",
+        "capped",
+        F.col("n_tokens").alias("src_tokens"),
+    )
+    j = base.join(F.broadcast(alloc), "source")
+    q_shard = F.expr(
+        f"allocated_tokens div {_MIX_SHARDS}"
+    ) + F.when(
+        F.col("shard") < F.expr(f"allocated_tokens % {_MIX_SHARDS}"), 1
+    ).otherwise(0)
+    w = Window.partitionBy("source", "shard").orderBy("ord", "doc_id")
+    filled = (
+        j.withColumn("q_shard", q_shard)
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tok").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "kept",
+            (F.col("cum_before") < F.col("q_shard"))
+            | (F.col("allocated_tokens") >= F.col("src_tokens")),
+        )
+    )
+    return (
+        filled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("domain_tokens"),
+            F.min("allocated_tokens").cast("bigint").alias("allocated_tokens"),
+            F.max("capped").alias("capped"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIMAX_BUDGET_FILL_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS BIGINT)
+               AS n_tok,
+           ('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_MIX_SHARDS} AS shard,
+           md5('mixord#' || CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+), per AS (
+    SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM base GROUP BY source
+), caps AS (
+    SELECT source, n_tokens,
+           n_tokens * {_UNIMAX_FILL_CAP_EPOCHS} AS cap
+    FROM per
+), tot AS (
+    SELECT (CAST(SUM(n_tokens) AS BIGINT) * {_UNIMAX_FILL_NUM})
+               // {_UNIMAX_FILL_DEN} AS n_budget,
+           CAST(COUNT(*) AS BIGINT) AS d
+    FROM caps
+), marked AS (
+    SELECT c.source, c.n_tokens, c.cap, t.n_budget, t.d,
+           ROW_NUMBER() OVER (ORDER BY c.cap, c.source) AS i,
+           SUM(c.cap) OVER (ORDER BY c.cap, c.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+    FROM caps c, tot t
+), flagged AS (
+    SELECT *,
+           CASE WHEN cap * (d - i + 1) <= n_budget - (prefix - cap)
+                THEN 1 ELSE 0 END AS f
+    FROM marked
+), runflag AS (
+    SELECT *,
+           MIN(f) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_i
+    FROM flagged
+), stats AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN c_i = 1 THEN cap END), 0)
+                AS BIGINT) AS csum,
+           CAST(COALESCE(SUM(c_i), 0) AS BIGINT) AS ccnt
+    FROM runflag
+), alloc AS (
+    SELECT r.source,
+           CAST(CASE
+             WHEN r.c_i = 1 THEN r.cap
+             WHEN (r.d - s.ccnt) > 0 THEN
+               (r.n_budget - s.csum) // (r.d - s.ccnt)
+               + CASE WHEN r.i - s.ccnt
+                           <= (r.n_budget - s.csum) % (r.d - s.ccnt)
+                      THEN 1 ELSE 0 END
+             ELSE r.cap
+           END AS BIGINT) AS allocated_tokens,
+           r.c_i = 1 AS capped,
+           r.n_tokens AS src_tokens
+    FROM runflag r, stats s
+), filled AS (
+    SELECT b.source, b.n_tok, a.allocated_tokens, a.capped,
+           COALESCE(SUM(b.n_tok) OVER (
+               PARTITION BY b.source, b.shard ORDER BY b.ord, b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             < (a.allocated_tokens // {_MIX_SHARDS}
+                + CASE WHEN b.shard < a.allocated_tokens % {_MIX_SHARDS}
+                       THEN 1 ELSE 0 END)
+           OR a.allocated_tokens >= a.src_tokens AS kept
+    FROM base b JOIN alloc a USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS domain_tokens,
+       CAST(MIN(allocated_tokens) AS BIGINT) AS allocated_tokens,
+       BOOL_OR(capped) AS capped,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM filled
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -3870,6 +4087,19 @@ QUERIES: dict[str, QuerySpec] = {
         "cap-sorted sources, remainder to the first R mod m in sort "
         "order), no iteration; completes the mixing family alongside "
         "uniform quotas (token_budget_mix) and temperature sampling",
+    ),
+    "unimax_budget_fill": QuerySpec(
+        unimax_budget_fill, UNIMAX_BUDGET_FILL_SQL,
+        tags=("L4", "A2", "W3", "J2"),
+        doc="the allocator COMPOSED with the fill executor (execute "
+        "the data recipe): each source filled to its UniMax "
+        "allocation via the DxS hash-salted sub-stream fill - the "
+        "allocation splits exactly across S shards (div + remainder "
+        "discipline), docs kept while their (source, shard) "
+        "sub-stream's prior tokens are under the shard quota; capped "
+        "sources keep all their material, uncapped sources truncate "
+        "at their equal share; one D-row allocator window + one "
+        "broadcast + per-(source, shard) corpus windows",
     ),
     "token_budget_mix": QuerySpec(
         token_budget_mix, TOKEN_BUDGET_MIX_SQL,

@@ -2551,6 +2551,105 @@ def test_unimax_budget_alloc_matches_waterfill_replica(spark):
         assert got[s][2] < caps[s]
 
 
+def test_unimax_budget_fill_python_replica_and_regimes(spark):
+    """The allocator→fill composition (round-13 — VERDICT r12 #4):
+    an independent pure-python replica (hashlib shard/ord hashes,
+    ITERATIVE greedy waterfill, per-(source, shard) hash-ordered
+    greedy fill) must match every output column exactly; regime pins:
+    every capped source keeps ALL its material, at least one uncapped
+    source truncates below its material, and each source's shard
+    quotas sum exactly to its allocation (div + remainder)."""
+    import hashlib
+
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _MIX_SHARDS,
+        _UNIMAX_FILL_CAP_EPOCHS,
+        _UNIMAX_FILL_DEN,
+        _UNIMAX_FILL_NUM,
+        unimax_budget_fill,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (
+            r["n_docs"], r["domain_tokens"], r["allocated_tokens"],
+            r["capped"], r["n_kept"], r["tokens_kept"],
+        )
+        for r in unimax_budget_fill(spark, sf).collect()
+    }
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, source, LEN(regexp_extract_all(LOWER(text), "
+        f"'[a-zA-Z]+')) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    per: dict[str, int] = {}
+    for _, s, n in rows:
+        per[s] = per.get(s, 0) + n
+    total = sum(per.values())
+    budget = total * _UNIMAX_FILL_NUM // _UNIMAX_FILL_DEN
+    caps = {s: t * _UNIMAX_FILL_CAP_EPOCHS for s, t in per.items()}
+    remaining, left = dict(caps), budget
+    alloc: dict[str, int] = {}
+    while remaining:
+        share = left // len(remaining)
+        small = {s: c for s, c in remaining.items() if c <= share}
+        if not small:
+            break
+        for s, c in small.items():
+            alloc[s] = c
+            left -= c
+            del remaining[s]
+    uncapped = sorted(remaining, key=lambda s: (caps[s], s))
+    if uncapped:
+        q, r = divmod(left, len(uncapped))
+        for rank, s in enumerate(uncapped, start=1):
+            alloc[s] = q + (1 if rank <= r else 0)
+    # hash-salted sub-stream fill replica
+    streams: dict[tuple[str, int], list[tuple[str, int, int]]] = {}
+    for did, s, n in rows:
+        shard = int(
+            hashlib.md5(f"mix#{did}".encode()).hexdigest()[:8], 16
+        ) % _MIX_SHARDS
+        ordh = hashlib.md5(f"mixord#{did}".encode()).hexdigest()
+        streams.setdefault((s, shard), []).append((ordh, did, n))
+    kept_docs: dict[str, int] = {s: 0 for s in per}
+    kept_toks: dict[str, int] = {s: 0 for s in per}
+    for (s, shard), docs in streams.items():
+        q_shard = alloc[s] // _MIX_SHARDS + (
+            1 if shard < alloc[s] % _MIX_SHARDS else 0
+        )
+        cum = 0
+        for ordh, did, n in sorted(docs):
+            # non-binding allocation (alloc >= material) keeps all —
+            # shard hash skew must not truncate a capped source
+            if cum < q_shard or alloc[s] >= per[s]:
+                kept_docs[s] += 1
+                kept_toks[s] += n
+            cum += n
+    n_docs_per: dict[str, int] = {}
+    for _, s, _n in rows:
+        n_docs_per[s] = n_docs_per.get(s, 0) + 1
+    assert set(got) == set(alloc)
+    for s, (nd, dt, at, capped, nk, tk) in got.items():
+        assert nd == n_docs_per[s] and dt == per[s]
+        assert at == alloc[s] and capped == (s not in uncapped)
+        assert nk == kept_docs[s], (s, nk, kept_docs[s])
+        assert tk == kept_toks[s], (s, tk, kept_toks[s])
+        # shard quotas sum exactly to the allocation
+        assert sum(
+            alloc[s] // _MIX_SHARDS
+            + (1 if sh < alloc[s] % _MIX_SHARDS else 0)
+            for sh in range(_MIX_SHARDS)
+        ) == alloc[s]
+        if capped:
+            # cap = 2 epochs >= material: capped sources keep everything
+            assert nk == nd and tk == dt
+    # non-degenerate: both regimes present, some uncapped source truncates
+    assert any(v[3] for v in got.values())
+    assert any((not v[3]) and v[5] < v[1] for v in got.values())
+
+
 # ------------------------------------------------ token-budget mixing
 def test_token_budget_mix_python_replica_and_binding(spark):
     """Independent pure-python replica (hashlib + dicts) of the

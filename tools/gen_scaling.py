@@ -122,6 +122,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "weighted_sample_topk": True,
     # round-13 additions
     "hard_negative_mining_ivf": False,    # embeddings table
+    "unimax_budget_fill": True,           # documents-only → 3x point
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
