@@ -1000,6 +1000,70 @@ ORDER BY d.doc_id
 STREAM_PII_SCRUB_INGEST_SQL = _stream_pii_scrub_ingest_sql()
 
 
+def stream_audio_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6c/L5d (round-13 — VERDICT r12 #7): streaming AUDIO ingest
+    with at-most-once content semantics — every arriving asset is
+    codec-decoded and fingerprinted (`multimodal/afp.py`), then
+    exact-fingerprint-deduplicated against everything retained
+    (bloom-gated store probe — fingerprints are near-uniform, so
+    bloom, not min/max, is the right gate) and within its batch
+    (keep-first by id). With the doc_id-ranged replay the retained
+    table is exactly `min(asset_id) per distinct fingerprint`, which
+    the oracle recomputes bit-for-bit from the documents table (the
+    batch near-dup query's fingerprint CTE chain)."""
+    import tempfile as _tf
+
+    from ..streaming.streams import audio_dedup_ingest_sink
+
+    replay = _build_docs_replay(spark, sf_dir)
+    assets = (
+        spark.readStream.schema(_DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{replay}/s*/part-*.json")
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    table_path = _tf.mkdtemp(prefix="stream_audiodedup_table_")
+    ckpt = _tf.mkdtemp(prefix="stream_audiodedup_ckpt_")
+    q = (
+        audio_dedup_ingest_sink(assets, table_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+
+    from ..sinks.manifest import ManifestTable
+
+    return (
+        ManifestTable(table_path)
+        .read(spark)
+        .select("asset_id", "afp")
+        .orderBy("asset_id")
+    )
+
+
+def _stream_audio_dedup_ingest_sql() -> str:
+    from .udfs import AFP_FP_CTES
+
+    # CAST the fingerprint to BIGINT: DuckDB's integer SUM yields
+    # HUGEINT, which pandas materializes as float64 — 62-bit values
+    # exceed the 53-bit mantissa and silently lose low bits
+    return f"""
+WITH {AFP_FP_CTES}
+SELECT aid AS asset_id, CAST(afp AS BIGINT) AS afp FROM (
+  SELECT aid, CAST(afp AS BIGINT) AS afp,
+         ROW_NUMBER() OVER (PARTITION BY CAST(afp AS BIGINT)
+                            ORDER BY aid) AS rn
+  FROM fp
+) WHERE rn = 1
+ORDER BY asset_id
+"""
+
+
+STREAM_AUDIO_DEDUP_INGEST_SQL = _stream_audio_dedup_ingest_sql()
+
+
 def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6c/L2k: streaming span-aware ingest under the oracle gate.
     Each doc_id-ranged micro-batch is annotated with duplicated-char
@@ -1206,6 +1270,18 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T6", "J6", "S6"),
         doc="foreachBatch incremental-dedup ingest into a manifest table; "
         "retained set == min(doc_id) per distinct text, exact-oracled",
+    ),
+    "stream_audio_dedup_ingest": QuerySpec(
+        stream_audio_dedup_ingest,
+        STREAM_AUDIO_DEDUP_INGEST_SQL,
+        tags=("T6", "L5", "M1", "J6"),
+        doc="streaming AUDIO ingest with at-most-once content "
+        "semantics: arriving assets codec-decoded + fingerprinted "
+        "(one Arrow pass), exact-fingerprint-deduped against the "
+        "retained table (bloom-gated store probe - fingerprints are "
+        "near-uniform) and within-batch; retained set == "
+        "min(asset_id) per distinct fingerprint, exact-oracled (the "
+        "oracle recomputes every fingerprint bit)",
     ),
 }
 

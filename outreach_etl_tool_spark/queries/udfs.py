@@ -393,8 +393,11 @@ def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_AUDIO_FP_DEDUP_SQL = """
-WITH d AS (
+# Shared fingerprint-derivation CTE chain (recomputes every afp bit
+# from the documents table alone) — consumed by the batch near-dup
+# oracle below and the streaming audio dedup-ingest oracle
+# (queries/streamingq.py, round-13).
+AFP_FP_CTES = """d AS (
   SELECT doc_id AS aid,
          CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS b,
          (doc_id % 10 = 1) AS pert
@@ -428,7 +431,10 @@ WITH d AS (
                   THEN (CAST(1 AS BIGINT) << CAST(31 + seg.s AS INTEGER))
                   ELSE 0 END) AS afp
   FROM seg JOIN tot USING (aid) GROUP BY seg.aid
-)
+)"""
+
+MULTIMODAL_AUDIO_FP_DEDUP_SQL = f"""
+WITH {AFP_FP_CTES}
 SELECT a.aid AS id_a, b.aid AS id_b,
        CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.aid < b.aid

@@ -19,6 +19,7 @@ from .streams import (
     sliding_counts,
     stream_dedup,
     tumbling_counts,
+    audio_dedup_ingest_sink,
     dedup_ingest_sink,
     span_ingest_sink,
     manifest_upsert_sink,
@@ -37,6 +38,7 @@ __all__ = [
     "running_user_totals",
     "upsert_sink",
     "manifest_upsert_sink",
+    "audio_dedup_ingest_sink",
     "dedup_ingest_sink",
     "span_ingest_sink",
 ]

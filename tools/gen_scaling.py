@@ -123,6 +123,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     # round-13 additions
     "hard_negative_mining_ivf": False,    # embeddings table
     "unimax_budget_fill": True,           # documents-only → 3x point
+    "stream_audio_dedup_ingest": True,    # clips synthesized from doc ids
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
