@@ -68,6 +68,7 @@ def run_curation(
     stopwords: str = "published",
     lang_gate: str = "trusted",
     lm_gate: str | None = None,
+    sample_gate: str | None = None,
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
@@ -118,6 +119,19 @@ def run_curation(
     reduced to its filtering kernel. Bucketing runs over the full
     train split (a pure per-doc derivation, independent of earlier
     gates) so the cut is reproducible from the corpus alone.
+
+    ``sample_gate="weighted"`` (round-13 — VERDICT r12 #8) appends
+    ``stage_sample`` after dedup: the deduped survivors are
+    SUBSAMPLED by the Efraimidis–Spirakis priority rule
+    (`wrs_priority_frame` — the oracled `weighted_sample_topk`
+    keying, w = token count), keeping the k = ⌈4/5 · |dedup|⌉
+    lowest-priority docs via one TakeOrdered(k); deterministic,
+    hash-derandomized, length-proportional selection — the committed
+    form of the corpus-subsampling step a token-budget recipe runs
+    between dedup and decontamination. Zero-token docs cannot be
+    sampled (weight 0) and are cut. Parity-pinned in
+    tests/test_sinks.py against an independent python replica of the
+    priority rule (the 10-stage run).
     """
     from pyspark.sql.window import Window
 
@@ -240,6 +254,27 @@ def run_curation(
         .filter(F.col("rn") == 1)
         .drop("rn"),
     )
+
+    if sample_gate == "weighted":
+        # weighted subsample of the deduped survivors: E-S priority
+        # rule (the oracled weighted_sample_topk keying), keep the
+        # 4/5·|dedup| lowest priorities — one TakeOrdered(k), no
+        # global sort materialized
+        from ..queries.pipeline import wrs_priority_frame
+
+        k = -(-counts["stage_dedup"] * 4 // 5)  # ceil(4/5 · n)
+        chosen = (
+            wrs_priority_frame(dedup.select("doc_id", "text"), keep_cols=())
+            .select("doc_id", "priority")
+            .orderBy("priority", "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
+        dedup = commit(
+            "stage_sample", dedup.join(chosen, "doc_id", "left_semi")
+        )
+    elif sample_gate is not None:
+        raise ValueError(f"unknown sample_gate: {sample_gate!r}")
 
     # 3 — doc-drop decontamination (distinct 4-token grams vs the
     # eval set, broadcast — the funnel's decon contract)

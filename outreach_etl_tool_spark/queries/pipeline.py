@@ -1104,13 +1104,19 @@ ORDER BY source
 _WRS_K = 100
 
 
-def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def wrs_priority_frame(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """(doc_id, *keep_cols, n_tokens, priority) — the E-S priority
+    keying over an arbitrary (doc_id, text, ...) frame (zero-token
+    docs dropped: weight 0 cannot be sampled). Shared by the oracled
+    `weighted_sample_topk` query and the curation run's
+    ``sample_gate="weighted"`` stage (round-13)."""
     from ..functions.intlog import spark_expr as _L
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
-        "source",
+        *keep_cols,
         F.size(TXT.tokens("text")).cast("long").alias("n_tokens"),
         (
             F.conv(
@@ -1125,12 +1131,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("u"),
     ).filter(F.col("n_tokens") > 0)
-    keyed = base.withColumn(
+    return base.withColumn(
         "priority",
         F.expr(f"((2048 - {_L('u')}) << 20) div n_tokens").cast("bigint"),
-    )
+    ).drop("u")
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
-        keyed.select("doc_id", "source", "n_tokens", "priority")
+        wrs_priority_frame(docs)
+        .select("doc_id", "source", "n_tokens", "priority")
         .orderBy("priority", "doc_id")
         .limit(_WRS_K)
     )

