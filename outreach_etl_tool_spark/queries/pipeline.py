@@ -1081,6 +1081,135 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# SEQUENCE-PACKING LAYOUT (round-13) — the concat-and-chunk packing
+# every LLM pretraining pipeline runs between curation and training:
+# documents are concatenated in a deterministic order and cut into
+# fixed-length training sequences of L tokens; the layout decides
+# which docs STRADDLE a sequence boundary (their loss spans two
+# examples) and how much tail padding each stream pays. Scale shape —
+# the naive form is ONE global token cumsum (a single sequential task
+# at 100 TB, the anti-pattern the token-budget executor already
+# avoids); the packer instead streams docs into _MIX_SHARDS
+# hash-salted sub-streams (parallelism = S, a free knob that scales
+# with the cluster) and packs each sub-stream independently with an
+# exact-integer per-shard prefix sum. Per-doc placement is
+# (seq_first, seq_last) = (start div L, (start + n − 1) div L) within
+# the shard; the query returns the per-shard rollup (docs, tokens,
+# sequences, boundary-straddling docs, tail padding) PLUS the exact
+# integer sums of seq_first/seq_last over all docs — those two sums
+# certify every per-doc placement through the driver's value hash
+# without shipping a per-doc frame.
+# ---------------------------------------------------------------------------
+_PACK_LEN = 256  # tokens per packed training sequence
+
+
+def seq_packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("pack#"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _MIX_SHARDS
+        ).alias("shard"),
+        F.md5(
+            F.concat(F.lit("packord#"), F.col("doc_id").cast("string"))
+        ).alias("ord"),
+    ).filter(F.col("n_tok") > 0)
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    placed = base.withColumn(
+        "start",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    ).select(
+        "shard",
+        "n_tok",
+        F.expr(f"start div {_PACK_LEN}").alias("seq_first"),
+        F.expr(f"(start + n_tok - 1) div {_PACK_LEN}").alias("seq_last"),
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr(f"(sum(n_tok) + {_PACK_LEN} - 1) div {_PACK_LEN}")
+            .cast("bigint")
+            .alias("n_seqs"),
+            F.sum(
+                F.when(F.col("seq_first") != F.col("seq_last"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_straddling"),
+            (
+                F.expr(f"(sum(n_tok) + {_PACK_LEN} - 1) div {_PACK_LEN}")
+                * _PACK_LEN
+                - F.sum("n_tok")
+            )
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.sum("seq_first").cast("bigint").alias("sum_seq_first"),
+            F.sum("seq_last").cast("bigint").alias("sum_seq_last"),
+        )
+        .orderBy("shard")
+    )
+
+
+SEQ_PACKING_LAYOUT_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS BIGINT)
+               AS n_tok,
+           ('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_MIX_SHARDS} AS shard,
+           md5('packord#' || CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+), nz AS (
+    SELECT * FROM base WHERE n_tok > 0
+), placed AS (
+    SELECT shard, n_tok,
+           COALESCE(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start
+    FROM nz
+), cut AS (
+    SELECT shard, n_tok,
+           start // {_PACK_LEN} AS seq_first,
+           (start + n_tok - 1) // {_PACK_LEN} AS seq_last
+    FROM placed
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tok) + {_PACK_LEN} - 1) // {_PACK_LEN} AS BIGINT)
+           AS n_seqs,
+       CAST(SUM(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddling,
+       CAST((SUM(n_tok) + {_PACK_LEN} - 1) // {_PACK_LEN} * {_PACK_LEN}
+            - SUM(n_tok) AS BIGINT) AS pad_tokens,
+       CAST(SUM(seq_first) AS BIGINT) AS sum_seq_first,
+       CAST(SUM(seq_last) AS BIGINT) AS sum_seq_last
+FROM cut
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis–Spirakis priority
 # sampling in exact integers (round-12): select k documents with
 # probability proportional to weight WITHOUT replacement by ranking on
@@ -4098,6 +4227,19 @@ QUERIES: dict[str, QuerySpec] = {
         "cap-sorted sources, remainder to the first R mod m in sort "
         "order), no iteration; completes the mixing family alongside "
         "uniform quotas (token_budget_mix) and temperature sampling",
+    ),
+    "seq_packing_layout": QuerySpec(
+        seq_packing_layout, SEQ_PACKING_LAYOUT_SQL,
+        tags=("L4", "A2", "W3", "P6"),
+        doc="sequence-packing layout (concat-and-chunk, the step "
+        "between curation and training): docs stream into S "
+        "hash-salted sub-streams and each packs independently into "
+        "fixed L=256-token sequences via an exact-integer per-shard "
+        "prefix sum - no global cumsum task; per-shard rollup of "
+        "docs/tokens/sequences/boundary-straddling docs/tail padding "
+        "plus exact sums of every doc's (seq_first, seq_last) "
+        "placement, which certify the whole layout through the value "
+        "hash without shipping a per-doc frame",
     ),
     "unimax_budget_fill": QuerySpec(
         unimax_budget_fill, UNIMAX_BUDGET_FILL_SQL,

@@ -2850,3 +2850,71 @@ def test_weighted_sample_topk_matches_replica_and_skews_long(spark):
     corpus_mean = sum(n for *_r, n in [(r[0], r[1], r[2]) for r in rows]) / len(rows)
     sel_mean = sum(n for _, _, n, _ in got) / len(got)
     assert sel_mean > corpus_mean * 1.05, (sel_mean, corpus_mean)
+
+
+def test_seq_packing_layout_python_replica_and_pins(spark):
+    """Sequence-packing layout (round-13): an independent pure-python
+    replica (hashlib shard/ord, per-shard prefix sums, the same
+    div-L placement) must match every rollup column — including the
+    sum_seq_first/sum_seq_last placement certificates — exactly;
+    pins: tail padding < L per shard, boundary-straddling docs exist
+    (the fixture is non-degenerate), every nonzero-token doc is
+    placed, and sequences cover the tokens (n_seqs = ceil(tokens/L))."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _MIX_SHARDS,
+        _PACK_LEN,
+        seq_packing_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["shard"]: (
+            r["n_docs"], r["n_tokens"], r["n_seqs"], r["n_straddling"],
+            r["pad_tokens"], r["sum_seq_first"], r["sum_seq_last"],
+        )
+        for r in seq_packing_layout(spark, sf).collect()
+    }
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, LOWER(text) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    streams: dict[int, list[tuple[str, int, int]]] = {}
+    total_docs = 0
+    for did, text in rows:
+        n = len(re.findall("[a-zA-Z]+", text))
+        if n == 0:
+            continue
+        total_docs += 1
+        shard = int(
+            hashlib.md5(f"pack#{did}".encode()).hexdigest()[:8], 16
+        ) % _MIX_SHARDS
+        ordh = hashlib.md5(f"packord#{did}".encode()).hexdigest()
+        streams.setdefault(shard, []).append((ordh, did, n))
+    expect = {}
+    for shard, docs in streams.items():
+        cum = 0
+        straddle = 0
+        s_first = 0
+        s_last = 0
+        for ordh, did, n in sorted(docs):
+            first, last = cum // _PACK_LEN, (cum + n - 1) // _PACK_LEN
+            straddle += 1 if first != last else 0
+            s_first += first
+            s_last += last
+            cum += n
+        n_seqs = -(-cum // _PACK_LEN)
+        expect[shard] = (
+            len(docs), cum, n_seqs, straddle,
+            n_seqs * _PACK_LEN - cum, s_first, s_last,
+        )
+    assert got == expect
+    assert sum(v[0] for v in got.values()) == total_docs  # all placed
+    assert any(v[3] > 0 for v in got.values())  # straddling docs exist
+    for shard, (nd, nt, ns, nstr, pad, sf_, sl_) in got.items():
+        assert 0 <= pad < _PACK_LEN
+        assert ns == -(-nt // _PACK_LEN)
+        assert sl_ >= sf_  # last >= first per doc, so sums ordered

@@ -124,6 +124,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "hard_negative_mining_ivf": False,    # embeddings table
     "unimax_budget_fill": True,           # documents-only → 3x point
     "stream_audio_dedup_ingest": True,    # clips synthesized from doc ids
+    "seq_packing_layout": True,           # documents-only → 3x point
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
