@@ -921,11 +921,10 @@ _UNIMAX_FILL_CAP_EPOCHS = 1
 _UNIMAX_FILL_NUM, _UNIMAX_FILL_DEN = 19, 20
 
 
-def unimax_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
+def _mix_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, shard, ord) — the shared sub-stream
+    keying of the fill executors (mix#/mixord# hashes, S=_MIX_SHARDS)."""
+    return docs.select(
         "doc_id",
         "source",
         F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
@@ -945,18 +944,21 @@ def unimax_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("mixord#"), F.col("doc_id").cast("string"))
         ).alias("ord"),
     )
-    per = base.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
-    alloc = _unimax_alloc_frame(
-        per,
-        cap_epochs=_UNIMAX_FILL_CAP_EPOCHS,
-        budget_num=_UNIMAX_FILL_NUM,
-        budget_den=_UNIMAX_FILL_DEN,
-    ).select(
-        "source",
-        "allocated_tokens",
-        "capped",
-        F.col("n_tokens").alias("src_tokens"),
-    )
+
+
+def _substream_fill(
+    base: DataFrame, alloc: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The D×S sub-stream fill shared by the allocation executors:
+    ``base`` is a `_mix_base` frame, ``alloc`` carries (source,
+    allocated_tokens, src_tokens, *extra_cols). Each source's
+    allocation splits exactly across the S shards (div + remainder),
+    a doc is kept while its (source, shard) sub-stream's prior tokens
+    are under the shard quota OR the allocation covers the source's
+    whole material (non-binding ⇒ keep all). Returns the per-source
+    rollup ordered by source."""
+    from pyspark.sql.window import Window
+
     j = base.join(F.broadcast(alloc), "source")
     q_shard = F.expr(
         f"allocated_tokens div {_MIX_SHARDS}"
@@ -981,22 +983,39 @@ def unimax_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("allocated_tokens") >= F.col("src_tokens")),
         )
     )
-    return (
-        filled.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("domain_tokens"),
-            F.min("allocated_tokens").cast("bigint").alias("allocated_tokens"),
-            F.max("capped").alias("capped"),
-            F.sum(F.when(F.col("kept"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_kept"),
-            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
-            .cast("bigint")
-            .alias("tokens_kept"),
-        )
-        .orderBy("source")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("domain_tokens"),
+        F.min("allocated_tokens").cast("bigint").alias("allocated_tokens"),
+    ]
+    aggs += [F.max(c).alias(c) for c in extra_cols]
+    aggs += [
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    ]
+    return filled.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def unimax_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = _mix_base(docs)
+    per = base.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    alloc = _unimax_alloc_frame(
+        per,
+        cap_epochs=_UNIMAX_FILL_CAP_EPOCHS,
+        budget_num=_UNIMAX_FILL_NUM,
+        budget_den=_UNIMAX_FILL_DEN,
+    ).select(
+        "source",
+        "allocated_tokens",
+        "capped",
+        F.col("n_tokens").alias("src_tokens"),
     )
+    return _substream_fill(base, alloc, extra_cols=("capped",))
 
 
 UNIMAX_BUDGET_FILL_SQL = f"""
@@ -1071,6 +1090,156 @@ SELECT source,
        CAST(SUM(n_tok) AS BIGINT) AS domain_tokens,
        CAST(MIN(allocated_tokens) AS BIGINT) AS allocated_tokens,
        BOOL_OR(capped) AS capped,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM filled
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# TEMPERATURE BUDGET FILL (round-13) — the temperature-derived member
+# of the allocation×fill matrix (uniform → token_budget_mix, UniMax →
+# unimax_budget_fill, temperature → this): a total budget N = 3/4 of
+# corpus tokens splits across sources PROPORTIONALLY TO n_s^(1/T) with
+# T = 2 — the multilingual flattening rule (small sources get more
+# than their proportional share, large sources less). All exact
+# integers: w_s = isqrt(n_s) via float sqrt + two integer correction
+# steps (exact for n_s < 2^52 — double sqrt is within 1 there, and the
+# corrections pin the floor; both engines run the identical formula);
+# alloc_s = (N·w_s) div W plus largest-remainder distribution (the
+# first `N − Σ base` sources by remainder desc / source asc get one
+# extra token), so Σ alloc == N EXACTLY. The fill is the shared D×S
+# sub-stream executor (_substream_fill): non-binding allocations
+# (alloc ≥ material — the flattened small sources) keep everything,
+# binding ones truncate at their share. D-row windows only.
+# ---------------------------------------------------------------------------
+_TEMP_FILL_NUM, _TEMP_FILL_DEN = 3, 4
+
+
+def _isqrt_col(c):
+    """Exact integer sqrt of a nonnegative bigint column (< 2^52):
+    float sqrt floored, then one up- and one down-correction in exact
+    integer arithmetic — identical in Spark and the SQL oracle."""
+    s0 = F.floor(F.sqrt(c.cast("double"))).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= c, s0 + 1).otherwise(s0)
+    return F.when(s1 * s1 > c, s1 - 1).otherwise(s1)
+
+
+def temperature_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = _mix_base(docs)
+    per = base.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    weighted = per.select(
+        "source",
+        "n_tokens",
+        _isqrt_col(F.col("n_tokens")).alias("w_sqrt"),
+    )
+    tot = weighted.agg(
+        F.expr(
+            f"(sum(n_tokens) * {_TEMP_FILL_NUM}) div {_TEMP_FILL_DEN}"
+        ).alias("n_budget"),
+        F.sum("w_sqrt").alias("w_total"),
+    )
+    wd = Window.orderBy(
+        F.desc("rem"), F.asc("source")
+    )  # D rows: vocabulary-bounded
+    j = weighted.crossJoin(F.broadcast(tot))
+    staged = j.select(
+        "source",
+        "n_tokens",
+        "w_sqrt",
+        F.expr("(n_budget * w_sqrt) div w_total").alias("base_alloc"),
+        F.expr("(n_budget * w_sqrt) % w_total").alias("rem"),
+        "n_budget",
+    )
+    leftover = staged.agg(
+        (F.first("n_budget") - F.sum("base_alloc")).alias("leftover")
+    )
+    alloc = (
+        staged.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wd))
+        .select(
+            "source",
+            F.col("n_tokens").alias("src_tokens"),
+            "w_sqrt",
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("allocated_tokens"),
+        )
+    )
+    return _substream_fill(base, alloc, extra_cols=("w_sqrt",))
+
+
+TEMPERATURE_BUDGET_FILL_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(LEN(regexp_extract_all(LOWER(text), '[a-zA-Z]+')) AS BIGINT)
+               AS n_tok,
+           ('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_MIX_SHARDS} AS shard,
+           md5('mixord#' || CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+), per AS (
+    SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM base GROUP BY source
+), w0 AS (
+    SELECT source, n_tokens,
+           CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+    FROM per
+), w1 AS (
+    SELECT source, n_tokens,
+           CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+                ELSE s0 END AS s1
+    FROM w0
+), weighted AS (
+    SELECT source, n_tokens,
+           CASE WHEN s1 * s1 > n_tokens THEN s1 - 1 ELSE s1 END AS w_sqrt
+    FROM w1
+), tot AS (
+    SELECT (CAST(SUM(n_tokens) AS BIGINT) * {_TEMP_FILL_NUM})
+               // {_TEMP_FILL_DEN} AS n_budget,
+           CAST(SUM(w_sqrt) AS BIGINT) AS w_total
+    FROM weighted
+), staged AS (
+    SELECT w.source, w.n_tokens, w.w_sqrt,
+           (t.n_budget * w.w_sqrt) // t.w_total AS base_alloc,
+           (t.n_budget * w.w_sqrt) % t.w_total AS rem,
+           t.n_budget
+    FROM weighted w, tot t
+), lo AS (
+    SELECT CAST(MIN(n_budget) - SUM(base_alloc) AS BIGINT) AS leftover
+    FROM staged
+), alloc AS (
+    SELECT s.source, s.n_tokens AS src_tokens, s.w_sqrt,
+           CAST(s.base_alloc
+                + CASE WHEN ROW_NUMBER() OVER (ORDER BY s.rem DESC,
+                                               s.source ASC) <= l.leftover
+                       THEN 1 ELSE 0 END AS BIGINT) AS allocated_tokens
+    FROM staged s, lo l
+), filled AS (
+    SELECT b.source, b.n_tok, a.allocated_tokens, a.w_sqrt,
+           COALESCE(SUM(b.n_tok) OVER (
+               PARTITION BY b.source, b.shard ORDER BY b.ord, b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             < (a.allocated_tokens // {_MIX_SHARDS}
+                + CASE WHEN b.shard < a.allocated_tokens % {_MIX_SHARDS}
+                       THEN 1 ELSE 0 END)
+           OR a.allocated_tokens >= a.src_tokens AS kept
+    FROM base b JOIN alloc a USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS domain_tokens,
+       CAST(MIN(allocated_tokens) AS BIGINT) AS allocated_tokens,
+       CAST(MAX(w_sqrt) AS BIGINT) AS w_sqrt,
        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
            AS tokens_kept
@@ -4227,6 +4396,19 @@ QUERIES: dict[str, QuerySpec] = {
         "cap-sorted sources, remainder to the first R mod m in sort "
         "order), no iteration; completes the mixing family alongside "
         "uniform quotas (token_budget_mix) and temperature sampling",
+    ),
+    "temperature_budget_fill": QuerySpec(
+        temperature_budget_fill, TEMPERATURE_BUDGET_FILL_SQL,
+        tags=("L4", "A2", "W3", "J2"),
+        doc="temperature-derived allocation + fill (T=2, the "
+        "multilingual flattening rule): budget split proportionally "
+        "to isqrt(n_s) - exact integer sqrt via float sqrt + two "
+        "integer corrections, engine-identical - with "
+        "largest-remainder distribution so the allocations sum to "
+        "the budget exactly; executed by the shared DxS sub-stream "
+        "fill (non-binding flattened small sources keep everything, "
+        "large sources truncate); completes the allocation x fill "
+        "matrix alongside uniform and UniMax",
     ),
     "seq_packing_layout": QuerySpec(
         seq_packing_layout, SEQ_PACKING_LAYOUT_SQL,

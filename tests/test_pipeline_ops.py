@@ -2918,3 +2918,88 @@ def test_seq_packing_layout_python_replica_and_pins(spark):
         assert 0 <= pad < _PACK_LEN
         assert ns == -(-nt // _PACK_LEN)
         assert sl_ >= sf_  # last >= first per doc, so sums ordered
+
+
+def test_temperature_budget_fill_python_replica_and_flattening(spark):
+    """Temperature-derived allocation + fill (round-13): independent
+    python replica (math.isqrt — exact, vs the engine's corrected
+    float sqrt; hashlib shards; largest-remainder) matches every
+    column exactly; pins: Σ allocated == budget to the token, the
+    flattening is non-vacuous (the smallest source gets a strictly
+    larger alloc/material ratio than the largest), and binding
+    sources truncate."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from outreach_etl_tool_spark.queries.pipeline import (
+        _MIX_SHARDS,
+        _TEMP_FILL_DEN,
+        _TEMP_FILL_NUM,
+        temperature_budget_fill,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (
+            r["n_docs"], r["domain_tokens"], r["allocated_tokens"],
+            r["w_sqrt"], r["n_kept"], r["tokens_kept"],
+        )
+        for r in temperature_budget_fill(spark, sf).collect()
+    }
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, source, LEN(regexp_extract_all(LOWER(text), "
+        f"'[a-zA-Z]+')) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    per: dict[str, int] = {}
+    nd: dict[str, int] = {}
+    for _, s, n in rows:
+        per[s] = per.get(s, 0) + n
+        nd[s] = nd.get(s, 0) + 1
+    total = sum(per.values())
+    budget = total * _TEMP_FILL_NUM // _TEMP_FILL_DEN
+    w = {s: math.isqrt(t) for s, t in per.items()}
+    W = sum(w.values())
+    base_a = {s: budget * w[s] // W for s in per}
+    rem = {s: budget * w[s] % W for s in per}
+    leftover = budget - sum(base_a.values())
+    order = sorted(per, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base_a[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    assert sum(alloc.values()) == budget  # exhausted to the token
+    # sub-stream fill replica
+    streams: dict[tuple[str, int], list[tuple[str, int, int]]] = {}
+    for did, s, n in rows:
+        shard = int(
+            hashlib.md5(f"mix#{did}".encode()).hexdigest()[:8], 16
+        ) % _MIX_SHARDS
+        ordh = hashlib.md5(f"mixord#{did}".encode()).hexdigest()
+        streams.setdefault((s, shard), []).append((ordh, did, n))
+    kept_docs = {s: 0 for s in per}
+    kept_toks = {s: 0 for s in per}
+    for (s, shard), docs in streams.items():
+        q_shard = alloc[s] // _MIX_SHARDS + (
+            1 if shard < alloc[s] % _MIX_SHARDS else 0
+        )
+        cum = 0
+        for ordh, did, n in sorted(docs):
+            if cum < q_shard or alloc[s] >= per[s]:
+                kept_docs[s] += 1
+                kept_toks[s] += n
+            cum += n
+    assert set(got) == set(per)
+    for s, (gnd, gdt, gat, gw, gnk, gtk) in got.items():
+        assert gnd == nd[s] and gdt == per[s]
+        assert gw == w[s] and gat == alloc[s], (s, gat, alloc[s])
+        assert gnk == kept_docs[s] and gtk == kept_toks[s]
+    # flattening: smallest source's share of its material strictly
+    # exceeds the largest source's
+    smallest = min(per, key=per.get)
+    largest = max(per, key=per.get)
+    assert alloc[smallest] * per[largest] > alloc[largest] * per[smallest]
+    # binding sources truncate
+    assert any(v[5] < v[1] for v in got.values())
