@@ -462,6 +462,15 @@ _RTF_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # size the injected bloom for the actual build side instead of the
+    # 1M-item / 8M-bit default: the default bloom serializes ~1 MiB
+    # into EVERY task binary of the probe stage (the selfcheck's one
+    # remaining "Broadcasting large task binary" source, round-13);
+    # 2^20 bits ≈ 128 KiB covers the urgent-orders build side at test
+    # scales with the same ~1% fpp, and a 100 TB deployment would size
+    # this to its own build side the same way
+    "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": str(100_000),
+    "spark.sql.optimizer.runtime.bloomFilter.numBits": str(1 << 20),
 }
 
 
