@@ -408,7 +408,17 @@ def incremental_minhash_parity(
     )
 
 
-def incremental_minhash_parity_sql(agree_min: int = 16) -> str:
+def minhash_pair_ctes(
+    cand_where: str = "n.id % 2 = 1 AND h.id % 2 = 0",
+    cand_join: str = "",
+) -> str:
+    """The shared shingle→minhash→band→candidate→agreement CTE chain
+    (sh/hs/sig/banded/cand/scored — `scored` carries (id_new, id_hist,
+    n_agree)). ``cand_where`` picks the new-vs-history split (the
+    parity query's odd/even default; the streaming ingest oracle's
+    batch-thirds membership); ``cand_join`` injects extra relations
+    the predicate needs (round-13 refactor — one generator, two
+    oracles)."""
     mins = ",\n           ".join(
         f"MIN(({_MH_A[i]} * h + {_MH_B[i]}) & {_MH_MASK}) AS s{i}"
         for i in range(_MH_NUM)
@@ -425,8 +435,7 @@ def incremental_minhash_parity_sql(agree_min: int = 16) -> str:
         f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
         for i in range(_MH_NUM)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
     SELECT doc_id AS id,
            CASE WHEN LEN(arr) < {_MH_K} THEN [array_to_string(arr, ' ')]
                 ELSE list_distinct(list_transform(
@@ -450,14 +459,20 @@ WITH sh AS (
 ), cand AS (
     SELECT DISTINCT n.id AS id_new, h.id AS id_hist
     FROM banded n JOIN banded h ON n.band = h.band AND n.key = h.key
-    WHERE n.id % 2 = 1 AND h.id % 2 = 0
+    {cand_join}
+    WHERE {cand_where}
 ), scored AS (
     SELECT c.id_new, c.id_hist,
            CAST({agree} AS BIGINT) AS n_agree
     FROM cand c
     JOIN sig a ON a.id = c.id_new
     JOIN sig b ON b.id = c.id_hist
-)
+)"""
+
+
+def incremental_minhash_parity_sql(agree_min: int = 16) -> str:
+    return f"""
+WITH {minhash_pair_ctes()}
 SELECT id_new, id_hist, n_agree,
        n_agree / {float(_MH_NUM)} AS est_jaccard
 FROM scored

@@ -1064,6 +1064,91 @@ ORDER BY asset_id
 STREAM_AUDIO_DEDUP_INGEST_SQL = _stream_audio_dedup_ingest_sql()
 
 
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6c/L2 (round-13): streaming minhash NEAR-DUP annotation at
+    ingest — every arriving doc probed against the persistent
+    signature store (band-key candidates, signature-agreement Jaccard
+    estimate; history text never re-read) and retained ANNOTATED with
+    (n_near_dups, best_dup_of, best_est_jaccard) vs everything from
+    EARLIER batches. Because batch membership is a pure function of
+    max(doc_id) (the `_build_docs_replay` thirds — the span-ingest
+    oracle trick) and the signatures are the parity formulation, the
+    oracle recomputes every annotation bit-for-bit: candidates =
+    banded pairs with batch(hist) < batch(new), score = exact
+    agreement count / 32, best = (agreement desc, id asc)."""
+    import tempfile as _tf
+
+    from ..streaming.streams import neardup_ingest_sink
+
+    replay = _build_docs_replay(spark, sf_dir)
+    docs = (
+        spark.readStream.schema(_DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{replay}/s*/part-*.json")
+    )
+    table_path = _tf.mkdtemp(prefix="stream_neardup_table_")
+    store_path = _tf.mkdtemp(prefix="stream_neardup_store_")
+    ckpt = _tf.mkdtemp(prefix="stream_neardup_ckpt_")
+    q = (
+        neardup_ingest_sink(docs, table_path, store_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+
+    from ..sinks.manifest import ManifestTable
+
+    return (
+        ManifestTable(table_path)
+        .read(spark)
+        .select(
+            "doc_id", "source", "n_chars", "n_near_dups",
+            "best_dup_of", "best_est_jaccard",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stream_neardup_ingest_sql() -> str:
+    from ..dedup.parity import _MH_NUM, minhash_pair_ctes
+
+    batch = (
+        "(CASE WHEN {c} <= mm.m // 3 THEN 0 "
+        "WHEN {c} <= (2 * mm.m) // 3 THEN 1 ELSE 2 END)"
+    )
+    ctes = minhash_pair_ctes(
+        cand_join="JOIN (SELECT MAX(doc_id) AS m FROM documents) mm ON TRUE",
+        cand_where=(
+            batch.format(c="n.id") + " > " + batch.format(c="h.id")
+        ),
+    )
+    return f"""
+WITH {ctes}, qual AS (
+    SELECT id_new, id_hist, n_agree
+    FROM scored WHERE n_agree >= 16
+), ranked AS (
+    SELECT id_new, id_hist, n_agree,
+           CAST(COUNT(*) OVER (PARTITION BY id_new) AS BIGINT)
+               AS n_near_dups,
+           ROW_NUMBER() OVER (PARTITION BY id_new
+                              ORDER BY n_agree DESC, id_hist ASC) AS rn
+    FROM qual
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       COALESCE(r.n_near_dups, 0) AS n_near_dups,
+       r.id_hist AS best_dup_of,
+       CAST(r.n_agree AS DOUBLE) / {float(_MH_NUM)} AS best_est_jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.id_new
+ORDER BY d.doc_id
+"""
+
+
+STREAM_NEARDUP_INGEST_SQL = _stream_neardup_ingest_sql()
+
+
 def stream_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6c/L2k: streaming span-aware ingest under the oracle gate.
     Each doc_id-ranged micro-batch is annotated with duplicated-char
@@ -1270,6 +1355,19 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("T6", "J6", "S6"),
         doc="foreachBatch incremental-dedup ingest into a manifest table; "
         "retained set == min(doc_id) per distinct text, exact-oracled",
+    ),
+    "stream_neardup_ingest": QuerySpec(
+        stream_neardup_ingest,
+        STREAM_NEARDUP_INGEST_SQL,
+        tags=("T6", "L2", "J1", "W1"),
+        doc="streaming minhash NEAR-DUP annotation at ingest: arriving "
+        "docs probed against the persistent signature store (band-key "
+        "candidates, signature-agreement Jaccard estimate - history "
+        "text never re-read), retained annotated with (n_near_dups, "
+        "best_dup_of, best_est_jaccard) vs earlier batches; "
+        "exact-oracled via the parity signatures + the batch-thirds "
+        "membership trick; three idempotence guards make every "
+        "checkpoint-replay crash window safe",
     ),
     "stream_audio_dedup_ingest": QuerySpec(
         stream_audio_dedup_ingest,

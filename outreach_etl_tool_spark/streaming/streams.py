@@ -590,6 +590,181 @@ def audio_dedup_ingest_sink(
     )
 
 
+def neardup_ingest_sink(
+    docs: DataFrame,
+    table_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    agree_min: int = 16,
+):
+    """Streaming NEAR-DUP annotation at ingest (round-13 — completes
+    the dedup×streaming matrix: exact ✓, span ✓, audio ✓, minhash
+    here): every arriving document is probed against a persistent
+    SIGNATURE store (the `dedup_incremental_minhash` machinery —
+    band-key candidates scored by signature agreement, the unbiased
+    Jaccard estimator; historical TEXT is never re-read, per-batch
+    cost scales with the batch and the store's signature count) and
+    lands ANNOTATED with (n_near_dups, best_dup_of,
+    best_est_jaccard) against everything ingested in EARLIER batches.
+    Annotated, not dropped — retention is the reader's choice (the
+    decontaminate-ingest convention). In-batch near-dups are
+    deliberately out of scope: the batch's own candidate-pairs run
+    covers them (the incremental_minhash contract).
+
+    Signatures are the PARITY formulation (dedup/parity.py — JVM
+    md5-prefix shingle hashes), so the retained annotations are
+    bit-reproducible by the DuckDB oracle.
+
+    Durability: three idempotence guards make every checkpoint-replay
+    crash window safe — (a) replayed batches are id-probed against
+    the doc table (pruned read) and skipped; (b) the store probe
+    EXCLUDES the current batch's ids, so a replay that finds its own
+    signatures already landed (crash between the sig and doc appends)
+    still computes byte-identical annotations; (c) the sig append
+    anti-joins the store's ids, so re-appending is a no-op."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as SW
+
+    from ..dedup.parity import (
+        _MH_NUM,
+        _mh_banded,
+        _mh_shingle_frame,
+        _mh_signature,
+    )
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+    store_table = ManifestTable(store_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        arrived = batch.persist()
+        try:
+            b = arrived
+            if table.exists():
+                probe = _replay_known_ids(table, spark, arrived, id_col)
+                if probe is not None:
+                    b = b.join(probe, id_col, "left_anti")
+            # one signature pass feeds the band probe, the agreement
+            # scoring, and the store delta
+            sig_b = _mh_signature(
+                _mh_shingle_frame(b, id_col, text_col)
+            ).localCheckpoint()
+            if store_table.exists():
+                store_sig = store_table.read(spark).join(
+                    sig_b.select("id"), "id", "left_anti"
+                )
+                cand = (
+                    _mh_banded(sig_b)
+                    .alias("n")
+                    .join(
+                        _mh_banded(store_sig).alias("h"),
+                        (SF.col("n.band") == SF.col("h.band"))
+                        & (SF.col("n.key") == SF.col("h.key")),
+                    )
+                    .select(
+                        SF.col("n.id").alias("id_new"),
+                        SF.col("h.id").alias("id_hist"),
+                    )
+                    .distinct()
+                )
+                va = cand.join(
+                    sig_b.select(
+                        SF.col("id").alias("id_new"),
+                        *[
+                            SF.col(f"s{i}").alias(f"a{i}")
+                            for i in range(_MH_NUM)
+                        ],
+                    ),
+                    "id_new",
+                ).join(
+                    store_sig.select(
+                        SF.col("id").alias("id_hist"),
+                        *[
+                            SF.col(f"s{i}").alias(f"b{i}")
+                            for i in range(_MH_NUM)
+                        ],
+                    ),
+                    "id_hist",
+                )
+                agree = None
+                for i in range(_MH_NUM):
+                    t = SF.when(
+                        SF.col(f"a{i}") == SF.col(f"b{i}"), 1
+                    ).otherwise(0)
+                    agree = t if agree is None else agree + t
+                hits = va.select(
+                    "id_new",
+                    "id_hist",
+                    agree.cast("long").alias("n_agree"),
+                ).filter(SF.col("n_agree") >= agree_min)
+                wp = SW.partitionBy("id_new")
+                best = (
+                    hits.withColumn(
+                        "n_near_dups", SF.count(SF.lit(1)).over(wp)
+                    )
+                    .withColumn(
+                        "rn",
+                        SF.row_number().over(
+                            wp.orderBy(
+                                SF.desc("n_agree"), SF.asc("id_hist")
+                            )
+                        ),
+                    )
+                    .filter(SF.col("rn") == 1)
+                    .select(
+                        SF.col("id_new").alias(id_col),
+                        SF.col("n_near_dups").cast("bigint"),
+                        SF.col("id_hist").alias("best_dup_of"),
+                        (
+                            SF.col("n_agree").cast("double")
+                            / SF.lit(float(_MH_NUM))
+                        ).alias("best_est_jaccard"),
+                    )
+                )
+            else:
+                store_sig = None
+                best = spark.createDataFrame(
+                    [],
+                    f"{id_col} bigint, n_near_dups bigint, "
+                    "best_dup_of bigint, best_est_jaccard double",
+                )
+            out = (
+                b.select(id_col, "source", "n_chars")
+                .join(best, id_col, "left")
+                .fillna(0, subset=["n_near_dups"])
+                .persist()
+            )
+            try:
+                if out.isEmpty():
+                    return
+                # sigs first (idempotent via the anti-join), docs second
+                new_sigs = (
+                    sig_b
+                    if store_sig is None and not store_table.exists()
+                    else sig_b.join(
+                        store_table.read(spark).select("id"),
+                        "id",
+                        "left_anti",
+                    )
+                )
+                if not new_sigs.isEmpty():
+                    store_table.append(new_sigs)
+                table.append(out)
+            finally:
+                out.unpersist()
+        finally:
+            arrived.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
 def decontaminate_ingest_sink(
     docs: DataFrame,
     table_path: str,

@@ -676,6 +676,88 @@ def test_audio_dedup_ingest_sink_at_most_once_and_replay(spark, tmp_path):
     ) == [10, 20, 40]
 
 
+def test_neardup_ingest_annotates_history_and_survives_replay(spark, tmp_path):
+    """Streaming near-dup annotation at ingest (round-13): docs whose
+    near-duplicate arrived in an EARLIER batch get annotated with the
+    right best-match and estimate, in-batch and novel docs stay clean
+    (zeros/nulls), and a full re-ingest of the same source (fresh
+    checkpoint, same table + signature store — the recovery case)
+    appends nothing to either table."""
+    import json
+    import os
+
+    import pyspark.sql.types as T
+
+    from outreach_etl_tool_spark.sinks import ManifestTable
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    text_a = " ".join(words)
+    text_a_near = " ".join(words[:-1] + ["CHANGED"])
+    text_b = " ".join(w + "b" for w in words)
+    text_b_near = " ".join([w + "b" for w in words[:-1]] + ["OTHER"])
+    text_c = " ".join(w + "c" for w in words)
+
+    def doc(did, text):
+        return {"doc_id": did, "source": "web", "lang": "en",
+                "text": text, "n_chars": len(text)}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(
+        json.dumps(r) for r in [doc(1, text_a), doc(2, text_b)]))
+    os.utime(src / "b1.json", (1_000_100_000, 1_000_100_000))
+    (src / "b2.json").write_text("\n".join(
+        json.dumps(r) for r in [doc(11, text_a_near), doc(12, text_c)]))
+    os.utime(src / "b2.json", (1_000_100_060, 1_000_100_060))
+    (src / "b3.json").write_text(json.dumps(doc(21, text_b_near)))
+    os.utime(src / "b3.json", (1_000_100_120, 1_000_100_120))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (
+            ST.neardup_ingest_sink(
+                stream, str(tmp_path / "docs"), str(tmp_path / "sigs"),
+                str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run("ckpt1")
+    table = ManifestTable(str(tmp_path / "docs"))
+    store = ManifestTable(str(tmp_path / "sigs"))
+    rows = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert sorted(rows) == [1, 2, 11, 12, 21]
+    for clean in (1, 2, 12):
+        assert rows[clean]["n_near_dups"] == 0
+        assert rows[clean]["best_dup_of"] is None
+    assert rows[11]["n_near_dups"] == 1
+    assert rows[11]["best_dup_of"] == 1
+    assert rows[11]["best_est_jaccard"] >= 0.5
+    assert rows[21]["n_near_dups"] == 1
+    assert rows[21]["best_dup_of"] == 2
+    assert rows[21]["best_est_jaccard"] >= 0.5
+    assert store.read(spark).count() == 5  # one signature per doc
+    v_docs, v_sigs = table.current_version(), store.current_version()
+    # full re-ingest: every id known → skipped, neither table grows
+    run("ckpt2")
+    assert table.current_version() == v_docs
+    assert store.current_version() == v_sigs
+    assert table.read(spark).count() == 5
+
+
 def test_latedrop_replay_is_lag_proof(spark):
     """The T4 oracle's correctness argument does not depend on WHICH
     batch's stats feed the late filter (Spark lags watermark updates by

@@ -126,6 +126,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "stream_audio_dedup_ingest": True,    # clips synthesized from doc ids
     "seq_packing_layout": True,           # documents-only → 3x point
     "temperature_budget_fill": True,      # documents-only → 3x point
+    "stream_neardup_ingest": True,        # documents-only → 3x point
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
