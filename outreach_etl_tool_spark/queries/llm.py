@@ -368,6 +368,69 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parity.minhash_pairs_parity(docs, "doc_id", "text")
 
 
+# L2m — SPLIT-LEAKAGE AUDIT (round-13): near-duplicate pairs that
+# STRADDLE a train/val/test split — the duplicate-driven benchmark
+# contamination a held-out split silently inherits when dedup runs
+# per-split (or not at all): a val/test doc whose near-twin sits in
+# train is memorization, not generalization, when evaluated. Splits
+# are the standard hash-derandomized 80/10/10 (md5 bucket % 100, the
+# engine's split convention); the pair universe is EXACTLY the
+# oracled dedup_minhash pair set (minhash_pairs_parity — banded LSH
+# candidates, exact-integer Jaccard ≥ 2/5 verify), so the audit adds
+# only two split-label joins to already-certified machinery. Pair
+# rows carry both split labels and the leaky flag — the rollup is
+# the reader's one groupBy; pair-level output keeps the whole audit
+# in the driver's value hash. Scale shape: pairs are output-bound
+# (the dedup_minhash contract); the split labels join by id.
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pairs = parity.minhash_pairs_parity(docs, "doc_id", "text")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    splits = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return (
+        pairs.join(
+            splits.select(
+                F.col("id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaky"),
+            "jaccard",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # L2b — SimHash near-dedup. Round 8: oracle-parity formulation
 # (32-bit md5-prefix token hashes, frequency-weighted bit votes, 4x8
 # bands). Banding at max_hamming=3 < 4 bands is pigeonhole-EXHAUSTIVE,
@@ -389,6 +452,25 @@ from ..dedup.parity import (  # noqa: E402
 )
 
 _DEDUP_MINHASH_SQL = minhash_pairs_parity_sql()
+_DEDUP_SPLIT_LEAKAGE_SQL = f"""
+WITH pairs AS ({minhash_pairs_parity_sql()}),
+sp AS (
+    SELECT doc_id AS id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 100 AS b
+          FROM documents)
+)
+SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b,
+       a.split <> b.split AS leaky, p.jaccard
+FROM pairs p
+JOIN sp a ON p.id_a = a.id
+JOIN sp b ON p.id_b = b.id
+ORDER BY id_a, id_b
+"""
 _DEDUP_SIMHASH_SQL = simhash_pairs_parity_sql()
 _EMB_NEAR_DUP_SQL = emb_pairs_parity_sql(dim=64)
 _DEDUP_INC_MINHASH_SQL = incremental_minhash_parity_sql()
@@ -5080,6 +5162,17 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_minhash, _DEDUP_MINHASH_SQL, tags=("L2",), bench=True,
         doc="MinHash-LSH near-dedup, oracle-parity formulation: full "
         "signature/band/cap/verify pipeline replicated in the oracle",
+    ),
+    "dedup_split_leakage": QuerySpec(
+        dedup_split_leakage, _DEDUP_SPLIT_LEAKAGE_SQL,
+        tags=("L2", "L4", "J1"),
+        doc="split-leakage audit: near-duplicate pairs that STRADDLE "
+        "the hash-derandomized 80/10/10 train/val/test split - the "
+        "duplicate-driven benchmark contamination a held-out split "
+        "inherits when dedup runs per-split; pair universe is exactly "
+        "the oracled dedup_minhash set (exact-integer Jaccard "
+        "verify), plus two split-label joins; pair-level output with "
+        "both labels and the leaky flag",
     ),
     "dedup_simhash": QuerySpec(
         dedup_simhash, _DEDUP_SIMHASH_SQL, tags=("L2",),

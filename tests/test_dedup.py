@@ -1524,3 +1524,37 @@ def test_hard_negative_mining_ivf_planted_recall(spark):
             assert r["cosine"] >= 0.4 and r["rank"] == 1
         else:
             assert r["cosine"] < 0.4 and 1 <= r["rank"] <= 3
+
+
+def test_dedup_split_leakage_labels_and_regimes(spark):
+    """Split-leakage audit (round-13): the pair universe is EXACTLY
+    the oracled dedup_minhash set, every split label matches an
+    independent hashlib replica of the 80/10/10 bucket rule, the
+    leaky flag is exactly label inequality, and the driver corpus is
+    non-degenerate (both leaky and same-split near-dup pairs exist)."""
+    import hashlib
+
+    from outreach_etl_tool_spark.queries.llm import (
+        dedup_minhash,
+        dedup_split_leakage,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = dedup_split_leakage(spark, sf).collect()
+    base = {
+        (r["id_a"], r["id_b"]) for r in dedup_minhash(spark, sf).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in got} == base
+
+    def split(did):
+        b = int(
+            hashlib.md5(f"split#{did}".encode()).hexdigest()[:8], 16
+        ) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    for r in got:
+        assert r["split_a"] == split(r["id_a"])
+        assert r["split_b"] == split(r["id_b"])
+        assert r["leaky"] == (r["split_a"] != r["split_b"])
+    assert any(r["leaky"] for r in got)
+    assert any(not r["leaky"] for r in got)

@@ -127,6 +127,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "seq_packing_layout": True,           # documents-only → 3x point
     "temperature_budget_fill": True,      # documents-only → 3x point
     "stream_neardup_ingest": True,        # documents-only → 3x point
+    "dedup_split_leakage": True,          # documents-only → 3x point
 }
 
 # per-query footnotes rendered under the table — scaling shapes that
