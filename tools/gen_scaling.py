@@ -133,6 +133,13 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
 # per-query footnotes rendered under the table — scaling shapes that
 # are EXPECTED and would otherwise read as regressions
 NOTES: dict[str, str] = {
+    "dedup_split_leakage": (
+        "Output-bound like its pair universe (the dedup_minhash set): "
+        "near-dup PAIR output grows with duplicate-cluster sizes "
+        "across the sf jump, so the wall ratio tracks pair output, "
+        "not input size; the split-label joins add two id-keyed "
+        "probes."
+    ),
     "hard_negative_mining": (
         "CERTIFICATE tier: exact brute force on the id%53 demo "
         "anchors is O(n²/53) by definition — the quadratic is the "
