@@ -125,28 +125,37 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
     # wedges per edge at sf0.1 — 41M rows), and halving its shuffle
     # key width + hashing one long instead of two measures −27% on the
     # triangle core (round-12; 5.46 → 4.01 s at sf0.1). Sound while
-    # node ids < 2^31 (TPC-H partkeys); guarded FAIL-LOUD below —
-    # out-of-range ids raise instead of silently mis-packing (falling
-    # back to the two-column key is a manual code change, not runtime
-    # behavior; round-13 ADVICE).
-    mx = o.agg(F.max(F.greatest("s", "t"))).first()[0]
-    if mx is not None and int(mx) >= (1 << 31):
-        raise ValueError(
-            f"packed 64-bit triangle-closing key requires node ids < 2^31 "
-            f"(max seen: {mx}); use a two-column (b, c) join key for this "
-            f"graph"
-        )
+    # node ids are in [0, 2^31) (TPC-H partkeys); the bound check is
+    # FOLDED INTO the packing expression (round-14 ADVICE — the prior
+    # eager max() guard added a full extra scan of the oriented edge
+    # set per triangle family build, and only caught ids ≥ 2^31, not
+    # negatives): an out-of-range id raises mid-expression instead of
+    # silently mis-packing, at CASE-branch cost inside codegen —
+    # nothing extra to scan.
+    def _pack64(hi, lo):
+        h, lw = F.col(hi), F.col(lo)
+        return F.when(
+            (h < 0) | (lw < 0) | (h >= F.lit(1 << 31)) | (lw >= F.lit(1 << 31)),
+            F.raise_error(
+                F.format_string(
+                    "packed 64-bit triangle-closing key requires node "
+                    "ids in [0, 2^31): got (%s, %s); use a two-column "
+                    "(b, c) join key for this graph",
+                    h,
+                    lw,
+                )
+            ).cast("long"),
+        ).otherwise(F.shiftleft(h, 32) + lw)
+
     wedges = (
         w1.join(w2, "s")
         .filter(
             (F.col("db") < F.col("dc"))
             | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
         )
-        .select("s", (F.shiftleft(F.col("b"), 32) + F.col("c")).alias("bc"))
+        .select("s", _pack64("b", "c").alias("bc"))
     )
-    closer = o.select(
-        (F.shiftleft(F.col("s"), 32) + F.col("t")).alias("bc")
-    )
+    closer = o.select(_pack64("s", "t").alias("bc"))
     return wedges.join(closer, "bc").select(
         F.col("s").alias("a"),
         F.shiftrightunsigned("bc", 32).alias("b"),

@@ -140,10 +140,15 @@ class ManifestTable:
                     out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
                 else:
                     out[name] = [lo, hi]
-        return {
+        kept = {
             k: v for k, v in out.items()
             if isinstance(v[0], (int, float, str)) and not isinstance(v[0], bool)
         }
+        # reserved key: per-file row count, for run-size accounting
+        # (stepped-merge compaction). Never collides with column stats
+        # lookups — those go through .get(col) with real column names.
+        kept["__rows"] = int(md.num_rows)
+        return kept
 
     def _commit(
         self,
@@ -209,19 +214,147 @@ class ManifestTable:
     def _stats_for(self, files: list[str]) -> dict[str, dict]:
         return {f: self._file_stats(self.data_dir / f) for f in files}
 
-    def overwrite(self, df: DataFrame, expected_parent: int | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        expected_parent: int | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> int:
         """New snapshot containing exactly ``df``. ``expected_parent``
         pins the version this state was derived from (upsert passes the
         version it merged against); default = whatever is current when
-        the write starts."""
+        the write starts. ``bloom_cols`` rebuilds the snapshot bloom
+        for those columns from the NEW files (an overwrite replaces the
+        whole table, so parent blooms — possibly saturated with rows
+        that no longer exist — are not carried forward)."""
         observed = (
             self.current_version() if expected_parent is None else expected_parent
         )
         files, schema_json = self._write_files(df)
-        n = self._count_files(df.sparkSession, files, schema_json)
+        spark = df.sparkSession
+        n = self._count_files(spark, files, schema_json)
+        blooms: dict[str, dict] = {}
+        if bloom_cols and files:
+            scan = spark.read.parquet(
+                *[str(self.data_dir / f) for f in files]
+            )
+            for c in sorted(set(bloom_cols)):
+                blooms[c] = {
+                    "m": self._BLOOM_M,
+                    "k": self._BLOOM_K,
+                    "positions": self._bloom_positions(scan, c),
+                }
         return self._commit(
             files, n, schema_json, self._stats_for(files),
-            expected_parent=observed,
+            expected_parent=observed, blooms=blooms,
+        )
+
+    def runs(self, version: int | None = None) -> list[dict]:
+        """The snapshot's SORTED RUNS — one per surviving commit batch
+        (files share their ``b{hex}/`` directory), with row counts from
+        the manifest's per-file ``__rows`` stats (parquet footers are
+        consulted only for pre-``__rows`` legacy files). Appends add
+        one run each; :meth:`compact_runs` replaces several with one —
+        the bookkeeping a stepped-merge (size-tiered LSM) policy needs."""
+        import pyarrow.parquet as pq
+
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        by_dir: dict[str, dict] = {}
+        for f in m["files"]:
+            d = f.split("/", 1)[0]
+            r = stats.get(f, {}).get("__rows")
+            if r is None:
+                r = pq.ParquetFile(self.data_dir / f).metadata.num_rows
+            run = by_dir.setdefault(d, {"dir": d, "files": [], "rows": 0})
+            run["files"].append(f)
+            run["rows"] += int(r)
+        return sorted(by_dir.values(), key=lambda r: r["rows"])
+
+    def compact_runs(
+        self,
+        spark: SparkSession,
+        col: str,
+        run_dirs: list[str],
+        rows_per_file: int = 1 << 20,
+    ) -> int:
+        """Merge the named runs into ONE run range-clustered by
+        ``col``, leaving every other file untouched — the merge step of
+        stepped-merge compaction. Snapshot blooms carry over UNCHANGED
+        (a merge rewrites the same rows, so the value set — and
+        therefore the bloom — is identical; nothing is recomputed).
+        Only the merged runs' rows move; cost is O(merged rows), never
+        O(table)."""
+        v = self.current_version()
+        m = self._manifest(v)
+        dirs = set(run_dirs)
+        merged_files = [f for f in m["files"] if f.split("/", 1)[0] in dirs]
+        kept_files = [f for f in m["files"] if f.split("/", 1)[0] not in dirs]
+        if not merged_files:
+            return v
+        schema = self._schema(m)
+        src = spark.read.schema(schema).parquet(
+            *[str(self.data_dir / f) for f in merged_files]
+        )
+        n_merge = sum(
+            int(m.get("stats", {}).get(f, {}).get("__rows", 0))
+            for f in merged_files
+        )
+        nparts = max(1, -(-n_merge // rows_per_file)) if n_merge else 1
+        files, _ = self._write_files(
+            src.repartitionByRange(nparts, F.col(col))
+        )
+        stats = {
+            f: s
+            for f, s in m.get("stats", {}).items()
+            if f in set(kept_files)
+        }
+        stats.update(self._stats_for(files))
+        return self._commit(
+            kept_files + files,
+            m["n_rows"],
+            m["schema_json"],
+            stats,
+            expected_parent=v,
+            blooms=m.get("blooms", {}),
+        )
+
+    def compact_clustered(
+        self,
+        spark: SparkSession,
+        col: str,
+        target_files: int | None = None,
+        rows_per_file: int = 1 << 20,
+    ) -> int:
+        """Maintenance compaction that RANGE-CLUSTERS the table by
+        ``col``: rewrite the current snapshot via
+        ``repartitionByRange(target, col)`` so per-file [min, max]
+        ranges for ``col`` become tight and near-disjoint and a
+        :meth:`pruned_files_in` probe reads O(probe keys) files — the
+        property per-append clustering cannot give (every append's
+        files span the full key space, so a K-key probe stabs ~all of
+        them once K exceeds the per-append file count). This is the
+        LSM compaction step reduced to one level: run it on a
+        geometric trigger (file count ≥ factor × compacted target) and
+        each row is rewritten O(log n) times over the table's
+        lifetime. Probe CORRECTNESS never depends on it — only probe
+        cost. Existing snapshot blooms are rebuilt from the compacted
+        files (same rows ⇒ equivalent bloom, minus any saturation from
+        vacuumed history). At production scale this runs out-of-band
+        (a background OPTIMIZE, not inline with the ingest trigger);
+        the inline call here keeps the sink self-contained."""
+        v = self.current_version()
+        m = self._manifest(v)
+        if target_files is None:
+            target_files = max(1, -(-int(m["n_rows"]) // rows_per_file))
+        df = self.read(spark, version=v).repartitionByRange(
+            target_files, F.col(col)
+        )
+        return self.overwrite(
+            df, expected_parent=v, bloom_cols=sorted(m.get("blooms", {}))
         )
 
     # ------------------------------------------------------------ blooms
@@ -266,17 +399,21 @@ class ManifestTable:
             return None
         return self._manifest(v).get("blooms", {}).get(col)
 
-    def bloom_may_contain_any(
+    def bloom_filter_possible(
         self, spark: SparkSession, df: DataFrame, col: str
-    ) -> bool:
-        """True unless the bloom PROVES no row of ``df``'s ``col`` is
-        in the table (conservative True when no bloom exists). A row is
-        a definite miss iff at least one of its k positions is absent;
-        the probe is one broadcast anti-join against the KB-sized
-        position set — it never touches table data files."""
+    ) -> DataFrame:
+        """The DISTINCT values of ``df``'s ``col`` not proven absent by
+        the snapshot bloom (all distinct values when no bloom exists —
+        conservative). A value is a definite miss iff at least one of
+        its k positions is absent; the probe is one broadcast anti-join
+        against the KB-sized position set — it never touches table data
+        files. This is the per-VALUE refinement of
+        :meth:`bloom_may_contain_any` (round-13 ADVICE): callers can
+        route only the possibly-present values into a store probe and
+        let definitely-new values skip it entirely."""
         b = self.bloom(col)
         if b is None:
-            return True
+            return df.select(F.col(col).alias(col)).distinct()
         pos_df = F.broadcast(
             spark.createDataFrame(
                 [(int(p),) for p in b["positions"]], "p bigint"
@@ -298,8 +435,21 @@ class ManifestTable:
             F.col(col).alias("__v"), F.explode(pos).alias("p")
         )
         missing = probe.join(pos_df, "p", "left_anti").select("__v").distinct()
-        possible = probe.select("__v").distinct().join(missing, "__v", "left_anti")
-        return not possible.isEmpty()
+        return (
+            probe.select("__v")
+            .distinct()
+            .join(missing, "__v", "left_anti")
+            .select(F.col("__v").alias(col))
+        )
+
+    def bloom_may_contain_any(
+        self, spark: SparkSession, df: DataFrame, col: str
+    ) -> bool:
+        """True unless the bloom PROVES no row of ``df``'s ``col`` is
+        in the table (conservative True when no bloom exists)."""
+        if self.bloom(col) is None:
+            return True
+        return not self.bloom_filter_possible(spark, df, col).isEmpty()
 
     def append(self, df: DataFrame, bloom_col: str | None = None) -> int:
         """New snapshot = previous files + the batch's files (previous
@@ -319,21 +469,31 @@ class ManifestTable:
             # silently stamping a drifted batch schema would null out
             # renamed columns (or fail reads) on the old parquet. Drift
             # is an error until explicit widening is implemented.
-            if json.loads(m["schema_json"]) != json.loads(schema_json):
-                old = {
-                    f["name"]: f["type"]
-                    for f in json.loads(m["schema_json"])["fields"]
-                }
-                new = {
-                    f["name"]: f["type"]
-                    for f in json.loads(schema_json)["fields"]
-                }
+            # NULLABILITY drift is NOT an error: parquet round-trips
+            # relax every column to nullable, so a fresh batch whose
+            # computed columns (e.g. lit()) are non-nullable must still
+            # append onto a compacted snapshot — names + types decide,
+            # and the stamped schema keeps the snapshot's (nullable)
+            # form, which is the safe superset for reading both.
+            old_fields = [
+                (f["name"], f["type"])
+                for f in json.loads(m["schema_json"])["fields"]
+            ]
+            new_fields = [
+                (f["name"], f["type"])
+                for f in json.loads(schema_json)["fields"]
+            ]
+            if old_fields != new_fields:
                 diff = sorted(
-                    set(old.items()) ^ set(new.items())
-                ) or sorted(set(old) ^ set(new))
+                    set(old_fields) ^ set(new_fields)
+                ) or sorted(
+                    set(f[0] for f in old_fields)
+                    ^ set(f[0] for f in new_fields)
+                )
                 raise ValueError(
                     f"append schema mismatch vs snapshot v{v}: {diff}"
                 )
+            schema_json = m["schema_json"]
             prev_files, prev_rows = m["files"], m["n_rows"]
             prev_stats = m.get("stats", {})
             prev_blooms = m.get("blooms", {})
@@ -455,6 +615,64 @@ class ManifestTable:
                 continue
             keep.append(f)
         return keep
+
+    def pruned_files_in(
+        self, col: str, values, version: int | None = None
+    ) -> list[str]:
+        """The file subset of the snapshot whose manifest [min, max]
+        for ``col`` contains AT LEAST ONE of ``values`` — interval
+        stabbing against a value SET, for probes whose keys are not one
+        contiguous range (e.g. a micro-batch's LSH band keys). Files
+        without stats for ``col`` are conservatively kept. The check is
+        one bisect per file over the sorted value list — driver-side,
+        KB-sized metadata only.
+
+        This prunes to O(probe keys) files regardless of store size
+        ONLY if the writer range-clustered ``col`` at append time
+        (tight, near-disjoint per-file ranges); appends that interleave
+        ``col`` arbitrarily make every file's range span everything and
+        nothing prunes."""
+        from bisect import bisect_left
+
+        vals = sorted(set(values))
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        if not vals:
+            return []
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            fmin, fmax = s
+            i = bisect_left(vals, fmin)
+            if i < len(vals) and vals[i] <= fmax:
+                keep.append(f)
+        return keep
+
+    def read_pruned_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        values,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The snapshot restricted to :meth:`pruned_files_in` — file
+        skipping by value SET. Row-level filtering (the equi-join on
+        ``col``) still applies on the result; this prunes files."""
+        v = self.current_version() if version is None else version
+        keep = self.pruned_files_in(col, values, version=v)
+        m = self._manifest(v)
+        schema = self._schema(m)
+        if not keep:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[str(self.data_dir / f) for f in keep]
+        )
 
     def read_pruned(
         self,

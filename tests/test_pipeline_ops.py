@@ -1209,6 +1209,23 @@ def test_graph_triangles_priority_vs_id_order(spark, monkeypatch):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+@pytest.mark.parametrize("bad", [1 << 31, -1])
+def test_graph_triangles_packed_key_fails_loud(spark, monkeypatch, bad):
+    """The 64-bit packed closing key raises on ids outside [0, 2^31)
+    — both overflowing AND negative ids (round-14 ADVICE: the prior
+    eager max() guard missed negatives and cost an extra scan). The
+    check lives inside the packing expression, so it surfaces as an
+    execution-time error, not a silent mis-pack."""
+    import outreach_etl_tool_spark.queries.graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, bad), (2, bad)], "u long, v long"
+    )
+    monkeypatch.setattr(G, "_copurchase_edges", lambda *a: e)
+    with pytest.raises(Exception, match="2\\^31"):
+        G.graph_triangles(spark, "unused").collect()
+
+
 @pytest.mark.parametrize("seed", [5, 23])
 def test_graph_triangles_matches_bruteforce(spark, monkeypatch, seed):
     """Random graphs vs an independent O(n^3) corner count."""
