@@ -458,20 +458,29 @@ def sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # die in the exact join), so the oracle is the plain join. At real
 # scale only the default-off master switch is needed; the threshold
 # override exists for the toy-sf demonstration.
-_RTF_CONFS = {
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-    "spark.sql.autoBroadcastJoinThreshold": "-1",
-    # size the injected bloom for the actual build side instead of the
-    # 1M-item / 8M-bit default: the default bloom serializes ~1 MiB
-    # into EVERY task binary of the probe stage (the selfcheck's one
-    # remaining "Broadcasting large task binary" source, round-13);
-    # 2^20 bits ≈ 128 KiB covers the urgent-orders build side at test
-    # scales with the same ~1% fpp, and a 100 TB deployment would size
-    # this to its own build side the same way
-    "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": str(100_000),
-    "spark.sql.optimizer.runtime.bloomFilter.numBits": str(1 << 20),
-}
+def _rtf_confs(n_build: int) -> dict:
+    """Runtime-bloom confs SIZED TO THE BUILD SIDE (round-14 ADVICE:
+    the previous fixed 100k-item / 2^20-bit pin silently degraded fpp
+    once the build side outgrew ~100k rows). ~10 bits/item for ~1%
+    fpp, rounded up to a power of two; the default 1M-item / 8M-bit
+    bloom serialized ~1 MiB into EVERY probe-stage task binary (the
+    round-13 WARN source), so right-sizing is both a pruning and a
+    task-binary fix. Floors keep degenerate builds sane; at real
+    scale the same arithmetic runs off the build side's row estimate
+    (here: an exact count of the already-filtered dimension — one
+    pushed-down scan, amortized by the plan it saves)."""
+    items = max(4096, int(n_build))
+    bits = 1 << max(16, (items * 10 - 1).bit_length())
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": str(
+            items
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.numBits": str(bits),
+    }
 
 
 def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,9 +498,10 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
-    saved = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    confs = _rtf_confs(urgent.count())
+    saved = {k: spark.conf.get(k, None) for k in confs}
     try:
-        for k, v in _RTF_CONFS.items():
+        for k, v in confs.items():
             spark.conf.set(k, v)
         # materialize the cached QueryExecution while the injection
         # confs are live; collect()/toPandas() reuse it

@@ -1149,12 +1149,26 @@ def temperature_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("rem"), F.asc("source")
     )  # D rows: vocabulary-bounded
     j = weighted.crossJoin(F.broadcast(tot))
+    # overflow-bounded largest-remainder split (round-14 ADVICE): the
+    # naive n_budget * w_sqrt blows int64 at the 100 TB design point
+    # (~1.9e13 budget × ~5e6 w_sqrt ≈ 9.5e19 > 2^63) — Spark
+    # (non-ANSI) would wrap silently while the DuckDB oracle promotes
+    # to HUGEINT, an engine-vs-oracle seam invisible at tested scales.
+    # With n_budget = q·w_total + r (r < w_total):
+    #   floor(n_budget·w/w_total) = q·w + floor(r·w/w_total)
+    #   (n_budget·w) mod w_total  = (r·w) mod w_total
+    # exactly, and every intermediate is ≤ w_total·max(w_sqrt)
+    # (≤ D·2^52 for w_sqrt < 2^26) — int64-safe for any corpus whose
+    # per-source token counts fit the _isqrt_col contract (< 2^52).
     staged = j.select(
         "source",
         "n_tokens",
         "w_sqrt",
-        F.expr("(n_budget * w_sqrt) div w_total").alias("base_alloc"),
-        F.expr("(n_budget * w_sqrt) % w_total").alias("rem"),
+        F.expr(
+            "(n_budget div w_total) * w_sqrt"
+            " + ((n_budget % w_total) * w_sqrt) div w_total"
+        ).alias("base_alloc"),
+        F.expr("((n_budget % w_total) * w_sqrt) % w_total").alias("rem"),
         "n_budget",
     )
     leftover = staged.agg(

@@ -537,12 +537,14 @@ def audio_dedup_ingest_sink(
 
     The retained table carries ``afp`` alongside the ids, so it IS
     the signature store — the content-hash precedent exactly.
-    Fingerprints are near-uniform 62-bit integers, so the store read
-    is gated on the snapshot BLOOM sidecar (min/max pruning is
-    useless for uniform columns): a definitely-new batch reads zero
-    store data files, and a replayed batch (checkpoint recovery after
-    a committed append) dedups to nothing — idempotent without an id
-    probe. Near-dup (banded-Hamming) dedup remains the BATCH tier
+    Fingerprints are near-uniform 62-bit integers, so the store probe
+    is gated on the snapshot BLOOM sidecar PER VALUE (min/max pruning
+    is useless for uniform columns; round-14 ADVICE upgraded the
+    whole-batch verdict): only possibly-present fingerprints join the
+    store, definitely-new rows skip the probe entirely, an all-new
+    batch reads zero store data files, and a replayed batch
+    (checkpoint recovery after a committed append) dedups to nothing
+    — idempotent without an id probe. Near-dup (banded-Hamming) dedup remains the BATCH tier
     (`multimodal_audio_fp_dedup`); at ingest the contract is exact
     fingerprint identity, which the planted duplicates exercise
     (their perturbation survives the energy-envelope features, so
@@ -558,10 +560,23 @@ def audio_dedup_ingest_sink(
         spark = batch.sparkSession
         fps = audio_fingerprints(batch.select(id_col)).persist()
         try:
-            if table.exists() and table.bloom_may_contain_any(
-                spark, fps.select("afp"), "afp"
-            ):
-                store = table.read(spark).select("afp")
+            # per-VALUE bloom screen (round-14 ADVICE: the prior
+            # whole-batch verdict made ONE possibly-present
+            # fingerprint trigger a store anti-join over the entire
+            # batch): only possibly-present fps probe the store;
+            # definitely-new rows never join it, and an all-new batch
+            # still reads zero store data files
+            if table.exists():
+                poss = table.bloom_filter_possible(
+                    spark, fps.select("afp"), "afp"
+                ).localCheckpoint()  # small: ≤ the batch's distinct fps
+                store = (
+                    table.read(spark)
+                    .select("afp")
+                    .join(SF.broadcast(poss), "afp", "left_semi")
+                    if not poss.isEmpty()
+                    else spark.createDataFrame([], "afp bigint")
+                )
             else:
                 store = spark.createDataFrame([], "afp bigint")
             from pyspark.sql.window import Window

@@ -2988,6 +2988,20 @@ def test_temperature_budget_fill_python_replica_and_flattening(spark):
         for i, s in enumerate(order)
     }
     assert sum(alloc.values()) == budget  # exhausted to the token
+
+    # round-14 ADVICE: the engine's int64-bounded restructuring
+    # (q·w + (r·w) div W with n_budget = q·W + r) equals the naive
+    # product form EXACTLY — pinned here at the 100 TB design point
+    # where the naive form overflows int64 (9.5e19 > 2^63)
+    for nb, ws, wt in [
+        (19_000_000_000_000, 5_000_000, 37_000_000),
+        (budget, max(w.values()), W),
+    ]:
+        q, r = divmod(nb, wt)
+        assert q * ws + (r * ws) // wt == (nb * ws) // wt
+        assert (r * ws) % wt == (nb * ws) % wt
+        assert q * ws + (r * ws) // wt < 2**63  # stays in int64
+        assert r * ws < 2**63
     # sub-stream fill replica
     streams: dict[tuple[str, int], list[tuple[str, int, int]]] = {}
     for did, s, n in rows:

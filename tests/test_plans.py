@@ -478,12 +478,29 @@ def test_runtime_filter_injects_bloom(spark):
 
 
 def test_runtime_filter_restores_session_confs(spark):
-    from outreach_etl_tool_spark.queries.joins import _RTF_CONFS
+    from outreach_etl_tool_spark.queries.joins import _rtf_confs
 
-    before = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    keys = _rtf_confs(1)
+    before = {k: spark.conf.get(k, None) for k in keys}
     df_of(spark, "join_runtime_filter")
-    after = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    after = {k: spark.conf.get(k, None) for k in keys}
     assert before == after, (before, after)
+
+
+def test_runtime_filter_bloom_sized_to_build_side():
+    """Round-14 ADVICE: the injected bloom's sizing tracks the build
+    side instead of a fixed 100k pin — ~10 bits/item (pow2), so fpp
+    holds at larger scale factors instead of silently collapsing."""
+    from outreach_etl_tool_spark.queries.joins import _rtf_confs
+
+    small = _rtf_confs(10)
+    big = _rtf_confs(5_000_000)
+    k = "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems"
+    b = "spark.sql.optimizer.runtime.bloomFilter.numBits"
+    assert int(small[k]) == 4096 and int(small[b]) == 1 << 16
+    assert int(big[k]) == 5_000_000
+    bits = int(big[b])
+    assert bits >= 10 * 5_000_000 and (bits & (bits - 1)) == 0
 
 
 def test_fuzzy_join_levenshtein_stays_jvm(spark):
