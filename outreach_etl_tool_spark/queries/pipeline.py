@@ -1286,10 +1286,13 @@ ORDER BY source
 _PACK_LEN = 256  # tokens per packed training sequence
 
 
-def seq_packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seq_packing_frame(docs: DataFrame) -> DataFrame:
+    """Concat-and-chunk packing layout of a (doc_id, text) frame — the
+    registry query's exact derivation exposed as a frame function so
+    the materialized curation run can pack its committed survivors
+    (round-14 — VERDICT r13 #4). See ``seq_packing_layout``."""
     from pyspark.sql.window import Window
 
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
@@ -1349,6 +1352,11 @@ def seq_packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def seq_packing_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return seq_packing_frame(docs)
 
 
 SEQ_PACKING_LAYOUT_SQL = f"""

@@ -1558,3 +1558,50 @@ def test_dedup_split_leakage_labels_and_regimes(spark):
         assert r["leaky"] == (r["split_a"] != r["split_b"])
     assert any(r["leaky"] for r in got)
     assert any(not r["leaky"] for r in got)
+
+
+def test_dedup_split_repair_zero_leak_and_scope(spark):
+    """Split-leakage repair (round-14 — VERDICT r13 #5): after
+    reassigning every near-dup cluster to its min-id member's split,
+
+    - ZERO pairs of the oracled dedup_minhash set straddle the
+      repaired split (the audit's leaky set is emptied);
+    - the repair touches ONLY clustered docs (output ids == the ids
+      appearing in at least one near-dup pair, exactly);
+    - cluster roots keep their own split (the keeper never moves),
+      labels match the independent hashlib replica, `changed` is
+      exactly the relabel indicator, and the driver corpus is
+      non-degenerate (some doc actually changed split).
+    """
+    import hashlib
+
+    from outreach_etl_tool_spark.queries.llm import (
+        dedup_minhash,
+        dedup_split_repair,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = dedup_split_repair(spark, sf).collect()
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in dedup_minhash(spark, sf).collect()
+    }
+    clustered = {d for p in pairs for d in p}
+    assert {r["doc_id"] for r in rows} == clustered
+
+    def split(did):
+        b = int(
+            hashlib.md5(f"split#{did}".encode()).hexdigest()[:8], 16
+        ) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    repaired = {r["doc_id"]: r["split_repaired"] for r in rows}
+    for a, b in pairs:
+        assert repaired[a] == repaired[b], (a, b)  # zero-leak
+    for r in rows:
+        assert r["split_orig"] == split(r["doc_id"])
+        assert r["split_repaired"] == split(r["cluster_id"])
+        assert r["changed"] == (r["split_orig"] != r["split_repaired"])
+        assert r["cluster_id"] <= r["doc_id"]  # min-id root
+        if r["doc_id"] == r["cluster_id"]:  # the keeper never moves
+            assert not r["changed"]
+    assert any(r["changed"] for r in rows)  # non-degenerate regime
