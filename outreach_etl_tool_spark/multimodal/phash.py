@@ -55,6 +55,76 @@ def ahash_images(
     ).filter(F.col("phash").isNotNull())
 
 
+def ahash64_grid(grid: "np.ndarray") -> int:
+    """aHash64 of one 8×8 uint8 grid — the same kernel `_ahash64`
+    vectorizes: bit i set when pixel_i exceeds the grid mean, packed
+    MSB-first into one signed 64-bit int. Exposed as a plain function
+    so the streaming image-ingest fingerprint and the pytest replicas
+    share the exact arithmetic."""
+    mat = np.asarray(grid, dtype=np.float64).reshape(64)
+    bits = (mat > mat.mean()).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+# Streaming image-ingest fingerprints (round-14 — VERDICT r13 #7).
+# Deterministic test image for asset ``aid``, closed-form in the id so
+# the DuckDB oracle re-derives every pixel: a 12×(16 + b%8) gray PPM
+# (r=g=b) whose pixel value is the quadratic mix
+# ((t² + 3t) mod 1000003) mod 256, t = (b·97 + y·w + x) mod 1000003 —
+# the synth_clip decorrelation trick (a LINEAR mix collapses distinct
+# ids into few phase classes; reducing t mod p before squaring keeps
+# t² < p² ≈ 2^40, int64/BIGINT-safe at any id). Assets with
+# aid % 10 == 1 are PLANTED EXACT DUPLICATES of aid − 1 (b = aid − 1):
+# the ingest contract is exact fingerprint identity, and an identical
+# image is the only guaranteed Hamming-0 plant under block-mean
+# truncation.
+_IMG_H, _IMG_P = 12, 1_000_003
+
+
+def synth_image(aid: int) -> "np.ndarray":
+    b = aid - 1 if aid % 10 == 1 else aid
+    w = 16 + b % 8
+    y, x = np.mgrid[0:_IMG_H, 0:w]
+    t = (b * 97 + y * w + x) % _IMG_P
+    p = ((t * t + 3 * t) % _IMG_P % 256).astype(np.uint8)
+    return np.stack([p, p, p], axis=-1)
+
+
+def _gen_iphash(batches):
+    from .ppm import decode_ppm, encode_ppm
+
+    for pdf in batches:
+        ids, fps = [], []
+        for aid in pdf["asset_id"]:
+            aid = int(aid)
+            # the fingerprint rides the REAL codec: synth → P6 bytes →
+            # full header/pixel decode → block-mean resize → aHash64
+            dec = decode_ppm(encode_ppm(synth_image(aid)))
+            h, w = dec.shape[:2]
+            bh, bw = h // 8, w // 8
+            crop = dec[: bh * 8, : bw * 8, :]
+            small = (
+                crop.reshape(8, bh, 8, bw, 3)
+                .mean(axis=(1, 3))
+                .astype(np.uint8)
+            )  # the resize_images block-mean, channels equal (gray)
+            ids.append(aid)
+            fps.append(ahash64_grid(small[:, :, 0]))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "phash": pd.Series(fps, dtype="int64"),
+            }
+        )
+
+
+def image_fingerprints(ids: DataFrame) -> DataFrame:
+    """(asset_id, phash) over an (asset_id,) frame — synth + real PPM
+    codec round-trip + block-mean + aHash64 in one Arrow pass; only
+    (id, phash) ever moves."""
+    return ids.mapInPandas(_gen_iphash, "asset_id long, phash long")
+
+
 def phash_near_dup(
     df: DataFrame,
     id_col: str = "asset_id",

@@ -21,6 +21,7 @@ from .streams import (
     tumbling_counts,
     audio_dedup_ingest_sink,
     dedup_ingest_sink,
+    image_dedup_ingest_sink,
     neardup_ingest_sink,
     span_ingest_sink,
     manifest_upsert_sink,
@@ -41,6 +42,7 @@ __all__ = [
     "manifest_upsert_sink",
     "audio_dedup_ingest_sink",
     "dedup_ingest_sink",
+    "image_dedup_ingest_sink",
     "neardup_ingest_sink",
     "span_ingest_sink",
 ]

@@ -676,6 +676,89 @@ def test_audio_dedup_ingest_sink_at_most_once_and_replay(spark, tmp_path):
     ) == [10, 20, 40]
 
 
+def test_image_dedup_ingest_sink_at_most_once_and_replay(spark, tmp_path):
+    """Streaming image dedup-ingest (round-14 — VERDICT r13 #7): the
+    audio sink's four cases on the image instance of the generic
+    media sink — cross-batch and in-batch phash duplicates never land
+    twice (planted pairs k/k+1 for k%10==0 are byte-identical
+    images), an all-duplicate batch commits no snapshot, and a full
+    re-ingest of the same source (fresh checkpoint, same table)
+    appends nothing. Fingerprints are additionally pinned to the
+    independent codec-round-trip replica."""
+    import json
+    import os
+
+    import numpy as np
+
+    import pyspark.sql.types as T
+
+    from outreach_etl_tool_spark.multimodal.phash import (
+        ahash64_grid,
+        synth_image,
+    )
+    from outreach_etl_tool_spark.multimodal.ppm import (
+        decode_ppm,
+        encode_ppm,
+    )
+    from outreach_etl_tool_spark.sinks import ManifestTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # b1 = {10, 11 (in-batch dup of 10), 20}; b2 = {21 (cross-batch
+    # dup of 20), 40 (fresh)}; b3 = {41} (all-dup batch: dups 40)
+    (src / "b1.json").write_text("\n".join(
+        json.dumps({"asset_id": a}) for a in [10, 11, 20]))
+    os.utime(src / "b1.json", (1_000_100_000, 1_000_100_000))
+    (src / "b2.json").write_text("\n".join(
+        json.dumps({"asset_id": a}) for a in [21, 40]))
+    os.utime(src / "b2.json", (1_000_100_060, 1_000_100_060))
+    (src / "b3.json").write_text(json.dumps({"asset_id": 41}))
+    os.utime(src / "b3.json", (1_000_100_120, 1_000_100_120))
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType())])
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (
+            ST.image_dedup_ingest_sink(
+                stream, str(tmp_path / "media"), str(tmp_path / ckpt)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run("ckpt1")
+    table = ManifestTable(str(tmp_path / "media"))
+    rows = table.read(spark).collect()
+    assert sorted(r["asset_id"] for r in rows) == [10, 20, 40]
+    assert len({r["phash"] for r in rows}) == 3
+    # independent replica of the fingerprint (codec round trip +
+    # block mean + aHash) for every retained asset
+    for r in rows:
+        dec = decode_ppm(encode_ppm(synth_image(r["asset_id"])))
+        h, w = dec.shape[:2]
+        bh, bw = h // 8, w // 8
+        small = (
+            dec[: bh * 8, : bw * 8, :]
+            .reshape(8, bh, 8, bw, 3)
+            .mean(axis=(1, 3))
+            .astype(np.uint8)
+        )
+        assert r["phash"] == ahash64_grid(small[:, :, 0])
+    # batch 3 was all-dup → no snapshot churn: versions = 2 batches
+    v_after = table.current_version()
+    assert v_after == 1
+    # full re-ingest (fresh checkpoint): everything dedups, no appends
+    run("ckpt2")
+    assert table.current_version() == v_after
+    assert sorted(
+        r["asset_id"] for r in table.read(spark).collect()
+    ) == [10, 20, 40]
+
+
 def test_neardup_ingest_annotates_history_and_survives_replay(spark, tmp_path):
     """Streaming near-dup annotation at ingest (round-13): docs whose
     near-duplicate arrived in an EARLIER batch get annotated with the
