@@ -21,6 +21,7 @@ from outreach_etl_tool_spark.plans.inspect import (
     pushed_filters,
     python_eval_modes,
     read_schemas,
+    unpartitioned_window_count,
 )
 from outreach_etl_tool_spark.plans.report import plan_report
 
@@ -35,4 +36,5 @@ __all__ = [
     "pushed_filters",
     "python_eval_modes",
     "read_schemas",
+    "unpartitioned_window_count",
 ]

@@ -81,6 +81,29 @@ def has_operator(df: DataFrame, name: str, plan: str | None = None) -> bool:
     return name in (plan or physical_plan(df))
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of Window nodes in the OPTIMIZED logical plan with an
+    EMPTY partition spec — the plans Spark executes as one task (the
+    'No Partition Defined for Window operation' WARN). A bounded
+    frame (a D-row allocation table, a calendar-grain spine, a ≤k-row
+    certificate) is a documented exception; an unpartitioned window
+    over row-scale data is the single-task anti-pattern. Counted from
+    the logical tree (py4j walk), not the plan string — WindowExec's
+    toString does not expose emptiness reliably."""
+    out = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            out += 1
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        # windows can also hide under subquery expressions; plans here
+        # are DataFrame-built (no correlated subqueries), so children
+        # cover the tree
+    return out
+
+
 @dataclass
 class PlanAudit:
     """One query's scale profile, derived entirely from its plan."""
