@@ -73,21 +73,30 @@ def ahash64_grid(grid: "np.ndarray") -> int:
 # ((t² + 3t) mod 1000003) mod 256, t = (b·97 + y·w + x) mod 1000003 —
 # the synth_clip decorrelation trick (a LINEAR mix collapses distinct
 # ids into few phase classes; reducing t mod p before squaring keeps
-# t² < p² ≈ 2^40, int64/BIGINT-safe at any id). Assets with
-# aid % 10 == 1 are PLANTED EXACT DUPLICATES of aid − 1 (b = aid − 1):
-# the ingest contract is exact fingerprint identity, and an identical
-# image is the only guaranteed Hamming-0 plant under block-mean
-# truncation.
+# t² < p² ≈ 2^40, int64/BIGINT-safe at any id). Two plant families:
+# aid % 10 == 1 → EXACT duplicate of aid − 1 (b = aid − 1; an
+# identical image is the only guaranteed Hamming-0 plant under
+# block-mean truncation — the exact-identity ingest contract's
+# regime); aid % 10 == 2 → NEAR duplicate of aid − 2 (same base image
+# with row 0's first 4 pixels forced to 255 — measured on ids 2..502
+# the resulting aHash Hamming distribution spans 0..9 with the bulk
+# at 1–3, so the near-dup annotate-at-ingest operator exercises
+# matched, exact-coincident, and beyond-threshold regimes on driver
+# data).
 _IMG_H, _IMG_P = 12, 1_000_003
 
 
 def synth_image(aid: int) -> "np.ndarray":
-    b = aid - 1 if aid % 10 == 1 else aid
+    near = aid % 10 == 2
+    b = aid - 1 if aid % 10 == 1 else (aid - 2 if near else aid)
     w = 16 + b % 8
     y, x = np.mgrid[0:_IMG_H, 0:w]
     t = (b * 97 + y * w + x) % _IMG_P
     p = ((t * t + 3 * t) % _IMG_P % 256).astype(np.uint8)
-    return np.stack([p, p, p], axis=-1)
+    img = np.stack([p, p, p], axis=-1)
+    if near:
+        img[0, :4, :] = 255
+    return img
 
 
 def _gen_iphash(batches):

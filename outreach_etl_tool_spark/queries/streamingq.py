@@ -1110,27 +1110,34 @@ def stream_image_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# aHash-from-closed-form CTE chain: pixels of the synthetic gray PPM
-# are ((t²+3t) mod p) mod 256 with t = (b·97 + y·w + x) mod p
-# (b = aid−1 for planted duplicates), the 12-row image crops to 8 rows
-# (bh = 12//8 = 1) and w ∈ [16, 24) crops to 16 cols (bw = 2 for every
-# id), each output pixel is the truncated 2-pixel block mean, bit_p is
-# the exact-integer mean test s·64 > Σs, and the hash is the signed
-# MSB-first pack (bit 0 → −2^63). Intermediate SUMs go through HUGEINT
-# — the final CAST to BIGINT dodges the float64 materialization seam.
-STREAM_IMAGE_DEDUP_INGEST_SQL = """
-WITH b AS (
+# aHash-from-closed-form CTE chain shared by the image ingest
+# oracles: pixels of the synthetic gray PPM are ((t²+3t) mod p) mod
+# 256 with t = (b·97 + y·w + x) mod p (b = aid−1 for exact-dup
+# plants, aid−2 for NEAR-dup plants whose row-0 first 4 pixels are
+# forced to 255), the 12-row image crops to 8 rows (bh = 12//8 = 1)
+# and w ∈ [16, 24) crops to 16 cols (bw = 2 for every id), each
+# output pixel is the truncated 2-pixel block mean, bit_p is the
+# exact-integer mean test s·64 > Σs, and the hash is the signed
+# MSB-first pack (bit 0 → −2^63). Intermediate SUMs go through
+# HUGEINT — the final CAST to BIGINT dodges the float64
+# materialization seam. Yields CTE `ifp` = (aid, phash).
+_IMG_FP_CTES = """bb AS (
   SELECT doc_id AS aid,
-         CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
-              AS BIGINT) AS b,
+         CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                   WHEN doc_id % 10 = 2 THEN doc_id - 2
+                   ELSE doc_id END AS BIGINT) AS b,
+         doc_id % 10 = 2 AS near,
          CAST(16 + (CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                         WHEN doc_id % 10 = 2 THEN doc_id - 2
                          ELSE doc_id END) % 8 AS BIGINT) AS w
   FROM documents
 ), px AS (
-  SELECT aid, y, x, ((t*t + 3*t) % 1000003) % 256 AS p
+  SELECT aid, y, x,
+         CASE WHEN near AND y = 0 AND x < 4 THEN 255
+              ELSE ((t*t + 3*t) % 1000003) % 256 END AS p
   FROM (
-    SELECT aid, y, x, (b*97 + y*w + x) % 1000003 AS t
-    FROM b,
+    SELECT aid, near, y, x, (b*97 + y*w + x) % 1000003 AS t
+    FROM bb,
          UNNEST(generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT)))
              AS ty(y),
          UNNEST(generate_series(CAST(0 AS BIGINT), CAST(15 AS BIGINT)))
@@ -1145,20 +1152,110 @@ WITH b AS (
   SELECT sm.aid, (y*8 + gx) AS pos,
          CASE WHEN s*64 > ts THEN 1 ELSE 0 END AS bit
   FROM sm JOIN tot ON sm.aid = tot.aid
-), fp AS (
+), ifp AS (
   SELECT aid,
          CAST(SUM(CASE WHEN pos = 0 THEN -9223372036854775808 * bit
                        ELSE bit * (CAST(1 AS BIGINT) << CAST(63 - pos AS INT))
                   END) AS BIGINT) AS phash
   FROM bits GROUP BY aid
-)
+)"""
+
+STREAM_IMAGE_DEDUP_INGEST_SQL = f"""
+WITH {_IMG_FP_CTES}
 SELECT aid AS asset_id, phash FROM (
   SELECT aid, phash,
          ROW_NUMBER() OVER (PARTITION BY phash ORDER BY aid) AS rn
-  FROM fp
+  FROM ifp
 ) WHERE rn = 1
 ORDER BY asset_id
 """
+
+
+def stream_image_neardup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T6c/L5×L2 (round-14): streaming image NEAR-DUP annotation at
+    ingest — the banded-store probe generalized beyond minhash.
+    Arriving assets are aHash-fingerprinted and probed against the
+    persistent BANDED phash store (4×16-bit band keys; Hamming ≤ 3
+    < 4 bands is pigeonhole-exhaustive, so band equality finds every
+    qualifying pair); retained rows are annotated (n_near_dups,
+    best_dup_of, best_hamming) vs EARLIER batches. Batch membership
+    is the max(doc_id) thirds and every pixel is closed-form in the
+    id, so the oracle recomputes every annotation bit-for-bit from
+    the DEFINITIONAL O(n²) form (all earlier-batch pairs with
+    popcount(xor) ≤ 3) — independent of the engine's banding."""
+    import tempfile as _tf
+
+    from ..streaming.streams import image_neardup_ingest_sink
+
+    replay = _build_docs_replay(spark, sf_dir)
+    assets = (
+        spark.readStream.schema(_DOCS_REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{replay}/s*/part-*.json")
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    table_path = _tf.mkdtemp(prefix="stream_imgneardup_table_")
+    store_path = _tf.mkdtemp(prefix="stream_imgneardup_store_")
+    ckpt = _tf.mkdtemp(prefix="stream_imgneardup_ckpt_")
+    q = (
+        image_neardup_ingest_sink(assets, table_path, store_path, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.exception() is not None:
+        raise q.exception()
+
+    from ..sinks.manifest import ManifestTable
+
+    return (
+        ManifestTable(table_path)
+        .read(spark)
+        .select(
+            "asset_id", "phash", "n_near_dups",
+            "best_dup_of", "best_hamming",
+        )
+        .orderBy("asset_id")
+    )
+
+
+def _stream_image_neardup_ingest_sql() -> str:
+    batch = (
+        "(CASE WHEN {c} <= mm.m // 3 THEN 0 "
+        "WHEN {c} <= (2 * mm.m) // 3 THEN 1 ELSE 2 END)"
+    )
+    bn = batch.format(c="n.aid")
+    bh = batch.format(c="h.aid")
+    return f"""
+WITH {_IMG_FP_CTES}, hits AS (
+    SELECT n.aid AS id_new, h.aid AS id_hist,
+           bit_count(xor(n.phash, h.phash)) AS hamming
+    FROM ifp n
+    JOIN ifp h ON n.aid <> h.aid
+    JOIN (SELECT MAX(doc_id) AS m FROM documents) mm ON TRUE
+    WHERE bit_count(xor(n.phash, h.phash)) <= 3
+      AND {bh} < {bn}
+), ranked AS (
+    SELECT id_new, id_hist, hamming,
+           CAST(COUNT(*) OVER (PARTITION BY id_new) AS BIGINT)
+               AS n_near_dups,
+           ROW_NUMBER() OVER (PARTITION BY id_new
+                              ORDER BY hamming ASC, id_hist ASC) AS rn
+    FROM hits
+)
+SELECT f.aid AS asset_id, f.phash,
+       COALESCE(r.n_near_dups, 0) AS n_near_dups,
+       r.id_hist AS best_dup_of,
+       CAST(r.hamming AS BIGINT) AS best_hamming
+FROM ifp f
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON f.aid = r.id_new
+ORDER BY asset_id
+"""
+
+
+STREAM_IMAGE_NEARDUP_INGEST_SQL = _stream_image_neardup_ingest_sql()
 
 
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1490,6 +1587,19 @@ QUERIES: dict[str, QuerySpec] = {
         "set == min(asset_id) per distinct phash, exact-oracled (the "
         "oracle re-derives every pixel, block mean, and hash bit "
         "from the closed form)",
+    ),
+    "stream_image_neardup_ingest": QuerySpec(
+        stream_image_neardup_ingest,
+        STREAM_IMAGE_NEARDUP_INGEST_SQL,
+        tags=("T6", "L5", "L2", "M1"),
+        doc="streaming image NEAR-DUP annotation at ingest: the "
+        "banded-store probe generalized beyond minhash - 4x16-bit "
+        "phash band keys (Hamming<=3 is pigeonhole-exhaustive), the "
+        "same bloom-sidecar + file-stabbing + stepped-merge store "
+        "discipline; retained assets annotated (n_near_dups, "
+        "best_dup_of, best_hamming) vs earlier batches; oracle is "
+        "the DEFINITIONAL O(n^2) popcount form, independent of the "
+        "engine's banding",
     ),
 }
 

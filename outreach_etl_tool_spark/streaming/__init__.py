@@ -22,6 +22,7 @@ from .streams import (
     audio_dedup_ingest_sink,
     dedup_ingest_sink,
     image_dedup_ingest_sink,
+    image_neardup_ingest_sink,
     neardup_ingest_sink,
     span_ingest_sink,
     manifest_upsert_sink,
@@ -43,6 +44,7 @@ __all__ = [
     "audio_dedup_ingest_sink",
     "dedup_ingest_sink",
     "image_dedup_ingest_sink",
+    "image_neardup_ingest_sink",
     "neardup_ingest_sink",
     "span_ingest_sink",
 ]

@@ -654,6 +654,231 @@ def image_dedup_ingest_sink(
     )
 
 
+def image_neardup_ingest_sink(
+    assets: DataFrame,
+    table_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "asset_id",
+    max_hamming: int = 3,
+    compact_factor: int = 4,
+    rows_per_file: int = 1 << 20,
+):
+    """Streaming IMAGE near-dup annotation at ingest (round-14 — the
+    banded-store probe generalized beyond minhash: the near-dup ×
+    media × streaming cell completes). Every arriving asset is
+    fingerprinted (`image_fingerprints` — real PPM codec round-trip +
+    block-mean + aHash64, one Arrow pass) and probed against a
+    persistent PHASH store persisted BANDED: 4 rows per asset,
+    key = 16-bit chunk b of the hash — Hamming ≤ 3 < 4 bands is
+    pigeonhole-EXHAUSTIVE, so band-key equality finds every
+    qualifying pair. The store follows the minhash store's physical
+    discipline exactly (`_banded_store_probe`/`_banded_store_append`:
+    key bloom sidecar, value-set file stabbing, stepped-merge
+    key clustering) — per-batch cost O(batch), never O(store); a
+    no-overlap batch reads zero store files. Retained rows are
+    ANNOTATED (n_near_dups, best_dup_of, best_hamming) vs EARLIER
+    batches — annotated, not dropped (the neardup-ingest convention;
+    exact dedup at ingest is `image_dedup_ingest_sink`). Same three
+    idempotence guards as the minhash sink."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as SW
+
+    from ..multimodal.phash import image_fingerprints
+    from ..sinks.manifest import ManifestTable
+
+    table = ManifestTable(table_path)
+    store_table = ManifestTable(store_path)
+
+    def _banded(fps: DataFrame) -> DataFrame:
+        return fps.select(
+            SF.col(id_col).alias("id"),
+            "phash",
+            SF.explode(
+                SF.array(
+                    *[
+                        SF.struct(
+                            SF.lit(b).alias("band"),
+                            SF.shiftrightunsigned("phash", 16 * b)
+                            .bitwiseAND(SF.lit(65535))
+                            .alias("key"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.key", "phash")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        arrived = batch.persist()
+        try:
+            b = arrived
+            if table.exists():
+                probe = _replay_known_ids(table, spark, arrived, id_col)
+                if probe is not None:
+                    b = b.join(probe, id_col, "left_anti")
+            fps = image_fingerprints(
+                b.select(id_col)
+            ).localCheckpoint()  # one Arrow decode pass feeds all legs
+            banded_b = _banded(fps).drop("phash")
+            best = spark.createDataFrame(
+                [],
+                f"{id_col} bigint, n_near_dups bigint, "
+                "best_dup_of bigint, best_hamming bigint",
+            )
+            hist = _banded_store_probe(store_table, spark, banded_b)
+            if hist is not None:
+                cand = (
+                    banded_b.alias("n")
+                    .join(
+                        hist.alias("h"),
+                        (SF.col("n.band") == SF.col("h.band"))
+                        & (SF.col("n.key") == SF.col("h.key")),
+                    )
+                    .join(
+                        fps.select(SF.col(id_col).alias("__bid")),
+                        SF.col("h.id") == SF.col("__bid"),
+                        "left_anti",
+                    )
+                    .select(
+                        SF.col("n.id").alias("id_new"),
+                        SF.col("h.id").alias("id_hist"),
+                        SF.col("h.phash").alias("phash_hist"),
+                    )
+                    .groupBy("id_new", "id_hist")
+                    .agg(SF.first("phash_hist").alias("phash_hist"))
+                )
+                hits = (
+                    cand.join(
+                        fps.select(
+                            SF.col(id_col).alias("id_new"),
+                            SF.col("phash").alias("phash_new"),
+                        ),
+                        "id_new",
+                    )
+                    .withColumn(
+                        "hamming",
+                        SF.bit_count(
+                            SF.col("phash_new").bitwiseXOR(
+                                SF.col("phash_hist")
+                            )
+                        ).cast("bigint"),
+                    )
+                    .filter(SF.col("hamming") <= max_hamming)
+                )
+                wp = SW.partitionBy("id_new")
+                best = (
+                    hits.withColumn(
+                        "n_near_dups", SF.count(SF.lit(1)).over(wp)
+                    )
+                    .withColumn(
+                        "rn",
+                        SF.row_number().over(
+                            wp.orderBy(
+                                SF.asc("hamming"), SF.asc("id_hist")
+                            )
+                        ),
+                    )
+                    .filter(SF.col("rn") == 1)
+                    .select(
+                        SF.col("id_new").alias(id_col),
+                        SF.col("n_near_dups").cast("bigint"),
+                        SF.col("id_hist").alias("best_dup_of"),
+                        SF.col("hamming").alias("best_hamming"),
+                    )
+                )
+            out = (
+                fps.join(best, id_col, "left")
+                .fillna(0, subset=["n_near_dups"])
+                .persist()
+            )
+            try:
+                if out.isEmpty():
+                    return
+                delta = _banded(fps)
+                _banded_store_append(
+                    store_table,
+                    spark,
+                    delta,
+                    hist,
+                    fps.select(SF.col(id_col).alias("id")),
+                    factor=compact_factor,
+                    rows_per_file=rows_per_file,
+                )
+                table.append(out)
+            finally:
+                out.unpersist()
+        finally:
+            arrived.unpersist()
+
+    return (
+        assets.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
+def _banded_store_probe(store_table, spark, banded_keys):
+    """Incremental probe of a persistent BANDED signature store
+    (round-14 — shared by the minhash and phash near-dup ingest
+    sinks): bloom-screen the batch's band keys against the snapshot
+    sidecar (definitely-absent keys drop out), then interval-stab the
+    surviving keys against per-file [min, max] manifest stats and
+    read ONLY band-matching files. Returns the pruned store frame, or
+    None when the store is absent or the bloom proves no key overlap
+    — a no-overlap batch reads ZERO store data files. The collect is
+    the batch's distinct possibly-present keys: bounded by
+    bands·|batch|, never store-sized."""
+    if not store_table.exists():
+        return None
+    poss = [
+        r["key"]
+        for r in store_table.bloom_filter_possible(
+            spark, banded_keys.select("key"), "key"
+        ).collect()
+    ]
+    if not poss:
+        return None
+    return store_table.read_pruned_in(spark, "key", poss)
+
+
+def _banded_store_append(
+    store_table,
+    spark,
+    delta,
+    hist,
+    batch_ids,
+    factor: int = 4,
+    rows_per_file: int = 1 << 20,
+) -> None:
+    """Idempotent append of a banded delta + stepped-merge
+    maintenance. The idempotence guard costs ZERO extra store reads:
+    a crash-window replay's rows are byte-identical, so their band
+    keys are in the batch's key set and their rows are already in the
+    key-pruned probe frame ``hist``; conversely ``hist is None`` with
+    an existing store means the bloom PROVED none of the batch's rows
+    are stored (no false negatives). The delta is range-clustered by
+    key so future probes stab tight per-file ranges."""
+    if hist is not None:
+        known = (
+            hist.join(batch_ids, "id", "left_semi")
+            .select("id")
+            .distinct()
+        )
+        delta = delta.join(known, "id", "left_anti")
+    n_delta = delta.count()
+    if not n_delta:
+        return
+    nparts = max(1, min(32, -(-n_delta // rows_per_file)))
+    store_table.append(
+        delta.repartitionByRange(nparts, "key"), bloom_col="key"
+    )
+    _stepped_merge(
+        store_table, spark, "key", factor=factor, rows_per_file=rows_per_file
+    )
+
+
 def _stepped_merge(
     table, spark, col: str, factor: int = 4, rows_per_file: int = 1 << 20
 ) -> None:
@@ -794,104 +1019,90 @@ def neardup_ingest_sink(
                 f"{id_col} bigint, n_near_dups bigint, "
                 "best_dup_of bigint, best_est_jaccard double",
             )
-            hist = None
-            if store_table.exists():
-                # bloom screen first: band keys the sidecar proves
-                # absent never reach the file stabbing, so a batch
-                # with no band-key overlap collects an EMPTY key set
-                # and reads ZERO store data files
-                poss = [
-                    r["key"]
-                    for r in store_table.bloom_filter_possible(
-                        spark, banded_b.select("key"), "key"
-                    ).collect()
-                ]  # bounded by 8·|batch| keys, never store-sized
-                if poss:
-                    hist = store_table.read_pruned_in(
-                        spark, "key", poss
+            hist = _banded_store_probe(store_table, spark, banded_b)
+            if hist is not None:
+                # guard (b): a replay whose own signatures already
+                # landed (crash between the sig and doc appends)
+                # must not see them as history
+                cand = (
+                    banded_b.alias("n")
+                    .join(
+                        hist.alias("h"),
+                        (SF.col("n.band") == SF.col("h.band"))
+                        & (SF.col("n.key") == SF.col("h.key")),
                     )
-                    # guard (b): a replay whose own signatures already
-                    # landed (crash between the sig and doc appends)
-                    # must not see them as history
-                    cand = (
-                        banded_b.alias("n")
-                        .join(
-                            hist.alias("h"),
-                            (SF.col("n.band") == SF.col("h.band"))
-                            & (SF.col("n.key") == SF.col("h.key")),
-                        )
-                        .join(
-                            sig_b.select(SF.col("id").alias("__bid")),
-                            SF.col("h.id") == SF.col("__bid"),
-                            "left_anti",
-                        )
+                    .join(
+                        sig_b.select(SF.col("id").alias("__bid")),
+                        SF.col("h.id") == SF.col("__bid"),
+                        "left_anti",
                     )
-                    # a pair can hit on several bands; the hist sigs
-                    # ride the candidate rows (constant per id_hist),
-                    # so pair dedup and sig pickup are ONE aggregation
-                    # — no second store read
-                    pairs = (
-                        cand.select(
-                            SF.col("n.id").alias("id_new"),
-                            SF.col("h.id").alias("id_hist"),
-                            *[
-                                SF.col(f"h.s{i}").alias(f"b{i}")
-                                for i in range(_MH_NUM)
-                            ],
-                        )
-                        .groupBy("id_new", "id_hist")
-                        .agg(
-                            *[
-                                SF.first(f"b{i}").alias(f"b{i}")
-                                for i in range(_MH_NUM)
-                            ]
-                        )
+                )
+                # a pair can hit on several bands; the hist sigs
+                # ride the candidate rows (constant per id_hist),
+                # so pair dedup and sig pickup are ONE aggregation
+                # — no second store read
+                pairs = (
+                    cand.select(
+                        SF.col("n.id").alias("id_new"),
+                        SF.col("h.id").alias("id_hist"),
+                        *[
+                            SF.col(f"h.s{i}").alias(f"b{i}")
+                            for i in range(_MH_NUM)
+                        ],
                     )
-                    va = pairs.join(
-                        sig_b.select(
-                            SF.col("id").alias("id_new"),
-                            *[
-                                SF.col(f"s{i}").alias(f"a{i}")
-                                for i in range(_MH_NUM)
-                            ],
+                    .groupBy("id_new", "id_hist")
+                    .agg(
+                        *[
+                            SF.first(f"b{i}").alias(f"b{i}")
+                            for i in range(_MH_NUM)
+                        ]
+                    )
+                )
+                va = pairs.join(
+                    sig_b.select(
+                        SF.col("id").alias("id_new"),
+                        *[
+                            SF.col(f"s{i}").alias(f"a{i}")
+                            for i in range(_MH_NUM)
+                        ],
+                    ),
+                    "id_new",
+                )
+                agree = None
+                for i in range(_MH_NUM):
+                    t = SF.when(
+                        SF.col(f"a{i}") == SF.col(f"b{i}"), 1
+                    ).otherwise(0)
+                    agree = t if agree is None else agree + t
+                hits = va.select(
+                    "id_new",
+                    "id_hist",
+                    agree.cast("long").alias("n_agree"),
+                ).filter(SF.col("n_agree") >= agree_min)
+                wp = SW.partitionBy("id_new")
+                best = (
+                    hits.withColumn(
+                        "n_near_dups", SF.count(SF.lit(1)).over(wp)
+                    )
+                    .withColumn(
+                        "rn",
+                        SF.row_number().over(
+                            wp.orderBy(
+                                SF.desc("n_agree"), SF.asc("id_hist")
+                            )
                         ),
-                        "id_new",
                     )
-                    agree = None
-                    for i in range(_MH_NUM):
-                        t = SF.when(
-                            SF.col(f"a{i}") == SF.col(f"b{i}"), 1
-                        ).otherwise(0)
-                        agree = t if agree is None else agree + t
-                    hits = va.select(
-                        "id_new",
-                        "id_hist",
-                        agree.cast("long").alias("n_agree"),
-                    ).filter(SF.col("n_agree") >= agree_min)
-                    wp = SW.partitionBy("id_new")
-                    best = (
-                        hits.withColumn(
-                            "n_near_dups", SF.count(SF.lit(1)).over(wp)
-                        )
-                        .withColumn(
-                            "rn",
-                            SF.row_number().over(
-                                wp.orderBy(
-                                    SF.desc("n_agree"), SF.asc("id_hist")
-                                )
-                            ),
-                        )
-                        .filter(SF.col("rn") == 1)
-                        .select(
-                            SF.col("id_new").alias(id_col),
-                            SF.col("n_near_dups").cast("bigint"),
-                            SF.col("id_hist").alias("best_dup_of"),
-                            (
-                                SF.col("n_agree").cast("double")
-                                / SF.lit(float(_MH_NUM))
-                            ).alias("best_est_jaccard"),
-                        )
+                    .filter(SF.col("rn") == 1)
+                    .select(
+                        SF.col("id_new").alias(id_col),
+                        SF.col("n_near_dups").cast("bigint"),
+                        SF.col("id_hist").alias("best_dup_of"),
+                        (
+                            SF.col("n_agree").cast("double")
+                            / SF.lit(float(_MH_NUM))
+                        ).alias("best_est_jaccard"),
                     )
+                )
             out = (
                 b.select(id_col, "source", "n_chars")
                 .join(best, id_col, "left")
@@ -901,47 +1112,23 @@ def neardup_ingest_sink(
             try:
                 if out.isEmpty():
                     return
-                # sigs first, docs second. Guard (c) — "don't
-                # re-append sigs a crashed prior attempt already
-                # landed" — costs ZERO extra store reads: a replayed
-                # sig is byte-identical, so its band keys are in the
-                # batch's key set, the bloom flags them possible, and
-                # its rows are already in the key-pruned `hist` frame;
-                # conversely an empty `poss` PROVES (no bloom false
-                # negatives) none of the batch's sigs are stored. The
-                # banded delta is range-clustered by key so future
-                # probes stab tight per-file key ranges.
+                # sigs first, docs second — guard (c) and the LSM
+                # maintenance live in _banded_store_append
                 delta = banded_b.join(sig_b, "id").select(
                     "id",
                     "band",
                     "key",
                     *[f"s{i}" for i in range(_MH_NUM)],
                 )
-                if hist is not None:
-                    known = (
-                        hist.join(
-                            sig_b.select("id"), "id", "left_semi"
-                        )
-                        .select("id")
-                        .distinct()
-                    )
-                    delta = delta.join(known, "id", "left_anti")
-                n_delta = delta.count()
-                if n_delta:
-                    nparts = max(
-                        1, min(32, -(-n_delta // rows_per_file))
-                    )
-                    store_table.append(
-                        delta.repartitionByRange(nparts, "key"),
-                        bloom_col="key",
-                    )
-                    _stepped_merge(
-                        store_table,
-                        spark,
-                        "key",
-                        factor=compact_factor,
-                        rows_per_file=rows_per_file,
-                    )
+                _banded_store_append(
+                    store_table,
+                    spark,
+                    delta,
+                    hist,
+                    sig_b.select("id"),
+                    factor=compact_factor,
+                    rows_per_file=rows_per_file,
+                )
                 table.append(out)
             finally:
                 out.unpersist()

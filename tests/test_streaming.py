@@ -759,6 +759,101 @@ def test_image_dedup_ingest_sink_at_most_once_and_replay(spark, tmp_path):
     ) == [10, 20, 40]
 
 
+def test_image_neardup_ingest_annotates_and_survives_replay(spark, tmp_path):
+    """Streaming image near-dup annotation at ingest (round-14): the
+    banded phash store annotates arriving assets against EARLIER
+    batches across all three driver regimes — exact-coincident plant
+    (11 vs 10: Hamming 0), near plant inside the gate (22 vs 20:
+    Hamming 1), near plant beyond the gate (32 vs 30: Hamming 6 → NOT
+    annotated) — and a full re-ingest (fresh checkpoint, same tables)
+    appends to neither table. Every retained fingerprint and every
+    expected Hamming distance is re-derived by the independent codec
+    round-trip replica."""
+    import json
+    import os
+
+    import numpy as np
+
+    import pyspark.sql.types as T
+
+    from outreach_etl_tool_spark.multimodal.phash import (
+        ahash64_grid,
+        synth_image,
+    )
+    from outreach_etl_tool_spark.multimodal.ppm import (
+        decode_ppm,
+        encode_ppm,
+    )
+    from outreach_etl_tool_spark.sinks import ManifestTable
+
+    def fp(aid):
+        dec = decode_ppm(encode_ppm(synth_image(aid)))
+        h, w = dec.shape[:2]
+        bh, bw = h // 8, w // 8
+        small = (
+            dec[: bh * 8, : bw * 8, :]
+            .reshape(8, bh, 8, bw, 3)
+            .mean(axis=(1, 3))
+            .astype(np.uint8)
+        )
+        return ahash64_grid(small[:, :, 0])
+
+    def ham(a, b):
+        return bin((fp(a) ^ fp(b)) & (2**64 - 1)).count("1")
+
+    # regime preconditions, pinned via the replica
+    assert ham(11, 10) == 0
+    assert 1 <= ham(22, 20) <= 3
+    assert ham(32, 30) > 3
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(
+        json.dumps({"asset_id": a}) for a in [10, 20, 30]))
+    os.utime(src / "b1.json", (1_000_100_000, 1_000_100_000))
+    (src / "b2.json").write_text("\n".join(
+        json.dumps({"asset_id": a}) for a in [11, 22, 32, 99]))
+    os.utime(src / "b2.json", (1_000_100_060, 1_000_100_060))
+
+    schema = T.StructType([T.StructField("asset_id", T.LongType())])
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (
+            ST.image_neardup_ingest_sink(
+                stream, str(tmp_path / "imgs"), str(tmp_path / "phashes"),
+                str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run("ckpt1")
+    table = ManifestTable(str(tmp_path / "imgs"))
+    store = ManifestTable(str(tmp_path / "phashes"))
+    rows = {r["asset_id"]: r for r in table.read(spark).collect()}
+    assert sorted(rows) == [10, 11, 20, 22, 30, 32, 99]
+    for aid, r in rows.items():
+        assert r["phash"] == fp(aid)  # independent replica
+    for clean in (10, 20, 30, 32, 99):  # 32: plant beyond the gate
+        assert rows[clean]["n_near_dups"] == 0
+        assert rows[clean]["best_dup_of"] is None
+    assert rows[11]["best_dup_of"] == 10
+    assert rows[11]["best_hamming"] == 0
+    assert rows[22]["best_dup_of"] == 20
+    assert rows[22]["best_hamming"] == ham(22, 20)
+    # 4 band rows per asset, one distinct id per asset
+    assert store.read(spark).count() == 7 * 4
+    assert store.read(spark).select("id").distinct().count() == 7
+    v_docs, v_store = table.current_version(), store.current_version()
+    run("ckpt2")  # full re-ingest: every id known → skipped
+    assert table.current_version() == v_docs
+    assert store.current_version() == v_store
+
+
 def test_neardup_ingest_annotates_history_and_survives_replay(spark, tmp_path):
     """Streaming near-dup annotation at ingest (round-13): docs whose
     near-duplicate arrived in an EARLIER batch get annotated with the
