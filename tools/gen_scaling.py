@@ -130,6 +130,7 @@ FAMILIES: dict[str, bool] = {  # name -> documents_only
     "dedup_split_leakage": True,          # documents-only → 3x point
     # round-14 additions
     "stream_image_dedup_ingest": True,    # images synthesized from doc ids
+    "stream_image_neardup_ingest": True,  # images synthesized from doc ids
     "dedup_split_repair": True,           # documents-only → 3x point
 }
 
@@ -151,6 +152,13 @@ NOTES: dict[str, str] = {
         "+ aHash64 in one Arrow pass, per-value bloom-gated store "
         "probe; per-asset cost is constant, wall time tracks the "
         "asset count."
+    ),
+    "stream_image_neardup_ingest": (
+        "Round-14: the banded-store probe generalized beyond minhash "
+        "— 4×16-bit phash band keys (Hamming ≤ 3 is pigeonhole-"
+        "exhaustive), shared bloom-sidecar + file-stabbing + "
+        "stepped-merge store discipline; per-batch cost O(batch), "
+        "wall time includes the LSM maintenance merges."
     ),
     "dedup_split_repair": (
         "Round-14: audit → action — connected components over the "
