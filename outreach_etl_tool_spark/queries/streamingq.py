@@ -1199,8 +1199,14 @@ def stream_image_neardup_ingest(
     table_path = _tf.mkdtemp(prefix="stream_imgneardup_table_")
     store_path = _tf.mkdtemp(prefix="stream_imgneardup_store_")
     ckpt = _tf.mkdtemp(prefix="stream_imgneardup_ckpt_")
+    # same discipline as the minhash query above: knobs sized so the
+    # stepped-merge maintenance runs under the oracle gate (~670
+    # banded rows/batch at B=256 share a level ⇒ batch 2 merges batch 1)
     q = (
-        image_neardup_ingest_sink(assets, table_path, store_path, ckpt)
+        image_neardup_ingest_sink(
+            assets, table_path, store_path, ckpt,
+            compact_factor=2, rows_per_file=256,
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -1283,8 +1289,16 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_path = _tf.mkdtemp(prefix="stream_neardup_table_")
     store_path = _tf.mkdtemp(prefix="stream_neardup_store_")
     ckpt = _tf.mkdtemp(prefix="stream_neardup_ckpt_")
+    # compaction knobs sized so the stepped-merge maintenance path
+    # actually RUNS under the oracle gate at driver scale (defaults
+    # never trigger on 3 small batches): ~10.7k banded rows/batch at
+    # B=1024 buckets at level 3, so batch 2's same-level append merges batch 1's run —
+    # the merge is value-preserving, so the hash gate certifies it
     q = (
-        neardup_ingest_sink(docs, table_path, store_path, ckpt)
+        neardup_ingest_sink(
+            docs, table_path, store_path, ckpt,
+            compact_factor=2, rows_per_file=1024,
+        )
         .trigger(availableNow=True)
         .start()
     )
