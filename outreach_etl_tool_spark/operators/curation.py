@@ -71,6 +71,7 @@ def run_curation(
     sample_gate: str | None = None,
     pii_gate: str | None = None,
     pack_gate: bool = False,
+    split_gate: str | None = None,
 ) -> dict[str, int]:
     """Execute the composed run; returns {stage_name: committed rows}.
 
@@ -157,6 +158,19 @@ def run_curation(
     exact prefix sums and Σ seq_first/Σ seq_last placement
     certificates) re-derived on the committed survivors — the layout
     a trainer actually consumes.
+
+    ``split_gate="repair"`` (round-14 — the audit→action loop closed
+    INSIDE the pipeline) commits ``stage_split`` after excision: the
+    final corpus's train/val/test assignment with ZERO near-dup
+    leakage by construction — the hash-derandomized 80/10/10 labels
+    (`_split_labels`, the engine's split convention) with every
+    near-dup CLUSTER (connected components over the oracled
+    minhash-parity pair set of the EXCISED text — the corpus a model
+    would actually see) reassigned to its min-id member's split (the
+    `dedup_split_repair` keeper convention; exact dedup upstream
+    removes identical texts, near-dups survive it and are exactly
+    what leaks). One row per survivor: (doc_id, split, cluster_id —
+    null for unclustered docs, changed).
     """
     from pyspark.sql.window import Window
 
@@ -383,6 +397,52 @@ def run_curation(
             "cleaned_md5",
         ),
     )
+
+    if split_gate == "repair":
+        # leak-free split assignment of the final corpus: default
+        # hash labels, near-dup clusters forced to one split (the
+        # keeper's) — pairs computed on the EXCISED text, the bytes a
+        # model trains on
+        from ..dedup import cluster as _cluster
+        from ..dedup import parity as _parity
+        from ..queries.llm import _split_labels
+
+        pairs = (
+            _parity.minhash_pairs_parity(
+                excised.select("doc_id", "text"), "doc_id", "text"
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        touched = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        comps = _cluster.connected_components(
+            pairs, touched, id_col="doc_id"
+        )
+        labels = _split_labels(excised.select("doc_id"))
+        root = labels.select(
+            F.col("id").alias("cluster_id"),
+            F.col("split").alias("root_split"),
+        )
+        commit(
+            "stage_split",
+            labels.select(F.col("id").alias("doc_id"), "split")
+            .join(comps, "doc_id", "left")
+            .join(root, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("root_split", "split").alias("split"),
+                "cluster_id",
+                (
+                    F.coalesce("root_split", "split") != F.col("split")
+                ).alias("changed"),
+            ),
+        )
+    elif split_gate is not None:
+        raise ValueError(f"unknown split_gate: {split_gate!r}")
 
     # 5 — deterministic shuffle-shard layout of the cleaned corpus
     commit("stage_shards", shard_assignments(excised))

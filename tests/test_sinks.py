@@ -1131,6 +1131,95 @@ def test_curation_run_pii_scrub_and_packing_stages(spark, tmp_path):
     assert counts["stage_packed"] == len(got_pack) > 0
 
 
+def test_curation_run_split_repair_stage(spark, tmp_path):
+    """Round-14: ``split_gate="repair"`` closes the audit→action loop
+    INSIDE the pipeline — the 13-stage all-gates run commits a
+    leak-free train/val/test assignment of the final corpus:
+
+    - one row per excised survivor; unclustered docs carry their
+      hashlib 80/10/10 label (independent replica);
+    - near-dup clusters (recomputed here with an independent python
+      union-find over the minhash pair set of the committed EXCISED
+      text) are assigned to their min-id member's label exactly;
+    - ZERO pairs straddle the committed split;
+    - the `changed` flag is exactly the relabel indicator, and the
+      driver corpus is non-degenerate (clustered docs exist and at
+      least one label actually changed).
+    """
+    import hashlib
+
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.dedup.parity import minhash_pairs_parity
+    from outreach_etl_tool_spark.operators.curation import run_curation
+    from outreach_etl_tool_spark.sinks.manifest import ManifestTable
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    dest = str(tmp_path / "curation_split")
+    counts = run_curation(
+        spark, docs, dest, stopwords="corpus",
+        lang_gate="trained", lm_gate="target", sample_gate="weighted",
+        pii_gate="scrub", pack_gate=True, split_gate="repair",
+    )
+    assert "stage_split" in counts
+    assert counts["stage_split"] == counts["stage_excised"]
+
+    excised = ManifestTable(f"{dest}/stage_excised").read(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs_parity(
+            excised.select("doc_id", "text"), "doc_id", "text"
+        ).collect()
+    }
+    rows = {
+        r["doc_id"]: r
+        for r in ManifestTable(f"{dest}/stage_split")
+        .read(spark).collect()
+    }
+    assert set(rows) == {
+        r["doc_id"] for r in excised.select("doc_id").collect()
+    }
+
+    def hsplit(did):
+        b = int(
+            hashlib.md5(f"split#{did}".encode()).hexdigest()[:8], 16
+        ) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    # independent union-find over the recomputed pair set
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {d: find(d) for d in parent}
+
+    for did, r in rows.items():
+        if did in roots:
+            assert r["cluster_id"] == roots[did]
+            assert r["split"] == hsplit(roots[did])
+        else:
+            assert r["cluster_id"] is None
+            assert r["split"] == hsplit(did)
+        assert r["changed"] == (r["split"] != hsplit(did))
+    # zero-leak on the committed assignment
+    for a, b in pairs:
+        assert rows[a]["split"] == rows[b]["split"], (a, b)
+    # non-degenerate regimes on driver data
+    assert any(r["cluster_id"] is not None for r in rows.values())
+    assert any(r["changed"] for r in rows.values())
+    # downstream unchanged: shards still cover the excised corpus
+    assert counts["stage_shards"] == counts["stage_excised"]
+
+
 def test_curation_run_weighted_sample_stage(spark, tmp_path):
     """Round-13 (VERDICT r12 #8): ``sample_gate="weighted"`` commits a
     subsample STAGE between dedup and decontamination — the 10-stage

@@ -323,17 +323,22 @@ NOTES: dict[str, str] = {
         "the allocation itself is O(D)."
     ),
     "pipeline_curation_run_full": (
-        "The 12-stage FULL composition (round-14 — VERDICT r13 #3 + "
+        "The 13-stage FULL composition (round-14 — VERDICT r13 #3 + "
         "#4): the sampled run plus pii_gate='scrub' (the C4/"
         "RefinedWeb PII scrub between dedup/sample and decon — the "
         "oracled pii_excise span detect + byte-exact rebuild, "
         "committed with scrubbed_md5, rows never dropped) and "
         "pack_gate=True (stage_packed: the curated corpus's "
         "concat-and-chunk layout with per-shard exact prefix sums "
-        "and placement certificates). The delta vs "
-        "pipeline_curation_run_sample is exactly those two stages' "
-        "cost. Parity pytest-pinned (tests/test_sinks.py::"
-        "test_curation_run_pii_scrub_and_packing_stages)."
+        "and placement certificates) and split_gate='repair' "
+        "(stage_split: the final corpus's leak-free train/val/test "
+        "assignment — hash labels with near-dup clusters of the "
+        "EXCISED text forced to their keeper's split, the "
+        "dedup_split_repair convention inside the pipeline). The "
+        "delta vs pipeline_curation_run_sample is exactly those "
+        "three stages' cost. Parity pytest-pinned (tests/"
+        "test_sinks.py::test_curation_run_pii_scrub_and_packing_"
+        "stages + ::test_curation_run_split_repair_stage)."
     ),
     "pipeline_curation_run_sample": (
         "The 10-stage SAMPLED composition (round-13): the trained-"
@@ -686,7 +691,7 @@ def main() -> None:
             round(sample_points["sf1.0"] / sample_points["sf0.1"], 1),
         )
     )
-    # FULL mode (round-14): the 12-stage composition — every gate on
+    # FULL mode (round-14): the 13-stage composition — every gate on
     # (trained lang-ID, target-LM tail drop, weighted subsample, PII
     # scrub between dedup/sample and decon, packing layout after
     # shards); the delta vs _sample is exactly the scrub + packing
@@ -702,7 +707,7 @@ def main() -> None:
                 spark, docs, dest, stopwords="corpus",
                 lang_gate="trained", lm_gate="target",
                 sample_gate="weighted", pii_gate="scrub",
-                pack_gate=True,
+                pack_gate=True, split_gate="repair",
             )
             dt = time.perf_counter() - t0
             shutil.rmtree(dest, ignore_errors=True)
