@@ -142,7 +142,16 @@ def minhash_pairs_parity(
     (den·|∩| ≥ num·|∪|), floats appear only in the reported ratio.
     """
     df = ensure_parallelism(df)
-    sh = _mh_shingle_frame(df, id_col, text_col)
+    # localCheckpoint (round-14 optimization): the shingle frame feeds
+    # THREE consumers — the signature derivation and both sides of the
+    # exact-verify join — and Catalyst inlines the tokenizer + shingle
+    # expression into each, so the corpus was re-tokenized three times
+    # per run (the jaccard_pairs lesson, same fix as the graph module's
+    # edge checkpoint). Blocks are executor-resident and released with
+    # the reference; at scale this trades one disk-backed materialized
+    # pass for two full recomputes of the most expensive expression in
+    # the pipeline.
+    sh = _mh_shingle_frame(df, id_col, text_col).localCheckpoint()
     banded = _mh_banded(_mh_signature(sh))
     cands = _banded_pairs(banded)
     va = cands.join(
@@ -520,38 +529,50 @@ def _emb_banded_qn(
 ) -> tuple[DataFrame, DataFrame]:
     """(banded, qn) from ``base(id, v)``: the SRP band keys and the
     1e-6-quantized integer array + squared norm per vector.
-    Fingerprints come from ONE posexplode + groupBy with one SUM per
-    plane (map-side combinable, fingerprint-sized exchange, zero
-    Python); qn is a per-vector HOF pass over n rows."""
-    planes = _emb_planes(dim)
-    q = base.select(
-        "id", F.posexplode("v").alias("i", "x")
+
+    Round-14 (optimization, guide §2.4/§4.2): fingerprints come from
+    ONE vectorized Arrow kernel over the quantized arrays — a
+    (batch × dim) @ (dim × planes) int64 matmul per batch, sign bits
+    packed in numpy. The previous formulation posexploded every vector
+    (dim rows each) through an EXCHANGE into a 32-SUM hash aggregate:
+    correct, but it shuffled dim× the corpus row count and paid 32
+    element_at lookups per exploded row to compute what one matmul
+    does in-place. The kernel is exact: quantized values are
+    |q| ≤ ~1e6-scaled ints and plane weights |w| ≤ ~5e3, so every dot
+    term and sum stays far inside int64 — numpy int64 == BIGINT SQL
+    bit-for-bit, the same argument as ``_int_dot``. Plan effect:
+    Exchange + HashAggregate removed; fingerprints now ride the scan
+    stage with zero shuffle (the oracle's per-plane SUM CTEs are
+    unchanged — the driver hash gate certifies equality)."""
+    planes_mat = np.asarray(_emb_planes(dim), dtype=np.int64)  # (P, dim)
+    shifts = np.arange(_EMB_PLANES, dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def _srp_fp(qa: pd.Series) -> pd.Series:
+        if len(qa) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        m = np.stack(qa.to_numpy()).astype(np.int64)  # (n, dim)
+        d = m @ planes_mat.T  # exact int64 dots, (n, P)
+        bits = (d > 0).astype(np.int64) << shifts
+        return pd.Series(bits.sum(axis=1))
+
+    zero = F.lit(0).cast("long")
+    qn = base.select(
+        "id",
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(_EMB_SCALE))
+            ).cast("long"),
+        ).alias("qa"),
     ).select(
         "id",
-        "i",
-        F.floor(F.col("x").cast("double") * F.lit(float(_EMB_SCALE)))
-        .cast("long")
-        .alias("q"),
+        "qa",
+        F.aggregate(
+            F.transform("qa", lambda a: a * a), zero, lambda acc, x: acc + x
+        ).alias("nq"),
     )
-    # true array Literals (F.lit(list)), NOT CreateArray of 64 Literal
-    # nodes — CreateArray re-materializes the array per row-evaluation
-    # and measured ~2x slower across the 32 plane lookups
-    plane_arrs = [
-        F.lit([int(w) for w in planes[j]]) for j in range(_EMB_PLANES)
-    ]
-    dots = q.groupBy("id").agg(
-        *[
-            F.sum(
-                F.col("q") * F.element_at(plane_arrs[j], F.col("i") + 1)
-            ).alias(f"d{j}")
-            for j in range(_EMB_PLANES)
-        ]
-    )
-    fp_expr = None
-    for j in range(_EMB_PLANES):
-        bit = F.when(F.col(f"d{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp_expr = bit if fp_expr is None else fp_expr + bit
-    fp = dots.select("id", fp_expr.cast("long").alias("fp"))
+    fp = qn.select("id", _srp_fp("qa").alias("fp"))
     banded = fp.select(
         "id",
         F.explode(
@@ -576,22 +597,6 @@ def _emb_banded_qn(
     # vectors, and an interpreted 64-element fold per pair measured
     # ~10x the whole fingerprint stage. int64 numpy == BIGINT SQL
     # exactly (max |dot| term ~6e14 < 2^63).
-    zero = F.lit(0).cast("long")
-    qn = base.select(
-        "id",
-        F.transform(
-            "v",
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(_EMB_SCALE))
-            ).cast("long"),
-        ).alias("qa"),
-    ).select(
-        "id",
-        "qa",
-        F.aggregate(
-            F.transform("qa", lambda a: a * a), zero, lambda acc, x: acc + x
-        ).alias("nq"),
-    )
     return banded, qn
 
 

@@ -29,25 +29,50 @@ Scale notes per query below.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.expr import bind_once
 from . import QuerySpec
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected edges (u < v): parts appearing in the same
     order. One shuffle on l_orderkey; per-order pair expansion is
-    bounded by order width (≤ ~7 lines), never by part popularity."""
+    bounded by order width (≤ ~7 lines), never by part popularity.
+
+    Round-14 (optimization): ONE pass formulation — collect each
+    order's distinct part set (map-side-combinable collect_set), then
+    expand the ≤ C(width, 2) ordered pairs from the sorted array with
+    higher-order functions. The previous self-join formulation scanned
+    lineitem THREE times (the distinct plus one scan per join leg —
+    the two legs project different columns, so the exchange is not
+    reused) and paid an extra exchange; measured 3 scans × ~110 MB at
+    sf0.1 in the stage metrics. Same distinct pair set: within-order
+    pairs of the distinct part set, u < v from the sorted array."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select("l_orderkey", "l_partkey").distinct()
-    a = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = pl.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    sets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    def _pairs(arr: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    F.slice(arr, i + F.lit(2), F.size(arr)),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")),
+                ),
+            )
+        )
+
+    # bind_once: the sorted array is referenced three times in _pairs
+    pairs = bind_once(F.array_sort(F.col("ps")), _pairs)
     return (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        sets.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
         .distinct()
     )
 
@@ -76,6 +101,13 @@ def _degrees(e: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+# Broadcast ceiling for the triangle-closing build side: 8M packed
+# longs hash to a ~64-128 MB relation — comfortably broadcastable on
+# any executor profile this engine targets; beyond it the closing
+# join stays sort-merge (the build side grows with the graph).
+_CLOSER_BCAST_MAX_EDGES = 8_000_000
 
 
 def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
@@ -156,6 +188,22 @@ def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
         .select("s", _pack64("b", "c").alias("bc"))
     )
     closer = o.select(_pack64("s", "t").alias("bc"))
+    # Round-14 (optimization, guide §3.1/§2.4): the closing join's
+    # probe side is the WEDGE relation — ~Σ C(out_deg, 2) rows, the
+    # dominant relation of the whole family (41M rows / ~350 MB
+    # shuffled at sf0.1, measured) — while the build side is only the
+    # oriented EDGE list (one packed long per edge). Broadcasting the
+    # closer when the edge count fits (size-aware, the
+    # connected_components driver-fast-path convention) removes the
+    # wedge exchange entirely: wedges are closed map-side in the stage
+    # that generates them, and the downstream corner/side rollups see
+    # triangle-sized input with map-side partial aggregation. Past the
+    # threshold (~64 MB hashed relation) the sort-merge path stands —
+    # at 10^11 edges a broadcast would OOM every executor. o is
+    # localCheckpointed, so the count is one cached-block scan, and
+    # the SAME count decides both tiers deterministically.
+    if o.count() <= _CLOSER_BCAST_MAX_EDGES:
+        closer = F.broadcast(closer)
     return wedges.join(closer, "bc").select(
         F.col("s").alias("a"),
         F.shiftrightunsigned("bc", 32).alias("b"),

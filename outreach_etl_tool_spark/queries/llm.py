@@ -4902,7 +4902,15 @@ def _pii_spans(cdocs: DataFrame) -> DataFrame:
 def pii_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     cdocs = _pii_cdocs(docs)
-    return _pii_spans(cdocs).orderBy("doc_id", "span_start")
+    # checkpoint-before-sort (round-14 optimization, the
+    # gopher_dupgram_coverage pattern): the final orderBy's range
+    # sampler evaluates the whole span derivation — token explode,
+    # per-doc position window, four anchored regexes — once for the
+    # boundaries and again for the sort (two stages each reading the
+    # window exchange, measured). The checkpointed relation is the
+    # span OUTPUT (a handful of typed extents per planted doc), so the
+    # derivation runs once at any corpus size.
+    return _pii_spans(cdocs).localCheckpoint().orderBy("doc_id", "span_start")
 
 
 def pii_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
