@@ -3833,67 +3833,24 @@ def lang_id_trained_frame(
         labels = train_docs.select("doc_id", "lang")
         xt = _lid_x(train_docs).localCheckpoint()
     langs = sorted(r["lang"] for r in labels.select("lang").distinct().collect())
+    bs = sorted(r["b"] for r in xt.select("b").distinct().collect())
     y = F.when(F.col("lang") == F.col("c"), F.lit(_LID_SCALE)).otherwise(F.lit(0))
-    w: dict[tuple[str, int], int] = {}
+    w: dict[tuple[str, int], int] = {(c, b): 0 for c in langs for b in bs}
 
-    # Round-14 optimization: per-class weights ride the plan as dense
-    # 256-slot literal ARRAYS (one element_at per row — the
-    # quality_classifier_scores discipline) instead of a broadcast
-    # (c, b, w) DataFrame join. The join form paid, per iteration: a
-    # 32-slice createDataFrame parallelize + BroadcastExchange build
-    # (pure scheduling, measured ~0.4 s each on the profile), plus a ×K
-    # row fan-out of the feature frame BEFORE its aggregation. The
-    # dense form computes all K class sums in ONE map-side-combinable
-    # aggregate over the feature frame and unpivots the K columns after
-    # the rollup — identical integer arithmetic (missing buckets hold
-    # weight 0, exactly the inner join's contribution), so z, the
-    # gradients, and the final scores are bit-equal; the oracle's
-    # per-class CTE unrolling is untouched.
-    def _wb(c: str) -> Column:
-        arr = [int(w.get((c, b), 0)) for b in range(_DSIR_B)]
-        return F.element_at(F.lit(arr), F.col("b").cast("int") + 1).cast(
-            "long"
-        )
-
-    def _z_of(xf: DataFrame) -> DataFrame:
-        sums = xf.groupBy("doc_id").agg(
-            *[
-                F.sum(F.col("x") * _wb(c)).alias(f"_z{i}")
-                for i, c in enumerate(langs)
-            ]
-        )
-        return sums.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("c"), F.col(f"_z{i}").alias("z")
-                        )
-                        for i, c in enumerate(langs)
-                    ]
-                )
-            ).alias("cz"),
-        ).select("doc_id", "cz.c", "cz.z")
-
-    if not langs:  # empty frame: no classes, no winners — fallback path
-        winner = spark.createDataFrame([], "doc_id bigint, pred string, z bigint")
-        fallback = F.lit("und")
-        out_labels = docs.select("doc_id", "lang")
-        return (
-            out_labels.join(winner, "doc_id", "left")
-            .select(
-                "doc_id",
-                "lang",
-                F.coalesce("pred", fallback).alias("predicted_lang"),
-                F.coalesce("z", F.lit(0)).cast("bigint").alias("best_score_scaled"),
-                (F.col("lang") == F.coalesce("pred", fallback)).alias("is_correct"),
+    def _wdf() -> DataFrame:
+        return F.broadcast(
+            spark.createDataFrame(
+                [(c, b, int(v)) for (c, b), v in sorted(w.items())],
+                "c string, b bigint, w long",
             )
-            .orderBy("doc_id")
         )
 
     for _ in range(_LID_ITERS):
-        z = _z_of(xt)
+        z = (
+            xt.join(_wdf(), "b")
+            .groupBy("doc_id", "c")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        )
         grad_rows = (
             xt.join(z, "doc_id")
             .join(labels, "doc_id")  # corpus-sized: shuffle join, no hint
@@ -3903,10 +3860,14 @@ def lang_id_trained_frame(
             .collect()  # <= K * _DSIR_B rows — bounded model state
         )
         for r in grad_rows:
-            w[(r["c"], r["b"])] = w.get((r["c"], r["b"]), 0) - _trunc_div(
+            w[(r["c"], r["b"])] -= _trunc_div(
                 r["g"] * _LID_LRN, _LID_LRD * n_docs
             )
-    zf = _z_of(x)
+    zf = (
+        x.join(_wdf(), "b")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+    )
     wd = Window.partitionBy("doc_id").orderBy(F.desc("z"), F.asc("c"))
     winner = (
         zf.withColumn("rn", F.row_number().over(wd))
