@@ -1308,8 +1308,11 @@ def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding") == 64
     )
     qarr = _tau_qarr(embs).localCheckpoint()  # feeds every recompute leg
+    # one count job, two consumers (round-14: the anchor and the SRP
+    # sample legs derived S independently — same value, twice the job)
+    smod = _cert_sample_mod(embs)
     n_anchor = (
-        _exact_tau_pairs(embs, sample_mod=_cert_sample_mod(embs))
+        _exact_tau_pairs(embs, sample_mod=smod)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_tau_pairs_sampled"))
     )
     unsound = (
@@ -1328,7 +1331,6 @@ def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Soundness is NOT affected — it is the exhaustive recompute leg
     # above; this leg is the cross-tier agreement audit, exhaustive in
     # the full-universe form that remains the sf0.01 driver gate.)
-    smod = _cert_sample_mod(embs)
     embs_s = embs.filter(F.col("vec_id") % smod == 0)
     base_s = embs_s.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v")
@@ -3224,10 +3226,18 @@ def _decontamination_report_frame(
             F.sum("l").alias("extent_chars"),
         )
     )
-    # tier 2: distinct shared token 4-grams vs the %7 eval set
-    g = docs.select(
-        "doc_id", F.explode(F.array_distinct(_grams("text", 4))).alias("gram")
-    )
+    # tier 2: distinct shared token 4-grams vs the %7 eval set.
+    # localCheckpoint the PRE-explode gram arrays (round-14
+    # optimization): the gram stream feeds both the eval-distinct leg
+    # and the train-overlap leg, and Catalyst inlines the tokenizer +
+    # 4-gram HOF into each — the corpus was gram-tokenized twice per
+    # report. The materialized relation is (doc_id, distinct-gram
+    # array), the same corpus-order-of-magnitude class as the minhash
+    # shingle checkpoint; both legs explode the cached arrays.
+    garr = docs.select(
+        "doc_id", F.array_distinct(_grams("text", 4)).alias("grams")
+    ).localCheckpoint()
+    g = garr.select("doc_id", F.explode("grams").alias("gram"))
     evg = (
         g.filter(F.col("doc_id") % _DCE_MOD == 0).select("gram").distinct()
     )
