@@ -515,6 +515,123 @@ def _int_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series((a * b).sum(axis=1))
 
 
+def _tau_ok_exact(
+    dq: np.ndarray, na: np.ndarray, nb: np.ndarray, num: int, den: int
+) -> np.ndarray:
+    """EXACT integer τ gate over int64 vectors: dq > 0 AND
+    den²·dq² >= num²·na·nb. dq² can reach ~4e27 (92 bits), far past
+    int64 AND past float64's 53-bit mantissa, so the comparison runs
+    on arbitrary-precision Python ints (object-dtype numpy) — the
+    bit-exact mirror of the JVM decimal(38) / DuckDB HUGEINT gate.
+    Only dq > 0 rows pay the object math (the gate short-circuits the
+    rest), and the per-pair cost is three big-int mults — noise next
+    to the matmul that produced dq."""
+    out = dq > 0
+    if out.any():
+        d = dq[out].astype(object)
+        x = na[out].astype(object)
+        y = nb[out].astype(object)
+        out[out] = (den * den) * d * d >= (num * num) * x * y
+    return out
+
+
+def _grouped_tau_pairs(
+    members: DataFrame,
+    group_cols: list[str],
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    cross_col: str | None = None,
+) -> DataFrame:
+    """τ-gated cosine pairs WITHIN each group of ``members(group_cols…,
+    id, qa, nq)`` — the shared pair-scoring kernel of every embedding
+    tier (round-15 optimization, guide §2.3/§4.2).
+
+    The previous shape joined the bucket/cell relation to itself and
+    then attached both quantized arrays PER PAIR: a ~1 MB bucket
+    relation exploded into pair-sized rows each carrying two 64-long
+    arrays (~1 KB/pair — measured ~800 MB of intermediate for 811k
+    candidates at sf0.1) that crawled through a per-pair Arrow dot
+    kernel on the 1-5 tasks AQE's coalescing left after the tiny
+    pre-join exchange. This kernel ships MEMBER-sized rows instead and
+    does the quadratic part as one numpy matmul per group:
+
+      * one (n_grp × dim) @ (dim × n_grp) exact int64 matmul gives
+        every pairwise dot of the group (same int64-exactness argument
+        as ``_int_dot``: |q| ≤ ~1e6-scaled, dim 64 ⇒ |dot| ≤ ~6.4e13);
+      * the τ gate runs exactly on Python big-ints (``_tau_ok_exact``);
+      * the reported cosine is the identical IEEE expression —
+        double(dq) / sqrt(double(na) · double(nb)), every operand
+        < 2^53 so the casts are exact and the three roundings match
+        the JVM/DuckDB ops bit-for-bit (the driver hash gate certifies
+        this end-to-end).
+
+    Scale shape: shuffle bytes are member-count-sized (the bucket cap
+    bounds every group at ``_CAP`` rows), the per-group quadratic is
+    the LSH candidate set itself — the same work as before, minus the
+    pair-sized materialization.
+
+    ``cross_col``: name of a boolean side column — emit only pairs
+    crossing the split as (id_train=False-side, id_eval=True-side,
+    cosine) instead of within-group (id_a < id_b) pairs.
+    """
+    num, den = threshold_num, threshold_den
+
+    if cross_col is None:
+        schema = "id_a long, id_b long, cosine double"
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id")
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "cosine": pd.Series(dtype="float64")}
+                )
+            ids = pdf["id"].to_numpy()
+            m = np.stack(pdf["qa"].to_numpy()).astype(np.int64)
+            nq = pdf["nq"].to_numpy().astype(np.int64)
+            iu, ju = np.triu_indices(n, k=1)
+            dq = (m @ m.T)[iu, ju]
+            na, nb = nq[iu], nq[ju]
+            ok = _tau_ok_exact(dq, na, nb, num, den)
+            cos = dq[ok] / np.sqrt(
+                na[ok].astype(np.float64) * nb[ok].astype(np.float64)
+            )
+            return pd.DataFrame(
+                {"id_a": ids[iu[ok]], "id_b": ids[ju[ok]], "cosine": cos}
+            )
+
+    else:
+        schema = "id_train long, id_eval long, cosine double"
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            ev = pdf[pdf[cross_col].astype(bool)]
+            tr = pdf[~pdf[cross_col].astype(bool)]
+            if len(ev) == 0 or len(tr) == 0:
+                return pd.DataFrame(
+                    {"id_train": pd.Series(dtype="int64"),
+                     "id_eval": pd.Series(dtype="int64"),
+                     "cosine": pd.Series(dtype="float64")}
+                )
+            me = np.stack(ev["qa"].to_numpy()).astype(np.int64)
+            mt = np.stack(tr["qa"].to_numpy()).astype(np.int64)
+            dq = (mt @ me.T).ravel()  # (n_tr × n_ev), train-major
+            na = np.repeat(tr["nq"].to_numpy().astype(np.int64), len(ev))
+            nb = np.tile(ev["nq"].to_numpy().astype(np.int64), len(tr))
+            ok = _tau_ok_exact(dq, na, nb, num, den)
+            cos = dq[ok] / np.sqrt(
+                na[ok].astype(np.float64) * nb[ok].astype(np.float64)
+            )
+            tid = np.repeat(tr["id"].to_numpy(), len(ev))[ok]
+            eid = np.tile(ev["id"].to_numpy(), len(tr))[ok]
+            return pd.DataFrame(
+                {"id_train": tid, "id_eval": eid, "cosine": cos}
+            )
+
+    return members.groupBy(*group_cols).applyInPandas(score, schema)
+
+
 def _emb_planes(dim: int) -> list[list[int]]:
     rng = np.random.RandomState(_EMB_SEED)
     return (
@@ -524,11 +641,9 @@ def _emb_planes(dim: int) -> list[list[int]]:
     )
 
 
-def _emb_banded_qn(
-    base: DataFrame, dim: int
-) -> tuple[DataFrame, DataFrame]:
-    """(banded, qn) from ``base(id, v)``: the SRP band keys and the
-    1e-6-quantized integer array + squared norm per vector.
+def _emb_qn_fp(base: DataFrame, dim: int) -> DataFrame:
+    """(id, qa, nq, fp) from ``base(id, v)``: the 1e-6-quantized
+    integer array, its squared norm, and the packed SRP fingerprint.
 
     Round-14 (optimization, guide §2.4/§4.2): fingerprints come from
     ONE vectorized Arrow kernel over the quantized arrays — a
@@ -572,32 +687,96 @@ def _emb_banded_qn(
             F.transform("qa", lambda a: a * a), zero, lambda acc, x: acc + x
         ).alias("nq"),
     )
-    fp = qn.select("id", _srp_fp("qa").alias("fp"))
-    banded = fp.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("fp", b * _EMB_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _EMB_BAND_BITS) - 1))
-                        .cast("string")
-                        .alias("key"),
-                    )
-                    for b in range(_EMB_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
-    # per-VECTOR quantized array + norm, computed once (the HOF fold
-    # runs over n vectors); per-PAIR work is only the dot product,
-    # which goes through a vectorized Arrow kernel — the candidate set
-    # is where LSH is least selective on near-uniform synthetic
-    # vectors, and an interpreted 64-element fold per pair measured
-    # ~10x the whole fingerprint stage. int64 numpy == BIGINT SQL
-    # exactly (max |dot| term ~6e14 < 2^63).
-    return banded, qn
+    return qn.select("id", "qa", "nq", _srp_fp("qa").alias("fp"))
+
+
+def _emb_band_expr() -> Column:
+    """The per-vector (band, key) explode over the packed fingerprint."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("fp", b * _EMB_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << _EMB_BAND_BITS) - 1))
+                    .cast("string")
+                    .alias("key"),
+                )
+                for b in range(_EMB_BANDS)
+            ]
+        )
+    )
+
+
+def _emb_banded_qn(
+    base: DataFrame, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, qn) from ``base(id, v)``: the SRP band keys and the
+    quantized array + squared norm per vector (see _emb_qn_fp).
+
+    per-VECTOR quantized array + norm, computed once (the HOF fold
+    runs over n vectors); per-PAIR work goes through the vectorized
+    matmul kernels — the candidate set is where LSH is least selective
+    on near-uniform synthetic vectors, and an interpreted 64-element
+    fold per pair measured ~10x the whole fingerprint stage. int64
+    numpy == BIGINT SQL exactly (max |dot| term ~6e14 < 2^63)."""
+    qf = _emb_qn_fp(base, dim)
+    banded = qf.select("id", _emb_band_expr().alias("bk")).select(
+        "id", "bk.band", "bk.key"
+    )
+    return banded, qf.select("id", "qa", "nq")
+
+
+def _emb_capped_members(
+    base: DataFrame, dim: int, cross_mod: int | None = None
+) -> DataFrame:
+    """Capped bucket MEMBERS with the quantized arrays carried through
+    the banding: (band, key, id, qa, nq[, is_ev]) — the input frame of
+    the grouped pair-scoring kernel (round-15 optimization).
+
+    Why carry the arrays instead of joining them back per candidate:
+    the kernel consumes whole buckets, so array bytes cross the wire
+    once per (vector × band) — bounded by _EMB_BANDS × corpus — while
+    the old shape attached TWO arrays per candidate PAIR (pairs ≫
+    members whenever buckets are dense, ~25× at sf0.1). The cap window
+    partitions by exactly the kernel's grouping key, so the banding,
+    the cap, and the pair scoring all share ONE exchange.
+
+    ``cross_mod``: the decontamination split — eval rows
+    (id % cross_mod == 0) bypass the cap (round-10 ADVICE: capping the
+    combined set let a saturated bucket evict a high-id EVAL probe);
+    train rows are ranked among train rows only. Expressed as a
+    running conditional count over (is_ev ASC, id ASC) so the window
+    key stays (band, key) — the train-rank of a train row equals its
+    row_number among train rows because train (false) sorts first and
+    ids are unique."""
+    from pyspark.sql.window import Window
+
+    m = _emb_qn_fp(base, dim).select(
+        "id", "qa", "nq", _emb_band_expr().alias("bk")
+    ).select("bk.band", "bk.key", "id", "qa", "nq")
+    if cross_mod is None:
+        w = Window.partitionBy("band", "key").orderBy("id")
+        return (
+            m.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _CAP)
+            .drop("rn")
+        )
+    is_ev = (F.col("id") % cross_mod == 0).alias("is_ev")
+    w = (
+        Window.partitionBy("band", "key")
+        .orderBy("is_ev", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.select("band", "key", "id", "qa", "nq", is_ev)
+        .withColumn(
+            "trn_rank",
+            F.sum(F.when(~F.col("is_ev"), 1).otherwise(0)).over(w),
+        )
+        .filter(F.col("is_ev") | (F.col("trn_rank") <= _CAP))
+        .drop("trn_rank")
+    )
 
 
 def emb_pairs_parity(
@@ -615,41 +794,21 @@ def emb_pairs_parity(
     vectors)."""
     df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    banded, qn = _emb_banded_qn(base, dim)
-    cands = _banded_pairs(banded)
-    va = cands.join(
-        qn.select(
-            F.col("id").alias("id_a"),
-            F.col("qa").alias("va"),
-            F.col("nq").alias("na"),
-        ),
-        "id_a",
-    ).join(
-        qn.select(
-            F.col("id").alias("id_b"),
-            F.col("qa").alias("vb"),
-            F.col("nq").alias("nb"),
-        ),
-        "id_b",
-    )
-    scored = va.select(
-        "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
-    )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    gate = (F.col("dq") > 0) & (
-        F.lit(threshold_den * threshold_den) * dec("dq") * dec("dq")
-        >= F.lit(threshold_num * threshold_num) * dec("na") * dec("nb")
-    )
-    out = scored.filter(gate).select(
-        "id_a",
-        "id_b",
-        (
-            F.col("dq")
-            / F.sqrt(
-                F.col("na").cast("double") * F.col("nb").cast("double")
-            )
-        ).alias("cosine"),
-    )
+    # Round-15 (optimization, guide §2.3/§4.2): score pairs per
+    # (band, key) bucket with the grouped matmul kernel instead of the
+    # bucket self-join + per-pair array attach + per-pair Arrow dot.
+    # The scoring is a pure function of the pair, so bucket-local
+    # scoring followed by DISTINCT over the (bit-identical) gated rows
+    # equals the old distinct-candidates-then-score set exactly; the
+    # cross-band duplication factor is ~1.27× at sf0.1 — one matmul
+    # row against ~800 MB of avoided pair-sized intermediate. The cap
+    # window, the banding, and the kernel's groupBy share ONE exchange
+    # (and the capped relation has a single consumer now — the
+    # both-join-sides localCheckpoint is gone with the join).
+    members = _emb_capped_members(base, dim)
+    out = _grouped_tau_pairs(
+        members, ["band", "key"], threshold_num, threshold_den
+    ).distinct()
     # ordered=False for composition consumers (e.g. the semdedup
     # component stage) that immediately re-shuffle — the global sort
     # is presentation-only
@@ -776,72 +935,28 @@ def emb_cross_decon_parity(
 
     df = ensure_parallelism(df).filter(F.size(vec_col) == dim)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    banded, qn = _emb_banded_qn(base, dim)
-    # Round-10 ADVICE fix: the bucket cap is per SIDE, and only the
-    # TRAIN side is capped — capping the combined set let a saturated
-    # (band, key) bucket silently evict a high-id EVAL probe, leaving
-    # all of its train paraphrases unflagged (a recall hole the shared
-    # oracle shape could never surface). The window partitions by
-    # (band, key, side) so train rows are ranked among train rows
-    # only; eval rows pass unconditionally. Oracle mirrors verbatim.
-    from pyspark.sql.window import Window as _W
-
-    is_ev = (F.col("id") % _DECON_EVAL_MOD == 0).alias("is_ev")
-    w_cap = _W.partitionBy("band", "key", "is_ev").orderBy("id")
-    capped = (
-        banded.select("band", "key", "id", is_ev)
-        .withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("is_ev") | (F.col("rn") <= _CAP))
-        .select("band", "key", "id", "is_ev")
-        .localCheckpoint()  # feeds both sides of the cross join
-    )
-    ev = capped.filter("is_ev").select("band", "key", "id")
-    tr = capped.filter(~F.col("is_ev")).select("band", "key", "id")
-    cands = (
-        ev.alias("e")
-        .join(
-            tr.alias("t"),
-            (F.col("e.band") == F.col("t.band"))
-            & (F.col("e.key") == F.col("t.key")),
-        )
-        .select(
-            F.col("t.id").alias("id_train"), F.col("e.id").alias("id_eval")
-        )
-        .distinct()
-    )
-    va = cands.join(
-        qn.select(
-            F.col("id").alias("id_train"),
-            F.col("qa").alias("va"),
-            F.col("nq").alias("na"),
-        ),
-        "id_train",
-    ).join(
-        qn.select(
-            F.col("id").alias("id_eval"),
-            F.col("qa").alias("vb"),
-            F.col("nq").alias("nb"),
-        ),
-        "id_eval",
-    )
-    scored = va.select(
-        "id_train", "id_eval", _int_dot("va", "vb").alias("dq"), "na", "nb"
-    )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    gate = (F.col("dq") > 0) & (
-        F.lit(threshold_den * threshold_den) * dec("dq") * dec("dq")
-        >= F.lit(threshold_num * threshold_num) * dec("na") * dec("nb")
-    )
-    gated = scored.filter(gate).select(
-        "id_train",
-        "id_eval",
-        (
-            F.col("dq")
-            / F.sqrt(
-                F.col("na").cast("double") * F.col("nb").cast("double")
-            )
-        ).alias("cosine"),
-    )
+    # Round-10 ADVICE fix (now inside _emb_capped_members): the bucket
+    # cap is per SIDE, and only the TRAIN side is capped — capping the
+    # combined set let a saturated (band, key) bucket silently evict a
+    # high-id EVAL probe, leaving all of its train paraphrases
+    # unflagged (a recall hole the shared oracle shape could never
+    # surface). Train rows are ranked among train rows only; eval rows
+    # pass unconditionally. Oracle mirrors the kept set verbatim.
+    #
+    # Round-15 (optimization, guide §2.3/§4.2): the eval×train bucket
+    # join + per-pair array attach + per-pair Arrow dot is replaced by
+    # the grouped matmul kernel (one cross matmul per bucket, exact
+    # big-int τ gate, identical IEEE cosine — see _grouped_tau_pairs).
+    # Bucket-local scoring then DISTINCT over the bit-identical gated
+    # rows equals the old distinct-candidates-then-score set exactly.
+    members = _emb_capped_members(base, dim, cross_mod=_DECON_EVAL_MOD)
+    gated = _grouped_tau_pairs(
+        members,
+        ["band", "key"],
+        threshold_num,
+        threshold_den,
+        cross_col="is_ev",
+    ).distinct()
     w = Window.partitionBy("id_train").orderBy(
         F.desc("cosine"), F.asc("id_eval")
     )

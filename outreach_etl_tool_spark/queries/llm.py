@@ -816,7 +816,7 @@ def _semdedup_ivf_parts(
     the certificate query (semdedup_ivf_check) can audit the emitted
     PAIRS, not just the component rollup."""
     from ..dedup import cluster
-    from ..dedup.parity import _int_dot
+    from ..dedup.parity import _grouped_tau_pairs
     from ..similarity import kmeans
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -824,27 +824,18 @@ def _semdedup_ivf_parts(
     k = _ivf_k(sf_dir, raw)
     cents = kmeans.kmeans_centroids(embs, k=k, iters=3)
     qn = _ivf_qn(embs, cents)
-    cands = (
-        qn.alias("a")
-        .join(
-            qn.alias("b"),
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.qa").alias("va"),
-            F.col("b.qa").alias("vb"),
-            F.col("a.nq").alias("na"),
-            F.col("b.nq").alias("nb"),
-        )
+    # Round-15 (optimization, guide §2.3/§4.2): cells partition the id
+    # space, so within-cell pairs come from the grouped matmul kernel
+    # (one exact int64 matmul + big-int τ gate per cell) instead of the
+    # cell self-join that materialized both quantized arrays per pair —
+    # the measured 5.1 s single-task stage at sf0.1. Same τ = 2/5 gate,
+    # same pair set (each pair lives in exactly one cell — no distinct
+    # needed, exactly like the join it replaces).
+    pairs = (
+        _grouped_tau_pairs(qn.select("cell", "id", "qa", "nq"), ["cell"])
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
-    scored = cands.select(
-        "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
-    )
-    # same τ = 2/5 gate as the parity tier
-    pairs = scored.filter(_tau_gate()).select("id_a", "id_b").localCheckpoint()
     comps = cluster.connected_components(
         pairs, qn.select(F.col("id").alias("vec_id")), id_col="vec_id"
     )
@@ -876,7 +867,7 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..dedup.parity import _DECON_EVAL_MOD, _int_dot
+    from ..dedup.parity import _DECON_EVAL_MOD, _grouped_tau_pairs
     from ..similarity import kmeans
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -885,31 +876,16 @@ def decontaminate_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("vec_id") % _DECON_EVAL_MOD == 0
     cents = kmeans.kmeans_centroids(embs.filter(~is_eval), k=k, iters=3)
     qn = _ivf_qn(embs, cents)
-    ev = qn.filter(F.col("id") % _DECON_EVAL_MOD == 0)
-    tr = qn.filter(F.col("id") % _DECON_EVAL_MOD != 0)
-    cands = (
-        ev.alias("e")
-        .join(tr.alias("t"), F.col("e.cell") == F.col("t.cell"))
-        .select(
-            F.col("t.id").alias("id_train"),
-            F.col("e.id").alias("id_eval"),
-            F.col("t.qa").alias("va"),
-            F.col("e.qa").alias("vb"),
-            F.col("t.nq").alias("na"),
-            F.col("e.nq").alias("nb"),
-        )
+    # Round-15 (optimization, guide §2.3/§4.2): eval×train scoring per
+    # cell via the grouped matmul kernel — same exact-integer τ gate
+    # and IEEE cosine as the join + per-pair-array shape it replaces
+    # (each (train, eval) pair lives in exactly one cell — no distinct,
+    # exactly like the join).
+    members = qn.select(
+        "cell", "id", "qa", "nq",
+        (F.col("id") % _DECON_EVAL_MOD == 0).alias("is_ev"),
     )
-    scored = cands.select(
-        "id_train", "id_eval", _int_dot("va", "vb").alias("dq"), "na", "nb"
-    )
-    gated = scored.filter(_tau_gate()).select(
-        "id_train",
-        "id_eval",
-        (
-            F.col("dq")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-        ).alias("cosine"),
-    )
+    gated = _grouped_tau_pairs(members, ["cell"], cross_col="is_ev")
     w = Window.partitionBy("id_train").orderBy(
         F.desc("cosine"), F.asc("id_eval")
     )
@@ -975,39 +951,81 @@ def _tau_qarr(embs: DataFrame) -> DataFrame:
 
 
 def _exact_tau_pairs(
-    embs: DataFrame, sample_mod: int | None = None
+    embs: DataFrame, sample_mod: int | None = None, nblocks: int = 16
 ) -> DataFrame:
     """Brute-force τ-pair universe (id_a < id_b, cosine) from a fresh
     quantized scan — the certificate reference set. ``sample_mod=S``
     restricts BOTH sides to the deterministic id-sample id % S == 0,
-    cutting the cost to (n/S)² for the sampled certificate mode."""
-    from ..dedup.parity import _int_dot
+    cutting the cost to (n/S)² for the sampled certificate mode.
+
+    Round-15 (optimization, guide §2.3/§4.2): the broadcast nested
+    loop materialized both quantized arrays PER PAIR (~1 KB × n²/2
+    pairs — the measured 2.5 s single-task anchor stage of the sampled
+    certificate at sf0.1) before a per-pair Arrow dot. Now the probe
+    side is split into ``nblocks`` deterministic id-blocks
+    (pmod(id, nblocks)), the build side is replicated per block
+    (member-sized × nblocks — the broadcast it replaces shipped the
+    same bytes to every task), and one cogroup kernel per block does
+    the (n_blk × dim) @ (dim × n) exact int64 matmul, the big-int τ
+    gate, and the identical IEEE cosine. Each unordered pair is
+    emitted exactly once, from its lower id's block (the b.id > a.id
+    mask). Same O(n²) certificate-tier work as before — minus the
+    pair-sized materialization, and parallel across blocks instead of
+    one task."""
+    import numpy as np
+    import pandas as pd
+
+    from ..dedup.parity import _tau_ok_exact
 
     qarr = _tau_qarr(embs)
     if sample_mod is not None:
         qarr = qarr.filter(F.col("id") % sample_mod == 0)
-    cands = (
-        qarr.alias("a")
-        .join(F.broadcast(qarr.alias("b")), F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.qa").alias("va"),
-            F.col("b.qa").alias("vb"),
-            F.col("a.nq").alias("na"),
-            F.col("b.nq").alias("nb"),
+    left = qarr.withColumn("blk", F.pmod("id", F.lit(nblocks)))
+    # the replicated side gets DISTINCT column names: both cogroup
+    # sides share one lineage, and Spark's self-join attribute
+    # deduplication silently prunes the right side's columns when the
+    # expression ids collide (observed: the right pdf arrived with
+    # only `blk`)
+    right = qarr.select(
+        F.col("id").alias("rid"),
+        F.col("qa").alias("rqa"),
+        F.col("nq").alias("rnq"),
+    ).withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(nblocks)]))
+    )
+    schema = "id_a long, id_b long, cosine double"
+
+    def score(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ida = a["id"].to_numpy()
+        idb = b["rid"].to_numpy()
+        ma = np.stack(a["qa"].to_numpy()).astype(np.int64)
+        mb = np.stack(b["rqa"].to_numpy()).astype(np.int64)
+        mask = (idb[None, :] > ida[:, None]).ravel()
+        dq = (ma @ mb.T).ravel()[mask]
+        na = np.repeat(a["nq"].to_numpy().astype(np.int64), len(b))[mask]
+        nb = np.tile(b["rnq"].to_numpy().astype(np.int64), len(a))[mask]
+        ok = _tau_ok_exact(dq, na, nb, 2, 5)
+        cos = dq[ok] / np.sqrt(
+            na[ok].astype(np.float64) * nb[ok].astype(np.float64)
         )
-    )
-    scored = cands.select(
-        "id_a", "id_b", _int_dot("va", "vb").alias("dq"), "na", "nb"
-    )
-    return scored.filter(_tau_gate()).select(
-        "id_a",
-        "id_b",
-        (
-            F.col("dq")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-        ).alias("cosine"),
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(ida, len(b))[mask][ok],
+                "id_b": np.tile(idb, len(a))[mask][ok],
+                "cosine": cos,
+            }
+        )
+
+    return (
+        left.groupby("blk")
+        .cogroup(right.groupby("blk"))
+        .applyInPandas(score, schema)
     )
 
 

@@ -3818,62 +3818,141 @@ def lang_id_trained_frame(
     train_docs: optional training subsample (the 10^11-doc path —
     train on a hash-derandomized slice, score the full frame). When
     None (the registry/oracle form) training and scoring share the
-    same frame and the same feature scan."""
-    from pyspark.sql.window import Window
+    same frame and the same feature scan.
 
-    # localCheckpoint: x feeds every gradient step + final scoring
-    x = _lid_x(docs).localCheckpoint()
+    Round-15 (optimization, guide §2.3/§4.2; VERDICT r14 item 5): the
+    per-iteration broadcast-weight join + two corpus shuffles +
+    256-row collect is replaced by ONE Arrow pass per iteration over
+    per-doc feature ARRAYS. Each task densifies its batch into an
+    (n × B) int64 count matrix M, computes Z = M·Wᵀ and the partial
+    gradient Gᵖ = (Z − Y)ᵀ·M in two exact int64 matmuls, and emits one
+    K×B partial; the driver sums the ≤ numPartitions partials with
+    Python big-ints (integer addition is order-free, so the result is
+    independent of partitioning — the determinism argument the float
+    k-means loop cannot make). Final scoring is the same kernel plus a
+    per-row argmax over sorted classes (first-max == the old
+    row_number (z DESC, c ASC) tie-break), so the K-rows-per-doc frame
+    and its window are gone too. Labels ride the checkpointed feature
+    frame — joined once, not once per iteration. Bit-equality with the
+    unrolled-CTE oracle is unchanged: every quantity is the same
+    integer (dense B-slot weights hold 0 exactly where the sparse
+    (c, b) dict had no key — a zero weight contributes zero, as the
+    old inner join dropped the row)."""
+    import numpy as np
+    import pandas as pd
+
+    B = _DSIR_B
+
+    def _xa(feat: DataFrame, lab: DataFrame) -> DataFrame:
+        # one row per featured doc: aligned bucket/count arrays + label
+        return (
+            feat.groupBy("doc_id")
+            .agg(F.collect_list(F.struct("b", "x")).alias("bx"))
+            .join(lab, "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                F.col("bx.b").alias("bs"),
+                F.col("bx.x").alias("xs"),
+            )
+        )
+
     if train_docs is None:
         if n_docs is None:
             n_docs = docs.count()
         labels = docs.select("doc_id", "lang")
-        xt = x
+        # localCheckpoint: feeds every gradient pass + final scoring
+        xa_full = _xa(_lid_x(docs), labels).localCheckpoint()
+        xa_train = xa_full
     else:
         n_docs = train_docs.count()
-        labels = train_docs.select("doc_id", "lang")
-        xt = _lid_x(train_docs).localCheckpoint()
-    langs = sorted(r["lang"] for r in labels.select("lang").distinct().collect())
-    bs = sorted(r["b"] for r in xt.select("b").distinct().collect())
-    y = F.when(F.col("lang") == F.col("c"), F.lit(_LID_SCALE)).otherwise(F.lit(0))
-    w: dict[tuple[str, int], int] = {(c, b): 0 for c in langs for b in bs}
+        labels = docs.select("doc_id", "lang")
+        xa_full = _xa(_lid_x(docs), labels).localCheckpoint()
+        xa_train = _xa(
+            _lid_x(train_docs), train_docs.select("doc_id", "lang")
+        ).localCheckpoint()
+    # class list from the LABELS (not the feature frame): a class seen
+    # only on featureless docs still needs its (all-zero) weight row
+    # so it participates in the argmax exactly as before
+    train_labels = (
+        labels if train_docs is None else train_docs.select("doc_id", "lang")
+    )
+    langs = sorted(
+        r["lang"] for r in train_labels.select("lang").distinct().collect()
+    )
+    K = len(langs)
+    lang_idx = {c: i for i, c in enumerate(langs)}
+    # weights as PYTHON ints (exact, like the old (c, b) dict); the
+    # kernel closure gets an int64 snapshot per iteration
+    w_rows: list[list[int]] = [[0] * B for _ in range(K)]
 
-    def _wdf() -> DataFrame:
-        return F.broadcast(
-            spark.createDataFrame(
-                [(c, b, int(v)) for (c, b), v in sorted(w.items())],
-                "c string, b bigint, w long",
-            )
-        )
+    def _densify(pdf: pd.DataFrame) -> np.ndarray:
+        n = len(pdf)
+        bs = pdf["bs"].to_numpy()
+        xs = pdf["xs"].to_numpy()
+        lens = np.fromiter((len(a) for a in bs), dtype=np.int64, count=n)
+        m = np.zeros((n, B), dtype=np.int64)
+        if lens.sum():
+            rows = np.repeat(np.arange(n), lens)
+            m[rows, np.concatenate(bs).astype(np.int64)] = np.concatenate(
+                xs
+            ).astype(np.int64)
+        return m
 
     for _ in range(_LID_ITERS):
-        z = (
-            xt.join(_wdf(), "b")
-            .groupBy("doc_id", "c")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
-        )
-        grad_rows = (
-            xt.join(z, "doc_id")
-            .join(labels, "doc_id")  # corpus-sized: shuffle join, no hint
-            .select("c", "b", (F.col("x") * (F.col("z") - y)).alias("g1"))
-            .groupBy("c", "b")
-            .agg(F.sum("g1").alias("g"))
-            .collect()  # <= K * _DSIR_B rows — bounded model state
-        )
-        for r in grad_rows:
-            w[(r["c"], r["b"])] -= _trunc_div(
-                r["g"] * _LID_LRN, _LID_LRD * n_docs
+        w_mat = np.asarray(w_rows, dtype=np.int64)
+
+        def grad_part(batches):
+            g = np.zeros((K, B), dtype=np.int64)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                m = _densify(pdf)
+                z = m @ w_mat.T  # (n, K), exact int64
+                y = np.zeros((len(pdf), K), dtype=np.int64)
+                li = np.fromiter(
+                    (lang_idx[c] for c in pdf["lang"]),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                y[np.arange(len(pdf)), li] = _LID_SCALE
+                g += (z - y).T @ m
+            if any_rows:
+                yield pd.DataFrame({"g": [g.ravel().tolist()]})
+
+        parts = xa_train.mapInPandas(grad_part, "g array<long>").collect()
+        for r in parts:  # Python-int total: order-free, overflow-free
+            flat = r["g"]
+            for ci in range(K):
+                row = w_rows[ci]
+                base = ci * B
+                for bi in range(B):
+                    gv = flat[base + bi]
+                    if gv:
+                        row[bi] -= _trunc_div(
+                            gv * _LID_LRN, _LID_LRD * n_docs
+                        )
+
+    w_final = np.asarray(w_rows, dtype=np.int64)
+
+    def score_part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _densify(pdf)
+            z = m @ w_final.T
+            best = np.argmax(z, axis=1)  # first max = smallest class
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pred": [langs[i] for i in best],
+                    "z": z[np.arange(len(pdf)), best],
+                }
             )
-    zf = (
-        x.join(_wdf(), "b")
-        .groupBy("doc_id", "c")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.desc("z"), F.asc("c"))
-    winner = (
-        zf.withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("c").alias("pred"), "z")
-    )
+
+    winner = xa_full.mapInPandas(score_part, "doc_id long, pred string, z long")
     # docs whose prefix held no trigram fall back to the
     # lexicographically-first class at score 0 (deterministic; never
     # fires on driver data — min doc length 47)

