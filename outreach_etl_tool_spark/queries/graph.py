@@ -300,10 +300,19 @@ def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = sides.groupBy("u", "v").agg(F.count(F.lit(1)).alias("common"))
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("deg_u"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("deg_v"))
+    # Round-15 (optimization, guide §2.4): the edge list does NOT need
+    # to be joined back in. Every triangle side normalized to (u < v)
+    # IS an edge of e by construction, so `common`'s key set ⊆ e; and
+    # an edge with zero triangles can never pass the τ = 1/20 gate
+    # (20·0 ≥ deg_u + deg_v is impossible — both degrees are ≥ 1), so
+    # the old e LEFT JOIN common + coalesce(0) contributed no output
+    # rows beyond common's own. Dropping it removes the sort-merge
+    # join of two edge-count-sized relations (two exchanges + sorts of
+    # ~1.2M rows each at sf0.1) from the plan; the oracle's
+    # e-LEFT-JOIN formulation is unchanged and the hash gate certifies
+    # the equivalence.
     j = (
-        e.join(common, ["u", "v"], "left")
-        .withColumn("common", F.coalesce("common", F.lit(0).cast("long")))
-        .join(du, "u")
+        common.join(du, "u")
         .join(dv, "v")
         .withColumn("union_size", F.col("deg_u") + F.col("deg_v") - F.col("common"))
     )

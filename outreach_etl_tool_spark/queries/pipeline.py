@@ -3506,61 +3506,100 @@ def quality_classifier_frame(
     run's trained-filter stage (parity-asserted in
     tests/test_sinks.py). ``n_docs`` scales the learning rate; when
     None it is counted from the frame."""
-    # single consumer (x is the checkpointed multi-step frame) — no
-    # need to materialize the raw occurrence stream as well
+    # Round-15 (optimization, guide §2.3/§4.2 — the lang_id_trained
+    # treatment): each gradient step was one broadcast-literal scoring
+    # rollup + a (doc, is_t)-keyed join + a bucket rollup + a 256-row
+    # collect — two shuffles and a scheduler round-trip per iteration.
+    # Now the feature frame is grouped ONCE into per-doc aligned
+    # bucket/count arrays, and each iteration is a single Arrow pass:
+    # the kernel densifies its batch into an (n × B) int64 count
+    # matrix M, computes z = M·w and the partial gradient
+    # gᵖ = Mᵀ·(z − y) in exact int64, and emits one B-vector per
+    # partition; the driver sums partials with Python big-ints
+    # (integer addition is order-free, so the result is independent of
+    # partitioning). Final scoring is the same kernel without the
+    # gradient. Bit-equality with the unrolled-CTE oracle is
+    # unchanged: every quantity is the same integer (dense B-slot
+    # weights hold 0 exactly where the sparse dict had no key).
+    import numpy as np
+    import pandas as pd
+
+    B = _DSIR_B
     occ = _hashed_feature_occ(docs, materialize=False)
-    x = (
+    xa = (
         occ.filter(F.col("b").isNotNull())
         .groupBy("doc_id", "is_t", "b")
         .agg(F.count(F.lit(1)).alias("x"))
-        # localCheckpoint, not persist: x feeds every gradient step and
-        # the final scoring pass, and checkpoint blocks are released
-        # with the reference instead of living in the CacheManager for
-        # the session lifetime (round-9 ADVICE leak)
+        .groupBy("doc_id", "is_t")
+        .agg(F.collect_list(F.struct("b", "x")).alias("bx"))
+        .select(
+            "doc_id",
+            "is_t",
+            F.col("bx.b").alias("bs"),
+            F.col("bx.x").alias("xs"),
+        )
+        # localCheckpoint, not persist: xa feeds every gradient step
+        # and the final scoring pass, and checkpoint blocks are
+        # released with the reference instead of living in the
+        # CacheManager for the session lifetime (round-9 ADVICE leak)
         .localCheckpoint()
     )
     if n_docs is None:
         n_docs = docs.count()
-    y = F.when(F.col("is_t"), F.lit(_QC_SCALE)).otherwise(F.lit(0))
 
-    def _wb(w: dict[int, int]) -> Column:
-        # dense 256-slot literal ARRAY indexed by bucket (model state
-        # rides the plan, like broadcast centroids). Round-14
-        # optimization: the previous literal MAP paid Catalyst's
-        # GetMapValue linear scan — O(|w|) comparisons per row-lookup,
-        # ~256 × every (doc, bucket) row × every iteration; element_at
-        # on a dense array literal is one O(1) index. Missing buckets
-        # hold 0, exactly the map form's coalesce default.
-        if not w:
-            return F.lit(0).cast("long")
-        arr = [int(w.get(b, 0)) for b in range(_DSIR_B)]
-        return F.element_at(
-            F.lit(arr), F.col("b").cast("int") + 1
-        ).cast("long")
+    def _densify(pdf: pd.DataFrame) -> np.ndarray:
+        n = len(pdf)
+        bs = pdf["bs"].to_numpy()
+        xs = pdf["xs"].to_numpy()
+        lens = np.fromiter((len(a) for a in bs), dtype=np.int64, count=n)
+        m = np.zeros((n, B), dtype=np.int64)
+        if lens.sum():
+            rows = np.repeat(np.arange(n), lens)
+            m[rows, np.concatenate(bs).astype(np.int64)] = np.concatenate(
+                xs
+            ).astype(np.int64)
+        return m
 
-    w: dict[int, int] = {}
+    w_row: list[int] = [0] * B  # Python ints — exact, like the old dict
     for _ in range(_QC_ITERS):
-        zx = x.withColumn("wb", _wb(w))
-        z = zx.groupBy("doc_id", "is_t").agg(
-            F.sum(F.col("x") * F.col("wb")).alias("z")
-        )
-        grad_rows = (
-            x.join(z, ["doc_id", "is_t"])
-            .select("b", (F.col("x") * (F.col("z") - y)).alias("c"))
-            .groupBy("b")
-            .agg(F.sum("c").alias("g"))
-            .collect()  # <= 256 rows — bounded model state
-        )
-        w = {
-            r["b"]: w.get(r["b"], 0)
-            - _trunc_div(r["g"] * _QC_LRN, _QC_LRD * n_docs)
-            for r in grad_rows
-        }
-    final_z = (
-        x.withColumn("wb", _wb(w))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("x") * F.col("wb")).alias("z"))
-    )
+        w_vec = np.asarray(w_row, dtype=np.int64)
+
+        def grad_part(batches):
+            g = np.zeros(B, dtype=np.int64)
+            any_rows = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                m = _densify(pdf)
+                z = m @ w_vec  # (n,), exact int64
+                y = np.where(
+                    pdf["is_t"].to_numpy().astype(bool), _QC_SCALE, 0
+                ).astype(np.int64)
+                g += (z - y) @ m
+            if any_rows:
+                yield pd.DataFrame({"g": [g.tolist()]})
+
+        parts = xa.mapInPandas(grad_part, "g array<long>").collect()
+        for r in parts:  # Python-int total: order-free, overflow-free
+            flat = r["g"]
+            for bi in range(B):
+                gv = flat[bi]
+                if gv:
+                    w_row[bi] -= _trunc_div(
+                        gv * _QC_LRN, _QC_LRD * n_docs
+                    )
+
+    w_final = np.asarray(w_row, dtype=np.int64)
+
+    def score_part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _densify(pdf)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "z": m @ w_final})
+
+    final_z = xa.mapInPandas(score_part, "doc_id long, z long")
     return (
         docs.select("doc_id", (F.col("lang") == "en").alias("is_target"))
         .join(final_z, "doc_id", "left")
