@@ -1319,16 +1319,28 @@ def semdedup_ivf_check_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(emitted) per-pair soundness + mate recompute, (n/S)² sampled
     universe anchor (see the block comment above for the sampling
     soundness argument)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..dedup import parity
 
-    pairs, comps = _semdedup_ivf_parts(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == 64
     )
-    qarr = _tau_qarr(embs).localCheckpoint()  # feeds every recompute leg
-    # one count job, two consumers (round-14: the anchor and the SRP
-    # sample legs derived S independently — same value, twice the job)
-    smod = _cert_sample_mod(embs)
+    # Round-15 (optimization, guide §2.6): the tier build (k-means +
+    # pairs/components checkpoints), the fresh-scan qarr checkpoint,
+    # and the S-modulus count are independent eager jobs — overlap
+    # them from a thread pool instead of paying their driver latencies
+    # back-to-back. One count job, two consumers (round-14: the anchor
+    # and the SRP sample legs derived S independently).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_parts = pool.submit(_semdedup_ivf_parts, spark, sf_dir)
+        f_qarr = pool.submit(
+            lambda: _tau_qarr(embs).localCheckpoint()
+        )  # feeds every recompute leg
+        f_smod = pool.submit(_cert_sample_mod, embs)
+        pairs, comps = f_parts.result()
+        qarr = f_qarr.result()
+        smod = f_smod.result()
     n_anchor = (
         _exact_tau_pairs(embs, sample_mod=smod)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_tau_pairs_sampled"))
@@ -3204,10 +3216,13 @@ ORDER BY d.doc_id
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup import parity
 
-    sem = parity.emb_cross_decon_parity(
-        load_table(spark, sf_dir, "embeddings")
+    return _decontamination_report_frame(
+        spark,
+        sf_dir,
+        lambda: parity.emb_cross_decon_parity(
+            load_table(spark, sf_dir, "embeddings")
+        ),
     )
-    return _decontamination_report_frame(spark, sf_dir, sem)
 
 
 # The report's SCALE variant (round-10): identical extents/ngram tiers
@@ -3221,20 +3236,53 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is carried by decontaminate_semantic_ivf_check (oracled); the other
 # two tiers are byte-identical to the oracled report's.
 def decontamination_report_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sem = decontaminate_semantic_ivf(spark, sf_dir)
-    return _decontamination_report_frame(spark, sf_dir, sem)
+    return _decontamination_report_frame(
+        spark, sf_dir, lambda: decontaminate_semantic_ivf(spark, sf_dir)
+    )
 
 
 def _decontamination_report_frame(
-    spark: SparkSession, sf_dir: str, sem: DataFrame
+    spark: SparkSession, sf_dir: str, sem_fn
 ) -> DataFrame:
-    """The shared report body over a caller-chosen semantic tier
-    ``sem(vec_id, closest_eval_id, cosine)``."""
+    """The shared report body over a caller-chosen semantic tier,
+    built by ``sem_fn() -> DataFrame(vec_id, closest_eval_id, cosine)``.
+
+    Round-15 (optimization, guide §2.6): the three tiers' EAGER build
+    work — the span tier's winnow/fan-out localCheckpoint chain, the
+    gram tier's array checkpoint, and the semantic tier's build (the
+    IVF variant trains k-means and checkpoints qn eagerly) — are
+    mutually independent, but ran strictly back-to-back because each
+    localCheckpoint blocks the driver. Submitting the three builds
+    from a thread pool lets their jobs back-fill each other's idle
+    executors (Spark schedules concurrent jobs FIFO); content is
+    unchanged — every branch is deterministic and the composed plan is
+    identical, which the driver hash gate certifies."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .pipeline import _grams
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # tier 1: exact char extents (span machinery, %7 split)
-    runs, _ = _decon_runs(docs)
+
+    # tier 2 builder: distinct shared token 4-grams vs the %7 eval set.
+    # localCheckpoint the PRE-explode gram arrays (round-14
+    # optimization): the gram stream feeds both the eval-distinct leg
+    # and the train-overlap leg, and Catalyst inlines the tokenizer +
+    # 4-gram HOF into each — the corpus was gram-tokenized twice per
+    # report. The materialized relation is (doc_id, distinct-gram
+    # array), the same corpus-order-of-magnitude class as the minhash
+    # shingle checkpoint; both legs explode the cached arrays.
+    def _garr():
+        return docs.select(
+            "doc_id", F.array_distinct(_grams("text", 4)).alias("grams")
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_runs = pool.submit(_decon_runs, docs)  # tier 1 (%7 split)
+        f_garr = pool.submit(_garr)
+        f_sem = pool.submit(sem_fn)  # tier 3
+        runs, _ = f_runs.result()
+        garr = f_garr.result()
+        sem = f_sem.result()
     ext_doc = (
         runs.groupBy("doc_id", "ext_id")
         .agg((F.max("pos") - F.min("pos") + _LDS_L).alias("l"))
@@ -3244,17 +3292,6 @@ def _decontamination_report_frame(
             F.sum("l").alias("extent_chars"),
         )
     )
-    # tier 2: distinct shared token 4-grams vs the %7 eval set.
-    # localCheckpoint the PRE-explode gram arrays (round-14
-    # optimization): the gram stream feeds both the eval-distinct leg
-    # and the train-overlap leg, and Catalyst inlines the tokenizer +
-    # 4-gram HOF into each — the corpus was gram-tokenized twice per
-    # report. The materialized relation is (doc_id, distinct-gram
-    # array), the same corpus-order-of-magnitude class as the minhash
-    # shingle checkpoint; both legs explode the cached arrays.
-    garr = docs.select(
-        "doc_id", F.array_distinct(_grams("text", 4)).alias("grams")
-    ).localCheckpoint()
     g = garr.select("doc_id", F.explode("grams").alias("gram"))
     evg = (
         g.filter(F.col("doc_id") % _DCE_MOD == 0).select("gram").distinct()
