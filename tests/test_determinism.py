@@ -15,6 +15,7 @@ here instead of flaking the gate.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from outreach_etl_tool_spark.queries import REGISTRY
 
@@ -29,6 +30,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+@pytest.mark.slow
 def test_rows_only_queries_are_run_to_run_deterministic(spark, sf_dir):
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
     assert rows_only  # the class under test exists

@@ -144,6 +144,7 @@ def test_text_stats_stays_jvm_side(spark):
     assert a.jvm_only, a.python_nodes  # pure expression pipeline
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_anywhere(spark):
     """BatchEvalPython (per-row pickling) is banned across the whole
     registry — Python escapes must be Arrow-vectorized."""

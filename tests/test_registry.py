@@ -91,6 +91,7 @@ def test_entry_contract(spark):
     assert set(o) <= set(q)
 
 
+@pytest.mark.slow
 def test_registry_outputs_are_scalar_typed(spark, sf_dir):
     """No registry query may emit array/map/struct columns: the driver's
     rows-only comparator hashes rows via pandas, and list-valued cells
@@ -125,6 +126,7 @@ def duck(sf_dir):
 EXPECTED_EMPTY = {"join_anti", "set_except"}
 
 
+@pytest.mark.slow
 def test_all_queries_run_and_columns_match_oracle(spark, sf_dir, duck):
     failures = []
     for name, spec in REGISTRY.items():

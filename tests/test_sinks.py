@@ -1131,6 +1131,7 @@ def test_curation_run_pii_scrub_and_packing_stages(spark, tmp_path):
     assert counts["stage_packed"] == len(got_pack) > 0
 
 
+@pytest.mark.slow
 def test_curation_run_split_repair_stage(spark, tmp_path):
     """Round-14: ``split_gate="repair"`` closes the audit→action loop
     INSIDE the pipeline — the 13-stage all-gates run commits a
@@ -1220,6 +1221,7 @@ def test_curation_run_split_repair_stage(spark, tmp_path):
     assert counts["stage_shards"] == counts["stage_excised"]
 
 
+@pytest.mark.slow
 def test_curation_run_weighted_sample_stage(spark, tmp_path):
     """Round-13 (VERDICT r12 #8): ``sample_gate="weighted"`` commits a
     subsample STAGE between dedup and decontamination — the 10-stage

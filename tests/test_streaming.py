@@ -1413,6 +1413,7 @@ def test_decontaminate_ingest_annotates_and_survives_replay(spark, tmp_path):
     assert _replay_known_ids(mt, spark, empty, "doc_id") is None
 
 
+@pytest.mark.slow
 def test_stream_pii_scrub_matches_batch_excise(spark):
     """The streamed table's scrubbed md5s equal the batch pii_excise
     output doc-for-doc (batch-structure invariance made concrete), and
